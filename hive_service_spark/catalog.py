@@ -1,0 +1,53 @@
+"""Table layer: the deterministic test warehouse.
+
+Mirrors the reference's metastore-backed Database→Table model
+(SURVEY.md §1.1, §3.3): schemas are fixed (schema-on-read), tables are
+registered in the session catalog as views so both the DataFrame API
+and ``spark.sql`` resolve them. At 100 TB these would be external
+partitioned/bucketed tables in a real metastore; locally they are the
+driver-generated parquet files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Every table the driver pre-registers for the DuckDB oracle.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor
+# (region=5 rows, nation=25 rows — fixed-cardinality in TPC-H).
+BROADCASTABLE = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table as a DataFrame (vectorized parquet scan)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql() queries.
+
+    Temp view over a file scan keeps full predicate pushdown / column
+    pruning — Catalyst sees straight through the view to the
+    FileSourceScan.
+    """
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,72 @@
+"""Query registry: the driver-contract surface.
+
+Every implemented operator family registers one or more named queries
+here via the ``@query`` decorator. ``__spark_entry__.py`` exposes the
+collected registry as ``queries()`` / ``oracle_sql()``.
+
+A registered query is a callable ``(spark, sf_dir) -> DataFrame`` plus
+an optional ANSI-SQL oracle string DuckDB can run over the same parquet
+tables. Column names/aliases MUST match between the two — the driver
+sorts columns by name before value-hashing.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB, or None → rows-only check
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+# Modules that register queries on import. Order = SURVEY.md §7 waves.
+_QUERY_MODULES = (
+    "hive_service_spark.operators.scans",
+    "hive_service_spark.operators.joins",
+    "hive_service_spark.operators.aggregates",
+    "hive_service_spark.operators.windows",
+    "hive_service_spark.operators.setops",
+    "hive_service_spark.operators.lateral",
+    "hive_service_spark.operators.tpch",
+    "hive_service_spark.functions.function_queries",
+    "hive_service_spark.sources.source_queries",
+    "hive_service_spark.llm.text",
+    "hive_service_spark.llm.dedup",
+    "hive_service_spark.llm.similarity",
+    "hive_service_spark.llm.multimodal",
+    "hive_service_spark.streaming.events",
+)
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register ``fn`` under ``name`` with its SQL oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every query module (idempotent) and return the registry."""
+    for mod in _QUERY_MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError:
+            # module not built yet — fine during incremental development
+            pass
+    return dict(_REGISTRY)

@@ -1,0 +1,38 @@
+"""SparkSession construction for tests and bench.
+
+The driver passes us its own session for ``queries()``; this builder is
+for local runs. Config choices mirror what a 1000-executor deployment
+would set (AQE on, skew-join handling, partition coalescing) scaled to
+local[N].
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(app: str = "hive_service_spark", cpus: int | None = None) -> SparkSession:
+    cpus = cpus or CPUS
+    return (
+        SparkSession.builder.appName(app)
+        .master(f"local[{cpus}]")
+        # shuffle partitions sized to cores locally; AQE coalesces down.
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        # Hive 2.3 semantics: non-ANSI arithmetic (overflow wraps, / on
+        # ints yields double) — matches reference and DuckDB tolerance.
+        .config("spark.sql.ansi.enabled", "false")
+        # Arrow for any pandas-UDF path (LLM extensions).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
