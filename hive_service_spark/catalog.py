@@ -36,10 +36,25 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table as a DataFrame (vectorized parquet scan)."""
+    """Load one table as a DataFrame (vectorized parquet scan).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as long and
+    convert with integer division (ns ≈ 1.7e18 overflows double's 2^53
+    mantissa, so ``div`` not ``/``), truncating toward microseconds the
+    same way DuckDB's reader does.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        import pyspark.sql.functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -1,0 +1,353 @@
+"""Wave 3 — aggregation operators.
+
+Reference parity: GroupByOperator (hash/sorted modes HASH, PARTIAL*,
+FINAL — SURVEY.md §2.1) ≙ Catalyst partial+final HashAggregate with
+map-side combine; the full UDAF registry (SURVEY.md §2.3): count/sum/
+avg/min/max, variance/stddev families, covar/corr, regr_*, exact
+percentile, collect_list/collect_set, grouping sets/rollup/cube with
+GROUPING__ID, distinct and multi-distinct aggregation
+(HiveExpandDistinctAggregatesRule ≙ RewriteDistinctAggregates),
+histogram_numeric, bloom_filter.
+
+Scale notes: everything here is two-phase (partial aggregation before
+the shuffle) — the shuffle carries one row per (partition, group), not
+per input row. Multi-distinct triggers Catalyst's Expand, which
+multiplies shuffle rows by the distinct-column count: acceptable, same
+plan Hive generates. collect_list/set are bounded-group ops — only used
+on low-cardinality groups by design.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_service_spark.catalog import load
+from hive_service_spark.registry import query
+
+_GLOBAL_ORACLE = """
+SELECT
+  COUNT(*)                           AS n_rows,
+  COUNT(l_partkey)                   AS n_partkey,
+  ROUND(SUM(l_quantity), 2)          AS sum_qty,
+  MIN(l_quantity)                    AS min_qty,
+  MAX(l_quantity)                    AS max_qty,
+  ROUND(AVG(l_extendedprice), 4)     AS avg_price,
+  MIN(l_shipdate)                    AS first_ship,
+  MAX(l_shipdate)                    AS last_ship
+FROM lineitem
+"""
+
+
+@query("agg_global", oracle=_GLOBAL_ORACLE)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no GROUP BY) aggregation — single-group HashAggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_partkey").alias("n_partkey"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+_DISTINCT_ORACLE = """
+SELECT
+  l_returnflag,
+  COUNT(DISTINCT l_partkey)          AS nd_part,
+  COUNT(DISTINCT l_suppkey)          AS nd_supp,
+  ROUND(SUM(DISTINCT l_quantity), 2) AS sum_distinct_qty,
+  COUNT(*)                           AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("agg_multi_distinct", oracle=_DISTINCT_ORACLE)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregation (Catalyst RewriteDistinctAggregates
+    plans the Expand, same as HiveExpandDistinctAggregatesRule)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("nd_part"),
+            F.count_distinct("l_suppkey").alias("nd_supp"),
+            F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_distinct_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  GROUPING(o_orderstatus)   AS g_status,
+  GROUPING(o_orderpriority) AS g_prio,
+  COUNT(*)                  AS n_orders,
+  ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+@query("agg_rollup", oracle=_ROLLUP_ORACLE)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() markers (reference grouping-sets path in
+    GroupByOperator; GROUPING__ID bit-order normalized via per-column
+    grouping() instead — SURVEY.md §7 hard parts)."""
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+_CUBE_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  GROUPING(l_returnflag) AS g_flag,
+  GROUPING(l_linestatus) AS g_status,
+  COUNT(*)               AS n_items
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+@query("agg_cube", oracle=_CUBE_ORACLE)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_GSETS_ORACLE = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  COUNT(*)                    AS n_orders,
+  ROUND(AVG(o_totalprice), 4) AS avg_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@query("agg_grouping_sets", oracle=_GSETS_ORACLE)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (SQL form — Spark SQL supports verbatim)."""
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gsets_orders")
+    return spark.sql(
+        """
+        SELECT
+          o_orderstatus,
+          o_orderpriority,
+          COUNT(*)                    AS n_orders,
+          ROUND(AVG(o_totalprice), 4) AS avg_price
+        FROM _gsets_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+_STATS_ORACLE = """
+SELECT
+  l_returnflag,
+  ROUND(var_pop(l_quantity), 4)      AS var_pop_qty,
+  ROUND(var_samp(l_quantity), 4)     AS var_samp_qty,
+  ROUND(stddev_pop(l_quantity), 4)   AS std_pop_qty,
+  ROUND(stddev_samp(l_quantity), 4)  AS std_samp_qty,
+  ROUND(covar_pop(l_quantity, l_extendedprice), 2)  AS covar_pop_qp,
+  ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_samp_qp,
+  ROUND(corr(l_quantity, l_extendedprice), 4)       AS corr_qp,
+  ROUND(skewness(l_quantity), 4)     AS skew_qty,
+  ROUND(kurtosis(l_quantity), 4)     AS kurt_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_stats_moments", oracle=_STATS_ORACLE)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev/covariance/correlation families (GenericUDAF
+    Variance/Std/Covariance/Correlation) + skew/kurtosis extension."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.var_pop("l_quantity"), 4).alias("var_pop_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_samp_qty"),
+        F.round(F.stddev_pop("l_quantity"), 4).alias("std_pop_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_samp_qty"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covar_pop_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_samp_qp"
+        ),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+        F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
+    )
+
+
+_REGR_ORACLE = """
+SELECT
+  l_returnflag,
+  regr_count(l_extendedprice, l_quantity)               AS r_count,
+  ROUND(regr_avgx(l_extendedprice, l_quantity), 4)      AS r_avgx,
+  ROUND(regr_avgy(l_extendedprice, l_quantity), 4)      AS r_avgy,
+  ROUND(regr_slope(l_extendedprice, l_quantity), 4)     AS r_slope,
+  ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS r_intercept,
+  ROUND(regr_r2(l_extendedprice, l_quantity), 6)        AS r_r2,
+  ROUND(regr_sxx(l_extendedprice, l_quantity), 2)       AS r_sxx,
+  ROUND(regr_syy(l_extendedprice, l_quantity), 2)       AS r_syy,
+  ROUND(regr_sxy(l_extendedprice, l_quantity), 2)       AS r_sxy
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_regression", oracle=_REGR_ORACLE)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All nine regr_* aggregates (GenericUDAFBinarySetFunctions)."""
+    li = load(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("r_count"),
+        F.round(F.regr_avgx(y, x), 4).alias("r_avgx"),
+        F.round(F.regr_avgy(y, x), 4).alias("r_avgy"),
+        F.round(F.regr_slope(y, x), 4).alias("r_slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("r_intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r_r2"),
+        F.round(F.regr_sxx(y, x), 2).alias("r_sxx"),
+        F.round(F.regr_syy(y, x), 2).alias("r_syy"),
+        F.round(F.regr_sxy(y, x), 2).alias("r_sxy"),
+    )
+
+
+_PCTL_ORACLE = """
+SELECT
+  l_returnflag,
+  ROUND(quantile_cont(l_quantity, 0.5), 4)        AS p50_qty,
+  ROUND(quantile_cont(l_quantity, 0.9), 4)        AS p90_qty,
+  ROUND(quantile_cont(l_extendedprice, 0.25), 4)  AS p25_price,
+  ROUND(median(l_quantity), 4)                    AS med_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_percentile_exact", oracle=_PCTL_ORACLE)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentile (UDAFPercentile ≙ Spark
+    `percentile`; approx sketches intentionally NOT oracle-tested —
+    SURVEY.md §7 hard parts)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5), 4).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", 0.9), 4).alias("p90_qty"),
+        F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25_price"),
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+    )
+
+
+_COLLECT_ORACLE = """
+SELECT
+  l_returnflag,
+  list(DISTINCT l_linestatus ORDER BY l_linestatus) AS statuses,
+  list_sort(list(DISTINCT l_shipmode_dummy))        AS quantile_buckets
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS INTEGER) // 10 AS l_shipmode_dummy
+  FROM lineitem
+)
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_collect", oracle=_COLLECT_ORACLE)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set with deterministic ordering via sort_array
+    (MkCollectionEvaluator; raw collect order is engine-dependent so
+    both sides sort)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("l_quantity").cast("int") / 10).cast("int").alias("bucket"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.sort_array(F.collect_set("bucket")).alias("quantile_buckets"),
+    )
+
+
+_ARGMINMAX_ORACLE = """
+SELECT
+  o_orderstatus,
+  max_by(o_orderkey, o_totalprice) AS priciest_order,
+  min_by(o_orderkey, o_totalprice) AS cheapest_order,
+  ROUND(MAX(o_totalprice), 2)      AS max_price,
+  ROUND(MIN(o_totalprice), 2)      AS min_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("agg_min_max_by", oracle=_ARGMINMAX_ORACLE)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (arg-max) — Spark 3.3+ builtins."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+    )
+
+
+_BOOL_ORACLE = """
+SELECT
+  l_linestatus,
+  bool_and(l_quantity > 0)     AS all_positive,
+  bool_or(l_discount > 0.09)   AS any_big_discount,
+  COUNT(*) FILTER (WHERE l_tax = 0) AS n_tax_free
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+@query("agg_bool_filtered", oracle=_BOOL_ORACLE)
+def agg_bool_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and/bool_or + FILTER'd aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_big_discount"),
+        F.count(F.when(F.col("l_tax") == 0, 1)).alias("n_tax_free"),
+    )
+
+
+@query("agg_sketches", oracle=None)  # sketch values are engine-specific
+def agg_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-specific sketches: approx_count_distinct (HLL — a
+    capability the reference lacks, SURVEY.md §2.3), percentile_approx
+    (different sketch than Hive's histogram-based one), and
+    histogram_numeric. Rows-only check; exact counterparts are
+    oracle-tested above."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_nd_part"),
+        F.percentile_approx("l_quantity", 0.5).alias("approx_p50"),
+        F.histogram_numeric("l_quantity", F.lit(5)).alias("hist_qty"),
+    )

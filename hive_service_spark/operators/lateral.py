@@ -1,0 +1,175 @@
+"""Wave 7 — table-generating functions / LATERAL VIEW / JSON.
+
+Reference parity: UDTFOperator + LateralViewForward/JoinOperator
+(SURVEY.md §2.1): explode / posexplode / inline / stack registered in
+FunctionRegistry; get_json_object / json_tuple JSON surface
+(SURVEY.md §2.7). Spark plans these as Generate nodes — per-row fanout
+stays inside whole-stage codegen, no shuffle added by the explode
+itself.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_service_spark.catalog import load
+from hive_service_spark.registry import query
+
+_JSON_ORACLE = """
+SELECT
+  event_type,
+  COUNT(*)                                                   AS n_events,
+  ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))    AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("json_extract_agg", oracle=_JSON_ORACLE)
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object over the events.props JSON column, then agg."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+_JSON_TUPLE_ORACLE = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 90
+"""
+
+
+@query("json_tuple_filter", oracle=_JSON_TUPLE_ORACLE)
+def json_tuple_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_tuple (UDTF form of JSON field extraction) + filter."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select("event_id", F.json_tuple("props", "k").alias("k"))
+        .select("event_id", F.col("k").cast("int").alias("k"))
+        .filter(F.col("k") > 90)
+    )
+
+
+_EXPLODE_ORACLE = """
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 20
+"""
+
+
+@query("explode_word_count", oracle=_EXPLODE_ORACLE)
+def explode_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW explode(split(text)) → word count: the canonical
+    UDTFOperator pipeline. Generate fans out in-task; only the groupBy
+    shuffles (on word)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )
+
+
+_POSEXPLODE_ORACLE = """
+SELECT doc_id,
+       unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS pos,
+       unnest(string_split(text, ' ')) AS word
+FROM documents
+WHERE doc_id < 5
+"""
+
+
+@query("posexplode_words", oracle=_POSEXPLODE_ORACLE)
+def posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: position-preserving explode (UDTFOperator posexplode;
+    DuckDB oracle zips parallel unnests)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+
+
+_EXPLODE_OUTER_ORACLE = """
+SELECT doc_id, word
+FROM (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN string_split(text, ' ') END AS words
+  FROM documents
+  WHERE doc_id < 50
+) LEFT JOIN LATERAL (SELECT unnest(words) AS word) ON TRUE
+"""
+
+
+@query("explode_outer_nulls", oracle=_EXPLODE_OUTER_ORACLE)
+def explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW OUTER: rows with NULL/empty arrays survive with a
+    NULL element (LateralViewJoinOperator outer semantics)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    words = F.when(F.col("lang") == "en", F.split("text", " "))
+    return d.select("doc_id", F.explode_outer(words).alias("word"))
+
+
+_STACK_ORACLE = """
+SELECT s_suppkey, metric, val FROM (
+  SELECT s_suppkey, 'acctbal' AS metric, s_acctbal AS val FROM supplier
+  UNION ALL
+  SELECT s_suppkey, 'nationkey' AS metric, CAST(s_nationkey AS DOUBLE) AS val FROM supplier
+)
+"""
+
+
+@query("stack_unpivot", oracle=_STACK_ORACLE)
+def stack_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stack(n, ...) — the UDTF the reference registers for UN-PIVOT
+    shapes; Spark's stack generates the same rows in-task."""
+    s = load(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.expr(
+            "stack(2, 'acctbal', s_acctbal, 'nationkey', CAST(s_nationkey AS DOUBLE))"
+        ).alias("metric", "val"),
+    )
+
+
+_INLINE_ORACLE = """
+SELECT n_nationkey, kind, score FROM (
+  SELECT n_nationkey, 'base' AS kind, n_regionkey * 10 AS score FROM nation
+  UNION ALL
+  SELECT n_nationkey, 'alt' AS kind, n_nationkey + 100 AS score FROM nation
+)
+"""
+
+
+@query("inline_structs", oracle=_INLINE_ORACLE)
+def inline_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """inline(array<struct>) — explode an array of structs into columns
+    (GenericUDTFInline)."""
+    n = load(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit("base").alias("kind"),
+                    (F.col("n_regionkey") * 10).alias("score"),
+                ),
+                F.struct(
+                    F.lit("alt").alias("kind"),
+                    (F.col("n_nationkey") + 100).alias("score"),
+                ),
+            )
+        ),
+    )

@@ -1,0 +1,202 @@
+"""Wave 5 — set operations, sorts, limits, sampling.
+
+Reference parity (SURVEY.md §2.6): UNION ALL native (UnionOperator),
+UNION/INTERSECT [ALL]/EXCEPT [ALL] (reference rewrites via
+HiveIntersectRewriteRule/HiveExceptRewriteRule + replicate_rows; Spark
+has native operators), ORDER BY / SORT BY / DISTRIBUTE BY / CLUSTER BY
+(ReduceSinkOperator configs), LIMIT + TopN pushdown (TopNHash ≙
+TakeOrderedAndProject), TABLESAMPLE (bucket sampling expressed as a
+deterministic key-mod filter so both engines agree).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_service_spark.catalog import load
+from hive_service_spark.registry import query
+
+_UNION_ALL_ORACLE = """
+SELECT o_orderkey AS okey, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT o_orderkey AS okey, 'big' AS src FROM orders WHERE o_totalprice > 280000
+"""
+
+
+@query("setop_union_all", oracle=_UNION_ALL_ORACLE)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics — overlapping rows kept twice)."""
+    o = load(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("okey"), F.lit("urgent").alias("src")
+    )
+    big = o.filter(F.col("o_totalprice") > 280000).select(
+        F.col("o_orderkey").alias("okey"), F.lit("big").alias("src")
+    )
+    return urgent.unionAll(big)
+
+
+_UNION_DISTINCT_ORACLE = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 280000
+"""
+
+
+@query("setop_union_distinct", oracle=_UNION_DISTINCT_ORACLE)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT (reference: union + group-by dedup)."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_totalprice") > 280000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.union(b).distinct()
+
+
+_INTERSECT_ORACLE = """
+SELECT c_nationkey AS nkey FROM customer WHERE c_acctbal > 9000
+INTERSECT
+SELECT s_nationkey AS nkey FROM supplier
+"""
+
+
+@query("setop_intersect", oracle=_INTERSECT_ORACLE)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT DISTINCT (HiveIntersectRewriteRule ≙ native)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_nationkey").alias("nkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
+    return c.intersect(s)
+
+
+_EXCEPT_ORACLE = """
+SELECT c_nationkey AS nkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nkey FROM supplier
+"""
+
+
+@query("setop_except", oracle=_EXCEPT_ORACLE)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT DISTINCT (HiveExceptRewriteRule ≙ native)."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
+    return c.subtract(s)
+
+
+_INTERSECT_ALL_ORACLE = """
+SELECT l_suppkey AS skey FROM lineitem WHERE l_quantity > 45
+INTERSECT ALL
+SELECT l_suppkey AS skey FROM lineitem WHERE l_discount > 0.08
+"""
+
+
+@query("setop_intersect_all", oracle=_INTERSECT_ALL_ORACLE)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag intersect, multiplicity = min of both)."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 45).select(F.col("l_suppkey").alias("skey"))
+    b = li.filter(F.col("l_discount") > 0.08).select(F.col("l_suppkey").alias("skey"))
+    return a.intersectAll(b)
+
+
+_EXCEPT_ALL_ORACLE = """
+SELECT l_suppkey AS skey FROM lineitem WHERE l_quantity > 45
+EXCEPT ALL
+SELECT l_suppkey AS skey FROM lineitem WHERE l_discount > 0.08
+"""
+
+
+@query("setop_except_all", oracle=_EXCEPT_ALL_ORACLE)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag difference, multiplicity = max(0, a-b))."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 45).select(F.col("l_suppkey").alias("skey"))
+    b = li.filter(F.col("l_discount") > 0.08).select(F.col("l_suppkey").alias("skey"))
+    return a.exceptAll(b)
+
+
+_TOPN_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+"""
+
+
+@query("limit_topn", oracle=_TOPN_ORACLE)
+def limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT → TakeOrderedAndProject (reference TopNHash
+    pushdown into ReduceSink): no global sort is materialized, each
+    partition keeps a bounded heap."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+_SORTED_ORACLE = """
+SELECT n_name, n_regionkey, n_nationkey
+FROM nation
+ORDER BY n_regionkey, n_name
+"""
+
+
+@query("order_by_global", oracle=_SORTED_ORACLE)
+def order_by_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY (range-partitioned sort, not 1-reducer like the
+    reference's ORDER BY — Spark samples ranges and sorts in parallel)."""
+    return (
+        load(spark, sf_dir, "nation")
+        .select("n_name", "n_regionkey", "n_nationkey")
+        .orderBy("n_regionkey", "n_name")
+    )
+
+
+_CLUSTER_ORACLE = """
+SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE l_quantity > 48
+"""
+
+
+@query("distribute_cluster_by", oracle=_CLUSTER_ORACLE)
+def distribute_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTE BY + SORT BY (CLUSTER BY): hash-repartition on a key
+    with an in-partition sort — the ReduceSinkOperator contract. The
+    global row set is unchanged (oracle = plain SELECT; compare is
+    order-insensitive); the point is the partitioning/sort plan shape
+    used before bucketed writes or merge joins."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 48)
+    return (
+        li.select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity")
+        .repartition(F.col("l_suppkey"))
+        .sortWithinPartitions("l_suppkey", "l_orderkey", "l_linenumber")
+    )
+
+
+_SAMPLE_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE l_orderkey % 16 = 3
+"""
+
+
+@query("tablesample_bucket", oracle=_SAMPLE_ORACLE)
+def tablesample_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLESAMPLE(BUCKET 4 OUT OF 16 ON l_orderkey) expressed as the
+    deterministic key-mod filter both engines compute identically
+    (engine-internal hash sampling is not cross-engine comparable —
+    SURVEY.md §7 hard parts; Bernoulli df.sample exists but is seeded
+    per-engine)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") % 16 == 3).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

@@ -1,0 +1,270 @@
+"""Wave 4 — window functions / PTF.
+
+Reference parity: PTFOperator + WindowingTableFunction (SURVEY.md
+§2.4): ranking (row_number/rank/dense_rank/ntile/percent_rank/
+cume_dist), analytic (lead/lag/first_value/last_value/nth_value), any
+UDAF over a window, ROWS and RANGE frames (the typed
+ValueBoundaryScanner matrix — numeric and time-based RANGE).
+
+Scale notes: each window spec = one shuffle on partitionBy keys + an
+in-partition sort; Spark spills window buffers (reference:
+PTFRowContainer). Specs sharing (partitionBy, orderBy) reuse one
+Window exec — queries below deliberately share specs. Deterministic
+output requires a total order: every orderBy includes a unique
+tie-breaker key.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from hive_service_spark.catalog import load
+from hive_service_spark.registry import query
+
+_RANKING_ORACLE = """
+SELECT * FROM (
+  SELECT
+    c_mktsegment,
+    c_custkey,
+    c_acctbal,
+    ROW_NUMBER()   OVER w AS rn,
+    RANK()         OVER w AS rnk,
+    DENSE_RANK()   OVER w AS drnk,
+    NTILE(4)       OVER w AS quartile,
+    ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+    ROUND(CUME_DIST()    OVER w, 6) AS cume
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+)
+WHERE rn <= 10
+"""
+
+
+@query("window_ranking", oracle=_RANKING_ORACLE)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six ranking functions over one shared window spec."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .filter(F.col("rn") <= 10)
+    )
+
+
+_LEADLAG_ORACLE = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  o_orderdate,
+  LAG(o_totalprice)        OVER w AS prev_price,
+  LEAD(o_totalprice)       OVER w AS next_price,
+  LAG(o_totalprice, 2, -1) OVER w AS prev2_price_dflt,
+  o_totalprice - LAG(o_totalprice) OVER w AS delta_vs_prev
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@query("window_lead_lag", oracle=_LEADLAG_ORACLE)
+def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag with offsets + defaults (GenericUDAFLeadLag)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.lag("o_totalprice", 2, -1).over(w).alias("prev2_price_dflt"),
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias(
+            "delta_vs_prev"
+        ),
+    )
+
+
+_ROWS_FRAME_ORACLE = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  ROUND(SUM(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+  ROUND(AVG(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)         AS moving_avg3,
+  COUNT(*) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)             AS neighborhood
+FROM orders
+WHERE o_custkey < 50
+"""
+
+
+@query("window_rows_frame", oracle=_ROWS_FRAME_ORACLE)
+def window_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS frames: running total, moving average, sliding count
+    (WindowingSpec$WindowType.ROWS)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(
+                base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("running_total"),
+        F.round(
+            F.avg("o_totalprice").over(base.rowsBetween(-2, Window.currentRow)), 4
+        ).alias("moving_avg3"),
+        F.count(F.lit(1)).over(base.rowsBetween(-1, 1)).alias("neighborhood"),
+    )
+
+
+_RANGE_FRAME_ORACLE = """
+SELECT
+  l_returnflag,
+  l_orderkey,
+  l_linenumber,
+  l_quantity,
+  COUNT(*) OVER (
+    PARTITION BY l_returnflag ORDER BY l_quantity
+    RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS n_similar_qty,
+  ROUND(SUM(l_extendedprice) OVER (
+    PARTITION BY l_returnflag ORDER BY l_quantity
+    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_price_by_qty
+FROM lineitem
+WHERE l_orderkey < 300
+"""
+
+
+@query("window_range_frame", oracle=_RANGE_FRAME_ORACLE)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frames on a numeric ordering column (typed
+    ValueBoundaryScanner analog: value-based, peers included)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    by_qty = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.count(F.lit(1)).over(by_qty.rangeBetween(-5, 5)).alias("n_similar_qty"),
+        F.round(
+            F.sum("l_extendedprice").over(
+                by_qty.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("cum_price_by_qty"),
+    )
+
+
+_TIME_RANGE_ORACLE = """
+SELECT
+  user_id,
+  event_id,
+  ts,
+  COUNT(*) OVER (
+    PARTITION BY user_id ORDER BY epoch(ts)
+    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS events_last_hour,
+  ROUND(SUM(value) OVER (
+    PARTITION BY user_id ORDER BY epoch(ts)
+    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW), 4) AS value_last_day
+FROM events
+WHERE user_id < 20
+"""
+
+
+@query("window_time_range", oracle=_TIME_RANGE_ORACLE)
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame via epoch seconds (reference
+    TimestampValueBoundaryScanner; portable across engines as numeric
+    range on unix time)."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy(F.unix_timestamp("ts"))
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w.rangeBetween(-3600, 0)).alias("events_last_hour"),
+        F.round(F.sum("value").over(w.rangeBetween(-86400, 0)), 4).alias(
+            "value_last_day"
+        ),
+    )
+
+
+_FIRST_LAST_ORACLE = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  FIRST_VALUE(o_orderkey) OVER w AS first_order,
+  LAST_VALUE(o_orderkey) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+  NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@query("window_first_last_nth", oracle=_FIRST_LAST_ORACLE)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value (full frame) / nth_value."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+_PARTITION_AGG_ORACLE = """
+SELECT
+  s_suppkey,
+  s_nationkey,
+  s_acctbal,
+  ROUND(AVG(s_acctbal) OVER (PARTITION BY s_nationkey), 4) AS nation_avg,
+  s_acctbal - ROUND(AVG(s_acctbal) OVER (PARTITION BY s_nationkey), 4)
+    AS delta_from_avg,
+  COUNT(*) OVER () AS total_suppliers
+FROM supplier
+"""
+
+
+@query("window_partition_agg", oracle=_PARTITION_AGG_ORACLE)
+def window_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered window = whole-partition aggregate broadcast back to
+    each row (no sort needed; Catalyst plans a single Window exec)."""
+    s = load(spark, sf_dir, "supplier")
+    by_nation = Window.partitionBy("s_nationkey")
+    everything = Window.partitionBy()
+    nation_avg = F.round(F.avg("s_acctbal").over(by_nation), 4)
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        nation_avg.alias("nation_avg"),
+        (F.col("s_acctbal") - nation_avg).alias("delta_from_avg"),
+        F.count(F.lit(1)).over(everything).alias("total_suppliers"),
+    )
