@@ -1,0 +1,340 @@
+"""Wave 6 — scalar function parity queries.
+
+One oracle-backed query per function family from the reference's
+286-entry FunctionRegistry (SURVEY.md §2.7); the full name→impl map is
+``hive_compat.HIVE_FUNCTION_TABLE``. Functions DuckDB lacks (initcap,
+soundex, xpath, conv, bround, sentences, months_between, next_day) are
+exercised by pytest unit tests instead (tests/test_functions.py) or a
+rows-only query — the capability is still Spark-side tested.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_service_spark.catalog import load
+from hive_service_spark.functions import hive_compat as hc
+from hive_service_spark.registry import query
+
+_STRING_ORACLE = """
+SELECT
+  p_partkey,
+  upper(p_name)                    AS up_name,
+  lower(p_brand)                   AS low_brand,
+  length(p_name)                   AS name_len,
+  substr(p_name, 3, 8)             AS name_mid,
+  strpos(p_name, 'a')              AS first_a,
+  concat_ws('|', p_brand, p_type)  AS brand_type,
+  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+  rpad(p_brand, 12, '.')           AS brand_dots,
+  reverse(p_brand)                 AS brand_rev,
+  replace(p_type, ' ', '_')        AS type_snake,
+  translate(p_brand, '#', '-')     AS brand_dash,
+  repeat('*', p_size % 5)          AS stars,
+  ascii(p_name)                    AS first_char_code,
+  chr(65 + p_size % 26)            AS size_letter
+FROM part
+"""
+
+
+@query("func_string_basics", oracle=_STRING_ORACLE)
+def func_string_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core string registry: upper/lower/length/substr/instr/concat_ws/
+    lpad/rpad/reverse/replace/translate/repeat/ascii/chr."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.lower("p_brand").alias("low_brand"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 3, 8).alias("name_mid"),
+        F.instr("p_name", "a").alias("first_a"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.rpad("p_brand", 12, ".").alias("brand_dots"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+        F.repeat(F.lit("*"), F.col("p_size") % 5).alias("stars"),
+        F.ascii("p_name").alias("first_char_code"),
+        F.chr(F.lit(65) + F.col("p_size") % 26).alias("size_letter"),
+    )
+
+
+_REGEX_ORACLE = """
+SELECT
+  p_partkey,
+  regexp_extract(p_brand, '([0-9]+)', 1)             AS brand_num,
+  regexp_replace(p_name, '[aeiou]', '_', 'g')        AS devoweled,
+  regexp_matches(p_name, '^[a-m]')                   AS starts_early,
+  len(string_split(p_type, ' '))                     AS type_words,
+  array_to_string(list_slice(string_split(p_type, ' '), 1, 2), ' ')
+                                                     AS type_prefix2,
+  list_position(string_split('AUTOMOBILE,BUILDING,FURNITURE', ','),
+                'BUILDING')                          AS fis_demo
+FROM part
+"""
+
+
+@query("func_string_regex", oracle=_REGEX_ORACLE)
+def func_string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract / regexp_replace (Spark replaces globally — the
+    oracle needs the 'g' flag) / rlike / split / substring_index /
+    find_in_set."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("^[a-m]").alias("starts_early"),
+        F.size(F.split("p_type", " ")).alias("type_words"),
+        F.substring_index("p_type", " ", 2).alias("type_prefix2"),
+        F.find_in_set(F.lit("BUILDING"), F.lit("AUTOMOBILE,BUILDING,FURNITURE"))
+        .alias("fis_demo"),
+    )
+
+
+_HASH_ORACLE = """
+SELECT
+  p_partkey,
+  md5(p_name)                       AS name_md5,
+  sha256(p_name)                    AS name_sha256,
+  base64(encode(p_brand))           AS brand_b64,
+  decode(from_base64(base64(encode(p_name)))) AS name_roundtrip,
+  levenshtein(p_brand, 'Brand#25')  AS brand_dist
+FROM part
+WHERE p_partkey < 100
+"""
+
+
+@query("func_hash_crypto", oracle=_HASH_ORACLE)
+def func_hash_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 / sha2 / base64 / unbase64 / levenshtein (crc32 and Hive
+    `hash` are engine-specific — unit-tested instead)."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("name_md5"),
+        F.sha2("p_name", 256).alias("name_sha256"),
+        F.base64(F.col("p_brand").cast("binary")).alias("brand_b64"),
+        F.unbase64(F.base64(F.col("p_name").cast("binary")))
+        .cast("string")
+        .alias("name_roundtrip"),
+        F.levenshtein("p_brand", F.lit("Brand#25")).alias("brand_dist"),
+    )
+
+
+_MATH_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  abs(l_quantity - 25)                        AS dist_from_25,
+  CAST(ceil(l_discount * 100) AS BIGINT)      AS disc_pct_ceil,
+  CAST(floor(l_tax * 100) AS BIGINT)          AS tax_pct_floor,
+  sqrt(l_quantity)                            AS qty_sqrt,
+  exp(l_discount)                             AS disc_exp,
+  ln(l_quantity + 1)                          AS qty_ln,
+  log10(l_extendedprice)                      AS price_log10,
+  log2(l_quantity + 1)                        AS qty_log2,
+  pow(l_quantity, 2)                          AS qty_sq,
+  cbrt(l_quantity)                            AS qty_cbrt,
+  CAST(sign(l_discount - 0.05) AS DOUBLE)     AS disc_sign,
+  ((CAST(l_quantity AS BIGINT) % 7) + 7) % 7  AS qty_pmod7,
+  greatest(l_discount, l_tax)                 AS max_rate,
+  least(l_discount, l_tax)                    AS min_rate,
+  CAST(l_linenumber AS BIGINT) << 2           AS ln_shl,
+  CAST(l_quantity AS BIGINT) >> 1             AS qty_shr,
+  CAST(l_linenumber AS BIGINT) & 3            AS ln_and,
+  CAST(l_linenumber AS BIGINT) | 8            AS ln_or,
+  xor(CAST(l_linenumber AS BIGINT), 5)        AS ln_xor
+FROM lineitem
+WHERE l_orderkey < 200
+"""
+
+
+@query("func_math", oracle=_MATH_ORACLE)
+def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math registry: abs/ceil/floor/sqrt/exp/ln/log10/log2/pow/cbrt/
+    sign/pmod/greatest/least + bitwise shifts and ops."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    qty_l = F.col("l_quantity").cast("bigint")
+    ln_l = F.col("l_linenumber").cast("bigint")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25).alias("dist_from_25"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+        F.floor(F.col("l_tax") * 100).alias("tax_pct_floor"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.exp("l_discount").alias("disc_exp"),
+        F.log(F.col("l_quantity") + 1).alias("qty_ln"),
+        F.log10("l_extendedprice").alias("price_log10"),
+        F.log2(F.col("l_quantity") + 1).alias("qty_log2"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.cbrt("l_quantity").alias("qty_cbrt"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.pmod(qty_l, F.lit(7)).alias("qty_pmod7"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.shiftleft(ln_l, 2).alias("ln_shl"),
+        F.shiftright(qty_l, 1).alias("qty_shr"),
+        ln_l.bitwiseAND(F.lit(3)).alias("ln_and"),
+        ln_l.bitwiseOR(F.lit(8)).alias("ln_or"),
+        ln_l.bitwiseXOR(F.lit(5)).alias("ln_xor"),
+    )
+
+
+_DATE_ORACLE = """
+SELECT
+  o_orderkey,
+  year(o_orderdate)                       AS o_year,
+  month(o_orderdate)                      AS o_month,
+  day(o_orderdate)                        AS o_day,
+  quarter(o_orderdate)                    AS o_quarter,
+  dayofweek(o_orderdate) + 1              AS o_dow,
+  dayofyear(o_orderdate)                  AS o_doy,
+  weekofyear(o_orderdate)                 AS o_week,
+  CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+  CAST(o_orderdate AS DATE) + 30          AS due_date,
+  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+  datediff('day', o_orderdate, TIMESTAMP '2000-01-01') AS days_to_y2k,
+  CAST(epoch(o_orderdate) AS BIGINT)      AS o_epoch,
+  strftime(o_orderdate, '%Y-%m-%d')       AS o_fmt
+FROM orders
+WHERE o_orderkey < 500
+"""
+
+
+@query("func_datetime", oracle=_DATE_ORACLE)
+def func_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time registry: year/month/day/quarter/dayofweek/dayofyear/
+    weekofyear/last_day/date_trunc (also the floor_<unit> shim family)/
+    date_add/add_months/datediff/unix_timestamp/date_format.
+
+    Engine deltas handled: DuckDB dayofweek is 0-based (Spark 1-based);
+    epoch() returns double (cast to BIGINT)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        F.dayofweek("o_orderdate").alias("o_dow"),
+        F.dayofyear("o_orderdate").alias("o_doy"),
+        F.weekofyear("o_orderdate").alias("o_week"),
+        F.last_day("o_orderdate").alias("month_end"),
+        hc.floor_month(F.col("o_orderdate")).alias("month_start"),
+        F.date_add(F.col("o_orderdate"), 30).alias("due_date"),
+        F.add_months(F.col("o_orderdate"), 3).alias("plus3m"),
+        F.datediff(F.lit("2000-01-01").cast("timestamp"), F.col("o_orderdate"))
+        .alias("days_to_y2k"),
+        F.unix_timestamp("o_orderdate").alias("o_epoch"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_fmt"),
+    )
+
+
+_MASK_ORACLE = """
+SELECT
+  c_custkey,
+  regexp_replace(regexp_replace(regexp_replace(c_name,
+    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked,
+  concat(
+    regexp_replace(regexp_replace(regexp_replace(substr(c_name, 1, 4),
+      '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g'),
+    substr(c_name, 5)) AS masked_first4,
+  concat(
+    substr(c_name, 1, 4),
+    regexp_replace(regexp_replace(regexp_replace(substr(c_name, 5),
+      '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g'))
+    AS show_first4,
+  md5(c_name) AS name_hash
+FROM customer
+WHERE c_custkey < 100
+"""
+
+
+@query("func_mask_family", oracle=_MASK_ORACLE)
+def func_mask_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mask / mask_first_n / mask_show_first_n / mask_hash shims
+    (GenericUDFMask* family; Hive defaults X/x/n)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return c.select(
+        "c_custkey",
+        hc.mask(F.col("c_name")).alias("masked"),
+        hc.mask_first_n(F.col("c_name"), 4).alias("masked_first4"),
+        hc.mask_show_first_n(F.col("c_name"), 4).alias("show_first4"),
+        hc.mask_hash(F.col("c_name")).alias("name_hash"),
+    )
+
+
+_SHIM_ORACLE = """
+SELECT
+  c_custkey,
+  list_position(['BUILDING', 'AUTOMOBILE', 'MACHINERY'], c_mktsegment)
+                                                   AS seg_field,
+  ['even', 'odd'][1 + CAST(c_custkey % 2 AS INTEGER)] AS parity_word,
+  CAST(date_trunc('quarter', TIMESTAMP '2024-05-17 10:30:00') AS TIMESTAMP) AS q_demo,
+  regexp_extract(url, '^https?://([^/]+)', 1)      AS url_host,
+  regexp_extract(url, '^https?://[^/]+([^?#]*)', 1) AS url_path,
+  regexp_extract(url, '[?&]seg=([^&#]*)', 1)       AS url_seg
+FROM (
+  SELECT c_custkey, c_mktsegment,
+         concat('https://shop.example.com/c/', c_custkey,
+                '?seg=', lower(c_mktsegment), '&v=1') AS url
+  FROM customer
+  WHERE c_custkey < 200
+)
+"""
+
+
+@query("func_shims_misc", oracle=_SHIM_ORACLE)
+def func_shims_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """field() shim, elt(), floor_quarter shim, parse_url/
+    parse_url_tuple (oracle uses the equivalent regex extraction)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    url = F.concat(
+        F.lit("https://shop.example.com/c/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("?seg="),
+        F.lower("c_mktsegment"),
+        F.lit("&v=1"),
+    )
+    withurl = c.select("c_custkey", "c_mktsegment", url.alias("url"))
+    host, path, seg = hc.parse_url_tuple(F.col("url"), "HOST", "PATH", "QUERY:seg")
+    return withurl.select(
+        "c_custkey",
+        hc.field(F.col("c_mktsegment"), "BUILDING", "AUTOMOBILE", "MACHINERY")
+        .alias("seg_field"),
+        F.elt(F.lit(1) + (F.col("c_custkey") % 2).cast("int"), F.lit("even"), F.lit("odd"))
+        .alias("parity_word"),
+        hc.floor_quarter(F.lit("2024-05-17 10:30:00").cast("timestamp"))
+        .alias("q_demo"),
+        host.alias("url_host"),
+        path.alias("url_path"),
+        seg.alias("url_seg"),
+    )
+
+
+@query("func_xpath_misc", oracle=None)  # DuckDB has no xpath
+def func_xpath_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xpath* family + conv/bround/bin/hex/initcap/soundex/sentences —
+    functions DuckDB can't oracle; Spark-side rows-only here, exact
+    values pinned in tests/test_functions.py."""
+    n = load(spark, sf_dir, "nation")
+    xml = F.concat(
+        F.lit("<n><key>"), F.col("n_nationkey").cast("string"),
+        F.lit("</key><name>"), F.col("n_name"), F.lit("</name></n>"),
+    )
+    return n.withColumn("xml", xml).select(
+        "n_nationkey",
+        F.expr("xpath_int(xml, '/n/key')").alias("xml_key"),
+        F.expr("xpath_string(xml, '/n/name')").alias("xml_name"),
+        F.conv(F.col("n_nationkey").cast("string"), 10, 2).alias("key_binary"),
+        F.bround(F.col("n_nationkey") / 4.0, 1).alias("key_bround"),
+        F.hex(F.col("n_nationkey")).alias("key_hex"),
+        F.initcap(F.lower("n_name")).alias("name_title"),
+        F.soundex("n_name").alias("name_soundex"),
+    )

@@ -79,5 +79,8 @@ def assert_matches_oracle(spark, ddb, spec, sf_dir=SF_DIR):
     )
     sc, sr = canon_rows(s_cols, s_rows)
     dc, dr = canon_rows(d_cols, d_rows)
+    # repr-strict like the driver's value hash: 2 (bigint) != 2.0 (double)
+    sr = [tuple(map(repr, t)) for t in sr]
+    dr = [tuple(map(repr, t)) for t in dr]
     mism = [(a, b) for a, b in zip(sr, dr) if a != b][:5]
     assert sr == dr, f"{spec.name}: value mismatch; first diffs: {mism}"
