@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": "..."}
+
+Each query is forced end-to-end with a noop write (full computation on
+the executors, no driver-side row transfer), which is how a cluster
+deployment would be measured. Run: python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hive_service_spark.registry import load_all  # noqa: E402
+from hive_service_spark.session import get_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, heaviest variants.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "agg_multi_distinct",
+    "agg_rollup",
+    "window_ranking",
+    "window_rows_frame",
+    "join_theta_residual",
+    "setop_except_all",
+    "explode_word_count",
+    # LLM-pipeline extensions (registered in later waves; skipped if absent)
+    "dedup_minhash_lsh",
+    "text_quality_scores",
+    "sim_topk_bruteforce",
+]
+
+
+def main() -> None:
+    specs = load_all()
+    spark = get_session("hive_service_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM + file-listing warmup (not counted)
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in specs:
+            continue
+        df = specs[name].fn(spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": SF_DIR,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
