@@ -1,0 +1,222 @@
+"""LLM-pipeline extension — text analysis over `documents`.
+
+Beyond the reference surface (BASELINE.json mandate): language ID,
+quality scoring, token counting, n-gram stats (the reference's `ngrams`
+UDAF re-expressed), and content fingerprinting. Everything is pure
+Column expressions / explode pipelines — JVM-side, codegen-friendly, no
+Python UDFs — so the same code runs unchanged on a 100 TB corpus: the
+only shuffles are the final groupBys, and those are on bounded keys
+(word, lang) or pre-aggregated per-doc rows.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_service_spark.catalog import load
+from hive_service_spark.registry import query
+
+# deterministic marker lists for the language-ID heuristic
+_EN_MARKERS = "the a and or of to in is for on with".split()
+_ES_MARKERS = "el la los las de en y que un una por".split()
+
+_TOKEN_ORACLE = """
+SELECT
+  doc_id,
+  length(text)                                        AS n_chars_actual,
+  len(string_split(text, ' '))                        AS n_ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_ish,
+  len(list_distinct(string_split(text, ' ')))         AS n_unique_words,
+  length(replace(text, ' ', ''))                      AS n_nonspace_chars
+FROM documents
+"""
+
+
+@query("text_token_stats", oracle=_TOKEN_ORACLE)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    (letters / digits / single punctuation, the pre-tokenizer split
+    most BPE vocabularies assume)."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        F.size(words).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+            )
+        ).alias("n_bpe_ish"),
+        F.size(F.array_distinct(words)).alias("n_unique_words"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias(
+            "n_nonspace_chars"
+        ),
+    )
+
+
+_QUALITY_ORACLE = """
+SELECT
+  doc_id,
+  n_words,
+  mean_word_len,
+  punct_ratio,
+  stop_ratio,
+  CASE WHEN n_words >= 20 AND stop_ratio > 0.02 AND punct_ratio < 0.2
+       THEN 1 ELSE 0 END AS keep_flag
+FROM (
+  SELECT
+    doc_id,
+    len(string_split(text, ' ')) AS n_words,
+    ROUND(length(replace(text, ' ', '')) * 1.0
+          / len(string_split(text, ' ')), 4) AS mean_word_len,
+    ROUND(len(regexp_extract_all(text, '[[:punct:]]')) * 1.0
+          / length(text), 6) AS punct_ratio,
+    ROUND(len(regexp_extract_all(text,
+          '\\b(the|a|and|or|of|to|in|is|for|on|with)\\b')) * 1.0
+          / len(string_split(text, ' ')), 6) AS stop_ratio
+  FROM documents
+)
+"""
+
+
+@query("text_quality_scores", oracle=_QUALITY_ORACLE)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation ratio / stopword ratio +
+    a keep/drop gate — the standard pretraining-corpus filter shape
+    (C4/Gopher-style rules), computed fully JVM-side."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    mean_word_len = F.round(
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n_words, 4
+    )
+    punct_ratio = F.round(
+        F.size(F.regexp_extract_all("text", F.lit(r"[\!-/\:-@\[-`\{-~]")))
+        / F.length("text"),
+        6,
+    )
+    stop_re = r"\b(" + "|".join(_EN_MARKERS) + r")\b"
+    stop_ratio = F.round(
+        F.size(F.regexp_extract_all("text", F.lit(stop_re))) / n_words, 6
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        F.when(
+            (n_words >= 20) & (stop_ratio > 0.02) & (punct_ratio < 0.2), 1
+        )
+        .otherwise(0)
+        .alias("keep_flag"),
+    )
+
+
+_LANGID_ORACLE = """
+SELECT
+  doc_id,
+  lang AS labeled_lang,
+  CASE WHEN en_hits >= es_hits AND en_hits > 0 THEN 'en'
+       WHEN es_hits > en_hits THEN 'es'
+       ELSE 'unknown' END AS predicted_lang,
+  en_hits,
+  es_hits
+FROM (
+  SELECT doc_id, lang,
+    len(regexp_extract_all(text, '\\b(the|a|and|or|of|to|in|is|for|on|with)\\b')) AS en_hits,
+    len(regexp_extract_all(text, '\\b(el|la|los|las|de|en|y|que|un|una|por)\\b')) AS es_hits
+  FROM documents
+)
+"""
+
+
+@query("text_langid_heuristic", oracle=_LANGID_ORACLE)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (n-gram-heuristic family): count hits
+    from per-language function-word lists, argmax. At 100 TB this stays
+    one regexp pass per language over each doc — no shuffle at all
+    until a downstream groupBy."""
+    d = load(spark, sf_dir, "documents")
+    en_re = r"\b(" + "|".join(_EN_MARKERS) + r")\b"
+    es_re = r"\b(" + "|".join(_ES_MARKERS) + r")\b"
+    en_hits = F.size(F.regexp_extract_all("text", F.lit(en_re)))
+    es_hits = F.size(F.regexp_extract_all("text", F.lit(es_re)))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when((en_hits >= es_hits) & (en_hits > 0), "en")
+        .when(es_hits > en_hits, "es")
+        .otherwise("unknown")
+        .alias("predicted_lang"),
+        en_hits.alias("en_hits"),
+        es_hits.alias("es_hits"),
+    )
+
+
+_FINGERPRINT_ORACLE = """
+SELECT
+  doc_id,
+  md5(lower(text))                                   AS content_md5,
+  list_reduce(
+    list_transform(string_split(lower(text), ' '),
+                   w -> length(w) * 17 + ascii(w)),
+    (h, x) -> (h * 31 + x) % 1000000007)             AS rolling_hash
+FROM documents
+"""
+
+
+@query("text_fingerprint", oracle=_FINGERPRINT_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: canonical md5 + a polynomial rolling
+    hash over the word stream (Karp-Rabin family), both as pure
+    expressions (F.aggregate ≙ list_reduce)."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.lower("text"), " ")
+    rolling = F.aggregate(
+        words,
+        F.lit(0).cast("bigint"),
+        lambda h, w: (h * 31 + F.length(w) * 17 + F.ascii(w)) % 1000000007,
+    )
+    return d.select(
+        "doc_id",
+        F.md5(F.lower("text")).alias("content_md5"),
+        rolling.alias("rolling_hash"),
+    )
+
+
+_NGRAM_ORACLE = """
+SELECT gram, COUNT(*) AS freq
+FROM (
+  SELECT unnest(list_transform(
+           generate_series(1, len(w) - 1),
+           i -> w[i] || ' ' || w[i+1])) AS gram
+  FROM (SELECT string_split(text, ' ') AS w FROM documents)
+)
+GROUP BY gram
+ORDER BY freq DESC, gram
+LIMIT 30
+"""
+
+
+@query("text_ngrams_top", oracle=_NGRAM_ORACLE)
+def text_ngrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's `ngrams` UDAF (SURVEY.md §2.3 — no Spark
+    builtin) re-expressed as transform→explode→groupBy: bigram
+    frequency top-k. Shuffle key = gram (bounded cardinality);
+    partial aggregation keeps the shuffle small at scale."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
+    )
+    return (
+        d.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "gram")
+        .limit(30)
+    )

@@ -173,9 +173,9 @@ SELECT
   ROUND(stddev_samp(l_quantity), 4)  AS std_samp_qty,
   ROUND(covar_pop(l_quantity, l_extendedprice), 2)  AS covar_pop_qp,
   ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_samp_qp,
-  ROUND(corr(l_quantity, l_extendedprice), 4)       AS corr_qp,
-  ROUND(skewness(l_quantity), 4)     AS skew_qty,
-  ROUND(kurtosis(l_quantity), 4)     AS kurt_qty
+  ROUND(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qp,
+  ROUND(skewness(l_quantity), 4) + 0.0 AS skew_qty,
+  ROUND(kurtosis(l_quantity), 4) + 0.0 AS kurt_qty
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -195,9 +195,10 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
             "covar_samp_qp"
         ),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
-        F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
-        F.round(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
+        # "+ 0.0" collapses IEEE -0.0 to 0.0 on both engines (repr-strict hash)
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + 0.0).alias("corr_qp"),
+        (F.round(F.skewness("l_quantity"), 4) + 0.0).alias("skew_qty"),
+        (F.round(F.kurtosis("l_quantity"), 4) + 0.0).alias("kurt_qty"),
     )
 
 
