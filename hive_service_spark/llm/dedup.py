@@ -1,0 +1,433 @@
+"""LLM-pipeline extension — deduplication over `documents` / `embeddings`.
+
+The five standard web-corpus dedup families, each as a registered query
+with a DuckDB oracle:
+
+- exact (hash-groupBy)
+- n-gram Jaccard (shingle inverted-index join — NOT an O(n^2) cross join)
+- MinHash + LSH banding (signature -> band bucket join -> verify)
+- SimHash (bitwise fingerprint, banded hamming join)
+- embedding cosine near-dup (brute pair baseline; the scale path is the
+  LSH/IVF ANN in hive_service_spark.llm.similarity)
+
+Scale design (100 TB): every candidate generator here is an equi-join on
+a derived key (shingle / band bucket / nibble), so Spark shuffles on
+that key and never materializes the O(n^2) pair space. Hash functions
+are md5-derived and engine-portable, so the DuckDB oracles compute the
+IDENTICAL signatures — the oracle checks the algorithm, not just row
+counts. Reference tie-in: Hive's only dedup surface is
+GROUP BY / DISTINCT (SURVEY.md §2.6); everything past exact dedup is
+extension surface mandated by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from hive_service_spark.catalog import load
+from hive_service_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# portable deterministic hashing: H(s) = first 8 hex chars of md5 as uint32
+#   Spark : conv(substring(md5(s),1,8),16,10)::bigint
+#   DuckDB: ('0x'||substr(md5(s),1,8))::BIGINT
+# ---------------------------------------------------------------------------
+
+def _h(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+_H_SQL = "('0x'||substr(md5({s}),1,8))::BIGINT"
+
+# 16 universal-hash parameter pairs (a*H+b) % P for minhash signatures.
+_MH_A = [2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53]
+_MH_B = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+_MH_P = 2147483647  # 2^31-1 (Mersenne); a*H < 53*2^32 << 2^63, no overflow
+_POW2 = [1 << j for j in range(16)]
+
+
+def _shingles(n: int = 3) -> Column:
+    """Distinct n-word shingles of `text` as an array column."""
+    w = F.split("text", " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + k) for k in range(n)]
+            ),
+        )
+    )
+
+
+_SHINGLE_SQL = (
+    "list_distinct(list_transform(generate_series(1, len(w)-2),"
+    " i -> w[i]||' '||w[i+1]||' '||w[i+2]))"
+)
+
+# ---------------------------------------------------------------------------
+# 1. exact dedup
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT
+  md5(text)    AS content_hash,
+  COUNT(*)     AS n_copies,
+  MIN(doc_id)  AS keeper_doc_id,
+  SUM(n_chars) AS bytes_in_group
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@query("dedup_exact", oracle=_EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest, keep min doc_id.
+    One shuffle on the digest; partial aggregation makes the map side
+    emit one row per distinct digest per partition — at 100 TB the
+    shuffle is ~n_distinct rows, not n rows."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.sum("n_chars").alias("bytes_in_group"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. n-gram Jaccard via shingle inverted index
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 3
+),
+inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(n_shared * 1.0 / (sa.n + sb.n - n_shared), 4) AS jaccard
+FROM shared
+JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = doc_a
+JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = doc_b
+WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.8
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-gram Jaccard >= 0.8 via inverted-index join:
+    explode distinct shingles, equi-join on the shingle, count shared,
+    then |A∩B| / (|A|+|B|-|A∩B|). The only shuffles are on `shingle`
+    and on the (doc_a, doc_b) pair key — never a cross join. At 100 TB
+    add a doc-frequency cap on hot shingles (stopword shingles) before
+    the self-join; testdata needs none."""
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        d.where(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", _shingles().alias("s"))
+    )
+    sizes = sh.select("doc_id", F.size("s").alias("n"))
+    inv = sh.select("doc_id", F.explode("s").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = F.col("n_shared") / (F.col("sa.n") + F.col("sb.n") - F.col("n_shared"))
+    return (
+        shared.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .where(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+_A_SQL = "[" + ",".join(map(str, _MH_A)) + "]"
+_B_SQL = "[" + ",".join(map(str, _MH_B)) + "]"
+
+_MINHASH_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 3
+),
+sig AS (
+  SELECT doc_id, s,
+    list_transform(generate_series(1, 16), i ->
+      list_min(list_transform(s, t ->
+        (({_A_SQL})[i] * {_H_SQL.format(s='t')} + ({_B_SQL})[i]) % {_MH_P}
+      ))) AS mh
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b,
+         mh[b*4+1]::VARCHAR || '-' || mh[b*4+2]::VARCHAR || '-' ||
+         mh[b*4+3]::VARCHAR || '-' || mh[b*4+4]::VARCHAR AS bkey
+  FROM sig, unnest([0,1,2,3]) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  ROUND(list_sum(list_transform(generate_series(1,16),
+        i -> CASE WHEN sa.mh[i] = sb.mh[i] THEN 1 ELSE 0 END)) / 16.0,
+        4) AS est_jaccard,
+  ROUND(len(list_intersect(sa.s, sb.s)) * 1.0 /
+        (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4)
+        AS true_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+WHERE len(list_intersect(sa.s, sb.s)) * 1.0 /
+      (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.8
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH (4 bands x 4 rows) near-dup detection:
+    signature = min over shingles of (a_i*H+b_i) mod P; docs sharing any
+    band bucket become candidates; candidates are verified with exact
+    Jaccard >= 0.8. The oracle recomputes the identical md5-derived
+    signatures in DuckDB. At 100 TB: signatures are one narrow pass
+    (16 bigints per doc), the join shuffles on (band, bucket-key) only,
+    and hot buckets can be size-capped — the textbook Broder/LSH layout
+    [MMDS ch.3]."""
+    d = load(spark, sf_dir, "documents")
+    a_lit = F.array(*[F.lit(x) for x in _MH_A])
+    b_lit = F.array(*[F.lit(x) for x in _MH_B])
+    sh = (
+        d.where(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", _shingles().alias("s"))
+    )
+    sig = sh.select(
+        "doc_id",
+        "s",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: F.array_min(
+                F.transform(
+                    F.col("s"),
+                    lambda t: (
+                        F.element_at(a_lit, i) * _h(t) + F.element_at(b_lit, i)
+                    )
+                    % _MH_P,
+                )
+            ),
+        ).alias("mh"),
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+        F.col("mh"),
+    ).select(
+        "doc_id",
+        "b",
+        F.concat_ws(
+            "-", *[F.element_at("mh", F.col("b") * 4 + k) for k in (1, 2, 3, 4)]
+        ).alias("bkey"),
+    )
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.b") == F.col("bb.b"))
+            & (F.col("ba.bkey") == F.col("bb.bkey"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    est = (
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(16)),
+            F.lit(0),
+            lambda acc, i: acc
+            + F.when(
+                F.element_at(F.col("sa.mh"), i) == F.element_at(F.col("sb.mh"), i),
+                1,
+            ).otherwise(0),
+        )
+        / 16.0
+    )
+    inter = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s")))
+    true_j = inter / (F.size(F.col("sa.s")) + F.size(F.col("sb.s")) - inter)
+    return (
+        cand.join(sig.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sig.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .where(true_j >= 0.8)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est, 4).alias("est_jaccard"),
+            F.round(true_j, 4).alias("true_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash
+# ---------------------------------------------------------------------------
+
+_P2_SQL = "[" + ",".join(map(str, _POW2)) + "]"
+
+_SIMHASH_ORACLE = f"""
+WITH sig AS (
+  SELECT doc_id,
+    list_sum(list_transform(generate_series(1, 16), j ->
+      CASE WHEN list_sum(list_transform(hs, h ->
+             ((h // ({_P2_SQL})[j]) % 2) * 2 - 1)) > 0
+           THEN ({_P2_SQL})[j] ELSE 0 END)) AS simhash
+  FROM (
+    SELECT doc_id,
+           list_transform(list_distinct(string_split(text, ' ')),
+                          t -> {_H_SQL.format(s='t')}) AS hs
+    FROM documents
+  )
+),
+bands AS (
+  SELECT doc_id, simhash, b, (simhash // ({_P2_SQL})[b*4+1]) % 16 AS nib
+  FROM sig, unnest([0,1,2,3]) AS u(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM bands a JOIN bands b
+  ON a.b = b.b AND a.nib = b.nib AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 16-bit fingerprint (bit j set iff the ±1 votes
+    of word-hash bit j sum positive), then hamming-distance <= 3 pairs
+    found via 4-nibble banding — pigeonhole guarantees distance<=3 pairs
+    share a nibble, so the join is an equi-join on (band, nibble), never
+    O(n^2). Signature computation is a pure column expression: zero
+    shuffle until the band join."""
+    d = load(spark, sf_dir, "documents")
+    p2 = F.array(*[F.lit(x) for x in _POW2])
+    hs = F.transform(F.array_distinct(F.split("text", " ")), _h)
+    simhash = F.aggregate(
+        F.sequence(F.lit(1), F.lit(16)),
+        F.lit(0).cast("bigint"),
+        lambda acc, j: acc
+        + F.when(
+            F.aggregate(
+                hs,
+                F.lit(0).cast("bigint"),
+                lambda a, h: a
+                + (F.floor(h / F.element_at(p2, j)).cast("bigint") % 2) * 2
+                - 1,
+            )
+            > 0,
+            F.element_at(p2, j),
+        ).otherwise(0),
+    )
+    sig = d.select("doc_id", simhash.alias("simhash"))
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+    ).withColumn(
+        "nib",
+        F.floor(
+            F.col("simhash") / F.element_at(p2, F.col("b") * 4 + 1)
+        ).cast("bigint")
+        % 16,
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(ham <= 3)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. embedding cosine near-dup (brute baseline)
+# ---------------------------------------------------------------------------
+
+_COSINE_ORACLE = """
+WITH n AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.e, b.e)
+             / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)),
+             4) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.e, b.e)
+            / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)),
+            4) >= 0.4
+"""
+
+
+def _dot(x: Column, y: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@query("dedup_embedding_cosine", oracle=_COSINE_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup baseline: all pairs with cosine >= 0.4
+    (computed in double; rounded on both sides so the threshold is
+    engine-stable). This brute pair join is the CORRECTNESS baseline;
+    the 100 TB path is the hyperplane-LSH / IVF variants in
+    hive_service_spark.llm.similarity, which replace the O(n^2) join
+    with a bucket equi-join."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(
+        _dot(F.col("a.e"), F.col("b.e"))
+        / F.sqrt(_dot(F.col("a.e"), F.col("a.e")) * _dot(F.col("b.e"), F.col("b.e"))),
+        4,
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.4)
+    )
