@@ -1,0 +1,313 @@
+"""LLM-pipeline extension — similarity search over `embeddings`.
+
+Three tiers of nearest-neighbor search over the `embedding`
+(array<float>, 64-dim) column:
+
+1. brute-force cosine top-k — the exact baseline: broadcast the (small)
+   query set against the full corpus; one pass, no O(n^2) blow-up
+   because only |Q| x n pairs exist and Q is broadcast.
+2. random-hyperplane LSH ANN — bucket = sign-pattern of 4 fixed ±1
+   hyperplanes; search only bucket-mates. The candidate join is an
+   equi-join on the bucket id: at 100 TB this is the standard
+   SimHash-for-cosine (Charikar) layout, shuffling each vector once.
+3. IVF cell-probe ANN — coarse quantizer = per-label centroid (one
+   aggregation pass), vectors assigned to nearest centroid, queries
+   probe their nearest cell only (nprobe=1).
+
+All arithmetic is double-precision pure column expressions
+(zip_with/aggregate — JVM codegen, no Python UDF); hyperplanes are
+md5-seeded ±1 literals baked identically into the Spark plan and the
+DuckDB oracle, so the oracles verify the ALGORITHM (same buckets, same
+cells, same ranks), not just shapes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from hive_service_spark.catalog import load
+from hive_service_spark.registry import query
+
+_DIM = 64
+_N_PLANES = 4
+
+
+def _planes() -> list[list[int]]:
+    """4 deterministic ±1 hyperplanes seeded from md5 — reproducible in
+    any engine/language, no RNG state."""
+    out = []
+    for p in range(_N_PLANES):
+        row = []
+        for d in range(_DIM):
+            h = int(hashlib.md5(f"hp{p}_{d}".encode()).hexdigest()[:8], 16)
+            row.append(1 if h & 1 else -1)
+        out.append(row)
+    return out
+
+
+_PLANES = _planes()
+
+
+def _dot(x: Column, y: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cos(xa: str, ya: str) -> Column:
+    x, y = F.col(f"{xa}.e"), F.col(f"{ya}.e")
+    return _dot(x, y) / F.sqrt(_dot(x, x) * _dot(y, y))
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+
+
+_VECS_SQL = """
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e
+  FROM embeddings
+"""
+
+_COS_SQL = (
+    "list_dot_product({a}.e, {b}.e)"
+    " / sqrt(list_dot_product({a}.e, {a}.e) * list_dot_product({b}.e, {b}.e))"
+)
+
+# query set: every 50th vector (10 queries at sf0.01, scales with sf)
+_IS_QUERY = "vec_id % 50 = 0"
+
+# ---------------------------------------------------------------------------
+# 1. brute-force top-k
+# ---------------------------------------------------------------------------
+
+_KNN_ORACLE = f"""
+WITH v AS ({_VECS_SQL}),
+q AS (SELECT * FROM v WHERE {_IS_QUERY}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         ROUND({_COS_SQL.format(a='q', b='c')}, 4) AS cosine
+  FROM q JOIN v c ON q.vec_id <> c.vec_id
+)
+SELECT query_id, cand_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("knn_cosine_bruteforce", oracle=_KNN_ORACLE)
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 per query vector. The query side is tiny by
+    construction, so Spark broadcasts it and the scan of the corpus is
+    a single map-side pass (|Q| x n scored rows, partial top-k per
+    partition via the window). Rounded to 4dp BEFORE ranking so
+    rank order is engine-stable."""
+    v = _vecs(spark, sf_dir)
+    q = v.where(F.expr(_IS_QUERY))
+    scored = (
+        F.broadcast(q.alias("q"))
+        .join(v.alias("c"), F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("cand_id"),
+            F.round(_cos("q", "c"), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def _plane_sql(p: int) -> str:
+    return "[" + ",".join(f"{v}.0" for v in _PLANES[p]) + "]"
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(e, {_plane_sql(p)}) > 0"
+    f" THEN {1 << p} ELSE 0 END)"
+    for p in range(_N_PLANES)
+)
+
+_LSH_ORACLE = f"""
+WITH v AS ({_VECS_SQL}),
+bkt AS (SELECT vec_id, e, {_BUCKET_SQL} AS bucket FROM v),
+q AS (SELECT * FROM bkt WHERE {_IS_QUERY}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bucket,
+         ROUND({_COS_SQL.format(a='q', b='c')}, 4) AS cosine
+  FROM q JOIN bkt c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+)
+SELECT query_id, cand_id, bucket, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+def _bucket(e: Column) -> Column:
+    b = F.lit(0)
+    for p in range(_N_PLANES):
+        plane = F.array(*[F.lit(float(v)) for v in _PLANES[p]])
+        b = b + F.when(_dot(e, plane) > 0, 1 << p).otherwise(0)
+    return b
+
+
+@query("ann_lsh_hyperplane", oracle=_LSH_ORACLE)
+def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 via random-hyperplane LSH (Charikar): bucket =
+    4-bit sign pattern of fixed ±1 hyperplane dot products; candidates
+    are bucket-mates only. The join is an equi-join on `bucket`, so at
+    100 TB each vector is hashed once and shuffled once; recall is
+    tuned by #planes / multi-table OR-ing, never by widening a cross
+    join."""
+    v = _vecs(spark, sf_dir)
+    bkt = v.select("vec_id", "e", _bucket(F.col("e")).alias("bucket"))
+    q = bkt.where(F.expr(_IS_QUERY))
+    scored = (
+        F.broadcast(q.alias("q"))
+        .join(
+            bkt.alias("c"),
+            (F.col("q.bucket") == F.col("c.bucket"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("cand_id"),
+            F.col("q.bucket").alias("bucket"),
+            F.round(_cos("q", "c"), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "cand_id", "bucket", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. IVF cell probe
+# ---------------------------------------------------------------------------
+
+_IVF_ORACLE = f"""
+WITH v AS ({_VECS_SQL}),
+flat AS (
+  SELECT label, unnest(e) AS x, unnest(generate_series(1, {_DIM})) AS d
+  FROM v
+),
+cent AS (
+  SELECT label AS cell, list(cx ORDER BY d) AS c
+  FROM (SELECT label, d, ROUND(AVG(x), 6) AS cx FROM flat GROUP BY label, d)
+  GROUP BY label
+),
+assign AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT v.vec_id, v.e, cent.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+             ROUND(list_dot_product(v.e, cent.c)
+               / sqrt(list_dot_product(v.e, v.e)
+                      * list_dot_product(cent.c, cent.c)), 4) DESC,
+             cent.cell) AS rn
+    FROM v CROSS JOIN cent
+  ) WHERE rn = 1
+),
+q AS (SELECT * FROM assign WHERE {_IS_QUERY}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.cell,
+         ROUND({_COS_SQL.format(a='q', b='c')}, 4) AS cosine
+  FROM q JOIN assign c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+)
+SELECT query_id, cand_id, cell, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+@query("ann_ivf_cells", oracle=_IVF_ORACLE)
+def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse centroids (per-label mean, one aggregation
+    pass — the 'training' step), every vector assigned to its nearest
+    centroid (10-way broadcast join, no shuffle of the corpus), queries
+    probe only their own cell (nprobe=1). Centroids are rounded to 6dp
+    so both engines quantize identically. At 100 TB the cell id becomes
+    the partition key: a probe touches 1/K of the data."""
+    v = _vecs(spark, sf_dir)
+    flat = v.select("label", F.posexplode("e").alias("d", "x"))
+    cent = (
+        flat.groupBy("label", "d")
+        .agg(F.round(F.avg("x"), 6).alias("cx"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "cx"))),
+                lambda s: s["cx"],
+            ).alias("c")
+        )
+        .select(F.col("label").alias("cell"), "c")
+    )
+    cos_vc = F.round(
+        _dot(F.col("v.e"), F.col("cent.c"))
+        / F.sqrt(
+            _dot(F.col("v.e"), F.col("v.e"))
+            * _dot(F.col("cent.c"), F.col("cent.c"))
+        ),
+        4,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("cell")
+    )
+    assign = (
+        v.alias("v")
+        .crossJoin(F.broadcast(cent.alias("cent")))
+        .select("v.vec_id", "v.e", "cent.cell", cos_vc.alias("cos_c"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "e", "cell")
+    )
+    q = assign.where(F.expr(_IS_QUERY))
+    scored = (
+        F.broadcast(q.alias("q"))
+        .join(
+            assign.alias("c"),
+            (F.col("q.cell") == F.col("c.cell"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("cand_id"),
+            F.col("q.cell").alias("cell"),
+            F.round(_cos("q", "c"), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "cand_id", "cell", "cosine", "rank")
+    )

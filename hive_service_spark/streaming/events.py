@@ -1,0 +1,293 @@
+"""Structured Streaming wave over the `events` table.
+
+The reference (Hive 2.3) has NO streaming surface (SURVEY.md §1.1) —
+this module is the extension surface mandated by BASELINE.json,
+expressed as idiomatic Structured Streaming: `readStream` over the
+events parquet, windowed/stateful transforms, `writeStream` with an
+`availableNow` trigger (process-everything-then-stop), memory sink for
+the driver contract. Because the whole file arrives in one micro-batch,
+results are deterministic and each query carries a full DuckDB oracle —
+the streaming plan is cross-checked against batch SQL semantics.
+
+Scale notes (100 TB/day stream): the same code pointed at a Kafka/files
+source with a real trigger runs incrementally — tumbling/sliding aggs
+keep one state row per (window, key); the watermark bounds state;
+`transformWithStateInPandas`-style custom state is shown with
+applyInPandasWithState. Memory sink is test-only; production sinks are
+parquet/Delta/Kafka via the identical writeStream call.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+from hive_service_spark.registry import query
+
+_CKPT = "/root/repo/.scratch/checkpoints"
+
+
+def _raw_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """Pre-conversion schema (ts read as long — see catalog.load)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+
+def _stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table. The file source wants
+    a DIRECTORY it can monitor for arriving files (that's the whole
+    point of the source), so the single driver parquet file is staged
+    into a scratch dir once per scale factor — in production this is
+    the landing directory files keep arriving into. The TIMESTAMP(NANOS)
+    column gets the same nanos->micros conversion as the batch path
+    (catalog.load)."""
+    import shutil
+    from pathlib import Path
+
+    src = Path(sf_dir) / "events.parquet"
+    stage = Path("/root/repo/.scratch/stream_src") / Path(sf_dir).name
+    stage.mkdir(parents=True, exist_ok=True)
+    dst = stage / "events.parquet"
+    if not dst.exists() or dst.stat().st_size != src.stat().st_size:
+        shutil.copyfile(src, dst)
+    return (
+        spark.readStream.schema(_raw_schema(spark, sf_dir))
+        .parquet(str(stage))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def _run_to_table(df: DataFrame, name: str, mode: str) -> DataFrame:
+    """Execute the streaming plan to completion (availableNow) into a
+    memory sink and return the materialized table."""
+    import shutil
+
+    spark = df.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    # each invocation replays the full input from offset 0 — a stale
+    # checkpoint would pin the old source/offsets, so start clean
+    shutil.rmtree(f"{_CKPT}/{name}", ignore_errors=True)
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", f"{_CKPT}/{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# tumbling window
+# ---------------------------------------------------------------------------
+
+_TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("stream_tumbling_window", oracle=_TUMBLING_ORACLE)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling-window count/sum by event_type. State = one row
+    per (window, type); with a watermark (next query) closed windows
+    are evicted, so state is bounded by the window span, not the
+    stream length."""
+    agg = (
+        _stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_table(agg, "hs_stream_tumbling", "complete")
+
+
+# ---------------------------------------------------------------------------
+# sliding window
+# ---------------------------------------------------------------------------
+
+_SLIDING_ORACLE = """
+SELECT window_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM (
+  SELECT unnest([time_bucket(INTERVAL 1 HOUR, ts),
+                 time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR])
+           AS window_start,
+         value
+  FROM events
+)
+GROUP BY 1
+"""
+
+
+@query("stream_sliding_window", oracle=_SLIDING_ORACLE)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour window sliding every 1 hour: each event lands in exactly
+    two windows (the oracle replays that expansion with unnest)."""
+    agg = (
+        _stream(spark, sf_dir)
+        .groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_table(agg, "hs_stream_sliding", "complete")
+
+
+# ---------------------------------------------------------------------------
+# session window (30-minute gap)
+# ---------------------------------------------------------------------------
+
+_SESSION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+)
+SELECT user_id, MIN(ts) AS session_start,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@query("stream_session_window", oracle=_SESSION_ORACLE)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap
+    (F.session_window — dynamic, data-driven windows; Hive has no
+    analog). The oracle rebuilds sessionization with the classic
+    gaps-and-islands lag/cumsum SQL."""
+    agg = (
+        _stream(spark, sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_table(agg, "hs_stream_session", "complete")
+
+
+# ---------------------------------------------------------------------------
+# watermark + streaming dedup
+# ---------------------------------------------------------------------------
+
+_WM_DEDUP_ORACLE = """
+SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("stream_watermark_dedup", oracle=_WM_DEDUP_ORACLE)
+def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup: dropDuplicates on event_id with a
+    1-hour watermark bounds the dedup state to one hour of event-time —
+    the production pattern for at-least-once sources. In this one-batch
+    replay nothing is late, so the result equals batch
+    COUNT(DISTINCT)."""
+    deduped = (
+        _stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    return _run_to_table(deduped, "hs_stream_wm_dedup", "complete")
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_STATEFUL_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value,
+       ROUND(MAX(value), 2) AS max_value
+FROM events
+GROUP BY user_id
+"""
+
+
+def _user_counter(key, pdfs, state: GroupState):
+    """Arrow-batched per-user running aggregate held in GroupState —
+    the Structured Streaming analog of a custom stateful reference
+    operator (SURVEY.md §2.1 GroupByOperator's hash state, but
+    user-defined)."""
+    n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        mx = max(mx, float(pdf["value"].max()))
+    state.update((n, total, mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [round(total, 2)],
+            "max_value": [round(mx, 2)],
+        }
+    )
+
+
+@query("stream_stateful_user_agg", oracle=_STATEFUL_ORACLE)
+def stream_stateful_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (count, sum, max) kept in explicit GroupState.
+    Arrow batches keep the Python hop vectorized; state is per-key and
+    partitioned by the grouping key, so it scales horizontally like any
+    shuffle."""
+    out_schema = (
+        "user_id bigint, n_events bigint, total_value double, max_value double"
+    )
+    result = (
+        _stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_counter,
+            outputStructType=out_schema,
+            stateStructType="n bigint, total double, mx double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_table(result, "hs_stream_stateful", "update")
