@@ -35,10 +35,13 @@ HEADLINE = [
     "join_theta_residual",
     "setop_except_all",
     "explode_word_count",
-    # LLM-pipeline extensions (registered in later waves; skipped if absent)
+    # LLM-pipeline extensions
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "text_quality_scores",
-    "sim_topk_bruteforce",
+    "knn_cosine_bruteforce",
+    "ann_lsh_hyperplane",
+    "mm_feature_extract",
 ]
 
 

@@ -128,12 +128,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     add a doc-frequency cap on hot shingles (stopword shingles) before
     the self-join; testdata needs none."""
     d = load(spark, sf_dir, "documents")
+    # repartition straight off the scan: a small parquet file is ONE
+    # split, which would serialize all per-row shingle work on a single
+    # core; persist because sizes/inv/verify all reuse this frame. At
+    # 100 TB the scan has thousands of splits and the repartition is a
+    # no-op to remove — the rest of the plan is scale-ready as-is.
     sh = (
-        d.where(F.size(F.split("text", " ")) >= 3)
+        d.repartition(64)
+        .where(F.size(F.split("text", " ")) >= 3)
         .select("doc_id", _shingles().alias("s"))
+        .persist()
     )
     sizes = sh.select("doc_id", F.size("s").alias("n"))
-    inv = sh.select("doc_id", F.explode("s").alias("shingle"))
+    # explicit repartition on the join key: the map side of this join is
+    # tiny (docs x shingles) but the join OUTPUT is the pair-overlap
+    # mass — AQE would coalesce the exchange down to 1 partition based
+    # on input size and serialize the blow-up; a numbered repartition is
+    # exempt from AQE coalescing and keeps the pair space parallel
+    inv = sh.select("doc_id", F.explode("s").alias("shingle")).repartition(
+        64, "shingle"
+    )
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
         a.join(
@@ -148,8 +162,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jac = F.col("n_shared") / (F.col("sa.n") + F.col("sb.n") - F.col("n_shared"))
     return (
-        shared.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        shared.join(
+            F.broadcast(sizes.alias("sa")), F.col("sa.doc_id") == F.col("doc_a")
+        )
+        .join(F.broadcast(sizes.alias("sb")), F.col("sb.doc_id") == F.col("doc_b"))
         .where(jac >= 0.8)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
@@ -213,28 +229,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and hot buckets can be size-capped — the textbook Broder/LSH layout
     [MMDS ch.3]."""
     d = load(spark, sf_dir, "documents")
-    a_lit = F.array(*[F.lit(x) for x in _MH_A])
-    b_lit = F.array(*[F.lit(x) for x in _MH_B])
+    # repartition off the single-split scan + persist: the shingle
+    # arrays feed signature computation AND both sides of the verify
+    # join (see dedup_ngram_jaccard for the scale rationale)
     sh = (
-        d.where(F.size(F.split("text", " ")) >= 3)
+        d.repartition(64)
+        .where(F.size(F.split("text", " ")) >= 3)
         .select("doc_id", _shingles().alias("s"))
+        .persist()
     )
-    sig = sh.select(
-        "doc_id",
-        "s",
-        F.transform(
-            F.sequence(F.lit(1), F.lit(16)),
-            lambda i: F.array_min(
-                F.transform(
-                    F.col("s"),
-                    lambda t: (
-                        F.element_at(a_lit, i) * _h(t) + F.element_at(b_lit, i)
-                    )
-                    % _MH_P,
-                )
-            ),
-        ).alias("mh"),
+    # md5 is the expensive step: hash each exploded shingle exactly ONCE
+    # in a flat projection (nested-lambda forms re-inline the md5 into
+    # each of the 16 minhash lambdas via CollapseProject — measured 112s
+    # vs ~4s at sf0.1)
+    inv_h = sh.select("doc_id", F.explode("s").alias("t")).select(
+        "doc_id", _h(F.col("t")).alias("h")
     )
+    sigm = inv_h.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MH_P)
+                for a, b in zip(_MH_A, _MH_B)
+            ]
+        ).alias("mh")
+    )
+    # reattach shingle sets for the verify step; persist — sig feeds the
+    # band explode AND both sides of the verify join, as a production
+    # pipeline would materialize signatures
+    sig = sh.join(sigm, "doc_id").persist()
     bands = sig.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
@@ -290,24 +312,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 4. SimHash
 # ---------------------------------------------------------------------------
 
-_P2_SQL = "[" + ",".join(map(str, _POW2)) + "]"
+_SH_BITS = 32  # 4 bands x 8 bits; pigeonhole: hamming<=3 => a band matches
+_POW2_32 = [1 << j for j in range(_SH_BITS)]
+_P2_SQL = "[" + ",".join(map(str, _POW2_32)) + "]"
 
 _SIMHASH_ORACLE = f"""
-WITH sig AS (
+WITH sh AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 3
+),
+sig AS (
   SELECT doc_id,
-    list_sum(list_transform(generate_series(1, 16), j ->
+    list_sum(list_transform(generate_series(1, {_SH_BITS}), j ->
       CASE WHEN list_sum(list_transform(hs, h ->
              ((h // ({_P2_SQL})[j]) % 2) * 2 - 1)) > 0
            THEN ({_P2_SQL})[j] ELSE 0 END)) AS simhash
   FROM (
     SELECT doc_id,
-           list_transform(list_distinct(string_split(text, ' ')),
-                          t -> {_H_SQL.format(s='t')}) AS hs
-    FROM documents
+           list_transform(s, t -> {_H_SQL.format(s='t')}) AS hs
+    FROM sh
   )
 ),
 bands AS (
-  SELECT doc_id, simhash, b, (simhash // ({_P2_SQL})[b*4+1]) % 16 AS nib
+  SELECT doc_id, simhash, b, (simhash // ({_P2_SQL})[b*8+1]) % 256 AS nib
   FROM sig, unnest([0,1,2,3]) AS u(b)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -320,32 +348,37 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 @query("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 16-bit fingerprint (bit j set iff the ±1 votes
-    of word-hash bit j sum positive), then hamming-distance <= 3 pairs
-    found via 4-nibble banding — pigeonhole guarantees distance<=3 pairs
-    share a nibble, so the join is an equi-join on (band, nibble), never
-    O(n^2). Signature computation is a pure column expression: zero
-    shuffle until the band join."""
+    """SimHash near-dup: 32-bit fingerprint over 3-gram SHINGLE hashes
+    (bit j set iff the ±1 votes of shingle-hash bit j sum positive),
+    then hamming-distance <= 3 pairs via 4x8-bit banding — pigeonhole
+    guarantees distance<=3 pairs share a band byte, so the join is an
+    equi-join on (band, byte), never O(n^2). Shingles (not words) keep
+    fingerprints discriminative even on a tiny vocabulary; 32 bits puts
+    random-pair collisions (hamming<=3) at ~1e-6."""
     d = load(spark, sf_dir, "documents")
-    p2 = F.array(*[F.lit(x) for x in _POW2])
-    hs = F.transform(F.array_distinct(F.split("text", " ")), _h)
-    simhash = F.aggregate(
-        F.sequence(F.lit(1), F.lit(16)),
-        F.lit(0).cast("bigint"),
-        lambda acc, j: acc
-        + F.when(
-            F.aggregate(
-                hs,
-                F.lit(0).cast("bigint"),
-                lambda a, h: a
-                + (F.floor(h / F.element_at(p2, j)).cast("bigint") % 2) * 2
-                - 1,
-            )
-            > 0,
-            F.element_at(p2, j),
-        ).otherwise(0),
+    # explode shingles, hash each ONCE after a repartition (md5
+    # dominates; the single-split scan would serialize the work),
+    # then one groupBy computes all 32 bit votes in a single pass
+    hv_ex = (
+        d.repartition(64)
+        .where(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", F.explode(_shingles()).alias("t"))
+        .select("doc_id", _h(F.col("t")).alias("h"))
     )
-    sig = d.select("doc_id", simhash.alias("simhash"))
+    votes = hv_ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.floor(F.col("h") / F.lit(_POW2_32[j])).cast("bigint") % 2) * 2
+                - 1
+            ).alias(f"v{j}")
+            for j in range(_SH_BITS)
+        ]
+    )
+    simhash = sum(
+        F.when(F.col(f"v{j}") > 0, F.lit(_POW2_32[j])).otherwise(0)
+        for j in range(_SH_BITS)
+    ).cast("bigint")
+    sig = votes.select("doc_id", simhash.alias("simhash"))
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -353,9 +386,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "nib",
         F.floor(
-            F.col("simhash") / F.element_at(p2, F.col("b") * 4 + 1)
+            F.col("simhash")
+            / F.element_at(
+                F.array(*[F.lit(x) for x in _POW2_32]), F.col("b") * 8 + 1
+            )
         ).cast("bigint")
-        % 16,
+        % 256,
     )
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
@@ -416,14 +452,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    a, b = e.alias("a"), e.alias("b")
+    # precompute the norm ONCE per vector (not per pair: that would
+    # triple the inner-product work across the O(n^2) pair space) and
+    # persist; repartition the streamed side of the nested-loop join so
+    # the pair space parallelizes instead of running on the scan's
+    # single split
+    nrm = e.select(
+        "vec_id", "e", F.sqrt(_dot(F.col("e"), F.col("e"))).alias("nr")
+    ).persist()
+    a = nrm.repartition(64).alias("a")
+    b = nrm.alias("b")
     cos = F.round(
-        _dot(F.col("a.e"), F.col("b.e"))
-        / F.sqrt(_dot(F.col("a.e"), F.col("a.e")) * _dot(F.col("b.e"), F.col("b.e"))),
-        4,
+        _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nr") * F.col("b.nr")), 4
     )
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),

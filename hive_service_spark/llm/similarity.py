@@ -60,27 +60,42 @@ def _dot(x: Column, y: Column) -> Column:
 
 
 def _cos(xa: str, ya: str) -> Column:
-    x, y = F.col(f"{xa}.e"), F.col(f"{ya}.e")
-    return _dot(x, y) / F.sqrt(_dot(x, x) * _dot(y, y))
+    """Cosine from a precomputed-norm frame (_vecs): one dot per pair —
+    recomputing norms per pair would triple the inner-product work
+    across the O(|Q| x n) pair space."""
+    return _dot(F.col(f"{xa}.e"), F.col(f"{ya}.e")) / (
+        F.col(f"{xa}.nr") * F.col(f"{ya}.nr")
+    )
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "embeddings").select(
+    """Vectors with norms precomputed once. Repartitioned off the
+    single-split scan so pair scoring parallelizes, and persisted —
+    all three queries share the same logical plan, so the cache is
+    shared across the module."""
+    e = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
+    return (
+        e.repartition(64)
+        .withColumn("nr", F.sqrt(_dot(F.col("e"), F.col("e"))))
+        .persist()
+    )
 
 
 _VECS_SQL = """
-  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e
-  FROM embeddings
+  SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nr
+  FROM (SELECT vec_id, label,
+               list_transform(embedding, x -> x::DOUBLE) AS e
+        FROM embeddings)
 """
 
-_COS_SQL = (
-    "list_dot_product({a}.e, {b}.e)"
-    " / sqrt(list_dot_product({a}.e, {a}.e) * list_dot_product({b}.e, {b}.e))"
-)
+# same float shape as the Spark side: dot / (nr_a * nr_b), norms
+# precomputed once — sqrt(aa)*sqrt(bb) and sqrt(aa*bb) differ in the
+# last ulp, which round(...,4) can surface on knife-edge values
+_COS_SQL = "list_dot_product({a}.e, {b}.e) / ({a}.nr * {b}.nr)"
 
 # query set: every 50th vector (10 queries at sf0.01, scales with sf)
 _IS_QUERY = "vec_id % 50 = 0"
@@ -149,7 +164,7 @@ _BUCKET_SQL = " + ".join(
 
 _LSH_ORACLE = f"""
 WITH v AS ({_VECS_SQL}),
-bkt AS (SELECT vec_id, e, {_BUCKET_SQL} AS bucket FROM v),
+bkt AS (SELECT vec_id, e, nr, {_BUCKET_SQL} AS bucket FROM v),
 q AS (SELECT * FROM bkt WHERE {_IS_QUERY}),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bucket,
@@ -181,7 +196,7 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     tuned by #planes / multi-table OR-ing, never by widening a cross
     join."""
     v = _vecs(spark, sf_dir)
-    bkt = v.select("vec_id", "e", _bucket(F.col("e")).alias("bucket"))
+    bkt = v.select("vec_id", "e", "nr", _bucket(F.col("e")).alias("bucket"))
     q = bkt.where(F.expr(_IS_QUERY))
     scored = (
         F.broadcast(q.alias("q"))
@@ -223,8 +238,8 @@ cent AS (
   GROUP BY label
 ),
 assign AS (
-  SELECT vec_id, e, cell FROM (
-    SELECT v.vec_id, v.e, cent.cell,
+  SELECT vec_id, e, nr, cell FROM (
+    SELECT v.vec_id, v.e, v.nr, cent.cell,
            ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
              ROUND(list_dot_product(v.e, cent.c)
                / sqrt(list_dot_product(v.e, v.e)
@@ -283,10 +298,10 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = (
         v.alias("v")
         .crossJoin(F.broadcast(cent.alias("cent")))
-        .select("v.vec_id", "v.e", "cent.cell", cos_vc.alias("cos_c"))
+        .select("v.vec_id", "v.e", "v.nr", "cent.cell", cos_vc.alias("cos_c"))
         .withColumn("rn", F.row_number().over(w_assign))
         .where(F.col("rn") == 1)
-        .select("vec_id", "e", "cell")
+        .select("vec_id", "e", "nr", "cell")
     )
     q = assign.where(F.expr(_IS_QUERY))
     scored = (
