@@ -1,0 +1,238 @@
+"""DDL / catalog wave — SURVEY.md §3.3 (metastore surface) + §7 wave 8.
+
+The reference's metastore speaks 154 Thrift ops; Spark's catalog (here
+in-memory; `enableHiveSupport()` on a cluster speaks the identical
+protocol) exposes the same model through SQL DDL. Each query drives a
+DDL lifecycle INSIDE the query and returns data whose correctness
+proves the DDL worked: CTAS + INSERT INTO, nested views, dynamic
+partition overwrite, partition discovery (MSCK analog). Catalog
+introspection (SHOW/DESCRIBE/ANALYZE) is rows-only — output shape is
+engine-specific, the reference equivalents are DESCRIBE/SHOW/ANALYZE
+statements in HiveQL.
+
+All managed objects live in the `hs_scratch` database pinned under the
+repo scratch dir; every query drops/recreates what it owns so reruns
+and fresh sessions are deterministic.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_service_spark.catalog import load, register_views
+from hive_service_spark.registry import query
+
+_SCRATCH = "/root/repo/.scratch"
+
+
+def _fresh_table(spark: SparkSession, name: str) -> None:
+    spark.sql(
+        "CREATE DATABASE IF NOT EXISTS hs_scratch "
+        f"LOCATION '{_SCRATCH}/warehouse'"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS hs_scratch.{name}")
+    shutil.rmtree(f"{_SCRATCH}/warehouse/{name}", ignore_errors=True)
+
+
+# --- CTAS + INSERT INTO -----------------------------------------------------
+
+_CTAS_ORACLE = """
+SELECT l_returnflag, COUNT(*) AS n_rows, ROUND(SUM(l_quantity), 2) AS qty
+FROM (
+  SELECT l_returnflag, l_quantity FROM lineitem WHERE l_quantity > 40
+  UNION ALL
+  SELECT l_returnflag, l_quantity FROM lineitem WHERE l_quantity < 5
+)
+GROUP BY l_returnflag
+"""
+
+
+@query("ddl_ctas_insert", oracle=_CTAS_ORACLE)
+def ddl_ctas_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE AS SELECT, then INSERT INTO appends a second slice;
+    the aggregate over the final table must equal the UNION ALL oracle —
+    proving both the CTAS write and the append."""
+    register_views(spark, sf_dir)
+    _fresh_table(spark, "li_slice")
+    spark.sql(
+        """
+        CREATE TABLE hs_scratch.li_slice USING parquet AS
+        SELECT l_returnflag, l_quantity FROM lineitem WHERE l_quantity > 40
+        """
+    )
+    spark.sql(
+        """
+        INSERT INTO hs_scratch.li_slice
+        SELECT l_returnflag, l_quantity FROM lineitem WHERE l_quantity < 5
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, COUNT(*) AS n_rows,
+               ROUND(SUM(l_quantity), 2) AS qty
+        FROM hs_scratch.li_slice
+        GROUP BY l_returnflag
+        """
+    )
+
+
+# --- views over views --------------------------------------------------------
+
+_VIEWS_ORACLE = """
+SELECT n_name, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > 1000
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@query("ddl_nested_views", oracle=_VIEWS_ORACLE)
+def ddl_nested_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE VIEW stacking (view over view over base tables) — the
+    reference's logical-view surface; Catalyst sees through both layers
+    to the base scans (predicate pushdown intact)."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW rich_customers AS
+        SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        WHERE c_acctbal > 1000
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW rich_by_nation AS
+        SELECT n_name, c_custkey
+        FROM rich_customers JOIN nation ON c_nationkey = n_nationkey
+        """
+    )
+    return spark.sql(
+        """
+        SELECT n_name, COUNT(*) AS n_customers
+        FROM rich_by_nation GROUP BY n_name ORDER BY n_name
+        """
+    )
+
+
+# --- dynamic partition overwrite ---------------------------------------------
+
+_DYN_OVERWRITE_ORACLE = """
+SELECT o_year, n_orders, revenue FROM (
+  SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+         COUNT(*) AS n_orders,
+         ROUND(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997
+                        THEN o_totalprice * 0.5 ELSE o_totalprice END),
+               2) AS revenue
+  FROM orders
+  GROUP BY 1
+)
+ORDER BY o_year
+"""
+
+
+@query("ddl_dynamic_partition_overwrite", oracle=_DYN_OVERWRITE_ORACLE)
+def ddl_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INSERT OVERWRITE of ONE dynamic partition (o_year=1997 rewritten
+    with halved prices) leaving the others untouched — Hive's dynamic
+    partition overwrite semantics via
+    spark.sql.sources.partitionOverwriteMode=dynamic. The per-year
+    aggregate proves exactly one partition changed."""
+    register_views(spark, sf_dir)
+    _fresh_table(spark, "orders_part")
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("bigint")
+    )
+    (
+        o.write.mode("overwrite")
+        .partitionBy("o_year")
+        .saveAsTable("hs_scratch.orders_part", format="parquet")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.sql(
+            """
+            INSERT OVERWRITE TABLE hs_scratch.orders_part
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   o_totalprice * 0.5 AS o_totalprice,
+                   o_orderdate, o_orderpriority, o_year
+            FROM hs_scratch.orders_part WHERE o_year = 1997
+            """
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return spark.sql(
+        """
+        SELECT o_year, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM hs_scratch.orders_part
+        GROUP BY o_year ORDER BY o_year
+        """
+    )
+
+
+# --- partition discovery (MSCK REPAIR analog) --------------------------------
+
+_MSCK_ORACLE = """
+SELECT DISTINCT 'o_year=' || EXTRACT(year FROM o_orderdate)::VARCHAR
+  AS partition
+FROM orders
+"""
+
+
+@query("ddl_msck_partition_discovery", oracle=_MSCK_ORACLE)
+def ddl_msck_partition_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External table over a Hive-layout partitioned directory +
+    MSCK REPAIR TABLE (partition discovery); SHOW PARTITIONS must list
+    exactly the years present in the data — verified against the
+    oracle's DISTINCT projection."""
+    path = f"{_SCRATCH}/orders_by_year_msck"
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("bigint")
+    )
+    o.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    spark.sql(
+        "CREATE DATABASE IF NOT EXISTS hs_scratch "
+        f"LOCATION '{_SCRATCH}/warehouse'"
+    )
+    spark.sql("DROP TABLE IF EXISTS hs_scratch.orders_ext")
+    spark.sql(
+        f"""
+        CREATE TABLE hs_scratch.orders_ext
+          (o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+           o_totalprice DOUBLE, o_orderdate TIMESTAMP,
+           o_orderpriority STRING)
+        USING parquet
+        PARTITIONED BY (o_year BIGINT)
+        LOCATION '{path}'
+        """
+    )
+    spark.sql("MSCK REPAIR TABLE hs_scratch.orders_ext")
+    return spark.sql("SHOW PARTITIONS hs_scratch.orders_ext")
+
+
+# --- catalog introspection (rows-only: output shape is engine-specific) ------
+
+@query("ddl_show_describe_analyze", oracle=None)
+def ddl_show_describe_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW TABLES / DESCRIBE / ANALYZE COMPUTE STATISTICS lifecycle —
+    the reference's DDLTask + StatsTask surface (SHOW/DESCRIBE output
+    layout differs per engine, so this is a rows-only check)."""
+    register_views(spark, sf_dir)
+    _fresh_table(spark, "stats_demo")
+    spark.sql(
+        """
+        CREATE TABLE hs_scratch.stats_demo USING parquet AS
+        SELECT * FROM nation
+        """
+    )
+    spark.sql(
+        "ANALYZE TABLE hs_scratch.stats_demo COMPUTE STATISTICS FOR ALL COLUMNS"
+    )
+    return spark.sql("DESCRIBE EXTENDED hs_scratch.stats_demo")

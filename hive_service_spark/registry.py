@@ -38,7 +38,11 @@ _QUERY_MODULES = (
     "hive_service_spark.operators.windows",
     "hive_service_spark.operators.setops",
     "hive_service_spark.operators.lateral",
+    "hive_service_spark.operators.subqueries",
+    "hive_service_spark.operators.transform_script",
+    "hive_service_spark.operators.ddl_catalog",
     "hive_service_spark.operators.tpch",
+    "hive_service_spark.operators.tpch_extra",
     "hive_service_spark.functions.function_queries",
     "hive_service_spark.sources.source_queries",
     "hive_service_spark.llm.text",

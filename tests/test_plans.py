@@ -1,0 +1,93 @@
+"""Plan-shape tests — pin the physical plans we want at 100 TB.
+
+Correctness tests (test_correctness.py) prove the VALUES; these prove
+the PLANS: filters reach the parquet scans, column pruning holds, small
+dims broadcast, the similarity/dedup pipelines never go O(n²) via
+cartesian products, and the hot paths stay inside whole-stage codegen.
+This is the testable form of the reference's physical-optimizer
+decisions (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hive_service_spark.plans import inspect as P
+from hive_service_spark.registry import load_all
+from tests.conftest import SF_DIR
+
+_SPECS = load_all()
+
+
+def _df(spark, name):
+    return _SPECS[name].fn(spark, SF_DIR)
+
+
+def test_q6_all_predicates_pushed(spark):
+    """Q6 is the pure-pushdown query: shipdate/discount/quantity must
+    all reach the parquet scan as PushedFilters."""
+    pf = " ".join(P.pushed_filters(_df(spark, "q6_forecast_revenue")))
+    assert "l_shipdate" in pf
+    assert "l_discount" in pf
+    assert "l_quantity" in pf
+
+
+def test_q6_column_pruning(spark):
+    """Q6 touches 4 of lineitem's 11 columns — the scan must not read
+    the rest."""
+    schemas = P.read_schemas(_df(spark, "q6_forecast_revenue"))
+    assert schemas, "no ReadSchema in plan"
+    s = schemas[0]
+    assert "l_extendedprice" in s and "l_discount" in s
+    assert "l_orderkey" not in s and "l_returnflag" not in s
+
+
+def test_q1_filter_pushed_and_codegen(spark):
+    df = _df(spark, "q1_pricing_summary")
+    assert any("l_shipdate" in f for f in P.pushed_filters(df))
+    assert P.codegen_stage_count(df) >= 1
+
+
+def test_q5_broadcasts_dims(spark):
+    """nation/region/supplier are broadcast — the 6-way join must not
+    shuffle its small sides."""
+    assert P.has_broadcast_join(_df(spark, "q5_local_supplier_volume"))
+
+
+def test_q3_no_cartesian(spark):
+    assert not P.has_cartesian(_df(spark, "q3_shipping_priority"))
+
+
+def test_minhash_lsh_no_cartesian(spark):
+    """The LSH band join must stay an equi-join on (band, signature) —
+    a cartesian product here is the O(n²) failure mode at 100 TB."""
+    assert not P.has_cartesian(_df(spark, "dedup_minhash_lsh"))
+
+
+def test_ngram_jaccard_no_cartesian(spark):
+    assert not P.has_cartesian(_df(spark, "dedup_ngram_jaccard"))
+
+
+def test_simhash_no_cartesian(spark):
+    assert not P.has_cartesian(_df(spark, "dedup_simhash"))
+
+
+def test_ann_lsh_no_cartesian(spark):
+    assert not P.has_cartesian(_df(spark, "ann_lsh_hyperplane"))
+
+
+def test_q18_semi_join_planned(spark):
+    """The HAVING-filtered IN becomes a real semi join, not a
+    re-execution of the subquery per row."""
+    plan = P.operators(_df(spark, "q18_large_volume_customer"))
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q1_pricing_summary", "q3_shipping_priority", "q10_returned_items"],
+)
+def test_headline_queries_stay_in_codegen(spark, name):
+    """Hot-path queries should be fused into at least 2 codegen spans
+    (scan+partial-agg stage, final-agg stage)."""
+    assert P.codegen_stage_count(_df(spark, name)) >= 2
