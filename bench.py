@@ -61,6 +61,10 @@ def main() -> None:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        # each query is measured standalone: drop its persisted frames so
+        # a cache-heavy query doesn't inflate later ones via storage-
+        # memory eviction/GC pressure (measured: 3-10x tail inflation)
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     print(

@@ -104,7 +104,10 @@ WITH sh AS (
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
   WHERE len(w) >= 3
 ),
-inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+inv AS (
+  SELECT doc_id, ('0x'||substr(md5(unnest(s)),1,15))::BIGINT AS shingle
+  FROM sh
+),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
   FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -122,11 +125,14 @@ WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.8
 @query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by 3-gram Jaccard >= 0.8 via inverted-index join:
-    explode distinct shingles, equi-join on the shingle, count shared,
-    then |A∩B| / (|A|+|B|-|A∩B|). The only shuffles are on `shingle`
-    and on the (doc_a, doc_b) pair key — never a cross join. At 100 TB
-    add a doc-frequency cap on hot shingles (stopword shingles) before
-    the self-join; testdata needs none."""
+    explode distinct shingles, hash each to 60 bits, equi-join on the
+    HASH (8-byte shuffle keys and integer comparisons instead of ~30-
+    char strings; the oracle hashes identically, and 60-bit collisions
+    are ~|shingles|²/2⁶¹ ≈ never), count shared, then
+    |A∩B| / (|A|+|B|-|A∩B|). The only shuffles are on the shingle hash
+    and the (doc_a, doc_b) pair key — never a cross join. At 100 TB add
+    a doc-frequency cap on hot shingles (stopword shingles) before the
+    self-join; testdata needs none."""
     d = load(spark, sf_dir, "documents")
     # repartition straight off the scan: a small parquet file is ONE
     # split, which would serialize all per-row shingle work on a single
@@ -140,13 +146,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     sizes = sh.select("doc_id", F.size("s").alias("n"))
-    # explicit repartition on the join key: the map side of this join is
-    # tiny (docs x shingles) but the join OUTPUT is the pair-overlap
-    # mass — AQE would coalesce the exchange down to 1 partition based
-    # on input size and serialize the blow-up; a numbered repartition is
-    # exempt from AQE coalescing and keeps the pair space parallel
-    inv = sh.select("doc_id", F.explode("s").alias("shingle")).repartition(
-        64, "shingle"
+    # persist the postings list: BOTH sides of the self-join read it, and
+    # without the persist each side re-runs explode+md5 (and AQE stage
+    # reuse is not guaranteed). repartition on the join key keeps the
+    # pair-space expansion parallel — a numbered repartition is exempt
+    # from AQE coalescing, which would otherwise see the tiny input and
+    # serialize the blow-up onto one task.
+    inv = (
+        sh.select("doc_id", F.explode("s").alias("t"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("t"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("shingle"),
+        )
+        .repartition(64, "shingle")
+        .persist()
     )
     a, b = inv.alias("a"), inv.alias("b")
     shared = (

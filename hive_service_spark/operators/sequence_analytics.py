@@ -1,0 +1,215 @@
+"""Row-sequence analytics — sessionization, MatchPath-style patterns,
+Bloom-filter runtime pre-filtering.
+
+Reference tie-ins (SURVEY.md):
+- `MatchPath` PTF (§2.4, ql/udf/ptf/MatchPath — row-sequence pattern
+  matching, the pre-MATCH_RECOGNIZE surface): covered here as
+  window-function compositions (lag/lead + conditional cumsum), which
+  is the scale-correct Spark expression for fixed patterns — one
+  shuffle on the partition key, no per-row Python.
+- `bloom_filter` / `in_bloom_filter` UDAF+UDF pair (§2.3: runtime
+  semi-join filtering): built from first principles with md5-derived
+  bit positions so the DuckDB oracle can verify the exact algorithm.
+
+Scale notes: every query shuffles once on user_id (or the join key)
+and computes per-partition window functions — the same discipline the
+reference's PTFOperator applies per partition, minus its spill
+container (Spark's UnsafeExternalSorter handles that).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from hive_service_spark.catalog import load, register_views
+from hive_service_spark.registry import query
+
+# --- batch sessionization (30-min inactivity gap) ---------------------------
+
+_SESSION_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess,
+         event_id
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g
+)
+SELECT user_id, session_no,
+       COUNT(*) AS n_events,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+       ROUND(SUM(value), 2) AS session_value
+FROM s
+GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+"""
+
+
+@query("seq_sessionize_batch", oracle=_SESSION_ORACLE)
+def seq_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a session breaks after 30 min of
+    inactivity. session_no = running sum of is-new-session flags (lag +
+    conditional cumsum) — the standard two-window formulation; both
+    windows share ONE shuffle on user_id. At 100 TB user_id is the only
+    partition key and per-user event counts are bounded, so no skew
+    pathology; the streaming analog is stream_session_window."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_no",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+# --- MatchPath-style pattern: view -> view -> purchase ----------------------
+
+_FUNNEL_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, event_type, event_id,
+         LEAD(event_type, 1) OVER w AS e1,
+         LEAD(event_type, 2) OVER w AS e2,
+         LEAD(ts, 2) OVER w AS ts2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(ts AS TIMESTAMP) AS path_start,
+       CAST(ts2 AS TIMESTAMP) AS path_end,
+       COUNT(*) OVER (PARTITION BY user_id) AS n_paths_for_user
+FROM o
+WHERE event_type = 'view' AND e1 = 'view' AND e2 = 'purchase'
+ORDER BY user_id, path_start
+"""
+
+
+@query("seq_matchpath_funnel", oracle=_FUNNEL_ORACLE)
+def seq_matchpath_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MatchPath('view.view.purchase') analog: find every consecutive
+    view->view->purchase run per user. The reference's MatchPath PTF
+    walks each partition's row sequence with a symbol automaton
+    (SURVEY.md §2.4); for a fixed pattern the equivalent is a LEAD
+    window per symbol position — pure JVM, one shuffle, and the whole
+    match pipeline stays in codegen. Arbitrary regex patterns would
+    drop to applyInPandas per user partition."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead("event_type", 2).over(w).alias("e2"),
+        F.lead("ts", 2).over(w).alias("ts2"),
+    ).where(
+        (F.col("event_type") == "view")
+        & (F.col("e1") == "view")
+        & (F.col("e2") == "purchase")
+    )
+    return (
+        o.select(
+            "user_id",
+            F.col("ts").alias("path_start"),
+            F.col("ts2").alias("path_end"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("user_id"))
+            .alias("n_paths_for_user"),
+        )
+        .orderBy("user_id", "path_start")
+    )
+
+
+# --- Bloom-filter runtime semi-join pre-filter ------------------------------
+
+_BLOOM_M = 4096  # bits
+_BLOOM_K = 3  # hash functions
+
+
+def _bloom_pos(col, i: int):
+    """Bit position for hash i: md5-derived, engine-portable
+    (same trick as llm.dedup)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"b{i}_"), col)), 1, 8), 16, 10)
+        .cast("bigint")
+        % _BLOOM_M
+    )
+
+
+_BLOOM_POS_SQL = "(('0x'||substr(md5('b{i}_'||{c}),1,8))::BIGINT % 4096)"
+
+# The oracle proves the END RESULT equals a plain semi join — the bloom
+# is a pure pre-filter whose false positives the real join removes.
+_BLOOM_ORACLE = """
+SELECT l_returnflag, COUNT(*) AS n_lines, ROUND(SUM(l_quantity), 2) AS qty
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("seq_bloom_semi_join", oracle=_BLOOM_ORACLE)
+def seq_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter pre-filtering ahead of a semi join — the
+    reference's bloom_filter UDAF + in_bloom_filter UDF pattern
+    (SURVEY.md §2.3), also what Spark's own runtime row-filters do
+    internally. Build: K=3 md5-derived bit positions per build-side
+    key, aggregated to one distinct-sorted position array, broadcast as
+    a one-row frame. Probe: a lineitem row survives iff ALL K of its
+    positions are set. The final exact semi join removes false
+    positives, so the result (and the oracle) is exactly the plain semi
+    join — while at 100 TB the probe filter drops most of the big side
+    BEFORE the join shuffle, which is the entire point."""
+    register_views(spark, sf_dir)
+    orders = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    li = load(spark, sf_dir, "lineitem")
+    # build side: every bit position set by any key, as one sorted array
+    pos = None
+    for i in range(_BLOOM_K):
+        p = orders.select(_bloom_pos(F.col("o_orderkey"), i).alias("pos"))
+        pos = p if pos is None else pos.unionAll(p)
+    bloom = pos.agg(F.array_sort(F.collect_set("pos")).alias("bits"))
+    # probe side: crossJoin the 1-row bloom (broadcast — no shuffle),
+    # keep rows whose K positions are all present
+    probe = li.crossJoin(F.broadcast(bloom))
+    cond = None
+    for i in range(_BLOOM_K):
+        c = F.array_contains(
+            F.col("bits"), _bloom_pos(F.col("l_orderkey"), i)
+        )
+        cond = c if cond is None else cond & c
+    prefiltered = probe.where(cond).drop("bits")
+    keys = orders.select("o_orderkey")
+    exact = prefiltered.join(
+        keys, prefiltered.l_orderkey == keys.o_orderkey, "left_semi"
+    )
+    return (
+        exact.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .orderBy("l_returnflag")
+    )

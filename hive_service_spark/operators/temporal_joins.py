@@ -1,0 +1,156 @@
+"""Temporal joins — as-of join and banded range join.
+
+Neither exists in the reference (SURVEY.md §2.5: "Range / as-of /
+interval joins — not present") NOR as a Spark builtin; both are core
+training-data-pipeline operators, so they're implemented here as
+compositions of shuffle-safe primitives:
+
+- **as-of join**: the union-tag + window formulation — tag both sides,
+  union, one window per join key ordered by time carrying the last
+  build-side value forward, keep probe rows. ONE shuffle on the key,
+  no range blow-up, no per-row lookup: the canonical distributed as-of
+  (what pandas.merge_asof does single-node).
+- **range join**: time-banding — quantize to fixed buckets, equi-join
+  on (key, bucket) for own+adjacent buckets, residual-filter the exact
+  predicate. Candidate mass is bounded by per-bucket density, never
+  O(n²); this is the standard interval-join decomposition Structured
+  Streaming uses for stream-stream time-bound joins.
+
+Oracles: DuckDB ships a native ASOF JOIN (used verbatim — strong
+cross-check of the window formulation) and evaluates the small-scale
+inequality join directly for the range case.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from hive_service_spark.catalog import load
+from hive_service_spark.registry import query
+
+# --- as-of join: each purchase matched to the user's latest prior view ------
+
+_ASOF_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+       CAST(v.ts AS TIMESTAMP) AS view_ts,
+       v.event_id AS view_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY purchase_id
+"""
+
+
+@query("temporal_asof_join", oracle=_ASOF_ORACLE)
+def temporal_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via union-tag + window: purchases pick up the most
+    recent view (ts_view <= ts_purchase) per user. Build rows (views)
+    and probe rows (purchases) are unioned with a side tag; a single
+    window per user ordered by (ts, side, event_id) carries the last
+    view forward; probe rows keep the carried value. At 100 TB: one
+    shuffle on user_id total — contrast a naive range join, which is a
+    per-user cross product. Ties (view.ts == purchase.ts) sort the view
+    first, matching ASOF's >= semantics.
+
+    DuckDB's native ASOF JOIN breaks event_id ties arbitrarily when two
+    views share the boundary timestamp, so view_id picks the LATEST
+    (max event_id) view among equal timestamps — deterministic in both
+    engines (testdata has no such ties, but the contract is pinned).
+    """
+    ev = load(spark, sf_dir, "events")
+    # side=0 sorts views before purchases at equal ts (>= semantics)
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(0).alias("side"), F.col("event_id")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("side"), F.col("event_id")
+    )
+    tagged = views.unionAll(purchases).withColumn(
+        "v_ts", F.when(F.col("side") == 0, F.col("ts"))
+    ).withColumn("v_id", F.when(F.col("side") == 0, F.col("event_id")))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged.select(
+        "user_id",
+        "ts",
+        "side",
+        "event_id",
+        F.last("v_ts", ignorenulls=True).over(w).alias("view_ts"),
+        F.last("v_id", ignorenulls=True).over(w).alias("view_id"),
+    )
+    return (
+        carried.where(F.col("side") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "view_ts",
+            "view_id",
+        )
+        .orderBy("purchase_id")
+    )
+
+
+# --- banded range join: event pairs within 60s per user ---------------------
+
+_RANGE_ORACLE = """
+SELECT a.user_id,
+       a.event_id AS id_a, b.event_id AS id_b,
+       CAST(a.ts AS TIMESTAMP) AS ts_a, CAST(b.ts AS TIMESTAMP) AS ts_b
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND abs(date_diff('second', a.ts, b.ts)) <= 60
+ORDER BY a.user_id, id_a, id_b
+"""
+
+
+@query("temporal_range_join_banded", oracle=_RANGE_ORACLE)
+def temporal_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All event pairs of the same user within 60 seconds, via time
+    banding: bucket = floor(epoch/60); the left side joins buckets
+    {b-1, b, b+1} (explode of a 3-element array), the exact |Δt| <= 60
+    predicate filters residually. The join is a pure equi-join on
+    (user_id, bucket): candidate volume is sum of per-bucket densities
+    — bounded at 100 TB — instead of per-user O(n²). The same
+    decomposition Structured Streaming applies to stream-stream
+    time-interval joins; bucket width tunes candidate mass vs
+    replication (3x here)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.floor(F.unix_timestamp("ts") / 60).alias("bkt")
+    )
+    left = ev.select(
+        "user_id",
+        F.col("event_id").alias("id_a"),
+        F.col("ts").alias("ts_a"),
+        F.explode(
+            F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)
+        ).alias("jbkt"),
+    )
+    right = ev.select(
+        "user_id",
+        F.col("event_id").alias("id_b"),
+        F.col("ts").alias("ts_b"),
+        F.col("bkt").alias("jbkt"),
+    )
+    return (
+        left.join(right, ["user_id", "jbkt"])
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.abs(
+                    F.unix_timestamp("ts_b") - F.unix_timestamp("ts_a")
+                )
+                <= 60
+            )
+        )
+        .select("user_id", "id_a", "id_b", "ts_a", "ts_b")
+        .orderBy("user_id", "id_a", "id_b")
+    )

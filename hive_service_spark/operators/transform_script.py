@@ -2,9 +2,11 @@
 
 Hive pipes rows through an external process (ScriptOperator, 20,053 B —
 SURVEY.md §2.1); Spark SQL supports the same `SELECT TRANSFORM`
-syntax natively (no-serde mode: tab-separated stdin/stdout). The script
-is materialized under the repo scratch dir at query time so the query
-stays self-contained.
+syntax natively. No-serde mode uses HIVE'S default row format — fields
+delimited by \\x01 (^A), rows by newline — NOT tabs (verified by
+hex-dumping the child's stdin; a tab-splitting script sees one giant
+field and dies). The script is materialized under the repo scratch dir
+at query time so the query stays self-contained.
 
 Scale notes: each task pipes its partition through one child process —
 the same fan-out as Hive's script operator; prefer mapInPandas (Arrow)
@@ -23,9 +25,10 @@ from hive_service_spark.registry import query
 _SCRIPT = r"""#!/usr/bin/env python3
 import sys
 
+SEP = "\x01"  # Hive default field delimiter in no-serde TRANSFORM
 for line in sys.stdin:
-    event_type, user_id = line.rstrip("\n").split("\t")
-    print(f"{event_type.upper()}\t{int(user_id) * 2 + 1}")
+    event_type, user_id = line.rstrip("\n").split(SEP)
+    print(f"{event_type.upper()}{SEP}{int(user_id) * 2 + 1}")
 """
 
 _TRANSFORM_ORACLE = """

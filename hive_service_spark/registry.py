@@ -43,6 +43,9 @@ _QUERY_MODULES = (
     "hive_service_spark.operators.ddl_catalog",
     "hive_service_spark.operators.tpch",
     "hive_service_spark.operators.tpch_extra",
+    "hive_service_spark.operators.skew_scale",
+    "hive_service_spark.operators.sequence_analytics",
+    "hive_service_spark.operators.temporal_joins",
     "hive_service_spark.functions.function_queries",
     "hive_service_spark.sources.source_queries",
     "hive_service_spark.llm.text",
