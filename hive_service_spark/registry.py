@@ -43,6 +43,7 @@ _QUERY_MODULES = (
     "hive_service_spark.operators.ddl_catalog",
     "hive_service_spark.operators.tpch",
     "hive_service_spark.operators.tpch_extra",
+    "hive_service_spark.operators.tpch_more",
     "hive_service_spark.operators.skew_scale",
     "hive_service_spark.operators.sequence_analytics",
     "hive_service_spark.operators.temporal_joins",

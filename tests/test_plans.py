@@ -91,3 +91,35 @@ def test_headline_queries_stay_in_codegen(spark, name):
     """Hot-path queries should be fused into at least 2 codegen spans
     (scan+partial-agg stage, final-agg stage)."""
     assert P.codegen_stage_count(_df(spark, name)) >= 2
+
+
+def test_q8_broadcasts_dims_and_pushes_filters(spark):
+    """Q8's 7-join snowflake: every dim side broadcast, the orderdate
+    range pushed into the orders scan."""
+    df = _df(spark, "q8_market_share")
+    assert P.has_broadcast_join(df)
+    assert not P.has_cartesian(df)
+    assert any("o_orderdate" in f for f in P.pushed_filters(df))
+
+
+def test_q4_exists_becomes_semi_join(spark):
+    plan = P.operators(_df(spark, "q4_order_priority"))
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()
+
+
+def test_q16_not_in_becomes_anti_join(spark):
+    plan = P.operators(_df(spark, "q16_parts_supplier"))
+    assert "LeftAnti" in plan or "left_anti" in plan.lower()
+
+
+def test_q17_single_fact_shuffle_no_cartesian(spark):
+    assert not P.has_cartesian(_df(spark, "q17_small_quantity"))
+
+
+def test_q21_windows_not_self_joins(spark):
+    """Q21's EXISTS/NOT EXISTS decorrelation must not plan extra
+    lineitem self-joins: exactly one lineitem scan feeding windows."""
+    df = _df(spark, "q21_suppliers_waiting")
+    ops = P.operators(df)
+    assert ops.lower().count("lineitem") <= 2  # scan + reuse at most
+    assert not P.has_cartesian(df)
