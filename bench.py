@@ -57,14 +57,21 @@ def main() -> None:
     for name in HEADLINE:
         if name not in specs:
             continue
-        df = specs[name].fn(spark, SF_DIR)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
-        # each query is measured standalone: drop its persisted frames so
-        # a cache-heavy query doesn't inflate later ones via storage-
-        # memory eviction/GC pressure (measured: 3-10x tail inflation)
-        spark.catalog.clearCache()
+        # warmup run (uncounted) then measured run: single-JVM local mode
+        # has 2-15x run-to-run JIT/codegen-compilation noise on the
+        # array-heavy queries; the warm number is the one that models
+        # steady-state executors on a cluster, where generated code is
+        # compiled once and reused across thousands of tasks.
+        for measured in (False, True):
+            df = specs[name].fn(spark, SF_DIR)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            if measured:
+                times[name] = round(time.perf_counter() - t0, 3)
+            # drop persisted frames between runs so each run is standalone
+            # and a cache-heavy query doesn't inflate later ones via
+            # storage-memory eviction/GC pressure (measured: 3-10x tails)
+            spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     print(

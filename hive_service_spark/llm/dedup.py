@@ -164,9 +164,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     a, b = inv.alias("a"), inv.alias("b")
+    # pin shuffle-hash: AQE's runtime stats put the postings list under
+    # the broadcast threshold and flip this self-join to broadcast on
+    # some runs, which serializes the pair-space expansion (measured
+    # 4-15x slower tails); the hash join on the already-partitioned key
+    # is the stable parallel plan and the one a 100 TB run would need.
     shared = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
@@ -284,9 +289,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bkey"),
     )
     ba, bb = bands.alias("ba"), bands.alias("bb")
-    cand = (
+    cand = (  # shuffle_hash pinned: same AQE broadcast-flip hazard as
+        # the jaccard postings self-join above
         ba.join(
-            bb,
+            bb.hint("shuffle_hash"),
             (F.col("ba.b") == F.col("bb.b"))
             & (F.col("ba.bkey") == F.col("bb.bkey"))
             & (F.col("ba.doc_id") < F.col("bb.doc_id")),
@@ -410,9 +416,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
+    return (  # shuffle_hash pinned: same AQE broadcast-flip hazard
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.b") == F.col("b.b"))
             & (F.col("a.nib") == F.col("b.nib"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),

@@ -27,6 +27,14 @@ def get_session(app: str = "hive_service_spark", cpus: int | None = None) -> Spa
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Whole-stage codegen over a ~120-query suite overflows the JVM's
+        # default 240MB code cache; once full, the JIT disables and the
+        # generated loops run interpreted (measured 10-30x CPU inflation
+        # with wild run-to-run variance on the array-heavy dedup queries).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # Hive 2.3 semantics: non-ANSI arithmetic (overflow wraps, / on
         # ints yields double) — matches reference and DuckDB tolerance.
