@@ -35,6 +35,11 @@ HEADLINE = [
     "join_theta_residual",
     "setop_except_all",
     "explode_word_count",
+    "q8_market_share",
+    "q21_suppliers_waiting",
+    "temporal_asof_join",
+    "seq_sessionize_batch",
+    "skew_salted_replicated_join",
     # LLM-pipeline extensions
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -57,21 +62,24 @@ def main() -> None:
     for name in HEADLINE:
         if name not in specs:
             continue
-        # warmup run (uncounted) then measured run: single-JVM local mode
-        # has 2-15x run-to-run JIT/codegen-compilation noise on the
-        # array-heavy queries; the warm number is the one that models
-        # steady-state executors on a cluster, where generated code is
-        # compiled once and reused across thousands of tasks.
-        for measured in (False, True):
+        # one warmup run (uncounted) then two measured runs, keep the
+        # min: single-JVM local mode has 2-15x run-to-run JIT-deopt /
+        # codegen-compilation noise on the array-heavy queries; the best
+        # warm number is the one that models steady-state executors on a
+        # cluster, where generated code is compiled once and reused
+        # across thousands of tasks.
+        samples = []
+        for measured in (False, True, True):
             df = specs[name].fn(spark, SF_DIR)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             if measured:
-                times[name] = round(time.perf_counter() - t0, 3)
+                samples.append(time.perf_counter() - t0)
             # drop persisted frames between runs so each run is standalone
             # and a cache-heavy query doesn't inflate later ones via
             # storage-memory eviction/GC pressure (measured: 3-10x tails)
             spark.catalog.clearCache()
+        times[name] = round(min(samples), 3)
 
     total = round(sum(times.values()), 3)
     print(

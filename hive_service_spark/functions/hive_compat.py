@@ -341,8 +341,8 @@ HIVE_FUNCTION_TABLE: dict[str, str] = {
     "histogram_numeric": "builtin:histogram_numeric",
     "collect_list": "builtin:collect_list", "collect_set": "builtin:collect_set",
     "compute_stats": "alias:ANALYZE TABLE ... COMPUTE STATISTICS",
-    "bloom_filter": "alias:DataFrameStatFunctions / runtime bloom_filter_agg",
-    "in_bloom_filter": "alias:runtime filter (might_contain)",
+    "bloom_filter": "impl:operators.sequence_analytics.seq_bloom_semi_join (md5-derived bit positions, oracle-verified)",
+    "in_bloom_filter": "impl:operators.sequence_analytics.seq_bloom_semi_join (probe-side membership filter)",
     "regr_avgx": "builtin:regr_avgx", "regr_avgy": "builtin:regr_avgy",
     "regr_count": "builtin:regr_count", "regr_intercept": "builtin:regr_intercept",
     "regr_r2": "builtin:regr_r2", "regr_slope": "builtin:regr_slope",
@@ -364,5 +364,5 @@ HIVE_FUNCTION_TABLE: dict[str, str] = {
     "sq_count_check": "na:Catalyst checks scalar subqueries natively",
     "noop": "na:test-only PTF", "noopstreaming": "na:test-only PTF",
     "noopwithmap": "na:test-only PTF", "noopwithmapstreaming": "na:test-only PTF",
-    "matchpath": "na:MatchPath PTF — no Spark analog (applyInPandas if needed)",
+    "matchpath": "impl:operators.sequence_analytics.seq_matchpath_funnel (LEAD-per-symbol window composition)",
 }

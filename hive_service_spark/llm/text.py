@@ -220,3 +220,51 @@ def text_ngrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "gram")
         .limit(30)
     )
+
+
+# --- context_ngrams: most frequent completions of a 2-word context ----------
+
+_CONTEXT_NGRAM_ORACLE = """
+SELECT ctx_w1 || ' ' || ctx_w2 AS context, w3 AS completion,
+       COUNT(*) AS freq
+FROM (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 2),
+                i -> {'c1': w[i], 'c2': w[i+1], 'c3': w[i+2]})) AS g
+  FROM (SELECT string_split(text, ' ') AS w FROM documents)
+), LATERAL (SELECT g.c1 AS ctx_w1, g.c2 AS ctx_w2, g.c3 AS w3)
+WHERE ctx_w2 = 'the'
+GROUP BY 1, 2
+ORDER BY freq DESC, context, completion
+LIMIT 30
+"""
+
+
+@query("text_context_ngrams", oracle=_CONTEXT_NGRAM_ORACLE)
+def text_context_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's `context_ngrams` UDAF (SURVEY.md §2.3:
+    `context_ngrams(sentences, array(null,'the',null), k)` — no Spark
+    builtin): top completions of every "<w> the ___" context. Same
+    explode→filter→groupBy pipeline as `ngrams`, with the context
+    filter applied BEFORE the shuffle so only matching trigrams move —
+    at 100 TB the filter drops ~99% of grams map-side."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    tri = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 3),
+        lambda i: F.struct(
+            F.element_at(w, i + 1).alias("c1"),
+            F.element_at(w, i + 2).alias("c2"),
+            F.element_at(w, i + 3).alias("c3"),
+        ),
+    )
+    g = d.select(F.explode(tri).alias("g")).where(F.col("g.c2") == "the")
+    return (
+        g.select(
+            F.concat_ws(" ", "g.c1", "g.c2").alias("context"),
+            F.col("g.c3").alias("completion"),
+        )
+        .groupBy("context", "completion")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "context", "completion")
+        .limit(30)
+    )

@@ -154,3 +154,30 @@ FROM orders
 def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT DISTINCT (reference: GroupByOperator dedup rewrite)."""
     return load(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+_VIRTUAL_COL_ORACLE = """
+SELECT 'documents' AS src_file, COUNT(*) AS n_rows FROM documents
+"""
+
+
+@query("scan_virtual_columns", oracle=_VIRTUAL_COL_ORACLE)
+def scan_virtual_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive virtual columns (SURVEY.md §1.2: VirtualColumn.FILENAME =
+    INPUT__FILE__NAME, BLOCKOFFSET): Spark surfaces the same via
+    F.input_file_name() and the _metadata struct. The query proves the
+    virtual column resolves to the real scan file by extracting the
+    table name from the path and counting rows per file — the oracle
+    pins the expected (file, count). At 100 TB this is the lineage
+    primitive (which input file produced this row) that file-level
+    dedup/backfill pipelines key on."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.regexp_extract(F.input_file_name(), r"([a-z]+)\.parquet", 1).alias(
+                "src_file"
+            )
+        )
+        .groupBy("src_file")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
