@@ -236,3 +236,67 @@ def ddl_show_describe_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ANALYZE TABLE hs_scratch.stats_demo COMPUTE STATISTICS FOR ALL COLUMNS"
     )
     return spark.sql("DESCRIBE EXTENDED hs_scratch.stats_demo")
+
+
+# --- MERGE-style upsert (pre-ACID join rewrite) ------------------------------
+
+_MERGE_ORACLE = """
+WITH changes AS (
+  SELECT o_orderkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1))
+           AS new_price,
+         'X-REPRICED' AS new_priority
+  FROM orders WHERE o_orderstatus = 'P'
+)
+SELECT o.o_orderkey,
+       o.o_orderstatus,
+       ROUND(COALESCE(c.new_price, CAST(o.o_totalprice AS DECIMAL(18,2))), 2)
+         AS o_totalprice,
+       COALESCE(c.new_priority, o.o_orderpriority) AS o_orderpriority
+FROM orders o
+LEFT JOIN changes c ON o.o_orderkey = c.o_orderkey
+ORDER BY o.o_orderkey
+"""
+
+
+@query("ddl_merge_upsert", oracle=_MERGE_ORACLE)
+def ddl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO ... WHEN MATCHED THEN UPDATE, expressed as the join
+    rewrite the reference's UpdateDeleteSemanticAnalyzer performs on
+    ACID MERGE (SURVEY.md §3.2: MERGE compiles to a join + rewrite;
+    plain Spark has no ACID MERGE — that is Delta/Iceberg territory —
+    but the REWRITE is pure DataFrame algebra): left-join the target to
+    the change set, coalesce updated columns, write back. At 100 TB the
+    change set is usually small → broadcast left join, and the write
+    touches only affected partitions (dynamic partition overwrite)."""
+    o = load(spark, sf_dir, "orders")
+    changes = o.where(F.col("o_orderstatus") == "P").select(
+        F.col("o_orderkey").alias("c_orderkey"),
+        (
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("1.1").cast("decimal(3,1)")
+        ).alias("new_price"),
+        F.lit("X-REPRICED").alias("new_priority"),
+    )
+    merged = (
+        o.join(
+            F.broadcast(changes),
+            F.col("o_orderkey") == F.col("c_orderkey"),
+            "left_outer",
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(
+                F.coalesce(
+                    F.col("new_price"),
+                    F.col("o_totalprice").cast("decimal(18,2)"),
+                ),
+                2,
+            ).alias("o_totalprice"),
+            F.coalesce(F.col("new_priority"), F.col("o_orderpriority")).alias(
+                "o_orderpriority"
+            ),
+        )
+    )
+    return merged.orderBy("o_orderkey")

@@ -291,3 +291,71 @@ def stream_stateful_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_table(result, "hs_stream_stateful", "update")
+
+
+# ---------------------------------------------------------------------------
+# stream-stream interval join
+# ---------------------------------------------------------------------------
+
+_SS_JOIN_ORACLE = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       CAST(v.ts AS TIMESTAMP) AS view_ts,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+ORDER BY v.user_id, view_id, purchase_id
+"""
+
+
+@query("stream_stream_interval_join", oracle=_SS_JOIN_ORACLE)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    every purchase within 1 hour after a view by the same user. Both
+    sides carry watermarks so the state store can expire buffered rows
+    once the other stream's event time passes the interval bound — the
+    mechanism that keeps state finite on an unbounded 100 TB/day
+    stream. The equi-key (user_id) drives the shuffle; the time bounds
+    are residual conditions on the state lookup. The batch oracle
+    proves the streaming plan computes exactly the batch join."""
+    ev = _stream(spark, sf_dir)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select("user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = views.alias("v").join(
+        purchases.alias("p"),
+        F.expr(
+            """
+            v.user_id = p.user_id AND
+            purchase_ts >= view_ts AND
+            purchase_ts <= view_ts + INTERVAL 1 HOUR
+            """
+        ),
+    )
+    out = _run_to_table(
+        joined.select(
+            F.col("v.user_id").alias("user_id"),
+            "view_id",
+            "purchase_id",
+            "view_ts",
+            "purchase_ts",
+        ),
+        "ss_interval_join",
+        "append",
+    )
+    return out.orderBy("user_id", "view_id", "purchase_id")
