@@ -338,3 +338,49 @@ def func_xpath_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.initcap(F.lower("n_name")).alias("name_title"),
         F.soundex("n_name").alias("name_soundex"),
     )
+
+
+_UNION_INTERVAL_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderstatus = 'O' THEN 0 ELSE 1 END AS u_tag,
+       CASE WHEN o_orderstatus = 'O' THEN ROUND(o_totalprice, 2) END AS u_price,
+       CASE WHEN o_orderstatus <> 'O' THEN o_orderpriority END AS u_priority,
+       CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_90d,
+       CAST(o_orderdate + INTERVAL 5 MONTH AS TIMESTAMP) AS due_5mo,
+       CAST(o_orderdate + INTERVAL '1 day 2 hours 30 minutes' AS TIMESTAMP)
+         AS due_day_time
+FROM orders
+WHERE o_orderkey < 500
+ORDER BY o_orderkey
+"""
+
+
+@query("func_union_interval", oracle=_UNION_INTERVAL_ORACLE)
+def func_union_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uniontype encoding (create_union/extract_union — SURVEY.md §1.2:
+    struct<tag,field0,field1>, only the tagged branch non-null) +
+    interval_year_month / interval_day_time arithmetic (§2.7 cast
+    family). The union struct is built then taken apart with
+    extract_union so the oracle checks BOTH directions; intervals
+    exercise day, month (calendar-aware), and day-to-second addition.
+    (5 MONTH, not 3: DuckDB interval constants compare months*30+days,
+    so INTERVAL 3 MONTH == INTERVAL 90 DAY and its CSE pass would merge
+    the two additions — a cross-engine trap worth pinning here.)"""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    tag = F.when(F.col("o_orderstatus") == "O", 0).otherwise(1)
+    u = hc.create_union(
+        tag,
+        F.round("o_totalprice", 2),
+        F.col("o_orderpriority"),
+    )
+    return o.withColumn("u", u).select(
+        "o_orderkey",
+        F.col("u.tag").cast("int").alias("u_tag"),
+        hc.extract_union(F.col("u"), 0).alias("u_price"),
+        hc.extract_union(F.col("u"), 1).alias("u_priority"),
+        F.expr("o_orderdate + INTERVAL 90 DAY").alias("due_90d"),
+        F.expr("o_orderdate + INTERVAL 5 MONTH").alias("due_5mo"),
+        F.expr("o_orderdate + INTERVAL '1 02:30:00' DAY TO SECOND").alias(
+            "due_day_time"
+        ),
+    ).orderBy("o_orderkey")
