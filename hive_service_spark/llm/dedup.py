@@ -249,34 +249,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and hot buckets can be size-capped — the textbook Broder/LSH layout
     [MMDS ch.3]."""
     d = load(spark, sf_dir, "documents")
-    # repartition off the single-split scan + persist: the shingle
-    # arrays feed signature computation AND both sides of the verify
-    # join (see dedup_ngram_jaccard for the scale rationale)
+    # repartition off the single-split scan + persist: the shingle and
+    # hash arrays feed signature computation AND both sides of the
+    # verify join (see dedup_ngram_jaccard for the scale rationale).
+    # md5 is the expensive step: hash each shingle exactly ONCE into a
+    # materialized array column — the persist is a CollapseProject
+    # barrier, so the 16 minhash lambdas below read `hs` instead of
+    # re-inlining the md5 16x (measured 112s vs ~4s at sf0.1).
     sh = (
         d.repartition(64)
         .where(F.size(F.split("text", " ")) >= 3)
         .select("doc_id", _shingles().alias("s"))
+        .withColumn("hs", F.transform("s", _h))
         .persist()
     )
-    # md5 is the expensive step: hash each exploded shingle exactly ONCE
-    # in a flat projection (nested-lambda forms re-inline the md5 into
-    # each of the 16 minhash lambdas via CollapseProject — measured 112s
-    # vs ~4s at sf0.1)
-    inv_h = sh.select("doc_id", F.explode("s").alias("t")).select(
-        "doc_id", _h(F.col("t")).alias("h")
-    )
-    sigm = inv_h.groupBy("doc_id").agg(
+    # signatures are pure MAP work in the array domain (16 array_min
+    # lambdas over hs) — no explode, no groupBy shuffle: at 100 TB the
+    # only shuffles in this whole query are the band join and the
+    # verify join, and signature computation scales embarrassingly
+    sig = sh.select(
+        "doc_id",
+        "s",
         F.array(
             *[
-                F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MH_P)
+                F.array_min(
+                    F.transform("hs", lambda h: (F.lit(a) * h + F.lit(b)) % _MH_P)
+                )
                 for a, b in zip(_MH_A, _MH_B)
             ]
-        ).alias("mh")
-    )
-    # reattach shingle sets for the verify step; persist — sig feeds the
-    # band explode AND both sides of the verify join, as a production
-    # pipeline would materialize signatures
-    sig = sh.join(sigm, "doc_id").persist()
+        ).alias("mh"),
+    ).persist()
     bands = sig.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
@@ -377,29 +379,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints discriminative even on a tiny vocabulary; 32 bits puts
     random-pair collisions (hamming<=3) at ~1e-6."""
     d = load(spark, sf_dir, "documents")
-    # explode shingles, hash each ONCE after a repartition (md5
-    # dominates; the single-split scan would serialize the work),
-    # then one groupBy computes all 32 bit votes in a single pass
-    hv_ex = (
+    # hash each shingle ONCE into an array column behind a persist
+    # barrier (md5 dominates; the single-split scan would serialize the
+    # work), then compute all 32 bit votes as MAP-side array
+    # aggregates — no explode, no groupBy shuffle (same scale rationale
+    # as the minhash signatures above)
+    hv = (
         d.repartition(64)
         .where(F.size(F.split("text", " ")) >= 3)
-        .select("doc_id", F.explode(_shingles()).alias("t"))
-        .select("doc_id", _h(F.col("t")).alias("h"))
-    )
-    votes = hv_ex.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                (F.floor(F.col("h") / F.lit(_POW2_32[j])).cast("bigint") % 2) * 2
-                - 1
-            ).alias(f"v{j}")
-            for j in range(_SH_BITS)
-        ]
+        .select("doc_id", F.transform(_shingles(), _h).alias("hs"))
+        .persist()
     )
     simhash = sum(
-        F.when(F.col(f"v{j}") > 0, F.lit(_POW2_32[j])).otherwise(0)
+        F.when(
+            F.aggregate(
+                "hs",
+                F.lit(0).cast("bigint"),
+                lambda acc, h: acc
+                + (F.floor(h / F.lit(_POW2_32[j])).cast("bigint") % 2) * 2
+                - 1,
+            )
+            > 0,
+            F.lit(_POW2_32[j]),
+        ).otherwise(0)
         for j in range(_SH_BITS)
     ).cast("bigint")
-    sig = votes.select("doc_id", simhash.alias("simhash"))
+    sig = hv.select("doc_id", simhash.alias("simhash"))
     bands = sig.select(
         "doc_id",
         "simhash",

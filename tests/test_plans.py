@@ -116,6 +116,32 @@ def test_q17_single_fact_shuffle_no_cartesian(spark):
     assert not P.has_cartesian(_df(spark, "q17_small_quantity"))
 
 
+def test_temporal_asof_single_window_no_range_join(spark):
+    """The as-of join must stay the union-tag + window formulation:
+    no join at all in the plan (a range/theta join here would be the
+    O(n*m) failure mode at 100 TB)."""
+    df = _df(spark, "temporal_asof_join")
+    ops = P.operators(df)
+    assert not P.has_cartesian(df)
+    assert "Window" in ops
+
+
+def test_temporal_range_banded_equi_join(spark):
+    """The banded range join must plan as an equi-join on
+    (user_id, bucket) — cartesian/BNLJ means the banding broke."""
+    assert not P.has_cartesian(_df(spark, "temporal_range_join_banded"))
+
+
+def test_bloom_semi_join_broadcasts_filter(spark):
+    """The bloom frame (one row) and the exact key set must broadcast;
+    the big probe side must not shuffle before the prefilter."""
+    assert P.has_broadcast_join(_df(spark, "seq_bloom_semi_join"))
+
+
+def test_skew_salted_join_no_broadcast_of_big_side(spark):
+    assert not P.has_cartesian(_df(spark, "skew_salted_replicated_join"))
+
+
 def test_q21_windows_not_self_joins(spark):
     """Q21's EXISTS/NOT EXISTS decorrelation must not plan extra
     lineitem self-joins: exactly one lineitem scan feeding windows."""
