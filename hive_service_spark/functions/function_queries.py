@@ -384,3 +384,57 @@ def func_union_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "due_day_time"
         ),
     ).orderBy("o_orderkey")
+
+
+# --- SQL macros (CREATE TEMPORARY MACRO analog) -------------------------------
+
+_SQL_MACRO_ORACLE = """
+SELECT l_returnflag,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS disc_revenue,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+         AS charged_revenue
+FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 20
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("func_sql_macro", oracle=_SQL_MACRO_ORACLE)
+def func_sql_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TEMPORARY MACRO (reference: MacroSemanticAnalyzer +
+    FunctionRegistry macro entries [src: ql/src/java/org/apache/hadoop/
+    hive/ql/parse/MacroSemanticAnalyzer.java]) → Spark 4.x SQL scalar
+    functions: `CREATE TEMPORARY FUNCTION f(args) RETURNS T RETURN
+    expr`. Like Hive macros these inline into the plan (Catalyst sees
+    the expression, so codegen/pushdown still apply — NOT a Python UDF
+    round-trip; the hot path stays JVM-side at any scale)."""
+    from hive_service_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DOUBLE RETURN p * (1 - d)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION charged_price(
+            p DOUBLE, d DOUBLE, t DOUBLE)
+        RETURNS DOUBLE RETURN disc_price(p, d) * (1 + t)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               ROUND(SUM(disc_price(l_extendedprice, l_discount)), 2)
+                 AS disc_revenue,
+               ROUND(SUM(charged_price(l_extendedprice, l_discount, l_tax)), 2)
+                 AS charged_revenue
+        FROM lineitem
+        WHERE l_quantity BETWEEN 10 AND 20
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )

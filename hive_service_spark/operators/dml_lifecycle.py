@@ -1,0 +1,280 @@
+"""DML lifecycle wave — multi-insert, UPDATE/DELETE rewrite, EXPORT/IMPORT,
+materialized-view analog.
+
+Reference surface (SURVEY.md §3.2): Hive's SemanticAnalyzer compiles
+multi-insert (`FROM src INSERT ... INSERT ...`) into one shared
+TableScan fanned out through ForwardOperator into N FileSink branches
+[jar: hive-exec!ql/exec/{ForwardOperator,FileSinkOperator}];
+UpdateDeleteSemanticAnalyzer rewrites ACID UPDATE/DELETE into
+select-rewrite jobs over the base + delta files; Export/Import
+SemanticAnalyzers serialize a table (data files + `_metadata` thrift
+blob) to a directory and re-register it elsewhere
+[src: ql/src/java/org/apache/hadoop/hive/ql/parse/
+{UpdateDeleteSemanticAnalyzer,ExportSemanticAnalyzer,
+ImportSemanticAnalyzer}.java]; Calcite `rules/views` rewrites queries
+onto materialized views.
+
+Spark-first mapping: multi-insert is native Spark SQL (one scan, two
+sinks — the whole-stage-codegen plan shares the scan); UPDATE/DELETE on
+immutable parquet becomes a snapshot rewrite (at 100 TB you restrict it
+to affected partitions via dynamic partition overwrite, or use
+Delta/Iceberg — the REWRITE algebra is what's tested here); EXPORT =
+data files + JSON schema sidecar, IMPORT = CREATE TABLE ... LOCATION;
+the MV analog is CACHE TABLE over a view (InMemoryRelation serves
+repeat queries — Spark has no automatic MV rewrite, documented gap).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_service_spark.catalog import load, register_views
+from hive_service_spark.registry import query
+
+_SCRATCH = "/root/repo/.scratch"
+
+
+def _fresh_table(spark: SparkSession, name: str) -> None:
+    spark.sql(
+        "CREATE DATABASE IF NOT EXISTS hs_scratch "
+        f"LOCATION '{_SCRATCH}/warehouse'"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS hs_scratch.{name}")
+    shutil.rmtree(f"{_SCRATCH}/warehouse/{name}", ignore_errors=True)
+
+
+# --- multi-insert: one scan, two sinks (ForwardOperator analog) --------------
+
+_MULTI_INSERT_ORACLE = """
+SELECT 'hi' AS slice, l_returnflag, COUNT(*) AS n_rows,
+       ROUND(SUM(l_quantity), 2) AS qty
+FROM lineitem WHERE l_quantity > 45 GROUP BY l_returnflag
+UNION ALL
+SELECT 'lo' AS slice, l_returnflag, COUNT(*) AS n_rows,
+       ROUND(SUM(l_quantity), 2) AS qty
+FROM lineitem WHERE l_quantity < 3 GROUP BY l_returnflag
+"""
+
+
+@query("ddl_multi_insert", oracle=_MULTI_INSERT_ORACLE)
+def ddl_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive multi-insert: `FROM lineitem INSERT OVERWRITE t1 ... INSERT
+    OVERWRITE t2 ...` — ONE statement, one logical scan fanned out to two
+    sinks (the reference's ForwardOperator→FileSink×2 plan). Spark SQL
+    supports the statement natively. The verification aggregate reads
+    both sinks back; at 100 TB this halves scan cost vs two jobs."""
+    register_views(spark, sf_dir)
+    _fresh_table(spark, "mi_hi")
+    _fresh_table(spark, "mi_lo")
+    spark.sql(
+        """
+        CREATE TABLE hs_scratch.mi_hi
+          (l_returnflag STRING, l_quantity DOUBLE) USING parquet
+        """
+    )
+    spark.sql(
+        """
+        CREATE TABLE hs_scratch.mi_lo
+          (l_returnflag STRING, l_quantity DOUBLE) USING parquet
+        """
+    )
+    spark.sql(
+        """
+        FROM lineitem
+        INSERT OVERWRITE TABLE hs_scratch.mi_hi
+          SELECT l_returnflag, l_quantity WHERE l_quantity > 45
+        INSERT OVERWRITE TABLE hs_scratch.mi_lo
+          SELECT l_returnflag, l_quantity WHERE l_quantity < 3
+        """
+    )
+    return spark.sql(
+        """
+        SELECT 'hi' AS slice, l_returnflag, COUNT(*) AS n_rows,
+               ROUND(SUM(l_quantity), 2) AS qty
+        FROM hs_scratch.mi_hi GROUP BY l_returnflag
+        UNION ALL
+        SELECT 'lo' AS slice, l_returnflag, COUNT(*) AS n_rows,
+               ROUND(SUM(l_quantity), 2) AS qty
+        FROM hs_scratch.mi_lo GROUP BY l_returnflag
+        """
+    )
+
+
+# --- UPDATE / DELETE as snapshot rewrite --------------------------------------
+
+_UPDATE_DELETE_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       ROUND(SUM(CASE WHEN o_orderpriority LIKE '1-%'
+                      THEN o_totalprice * 0.9 ELSE o_totalprice END), 2)
+         AS total
+FROM orders
+WHERE o_orderstatus <> 'F'
+GROUP BY o_orderstatus
+"""
+
+
+@query("ddl_update_delete_rewrite", oracle=_UPDATE_DELETE_ORACLE)
+def ddl_update_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE then UPDATE, each compiled the way the reference's
+    UpdateDeleteSemanticAnalyzer compiles ACID DML: a select-rewrite job
+    producing a new snapshot (Hive writes delta files + compaction; on
+    immutable parquet each statement materializes the survivors).
+    v1 = base copy, v2 = v1 after `DELETE WHERE o_orderstatus='F'`,
+    v3 = v2 after `UPDATE o_totalprice*=0.9 WHERE o_orderpriority LIKE
+    '1-%'`. At 100 TB you'd scope the rewrite to affected partitions
+    (dynamic partition overwrite) or use Delta/Iceberg ACID."""
+    register_views(spark, sf_dir)
+    for t in ("orders_v1", "orders_v2", "orders_v3"):
+        _fresh_table(spark, t)
+    spark.sql(
+        "CREATE TABLE hs_scratch.orders_v1 USING parquet AS "
+        "SELECT * FROM orders"
+    )
+    # DELETE WHERE o_orderstatus = 'F'  →  survivors-only rewrite
+    spark.sql(
+        """
+        CREATE TABLE hs_scratch.orders_v2 USING parquet AS
+        SELECT * FROM hs_scratch.orders_v1 WHERE NOT (o_orderstatus = 'F')
+        """
+    )
+    # UPDATE SET o_totalprice = o_totalprice*0.9 WHERE priority LIKE '1-%'
+    spark.sql(
+        """
+        CREATE TABLE hs_scratch.orders_v3 USING parquet AS
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderpriority LIKE '1-%'
+                    THEN o_totalprice * 0.9 ELSE o_totalprice END
+                 AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM hs_scratch.orders_v2
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM hs_scratch.orders_v3
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+# --- EXPORT TABLE ... / IMPORT TABLE ... --------------------------------------
+
+_EXPORT_IMPORT_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS balance
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@query("ddl_export_import", oracle=_EXPORT_IMPORT_ORACLE)
+def ddl_export_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPORT TABLE → directory (data files + `_metadata` schema
+    sidecar), then IMPORT TABLE at the new location — the reference's
+    Export/ImportSemanticAnalyzer replication surface. The aggregate
+    over the imported table must match the oracle over the original,
+    proving schema + data survived the round-trip."""
+    register_views(spark, sf_dir)
+    export_dir = f"{_SCRATCH}/export_customer"
+    shutil.rmtree(export_dir, ignore_errors=True)
+
+    cust = load(spark, sf_dir, "customer")
+    # EXPORT: data files + metadata sidecar (Hive writes a thrift
+    # _metadata blob; JSON carries the same schema + table properties).
+    cust.write.mode("overwrite").parquet(f"{export_dir}/data")
+    meta = {
+        "table": "customer",
+        "schema": cust.schema.jsonValue(),
+        "format": "parquet",
+        "properties": {"exported_by": "hive_service_spark"},
+    }
+    spark.createDataFrame(
+        [(json.dumps(meta),)], "metadata STRING"
+    ).coalesce(1).write.mode("overwrite").text(f"{export_dir}/_metadata")
+
+    # IMPORT: read the sidecar, register the table at the exported
+    # location with the recorded schema (no data copy — like Hive's
+    # IMPORT ... LOCATION).
+    from pyspark.sql.types import StructType
+
+    meta_back = json.loads(
+        spark.read.text(f"{export_dir}/_metadata").head()[0]
+    )
+    schema = StructType.fromJson(meta_back["schema"])
+    ddl_cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+    )
+    spark.sql("DROP TABLE IF EXISTS hs_scratch.customer_imported")
+    spark.sql(
+        "CREATE DATABASE IF NOT EXISTS hs_scratch "
+        f"LOCATION '{_SCRATCH}/warehouse'"
+    )
+    spark.sql(
+        f"""
+        CREATE TABLE hs_scratch.customer_imported ({ddl_cols})
+        USING {meta_back['format']}
+        LOCATION '{export_dir}/data'
+        """
+    )
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_customers,
+               ROUND(SUM(c_acctbal), 2) AS balance
+        FROM hs_scratch.customer_imported
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+# --- materialized-view analog: CACHE TABLE over a view -----------------------
+
+_MV_ORACLE = """
+WITH mv AS (
+  SELECT l_suppkey,
+         EXTRACT(year FROM l_shipdate)::BIGINT AS ship_year,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         COUNT(*) AS n_items
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT ship_year, COUNT(*) AS n_supplier_years,
+       ROUND(SUM(revenue), 2) AS total_revenue, SUM(n_items) AS total_items
+FROM mv GROUP BY ship_year ORDER BY ship_year
+"""
+
+
+@query("ddl_materialized_view_cache", oracle=_MV_ORACLE)
+def ddl_materialized_view_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view analog: a pre-aggregated view + CACHE TABLE.
+    The reference maintains MVs + Calcite `rules/views` query rewrite;
+    Spark has no automatic MV rewrite (documented gap, SURVEY.md §4.1)
+    — the idiomatic analog is an explicitly cached aggregate that
+    downstream queries target directly (InMemoryRelation replaces the
+    rescan; on a cluster the cache is partitioned across executors).
+    The outer roll-up reads the cached MV, not base lineitem."""
+    register_views(spark, sf_dir)
+    spark.sql("UNCACHE TABLE IF EXISTS supplier_rev_mv")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW supplier_rev_mv AS
+        SELECT l_suppkey, YEAR(l_shipdate) AS ship_year,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem GROUP BY l_suppkey, YEAR(l_shipdate)
+        """
+    )
+    spark.sql("CACHE TABLE supplier_rev_mv")
+    return spark.sql(
+        """
+        SELECT ship_year, COUNT(*) AS n_supplier_years,
+               ROUND(SUM(revenue), 2) AS total_revenue,
+               SUM(n_items) AS total_items
+        FROM supplier_rev_mv
+        GROUP BY ship_year ORDER BY ship_year
+        """
+    )

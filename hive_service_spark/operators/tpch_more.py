@@ -50,8 +50,8 @@ WITH assoc AS (
   FROM lineitem
   GROUP BY l_partkey, l_suppkey
 )
-SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name,
-       p_partkey, p_type, ROUND(a.unit_cost, 4) AS unit_cost
+SELECT s_acctbal, s_name, n_name,
+       p_partkey, p_type, a.unit_cost
 FROM part, supplier s, assoc a, nation, region
 WHERE p_partkey = a.l_partkey AND s_suppkey = a.l_suppkey
   AND s.s_nationkey = n_nationkey AND n_regionkey = r_regionkey
@@ -97,13 +97,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        # no ROUND here: both engines derive unit_cost from the same
+        # IEEE doubles (min of identical divisions → identical bits);
+        # ROUND(x, 4) flaps on half-ulp ties (26.24125 → .2412 vs
+        # .2413 across engines) while raw doubles hash identically.
         .select(
-            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_acctbal",
             "s_name",
             "n_name",
             "p_partkey",
             "p_type",
-            F.round("unit_cost", 4).alias("unit_cost"),
+            "unit_cost",
         )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)

@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "hive_service_spark.operators.subqueries",
     "hive_service_spark.operators.transform_script",
     "hive_service_spark.operators.ddl_catalog",
+    "hive_service_spark.operators.dml_lifecycle",
     "hive_service_spark.operators.tpch",
     "hive_service_spark.operators.tpch_extra",
     "hive_service_spark.operators.tpch_more",

@@ -18,7 +18,9 @@ Reference parity (SURVEY.md §2.2):
 - Avro (AvroSerDe): the spark-avro module is NOT deployed in this
   container (import-gated below); the code path is written and will
   light up on a cluster with spark-avro on the classpath.
-- RCFile/SequenceFile: legacy Hadoop formats, documented N/A in v1.
+- SequenceFile (HiveSequenceFileOutputFormat): RDD-level round-trip in
+  `source_sequencefile_roundtrip` (no DataFrame reader exists).
+- RCFile: legacy columnar format, documented N/A in v1.
 
 Scale notes: every sink here is the production write path — dynamic
 partitionBy prunes at read time (PartitionFilters in the scan),
@@ -304,4 +306,39 @@ def sink_bucketed_smb_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SequenceFile (HiveSequenceFileOutputFormat)
+# ---------------------------------------------------------------------------
+
+_SEQ_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders, SUM(o_orderkey) AS key_sum
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("source_sequencefile_roundtrip", oracle=_SEQ_ORACLE)
+def source_sequencefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SequenceFile round-trip (reference:
+    HiveSequenceFileOutputFormat + LazySimpleSerDe over
+    SequenceFileInputFormat — SURVEY.md §2.2). (orderkey, priority)
+    pairs go out as Hadoop (LongWritable, Text) and come back through
+    sequenceFile(); the group-by proves keys AND values survived.
+    This is the ONE legacy-format path that genuinely needs the RDD
+    API (no DataFrame reader exists); modern tables use parquet/ORC —
+    kept for format parity, not the hot path."""
+    import shutil
+
+    path = f"{_SCRATCH}/orders_seqfile"
+    shutil.rmtree(path, ignore_errors=True)
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    o.rdd.map(lambda r: (r[0], r[1])).saveAsSequenceFile(path)
+    back = spark.sparkContext.sequenceFile(path)
+    df = back.toDF(["o_orderkey", "o_orderpriority"])
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").alias("key_sum"),
     )
