@@ -150,12 +150,18 @@ def _avro_available(spark: SparkSession) -> bool:
         return False
 
 
-@query("source_avro_roundtrip", oracle=None)  # rows-only: availability varies
+_AVRO_ORACLE = """
+SELECT COUNT(*) AS n_regions, MIN(r_name) AS first_region FROM region
+"""
+
+
+@query("source_avro_roundtrip", oracle=_AVRO_ORACLE)
 def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AvroSerDe analog. Uses format('avro') when spark-avro is on the
     classpath; otherwise degrades to the parquet source so the query
     stays runnable (the format string is the ONLY difference — schema,
-    write, read-back, and agg are identical code)."""
+    write, read-back, and agg are identical code). The round-trip
+    result is format-independent, so the oracle holds either way."""
     fmt = "avro" if _avro_available(spark) else "parquet"
     path = f"{_SCRATCH}/region_{fmt}"
     r = load(spark, sf_dir, "region")
