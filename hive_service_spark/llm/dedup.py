@@ -198,8 +198,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _A_SQL = "[" + ",".join(map(str, _MH_A)) + "]"
 _B_SQL = "[" + ",".join(map(str, _MH_B)) + "]"
 
-_MINHASH_ORACLE = f"""
-WITH sh AS (
+# CTE prefix shared by the minhash-LSH oracle and the duplicate-cluster
+# oracle below (identical signatures/candidates in both).
+_MINHASH_CTES = f"""
+sh AS (
   SELECT doc_id, {_SHINGLE_SQL} AS s
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
   WHERE len(w) >= 3
@@ -222,7 +224,10 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-)
+)"""
+
+_MINHASH_ORACLE = f"""
+WITH {_MINHASH_CTES}
 SELECT doc_a, doc_b,
   ROUND(list_sum(list_transform(generate_series(1,16),
         i -> CASE WHEN sa.mh[i] = sb.mh[i] THEN 1 ELSE 0 END)) / 16.0,
@@ -238,16 +243,11 @@ WHERE len(list_intersect(sa.s, sb.s)) * 1.0 /
 """
 
 
-@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16) + LSH (4 bands x 4 rows) near-dup detection:
-    signature = min over shingles of (a_i*H+b_i) mod P; docs sharing any
-    band bucket become candidates; candidates are verified with exact
-    Jaccard >= 0.8. The oracle recomputes the identical md5-derived
-    signatures in DuckDB. At 100 TB: signatures are one narrow pass
-    (16 bigints per doc), the join shuffles on (band, bucket-key) only,
-    and hot buckets can be size-capped — the textbook Broder/LSH layout
-    [MMDS ch.3]."""
+def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared MinHash+LSH pipeline: returns verified near-dup pairs
+    (doc_a, doc_b, est_jaccard, true_jaccard) with true Jaccard >= 0.8.
+    Used by dedup_minhash_lsh (reported as-is) and
+    dedup_cluster_components (as the edge set)."""
     d = load(spark, sf_dir, "documents")
     # repartition off the single-split scan + persist: the shingle and
     # hash arrays feed signature computation AND both sides of the
@@ -328,6 +328,113 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(est, 4).alias("est_jaccard"),
             F.round(true_j, 4).alias("true_jaccard"),
         )
+    )
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH (4 bands x 4 rows) near-dup detection:
+    signature = min over shingles of (a_i*H+b_i) mod P; docs sharing any
+    band bucket become candidates; candidates are verified with exact
+    Jaccard >= 0.8. The oracle recomputes the identical md5-derived
+    signatures in DuckDB. At 100 TB: signatures are one narrow pass
+    (16 bigints per doc), the join shuffles on (band, bucket-key) only,
+    and hot buckets can be size-capped — the textbook Broder/LSH layout
+    [MMDS ch.3]."""
+    return _minhash_verified_pairs(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# 3b. duplicate-cluster formation (connected components over pair graph)
+# ---------------------------------------------------------------------------
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b
+  WHERE len(list_intersect(sa.s, sb.s)) * 1.0 /
+        (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach (doc_id, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+comp AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT cluster_id,
+       COUNT(*) AS n_members,
+       MIN(doc_id) AS keeper_doc_id,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS members
+FROM comp
+GROUP BY cluster_id
+"""
+
+
+@query("dedup_cluster_components", oracle=_CLUSTER_ORACLE)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER formation: the step after pair detection in a
+    real corpus dedup pipeline. Verified near-dup pairs (from the
+    MinHash+LSH pipeline above) form a graph; connected components are
+    computed by iterative min-label propagation (each doc's label =
+    min(label, neighbors' labels) until fixpoint), then each cluster
+    reports its size, canonical keeper (min doc_id) and member list.
+    The oracle recomputes components with a recursive CTE.
+
+    Scale design (100 TB): label propagation is the standard
+    distributed-CC layout (cf. Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — per iteration one shuffle of the edge
+    list on src and one groupBy on dst; iterations are bounded by
+    component diameter (near-dup clusters are near-cliques, so 2-3).
+    Lineage is truncated per iteration with localCheckpoint so plans
+    stay O(1); nothing is ever collected to the driver — convergence is
+    detected from the monotonically decreasing label sum (labels only
+    ever decrease, so an unchanged sum == fixpoint)."""
+    pairs = _minhash_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(20):  # >= diameter of any near-dup cluster
+        if prev_sum is None:  # empty graph
+            break
+        prop = (
+            edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        labels = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id", F.least("lbl", "nbr_lbl").alias("lbl")
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.groupBy(F.col("lbl").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("members"),
     )
 
 

@@ -326,3 +326,94 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("query_id", "cand_id", "cell", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# 4. ANN quality: recall@k of the LSH index vs exact ground truth
+# ---------------------------------------------------------------------------
+
+_RECALL_ORACLE = f"""
+WITH v AS ({_VECS_SQL}),
+bkt AS (SELECT vec_id, e, nr, {_BUCKET_SQL} AS bucket FROM v),
+q AS (SELECT * FROM bkt WHERE {_IS_QUERY}),
+gt AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND({_COS_SQL.format(a='q', b='c')}, 4) DESC,
+                      c.vec_id) AS rank
+    FROM q JOIN bkt c ON q.vec_id <> c.vec_id
+  ) WHERE rank <= 3
+),
+ann AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND({_COS_SQL.format(a='q', b='c')}, 4) DESC,
+                      c.vec_id) AS rank
+    FROM q JOIN bkt c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  ) WHERE rank <= 3
+)
+SELECT g.query_id,
+       COUNT(a.cand_id) AS n_hits,
+       ROUND(COUNT(a.cand_id) / 3.0, 4) AS recall_at_3
+FROM gt g LEFT JOIN ann a
+  ON a.query_id = g.query_id AND a.cand_id = g.cand_id
+GROUP BY g.query_id
+"""
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id")
+    )
+
+
+@query("ann_recall_at_k", oracle=_RECALL_ORACLE)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality measurement: recall@3 of the hyperplane-LSH index
+    against exact brute-force ground truth, per query vector. This is
+    the evaluation loop a production ANN deployment runs after every
+    (re)build — the sampled ground truth is |Q| x n, not n^2, so at
+    100 TB it stays a broadcast-join map pass over the corpus, and the
+    hit-check join is on (query_id, cand_id) pairs (3|Q| rows)."""
+    v = _vecs(spark, sf_dir)
+    bkt = v.select("vec_id", "e", "nr", _bucket(F.col("e")).alias("bucket"))
+    q = bkt.where(F.expr(_IS_QUERY))
+
+    def scored(cond) -> DataFrame:
+        return (
+            F.broadcast(q.alias("q"))
+            .join(bkt.alias("c"), cond)
+            .select(
+                F.col("q.vec_id").alias("query_id"),
+                F.col("c.vec_id").alias("cand_id"),
+                F.round(_cos("q", "c"), 4).alias("cosine"),
+            )
+        )
+
+    gt = _topk(scored(F.col("q.vec_id") != F.col("c.vec_id")), 3)
+    ann = _topk(
+        scored(
+            (F.col("q.bucket") == F.col("c.bucket"))
+            & (F.col("q.vec_id") != F.col("c.vec_id"))
+        ),
+        3,
+    )
+    return (
+        gt.alias("g")
+        .join(
+            ann.alias("a"),
+            (F.col("a.query_id") == F.col("g.query_id"))
+            & (F.col("a.cand_id") == F.col("g.cand_id")),
+            "left",
+        )
+        .groupBy(F.col("g.query_id").alias("query_id"))
+        .agg(
+            F.count(F.col("a.cand_id")).alias("n_hits"),
+            F.round(F.count(F.col("a.cand_id")) / 3.0, 4).alias("recall_at_3"),
+        )
+    )

@@ -268,3 +268,73 @@ def text_context_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "context", "completion")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition filtering (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = """
+SELECT doc_id, top_bigram_ratio, dup_word_frac,
+       CASE WHEN top_bigram_ratio <= 0.08 AND dup_word_frac <= 0.6
+            THEN 1 ELSE 0 END AS keep_flag
+FROM (
+  SELECT doc_id,
+    ROUND(list_max(list_transform(list_distinct(bg),
+          g -> len(list_filter(bg, x -> x = g)))) * 1.0 / len(bg), 4)
+      AS top_bigram_ratio,
+    ROUND(1.0 - len(list_distinct(w)) * 1.0 / len(w), 4) AS dup_word_frac
+  FROM (
+    SELECT doc_id,
+           list_transform(generate_series(1, len(w)-1),
+                          i -> w[i]||' '||w[i+1]) AS bg,
+           w
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WHERE len(w) >= 2
+  )
+)
+"""
+
+
+@query("text_repetition_filter", oracle=_REPETITION_ORACLE)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filtering (the Gopher/MassiveText rules
+    family): per-doc top-bigram frequency ratio and duplicate-word
+    fraction, with a keep/drop flag (thresholds at ~p90 of this
+    corpus). Entirely map-side array expressions — the per-doc
+    distinct-gram counting is O(distinct x grams) inside one row, there
+    is NO shuffle at all, so at 100 TB this runs scan-speed with
+    perfect parallelism (quality scoring is the canonical
+    embarrassingly-parallel corpus pass)."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    bg = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i), F.element_at(w, i + 1)
+        ),
+    )
+    base = d.where(F.size(w) >= 2).select(
+        "doc_id", bg.alias("bg"), w.alias("w")
+    )
+    top = F.array_max(
+        F.transform(
+            F.array_distinct("bg"),
+            lambda g: F.size(F.filter("bg", lambda x: x == g)),
+        )
+    )
+    scored = base.select(
+        "doc_id",
+        F.round(top / F.size("bg"), 4).alias("top_bigram_ratio"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("w")) / F.size("w"), 4
+        ).alias("dup_word_frac"),
+    )
+    return scored.withColumn(
+        "keep_flag",
+        F.when(
+            (F.col("top_bigram_ratio") <= 0.08)
+            & (F.col("dup_word_frac") <= 0.6),
+            1,
+        ).otherwise(0),
+    )

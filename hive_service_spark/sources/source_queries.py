@@ -348,3 +348,45 @@ def source_sequencefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("o_orderkey").alias("key_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction (ALTER TABLE ... CONCATENATE analog)
+# ---------------------------------------------------------------------------
+
+_COMPACT_ORACLE = """
+SELECT 8 AS n_files_after,
+       COUNT(*) AS n_rows,
+       SUM(l_quantity) AS sum_qty
+FROM lineitem
+"""
+
+
+@query("sink_compaction_merge", oracle=_COMPACT_ORACLE)
+def sink_compaction_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: the reference's `ALTER TABLE ...
+    CONCATENATE` / Orc|RCFileMergeOperator (SURVEY.md §2.1) re-expressed
+    as a Spark rewrite. A fragmented table (96 small files) is rewritten
+    to 8 right-sized files with `repartition(8)`, and the result is
+    verified content-identical via the aggregate. At 100 TB the target
+    file count comes from total_bytes / maxPartitionBytes (or AQE
+    coalescing after a shuffle); the rewrite is a single shuffle-free
+    scan + round-robin exchange — exactly what table-maintenance
+    `OPTIMIZE` jobs do."""
+    small = f"{_SCRATCH}/lineitem_fragmented"
+    compacted = f"{_SCRATCH}/lineitem_compacted"
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    li.repartition(96).write.mode("overwrite").parquet(small)
+    spark.read.parquet(small).repartition(8).write.mode("overwrite").parquet(
+        compacted
+    )
+    back = spark.read.parquet(compacted).withColumn(
+        "_file", F.input_file_name()
+    )
+    return back.agg(
+        F.countDistinct("_file").alias("n_files_after"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )

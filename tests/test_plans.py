@@ -149,3 +149,10 @@ def test_q21_windows_not_self_joins(spark):
     ops = P.operators(df)
     assert ops.lower().count("lineitem") <= 2  # scan + reuse at most
     assert not P.has_cartesian(df)
+
+
+def test_repetition_filter_is_map_only(spark):
+    """text_repetition_filter claims scan-speed parallelism: per-doc
+    quality signals are pure array expressions, so the plan must have
+    NO Exchange at all — one map pass over the scan."""
+    assert "Exchange" not in P.operators(_df(spark, "text_repetition_filter"))
