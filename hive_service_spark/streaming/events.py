@@ -359,3 +359,61 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
     )
     return out.orderBy("user_id", "view_id", "purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch sink (the production write path)
+# ---------------------------------------------------------------------------
+
+_FOREACH_ORACLE = """
+SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
+@query("stream_foreach_batch_sink", oracle=_FOREACH_ORACLE)
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch: the production streaming sink. Each micro-batch
+    calls a user function with (batch_df, batch_id); exactly-once
+    delivery = the checkpoint's batch-id bookkeeping + an IDEMPOTENT
+    write (here: complete-mode aggregate overwriting the target — a
+    replayed batch rewrites the same result; the partition-keyed
+    variant overwrites only the partitions present in the batch). This
+    is how Structured Streaming feeds warehouses/OLTP stores that have
+    no native streaming sink. The query result is the TARGET read back,
+    so the oracle checks what actually landed on disk."""
+    import shutil
+
+    target = "/root/repo/.scratch/fb_target"
+    ckpt = f"{_CKPT}/hs_stream_foreach_batch"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(target, ignore_errors=True)
+    agg = (
+        _stream(spark, sf_dir)
+        .groupBy(F.window("ts", "6 hours"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(target)
+
+    q = (
+        agg.writeStream.foreachBatch(_write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target)
