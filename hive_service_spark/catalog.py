@@ -38,22 +38,33 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a DataFrame (vectorized parquet scan).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as long and
-    convert with integer division (ns ≈ 1.7e18 overflows double's 2^53
-    mantissa, so ``div`` not ``/``), truncating toward microseconds the
-    same way DuckDB's reader does.
+    ``events.ts`` has shipped in two physical encodings across testdata
+    generations: parquet TIMESTAMP(NANOS) (which Spark's reader rejects
+    with [PARQUET_TYPE_ILLEGAL] unless read as long) and plain
+    TIMESTAMP(MICROS). Handle both: read with nanosAsLong enabled, and
+    only when the column actually comes back as a long, convert with
+    integer division (ns ≈ 1.7e18 overflows double's 2^53 mantissa, so
+    ``div`` not ``/``), truncating toward microseconds the same way
+    DuckDB's reader does.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         import pyspark.sql.functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # session TZ is pinned UTC, so NTZ -> TIMESTAMP is
+            # value-preserving; downstream epoch arithmetic
+            # (cast to bigint, window ranges) needs TimestampType.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

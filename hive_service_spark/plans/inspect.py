@@ -50,6 +50,25 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """Every `PartitionFilters:` list in the plan, flattened.
+
+    Directory-level skipping: a predicate here prunes whole partitions
+    before any file is opened — Hive's PartitionPruner analog. DPP shows
+    up as a `dynamicpruningexpression(...)` entry.
+    """
+    out: list[str] = []
+    for line in formatted_plan(df).splitlines():
+        line = line.strip()
+        if line.startswith("PartitionFilters:"):
+            body = line.split(":", 1)[1].strip()
+            if body.startswith("[") and body.endswith("]"):
+                body = body[1:-1]
+            if body:
+                out.append(body)
+    return out
+
+
 def read_schemas(df: DataFrame) -> list[str]:
     """Every `ReadSchema:` line — the columns each scan actually reads.
 

@@ -46,6 +46,7 @@ _QUERY_MODULES = (
     "hive_service_spark.operators.tpch_extra",
     "hive_service_spark.operators.tpch_more",
     "hive_service_spark.operators.skew_scale",
+    "hive_service_spark.operators.partition_pruning",
     "hive_service_spark.operators.sequence_analytics",
     "hive_service_spark.operators.temporal_joins",
     "hive_service_spark.functions.function_queries",

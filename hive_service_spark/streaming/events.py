@@ -53,11 +53,17 @@ def _stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst = stage / "events.parquet"
     if not dst.exists() or dst.stat().st_size != src.stat().st_size:
         shutil.copyfile(src, dst)
-    return (
-        spark.readStream.schema(_raw_schema(spark, sf_dir))
-        .parquet(str(stage))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    raw = _raw_schema(spark, sf_dir)
+    df = spark.readStream.schema(raw).parquet(str(stage))
+    if isinstance(raw["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(raw["ts"].dataType, TimestampNTZType):
+        # match the batch path (catalog.load): NTZ -> TIMESTAMP under
+        # the pinned-UTC session so watermarks/epoch math keep working
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def _run_to_table(df: DataFrame, name: str, mode: str) -> DataFrame:

@@ -151,6 +151,23 @@ def test_q21_windows_not_self_joins(spark):
     assert not P.has_cartesian(df)
 
 
+def test_static_partition_pruning_in_scan(spark):
+    """The IN-list on the partition column must land in PartitionFilters
+    (directory skip), not as a post-scan filter: at 100 TB this is
+    3 months read instead of 84."""
+    pf = " ".join(P.partition_filters(_df(spark, "part_static_partition_pruning")))
+    assert "ship_month" in pf
+
+
+def test_dynamic_partition_pruning_expression(spark):
+    """The dim-side filter must turn into a runtime
+    dynamicpruningexpression on the fact scan — Spark's DPP, the analog
+    of the reference's AppMasterEventOperator → DynamicPartitionPruner
+    (SURVEY.md §4.2)."""
+    plan = P.formatted_plan(_df(spark, "part_dynamic_partition_pruning"))
+    assert "dynamicpruning" in plan.lower()
+
+
 def test_repetition_filter_is_map_only(spark):
     """text_repetition_filter claims scan-speed parallelism: per-doc
     quality signals are pure array expressions, so the plan must have
