@@ -40,6 +40,7 @@ HEADLINE = [
     "temporal_asof_join",
     "seq_sessionize_batch",
     "skew_salted_replicated_join",
+    "part_dynamic_partition_pruning",
     # LLM-pipeline extensions
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

@@ -51,7 +51,14 @@ def _stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = Path("/root/repo/.scratch/stream_src") / Path(sf_dir).name
     stage.mkdir(parents=True, exist_ok=True)
     dst = stage / "events.parquet"
-    if not dst.exists() or dst.stat().st_size != src.stat().st_size:
+    # mtime check matters: the stream reads the STAGED file with the
+    # SOURCE file's schema, so a stale copy from an older testdata
+    # generation (same size, different encoding) would mismatch.
+    if (
+        not dst.exists()
+        or dst.stat().st_size != src.stat().st_size
+        or dst.stat().st_mtime < src.stat().st_mtime
+    ):
         shutil.copyfile(src, dst)
     from pyspark.sql.types import LongType, TimestampNTZType
 
