@@ -352,3 +352,41 @@ def agg_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_quantity", 0.5).alias("approx_p50"),
         F.histogram_numeric("l_quantity", F.lit(5)).alias("hist_qty"),
     )
+
+
+_WB_ORACLE = """
+SELECT CASE WHEN l_extendedprice < 0 THEN 0
+            WHEN l_extendedprice >= 110000 THEN 12
+            ELSE CAST(FLOOR(l_extendedprice / 10000) AS INT) + 1 END AS bucket,
+       COUNT(*) AS n_rows,
+       ROUND(SUM(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+@query("agg_width_bucket_histogram", oracle=_WB_ORACLE)
+def agg_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-width histogram via width_bucket — the deterministic,
+    oracle-checkable counterpart of histogram_numeric (reference:
+    GenericUDAFHistogramNumeric, SURVEY.md §2.3, whose adaptive bins are
+    engine-specific; agg_sketches covers that form rows-only). Constant
+    bounds (0, 110000, 11 buckets of width 10000) keep the double
+    arithmetic bit-identical across engines; at 100 TB this is a pure
+    map-side bucket + two-phase count/sum — no sketch state."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.width_bucket("l_extendedprice", F.lit(0.0), F.lit(110000.0), F.lit(11))
+            .cast("int")
+            .alias("bucket"),
+            "l_quantity",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .orderBy("bucket")
+    )

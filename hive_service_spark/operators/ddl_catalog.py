@@ -300,3 +300,19 @@ def ddl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.orderBy("o_orderkey")
+
+
+@query("ddl_explain_plan", oracle=None)  # plan text is engine-specific
+def ddl_explain_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXPLAIN statement surface (reference:
+    ExplainSemanticAnalyzer + ExplainTask render the operator DAG as
+    rows [src: ql/src/java/org/apache/hadoop/hive/ql/parse/
+    ExplainSemanticAnalyzer.java]; SURVEY.md §3.2). Spark SQL's EXPLAIN
+    returns the Catalyst plan the same way — one text row. Rows-only
+    check: plan text is engine-specific by nature."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "EXPLAIN FORMATTED "
+        "SELECT n_name, count(*) AS n FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    )
