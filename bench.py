@@ -43,6 +43,7 @@ HEADLINE = [
     "part_dynamic_partition_pruning",
     # LLM-pipeline extensions
     "dedup_minhash_lsh",
+    "pipeline_clean_corpus",
     "dedup_ngram_jaccard",
     "text_quality_scores",
     "knn_cosine_bruteforce",

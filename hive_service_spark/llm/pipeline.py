@@ -1,0 +1,177 @@
+"""LLM-pipeline extension — the end-to-end corpus-cleaning composite.
+
+One query chains the four standard pretraining-corpus stages the way a
+production 100 TB pipeline would, each stage reusing the primitives the
+individual `text_*` / `dedup_*` queries verify in isolation:
+
+    quality gate -> language gate -> exact dedup -> near-dup removal
+    -> per-source corpus stats
+
+Scale design: stages 1-2 are pure map passes (no shuffle); stage 3
+shuffles once on md5(text); stage 4 is the inverted shingle-index
+equi-join (never O(n^2)); the final rollup aggregates integer sums, so
+the whole pipeline is 4 shuffles end-to-end regardless of corpus size,
+and every intermediate stays a DataFrame (no driver materialization).
+Reference tie-in: Hive's own surface covers stage 3 (GROUP BY dedup,
+SURVEY.md §2.6); the rest is the extension surface mandated by
+BASELINE.json, composed Spark-first.
+
+The DuckDB oracle reproduces the IDENTICAL pipeline (same md5-derived
+hashes, same thresholds), so the value hash checks the whole
+composition, not just row counts. Integer-only aggregates (counts,
+token/char sums) keep it bit-exact across engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from hive_service_spark.catalog import load
+from hive_service_spark.llm.dedup import _h, _shingles
+from hive_service_spark.registry import query
+
+_EN_RE = r"\b(the|a|and|or|of|to|in|is|for|on|with)\b"
+_ES_RE = r"\b(el|la|los|las|de|en|y|que|un|una|por)\b"
+
+_PIPELINE_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, text, source, n_chars,
+         len(string_split(text, ' ')) AS n_words,
+         len(regexp_extract_all(text, '[[:punct:]]')) * 1.0 / length(text)
+           AS punct_ratio,
+         len(regexp_extract_all(text, '{_EN_RE}')) AS en_hits,
+         len(regexp_extract_all(text, '{_ES_RE}')) AS es_hits
+  FROM documents
+),
+filt AS (  -- stage 1+2: quality gate + english gate (map-only)
+  SELECT * FROM scored
+  WHERE n_words >= 20
+    AND len(regexp_extract_all(text, '{_EN_RE}')) * 1.0 / n_words > 0.02
+    AND punct_ratio < 0.2
+    AND en_hits >= es_hits AND en_hits > 0
+),
+exact AS (  -- stage 3: exact dedup, keep the smallest doc_id per hash
+  SELECT MIN(doc_id) AS doc_id FROM filt GROUP BY md5(text)
+),
+keep1 AS (SELECT f.* FROM filt f JOIN exact e ON f.doc_id = e.doc_id),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(string_split(text,' ')) - 2),
+           i -> string_split(text,' ')[i] || ' ' ||
+                string_split(text,' ')[i+1] || ' ' ||
+                string_split(text,' ')[i+2])) AS s
+  FROM keep1
+),
+inv AS (
+  SELECT doc_id, ('0x'||substr(md5(unnest(s)),1,15))::BIGINT AS shingle
+  FROM sh
+),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+drops AS (  -- stage 4: near-dup removal (keep the lower doc_id of a pair)
+  SELECT DISTINCT doc_b AS doc_id
+  FROM shared
+  JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = doc_a
+  JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = doc_b
+  WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.8
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(n_words) AS n_tokens,
+       SUM(n_chars) AS total_chars
+FROM keep1
+WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("pipeline_clean_corpus", oracle=_PIPELINE_ORACLE)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full corpus-cleaning pipeline over `documents`, per-source stats
+    of the surviving clean corpus. Stage thresholds match the standalone
+    queries: C4/Gopher-style quality rules (text_quality_scores),
+    marker-word English ID (text_langid_heuristic), md5 exact dedup
+    (dedup_exact), 3-gram Jaccard >= 0.8 near-dup drop
+    (dedup_ngram_jaccard, keep-lowest-doc_id survivorship)."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    en_hits = F.size(F.regexp_extract_all("text", F.lit(_EN_RE)))
+    es_hits = F.size(F.regexp_extract_all("text", F.lit(_ES_RE)))
+    punct_ratio = (
+        F.size(F.regexp_extract_all("text", F.lit(r"[\!-/\:-@\[-`\{-~]")))
+        / F.length("text")
+    )
+    # stages 1+2: map-only gates
+    filt = (
+        d.withColumn("n_words", n_words)
+        .where(
+            (n_words >= 20)
+            & (en_hits / n_words > 0.02)
+            & (punct_ratio < 0.2)
+            & (en_hits >= es_hits)
+            & (en_hits > 0)
+        )
+    )
+    # stage 3: exact dedup — one shuffle on the content hash
+    keep1 = (
+        filt.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # local parallelism only: one small parquet split would serialize the
+    # shingle explode; a cluster scan has thousands of splits (delete there)
+    keep1 = keep1.repartition(32).persist()
+    # stage 4: near-dup candidates via the inverted shingle index
+    sh = keep1.select("doc_id", _shingles().alias("s")).persist()
+    inv = (
+        sh.select("doc_id", F.explode("s").alias("t"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("t"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("shingle"),
+        )
+        .repartition(32, "shingle")
+    )
+    sizes = sh.select("doc_id", F.size("s").alias("n"))
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = F.col("n_shared") / (F.col("sa.n") + F.col("sb.n") - F.col("n_shared"))
+    drops = (
+        shared.join(F.broadcast(sizes.alias("sa")), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sizes.alias("sb")), F.col("sb.doc_id") == F.col("doc_b"))
+        .where(jac >= 0.8)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    clean = keep1.join(drops, "doc_id", "left_anti")
+    return (
+        clean.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )

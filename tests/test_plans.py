@@ -168,6 +168,13 @@ def test_dynamic_partition_pruning_expression(spark):
     assert "dynamicpruning" in plan.lower()
 
 
+def test_pipeline_clean_corpus_no_cartesian(spark):
+    """The composite cleaning pipeline must keep the near-dup stage an
+    inverted-index equi-join — a cartesian anywhere breaks the 4-shuffle
+    scale contract."""
+    assert not P.has_cartesian(_df(spark, "pipeline_clean_corpus"))
+
+
 def test_repetition_filter_is_map_only(spark):
     """text_repetition_filter claims scan-speed parallelism: per-doc
     quality signals are pure array expressions, so the plan must have
