@@ -198,3 +198,51 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(frame).alias("frame_md5"),
         F.octet_length(frame).alias("frame_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# resize / downsample — payload in, smaller payload out through Arrow
+# ---------------------------------------------------------------------------
+
+_RESIZE_SCHEMA = "doc_id bigint, thumb_bytes bigint, thumb_md5 string"
+
+
+def _stride_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for image resize: keep every 8th byte.
+    Same dataflow as a real thumbnailer (binary in -> smaller binary
+    out, per-item Python work, Arrow both ways); swap the body for
+    PIL's `Image.resize` when codecs exist."""
+    if _try_real_decoder():  # pragma: no cover
+        raise NotImplementedError("real codec path not wired in v1")
+    import hashlib
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            thumb = bytes(payload)[::8]
+            out.append((doc_id, len(thumb), hashlib.md5(thumb).hexdigest()))
+        yield pd.DataFrame(out, columns=["doc_id", "thumb_bytes", "thumb_md5"])
+
+
+_RESIZE_ORACLE = """
+SELECT doc_id,
+       COUNT(*) AS thumb_bytes,
+       md5(string_agg(c, '' ORDER BY i)) AS thumb_md5
+FROM (
+  SELECT doc_id, i, substr(text, i, 1) AS c
+  FROM documents, unnest(generate_series(1, length(text), 8)) AS t(i)
+)
+GROUP BY doc_id
+"""
+
+
+@query("mm_resize_thumbnail", oracle=_RESIZE_ORACLE)
+def mm_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: every-8th-byte downsample per payload through
+    mapInPandas, fingerprinting the produced thumbnail. The oracle
+    reconstructs the identical stride-slice in SQL, so the binary->
+    binary Arrow round-trip is value-verified. At 100 TB the payload
+    column is read once, shrunk 8x in the same stage, and never
+    revisits the driver."""
+    p = _payloads(spark, sf_dir).select("doc_id", "payload")
+    return p.mapInPandas(_stride_resize, schema=_RESIZE_SCHEMA)
