@@ -109,7 +109,7 @@ WITH v AS ({_VECS_SQL}),
 q AS (SELECT * FROM v WHERE {_IS_QUERY}),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-         ROUND({_COS_SQL.format(a='q', b='c')}, 4) AS cosine
+         ROUND({_COS_SQL.format(a='q', b='c')}, 4) + 0.0 AS cosine
   FROM q JOIN v c ON q.vec_id <> c.vec_id
 )
 SELECT query_id, cand_id, cosine, rank FROM (
@@ -135,7 +135,7 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("cand_id"),
-            F.round(_cos("q", "c"), 4).alias("cosine"),
+            (F.round(_cos("q", "c"), 4) + 0.0).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -168,7 +168,7 @@ bkt AS (SELECT vec_id, e, nr, {_BUCKET_SQL} AS bucket FROM v),
 q AS (SELECT * FROM bkt WHERE {_IS_QUERY}),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bucket,
-         ROUND({_COS_SQL.format(a='q', b='c')}, 4) AS cosine
+         ROUND({_COS_SQL.format(a='q', b='c')}, 4) + 0.0 AS cosine
   FROM q JOIN bkt c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
 )
 SELECT query_id, cand_id, bucket, cosine, rank FROM (
@@ -209,7 +209,7 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("cand_id"),
             F.col("q.bucket").alias("bucket"),
-            F.round(_cos("q", "c"), 4).alias("cosine"),
+            (F.round(_cos("q", "c"), 4) + 0.0).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -251,7 +251,7 @@ assign AS (
 q AS (SELECT * FROM assign WHERE {_IS_QUERY}),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.cell,
-         ROUND({_COS_SQL.format(a='q', b='c')}, 4) AS cosine
+         ROUND({_COS_SQL.format(a='q', b='c')}, 4) + 0.0 AS cosine
   FROM q JOIN assign c ON q.cell = c.cell AND q.vec_id <> c.vec_id
 )
 SELECT query_id, cand_id, cell, cosine, rank FROM (
@@ -315,7 +315,7 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("cand_id"),
             F.col("q.cell").alias("cell"),
-            F.round(_cos("q", "c"), 4).alias("cosine"),
+            (F.round(_cos("q", "c"), 4) + 0.0).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -391,7 +391,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.col("q.vec_id").alias("query_id"),
                 F.col("c.vec_id").alias("cand_id"),
-                F.round(_cos("q", "c"), 4).alias("cosine"),
+                (F.round(_cos("q", "c"), 4) + 0.0).alias("cosine"),
             )
         )
 
@@ -416,4 +416,36 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.col("a.cand_id")).alias("n_hits"),
             F.round(F.count(F.col("a.cand_id")) / 3.0, 4).alias("recall_at_3"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# label centroids — per-class mean embedding (training-pipeline staple)
+# ---------------------------------------------------------------------------
+
+_CENTROID_ORACLE = """
+SELECT label, i - 1 AS dim, ROUND(AVG(embedding[i]), 3) + 0.0 AS centroid
+FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+GROUP BY label, i
+ORDER BY label, dim
+"""
+
+
+@query("ml_label_centroids", oracle=_CENTROID_ORACLE)
+def ml_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the class-prototype
+    aggregation used for clustering seeds, nearest-centroid classifiers,
+    and embedding drift monitoring. posexplode flattens (vector, dim) ->
+    rows JVM-side, then ONE shuffle on (label, dim) with partial
+    aggregation; at 100 TB this is the scalable formulation (no
+    per-group vector buffers, no UDAF state), and the 640-row result is
+    broadcastable downstream. Values rounded to 3 so the float sum
+    order difference between engines stays below the comparison grain."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        # "+ 0.0" collapses IEEE -0.0 to 0.0 on both engines (repr-strict hash)
+        .agg((F.round(F.avg("v"), 3) + 0.0).alias("centroid"))
+        .orderBy("label", "dim")
     )
