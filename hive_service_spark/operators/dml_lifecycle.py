@@ -167,7 +167,7 @@ def ddl_update_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EXPORT_IMPORT_ORACLE = """
 SELECT c_mktsegment, COUNT(*) AS n_customers,
-       ROUND(SUM(c_acctbal), 2) AS balance
+       ROUND(SUM(c_acctbal), 2) + 0.0 AS balance
 FROM customer
 GROUP BY c_mktsegment
 """
@@ -225,7 +225,7 @@ def ddl_export_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT c_mktsegment, COUNT(*) AS n_customers,
-               ROUND(SUM(c_acctbal), 2) AS balance
+               ROUND(SUM(c_acctbal), 2) + 0.0 AS balance
         FROM hs_scratch.customer_imported
         GROUP BY c_mktsegment
         """

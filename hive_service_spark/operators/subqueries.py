@@ -56,7 +56,7 @@ def subq_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NOT_EXISTS_SQL = """
 SELECT c_mktsegment, COUNT(*) AS n_customers,
-       ROUND(SUM(c_acctbal), 2) AS total_bal
+       ROUND(SUM(c_acctbal), 2) + 0.0 AS total_bal
 FROM customer
 WHERE NOT EXISTS (
   SELECT 1 FROM orders
@@ -97,7 +97,7 @@ def subq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- NOT IN -----------------------------------------------------------------
 
 _NOT_IN_SQL = """
-SELECT COUNT(*) AS n_suppliers, ROUND(SUM(s_acctbal), 2) AS total_bal
+SELECT COUNT(*) AS n_suppliers, ROUND(SUM(s_acctbal), 2) + 0.0 AS total_bal
 FROM supplier
 WHERE s_suppkey NOT IN (
   SELECT l_suppkey FROM lineitem
@@ -167,7 +167,7 @@ def subq_scalar_in_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- TPC-H Q22 shape: scalar filter + anti join together --------------------
 
 _Q22_SQL = """
-SELECT c_nationkey, COUNT(*) AS n_custs, ROUND(SUM(c_acctbal), 2) AS total_bal
+SELECT c_nationkey, COUNT(*) AS n_custs, ROUND(SUM(c_acctbal), 2) + 0.0 AS total_bal
 FROM customer
 WHERE c_acctbal > (
     SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0

@@ -244,7 +244,7 @@ SELECT
   s_suppkey,
   s_nationkey,
   s_acctbal,
-  ROUND(AVG(s_acctbal) OVER (PARTITION BY s_nationkey), 4) AS nation_avg,
+  ROUND(AVG(s_acctbal) OVER (PARTITION BY s_nationkey), 4) + 0.0 AS nation_avg,
   s_acctbal - ROUND(AVG(s_acctbal) OVER (PARTITION BY s_nationkey), 4)
     AS delta_from_avg,
   COUNT(*) OVER () AS total_suppliers
@@ -259,7 +259,7 @@ def window_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     by_nation = Window.partitionBy("s_nationkey")
     everything = Window.partitionBy()
-    nation_avg = F.round(F.avg("s_acctbal").over(by_nation), 4)
+    nation_avg = F.round(F.avg("s_acctbal").over(by_nation), 4) + 0.0
     return s.select(
         "s_suppkey",
         "s_nationkey",
