@@ -131,6 +131,10 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+    # project to the columns the rest of the pipeline touches BEFORE
+    # persisting: persist is a column-pruning barrier, so caching the
+    # full row would read+hold the unused `lang` column at 100 TB.
+    keep1 = keep1.select("doc_id", "text", "source", "n_chars", "n_words")
     # local parallelism only: one small parquet split would serialize the
     # shingle explode; a cluster scan has thousands of splits (delete there)
     keep1 = keep1.repartition(32).persist()
