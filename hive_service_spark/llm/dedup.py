@@ -607,3 +607,85 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cosine") >= 0.4)
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. Winnowing-sampled exact-substring dedup (char k-grams)
+# ---------------------------------------------------------------------------
+
+_WINNOW_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+    list_transform(
+      list_transform(generate_series(1, length(text) - 19),
+                     i -> substr(text, i, 20)),
+      s -> {_H_SQL.format(s='s')}) AS hs
+  FROM documents
+  WHERE length(text) >= 29
+),
+fp AS (
+  SELECT doc_id,
+    list_distinct(list_transform(generate_series(10, len(hs)),
+                                 j -> list_min(hs[j-9:j]))) AS fps
+  FROM h
+),
+inv AS (SELECT doc_id, unnest(fps) AS fp FROM fp)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_fps
+FROM inv a JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
+@query("dedup_winnow_substring", oracle=_WINNOW_ORACLE)
+def dedup_winnow_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring near-dup detection via winnowing: hash every
+    20-char k-gram, keep the minimum hash of each 10-gram window (the
+    winnowing sample — any shared substring of length >= 29 guarantees
+    a shared fingerprint), inverted-index join on fingerprints, keep
+    pairs sharing >= 2. This is the character-level family (catches
+    copied passages across otherwise-different documents) that word-
+    shingle Jaccard misses; the sample is ~1/5 of the grams, and the
+    candidate join is an equi-join on the 8-byte fingerprint — same
+    scale contract as the other dedup families (shuffle on the
+    fingerprint, never O(n^2)). Fingerprints are md5-derived, so the
+    oracle computes identical samples."""
+    d = load(spark, sf_dir, "documents")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 19),
+        lambda i: F.substring("text", i, F.lit(20)),
+    )
+    hs = F.transform(grams, lambda s: _h(s).cast("bigint"))
+    # materialize the hash array as a NAMED column before the windowed
+    # min: referencing the raw `hs` expression inside the per-window
+    # lambda makes Catalyst inline (re-evaluate) the whole k-gram+md5
+    # pipeline once PER WINDOW — measured ~200x slower (O(grams^2) md5
+    # calls per document). A named column with >1 downstream reference
+    # survives CollapseProject, so it's hashed once per row.
+    hashed = d.where(F.length("text") >= 29).select(
+        "doc_id", hs.alias("hs")
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(10), F.size("hs")),
+            lambda j: F.array_min(F.slice(F.col("hs"), j - 9, F.lit(10))),
+        )
+    )
+    # map-side fingerprinting (one pass, no shuffle), then ONE shuffle
+    # on the fingerprint for the inverted-index self-join
+    inv = (
+        hashed.select("doc_id", F.explode(fps).alias("fp"))
+        .repartition(64, "fp")
+        .persist()
+    )
+    a, b = inv.alias("a"), inv.alias("b")
+    return (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .where(F.col("n_shared_fps") >= 2)
+    )

@@ -72,6 +72,12 @@ def test_simhash_no_cartesian(spark):
     assert not P.has_cartesian(_df(spark, "dedup_simhash"))
 
 
+def test_winnow_substring_no_cartesian(spark):
+    """The winnowing fingerprint join must stay an equi-join on the
+    8-byte fingerprint — same O(n²) guard as the other dedup families."""
+    assert not P.has_cartesian(_df(spark, "dedup_winnow_substring"))
+
+
 def test_ann_lsh_no_cartesian(spark):
     assert not P.has_cartesian(_df(spark, "ann_lsh_hyperplane"))
 
