@@ -179,3 +179,66 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# mixture sampling — per-source rates (the pretraining data-mixing step)
+# ---------------------------------------------------------------------------
+
+_MIX_ORACLE = """
+WITH rated AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_words,
+         CASE WHEN source IN ('src0','src1','src2') THEN 1.00
+              WHEN source IN ('src3','src4','src5') THEN 0.50
+              ELSE 0.25 END AS rate,
+         ('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+           AS slot
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_kept,
+       SUM(n_words) AS tokens_kept
+FROM rated
+WHERE slot < rate * 10000
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("pipeline_mixture_sample", oracle=_MIX_ORACLE)
+def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified mixture sampling: each source gets a
+    sampling rate (the data-mixing weights a pretraining corpus is
+    blended with), membership decided by a content-stable hash slot —
+    NOT rand(), so the sample is reproducible across runs, engines, and
+    retries, and any doc's fate is recomputable. This is `sampleBy`
+    with a seedless deterministic coin. Map-only until the final
+    per-source rollup (one shuffle); at 100 TB rates live in a small
+    dim table broadcast onto the scan."""
+    d = load(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), 1.00)
+        .when(F.col("source").isin("src3", "src4", "src5"), 0.50)
+        .otherwise(0.25)
+    )
+    slot = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10000
+    )
+    return (
+        d.select(
+            "source",
+            F.size(F.split("text", " ")).alias("n_words"),
+            rate.alias("rate"),
+            slot.alias("slot"),
+        )
+        .where(F.col("slot") < F.col("rate") * 10000)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_words").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
