@@ -449,3 +449,65 @@ def ml_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.round(F.avg("v"), 3) + 0.0).alias("centroid"))
         .orderBy("label", "dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization — the ANN storage-compression step
+# ---------------------------------------------------------------------------
+
+_QUANT_ORACLE = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS e,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, mx,
+         list_transform(e, x -> CAST(FLOOR(x * 127.0 / mx + 0.5) AS INT)) AS qv
+  FROM v
+  WHERE mx > 0
+)
+SELECT vec_id,
+       ROUND(mx / 127.0, 6) AS scale,
+       list_sum(qv) AS q_sum,
+       list_min(qv) AS q_min,
+       list_max(qv) AS q_max
+FROM q
+ORDER BY vec_id
+"""
+
+
+@query("ml_quantize_int8", oracle=_QUANT_ORACLE)
+def ml_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column —
+    the 4x storage compression an ANN index applies before sharding
+    100 TB of vectors. q_i = floor(x_i * 127/max|x| + 0.5) (floor+0.5
+    instead of round: identical tie behavior in both engines), scale
+    stored per vector for dequantization. Map-only — no shuffle at
+    all; the per-vector checksum columns make the full int8 codebook
+    value-verifiable without hashing arrays."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    withmax = e.select(
+        "vec_id",
+        "e",
+        F.array_max(F.transform("e", F.abs)).alias("mx"),
+    ).where(F.col("mx") > 0)
+    qv = F.transform(
+        "e", lambda x: F.floor(x * 127.0 / F.col("mx") + 0.5).cast("int")
+    )
+    quant = withmax.select(
+        "vec_id",
+        F.round(F.col("mx") / 127.0, 6).alias("scale"),
+        qv.alias("qv"),
+    )
+    return quant.select(
+        "vec_id",
+        "scale",
+        F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+    ).orderBy("vec_id")
