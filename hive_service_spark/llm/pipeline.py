@@ -242,3 +242,62 @@ def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# shard packing — fixed token-budget shards (the sequence-packing step)
+# ---------------------------------------------------------------------------
+
+_PACK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_words
+  FROM documents
+),
+packed AS (
+  SELECT source, doc_id, n_words,
+         CAST(FLOOR((SUM(n_words) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_words) / 2048.0) AS BIGINT)
+           AS shard_id
+  FROM toks
+)
+SELECT source, shard_id,
+       COUNT(*) AS n_docs,
+       SUM(n_words) AS shard_tokens
+FROM packed
+GROUP BY source, shard_id
+ORDER BY source, shard_id
+"""
+
+
+@query("pipeline_pack_shards", oracle=_PACK_ORACLE)
+def pipeline_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs to fixed token-budget shards (2048
+    tokens) by running cumulative sum within each source — the step
+    that turns a cleaned corpus into training shards. The window
+    partitions by source, so packing parallelizes across sources (the
+    100 TB layout packs within partition-sized units; a single global
+    cumsum would serialize). Deterministic order (doc_id) makes shard
+    assignment reproducible — a retried task packs identically."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_words")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = toks.withColumn(
+        "shard_id",
+        F.floor((F.sum("n_words").over(w) - F.col("n_words")) / 2048.0).cast(
+            "bigint"
+        ),
+    )
+    return (
+        packed.groupBy("source", "shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("shard_tokens"),
+        )
+        .orderBy("source", "shard_id")
+    )
