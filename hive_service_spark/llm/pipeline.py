@@ -301,3 +301,74 @@ def pipeline_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "shard_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# decontamination — screen the corpus against an eval-set fingerprint index
+# ---------------------------------------------------------------------------
+
+_CONTAM_ORACLE = """
+WITH bench AS (  -- stand-in eval set: every 97th doc
+  SELECT DISTINCT ('0x'||substr(md5(unnest(list_transform(
+           generate_series(1, len(string_split(text,' ')) - 3),
+           i -> array_to_string(string_split(text,' ')[i:i+3], ' ')))),1,15))::BIGINT
+         AS gram4
+  FROM documents WHERE doc_id % 97 = 0
+),
+corpus AS (
+  SELECT doc_id, source,
+         list_transform(
+           generate_series(1, len(string_split(text,' ')) - 3),
+           i -> ('0x'||substr(md5(array_to_string(
+                  string_split(text,' ')[i:i+3], ' ')),1,15))::BIGINT) AS grams
+  FROM documents WHERE doc_id % 97 <> 0
+),
+hits AS (
+  SELECT DISTINCT c.doc_id, c.source
+  FROM corpus c, unnest(c.grams) AS t(g)
+  JOIN bench b ON b.gram4 = t.g
+)
+SELECT source, COUNT(*) AS n_contaminated
+FROM hits
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("pipeline_contamination_check", oracle=_CONTAM_ORACLE)
+def pipeline_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any 4-word
+    gram with the eval set (every-97th-doc stand-in; in production the
+    benchmark suite). The eval fingerprint index is tiny relative to
+    the corpus, so it BROADCASTS — the corpus side is one map pass
+    (gram + hash) plus a broadcast semi-join; no corpus shuffle at all
+    until the per-source count. Production decontamination
+    uses 8-13-word windows (GPT-3 appendix-C style); the synthetic
+    corpus only collides at 4-grams, which exercises the same path
+    with a nonzero answer."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    grams4 = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 3),
+        lambda i: F.concat_ws(" ", F.slice(w, i, F.lit(4))),
+    )
+    hashed = F.transform(grams4, lambda g: _h(g).cast("bigint"))
+    bench = (
+        d.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode(hashed).alias("gram4"))
+        .distinct()
+    )
+    corpus = (
+        d.where(F.col("doc_id") % 97 != 0)
+        .select("doc_id", "source", F.explode(hashed).alias("g"))
+    )
+    hits = (
+        corpus.join(F.broadcast(bench), corpus.g == bench.gram4, "left_semi")
+        .select("doc_id", "source")
+        .distinct()
+    )
+    return (
+        hits.groupBy("source")
+        .agg(F.count("*").alias("n_contaminated"))
+        .orderBy("source")
+    )
