@@ -689,3 +689,89 @@ def dedup_winnow_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
         .where(F.col("n_shared_fps") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. Semantic dedup with quality survivorship (embeddings x documents)
+# ---------------------------------------------------------------------------
+
+_SURVIVOR_ORACLE = """
+WITH n AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e,
+         list_dot_product(list_transform(embedding, x -> x::DOUBLE),
+                          list_transform(embedding, x -> x::DOUBLE)) AS aa
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.e, b.e) / sqrt(a.aa * b.aa), 4) >= 0.4
+),
+q AS (SELECT doc_id, source, len(string_split(text, ' ')) AS nw FROM documents),
+drops AS (
+  SELECT DISTINCT CASE WHEN qa.nw < qb.nw THEN va
+                       WHEN qa.nw > qb.nw THEN vb
+                       ELSE GREATEST(va, vb) END AS doc_id
+  FROM pairs
+  JOIN q qa ON qa.doc_id = va
+  JOIN q qb ON qb.doc_id = vb
+)
+SELECT q.source, COUNT(*) AS n_dropped
+FROM drops JOIN q ON q.doc_id = drops.doc_id
+GROUP BY q.source
+ORDER BY q.source
+"""
+
+
+@query("dedup_semantic_survivorship", oracle=_SURVIVOR_ORACLE)
+def dedup_semantic_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal semantic dedup: embedding-cosine near-dup pairs
+    (>= 0.4, the dedup_embedding_cosine candidate set) joined to the
+    documents table, keeping the HIGHER-QUALITY doc of each pair
+    (more tokens; ties drop the higher doc_id) — the survivorship
+    policy a production pipeline applies instead of keep-lowest-id.
+    Per-source dropped counts. Quality lookups broadcast (2 small
+    joins); squared norms are precomputed per vector so the pair pass
+    is one dot product. The brute pair join is the correctness
+    baseline; at 100 TB candidates come from the LSH/IVF index
+    (hive_service_spark.llm.similarity) instead."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    n = e.withColumn("aa", _dot(F.col("e"), F.col("e"))).persist()
+    a, b = n.repartition(64).alias("a"), n.alias("b")
+    cos = F.round(
+        _dot(F.col("a.e"), F.col("b.e"))
+        / F.sqrt(F.col("a.aa") * F.col("b.aa")),
+        4,
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= 0.4)
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+    )
+    q = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "source", F.size(F.split("text", " ")).alias("nw")
+        )
+    )
+    qa, qb = q.alias("qa"), q.alias("qb")
+    drops = (
+        pairs.join(F.broadcast(qa), F.col("qa.doc_id") == F.col("va"))
+        .join(F.broadcast(qb), F.col("qb.doc_id") == F.col("vb"))
+        .select(
+            F.when(F.col("qa.nw") < F.col("qb.nw"), F.col("va"))
+            .when(F.col("qa.nw") > F.col("qb.nw"), F.col("vb"))
+            .otherwise(F.greatest("va", "vb"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    return (
+        drops.join(F.broadcast(q), "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_dropped"))
+        .orderBy("source")
+    )
