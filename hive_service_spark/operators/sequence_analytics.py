@@ -213,3 +213,112 @@ def seq_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort retention — weekly cohorts x activity offset
+# ---------------------------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH weeks AS (
+  SELECT user_id,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+  FROM events
+),
+firsts AS (
+  SELECT user_id, MIN(wk) AS cohort_week FROM weeks GROUP BY user_id
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, w.wk) / 7 AS INT) AS week_offset,
+       COUNT(DISTINCT w.user_id) AS n_active
+FROM weeks w JOIN firsts f ON w.user_id = f.user_id
+GROUP BY 1, 2
+ORDER BY cohort_week, week_offset
+"""
+
+
+@query("seq_cohort_retention", oracle=_COHORT_ORACLE)
+def seq_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by the week of their first
+    event (cohort), activity counted per week offset from the cohort —
+    the standard retention triangle. Two shuffles: min-per-user (the
+    cohort assignment, a partial-aggregated groupBy) and the final
+    (cohort, offset) distinct-count; the cohort frame is small
+    (one row per user) so its join back broadcasts per-partition at
+    scale via AQE. Week truncation is Monday-start in both engines."""
+    ev = load(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    firsts = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        weeks.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# trailing z-score anomaly flags
+# ---------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+WITH scored AS (
+  SELECT event_type, value,
+         AVG(value) OVER w AS mu,
+         STDDEV_SAMP(value) OVER w AS sd
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(*) FILTER (WHERE sd > 0 AND abs((value - mu) / sd) > 3)
+         AS n_anomalies
+FROM scored
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("seq_zscore_anomalies", oracle=_ZSCORE_ORACLE)
+def seq_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score anomaly detection: each event scored against
+    the mean/stddev of its type's previous 100 events (the frame ends
+    at 1 PRECEDING so the point never scores itself). Per-type anomaly
+    counts. The window is a sequential pass over each sorted partition
+    in both engines — identical accumulation order, so the unrounded
+    threshold compare is engine-stable. One sort-shuffle per type at
+    scale; streaming analog is the watermarked aggregate in
+    streaming/events.py."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-100, -1)
+    )
+    scored = ev.select(
+        "event_type",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sd"))
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when((F.col("sd") > 0) & (z > 3), 1)).alias(
+                "n_anomalies"
+            ),
+        )
+        .orderBy("event_type")
+    )
