@@ -268,3 +268,36 @@ def window_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s_acctbal") - nation_avg).alias("delta_from_avg"),
         F.count(F.lit(1)).over(everything).alias("total_suppliers"),
     )
+
+
+_RANGE_DECIMAL_ORACLE = """
+SELECT o_orderkey,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+       COUNT(*) OVER (
+         ORDER BY CAST(o_totalprice AS DECIMAL(18,2))
+         RANGE BETWEEN 1000.00 PRECEDING AND CURRENT ROW) AS n_within_1000,
+       ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         ORDER BY CAST(o_totalprice AS DECIMAL(18,2))
+         RANGE BETWEEN 1000.00 PRECEDING AND CURRENT ROW), 2) AS sum_within_1000
+FROM orders
+WHERE o_custkey < 20
+"""
+
+
+@query("window_range_decimal", oracle=_RANGE_DECIMAL_ORACLE)
+def window_range_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a DECIMAL ordering column — the
+    HiveDecimalValueBoundaryScanner case, completing the typed-scanner
+    matrix (long/double: window_range_frame; date/timestamp:
+    window_time_range; SURVEY.md §2.4). Decimal arithmetic is exact,
+    so the frame membership and the sum are bit-identical across
+    engines with no rounding hazards."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    w = Window.orderBy(price).rangeBetween(-1000, 0)
+    return o.select(
+        "o_orderkey",
+        price.alias("price_dec"),
+        F.count(F.lit(1)).over(w).alias("n_within_1000"),
+        F.round(F.sum(price).over(w), 2).alias("sum_within_1000"),
+    )
