@@ -13,7 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from hive_service_spark.catalog import load
+from hive_service_spark.catalog import load, register_views
 from hive_service_spark.functions import hive_compat as hc
 from hive_service_spark.registry import query
 
@@ -437,4 +437,37 @@ def func_sql_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         ORDER BY l_returnflag
         """
+    )
+
+
+_PYUDF_ORACLE = """
+SELECT r_name,
+       reverse(r_name) AS rev_name,
+       length(regexp_replace(lower(r_name), '[^aeiou]', '', 'g')) AS n_vowels
+FROM region
+ORDER BY r_name
+"""
+
+
+@query("func_python_udf_registered", oracle=_PYUDF_ORACLE)
+def func_python_udf_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persistent-UDF surface (reference: CREATE FUNCTION ->
+    FunctionTask -> FunctionRegistry, SURVEY.md §2.7 extension):
+    register Python UDFs on the session and call them FROM SQL. The
+    functions themselves are trivial on purpose (reverse, vowel count
+    — so DuckDB can oracle the values); what is verified is the
+    registration + SQL-resolution + row-at-a-time execution path. The
+    100 TB note: this is the SLOW path (pickled Python per row) — real
+    deployments use pandas_udf (Arrow) like llm/multimodal.py; tiny
+    dim table here, so the demo is harmless."""
+    register_views(spark, sf_dir)
+    spark.udf.register("py_reverse", lambda s: s[::-1] if s else None, "string")
+    spark.udf.register(
+        "py_vowels",
+        lambda s: sum(c in "aeiou" for c in s.lower()) if s else None,
+        "int",
+    )
+    return spark.sql(
+        "SELECT r_name, py_reverse(r_name) AS rev_name, "
+        "py_vowels(r_name) AS n_vowels FROM region ORDER BY r_name"
     )

@@ -173,3 +173,41 @@ def inline_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
+
+
+_FROM_JSON_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       SUM(CAST(json_extract(props, '$.k') AS INT)) AS k_sum,
+       MIN(CAST(json_extract(props, '$.k') AS INT)) AS k_min,
+       MAX(CAST(json_extract(props, '$.k') AS INT)) AS k_max
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("json_from_json_typed", oracle=_FROM_JSON_ORACLE)
+def json_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON with from_json: props parsed ONCE into a
+    typed struct column, then aggregated on the typed field. Unlike
+    get_json_object (per-path string extraction, re-parses per call),
+    from_json parses each row once against a declared schema — at
+    100 TB with several extracted paths that is the difference between
+    one JSON parse per row and one per (row x path). Hive analog:
+    DelimitedJSONSerDe schema-on-read (SURVEY.md §2.2)."""
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k INT").alias("p"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("p.k").alias("k_sum"),
+            F.min("p.k").alias("k_min"),
+            F.max("p.k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
