@@ -390,3 +390,53 @@ def agg_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_orders,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_orders,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_orders,
+       ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2)
+         AS f_total,
+       ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)
+         AS o_total,
+       ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2)
+         AS p_total
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("agg_pivot_matrix", oracle=_PIVOT_ORACLE)
+def agg_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts and totals per priority, spread across one
+    column per status — the inverse of stack_unpivot. groupBy().pivot()
+    with EXPLICIT pivot values: at 100 TB the implicit form first runs
+    a distinct-scan job to discover the values; pinning them skips that
+    job entirely (and keeps the output schema stable for the oracle).
+    Catalyst plans it as a single hash aggregate with one
+    conditional-aggregate slot per (value x measure) — no extra
+    shuffle vs a plain groupBy."""
+    o = load(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+    # coalesce the counts: an empty pivot cell is NULL from
+    # groupBy().pivot() but 0 from the oracle's COUNT(*) FILTER —
+    # align on 0 (sums stay NULL/NULL in both engines)
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce("F_orders", F.lit(0)).alias("f_orders"),
+        F.coalesce("O_orders", F.lit(0)).alias("o_orders"),
+        F.coalesce("P_orders", F.lit(0)).alias("p_orders"),
+        F.col("F_total").alias("f_total"),
+        F.col("O_total").alias("o_total"),
+        F.col("P_total").alias("p_total"),
+    ).orderBy("o_orderpriority")
