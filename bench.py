@@ -36,6 +36,8 @@ HEADLINE = [
     "setop_except_all",
     "explode_word_count",
     "q8_market_share",
+    "q9_product_profit",
+    "q18_large_volume_customer",
     "q21_suppliers_waiting",
     "temporal_asof_join",
     "seq_sessionize_batch",

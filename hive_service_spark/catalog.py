@@ -68,6 +68,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def par(spark: SparkSession, mult: int = 2) -> int:
+    """Target parallelism for explicit repartitions.
+
+    Derived from the cluster's ``defaultParallelism`` (total executor
+    cores) instead of a hard-coded constant, so the same code fans out
+    to thousands of tasks on a 1000-executor cluster and a handful
+    locally. ``mult=2`` oversubscribes slightly so stragglers overlap;
+    pass a larger mult for pair-expansion stages whose output is much
+    bigger than their input.
+    """
+    return max(spark.sparkContext.defaultParallelism * mult, 4)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql() queries.
 

@@ -195,10 +195,11 @@ SELECT
   dayofweek(o_orderdate) + 1              AS o_dow,
   dayofyear(o_orderdate)                  AS o_doy,
   weekofyear(o_orderdate)                 AS o_week,
-  CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+  CAST(CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS VARCHAR)
+    AS month_end,
   CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
-  CAST(o_orderdate AS DATE) + 30          AS due_date,
-  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+  CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR)          AS due_date,
+  CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus3m,
   datediff('day', o_orderdate, TIMESTAMP '2000-01-01') AS days_to_y2k,
   CAST(epoch(o_orderdate) AS BIGINT)      AS o_epoch,
   strftime(o_orderdate, '%Y-%m-%d')       AS o_fmt
@@ -214,7 +215,11 @@ def func_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     date_add/add_months/datediff/unix_timestamp/date_format.
 
     Engine deltas handled: DuckDB dayofweek is 0-based (Spark 1-based);
-    epoch() returns double (cast to BIGINT)."""
+    epoch() returns double (cast to BIGINT). DATE-typed outputs are
+    cast to string on BOTH sides: DuckDB's pandas path renders DATE as
+    a midnight Timestamp while Spark collects datetime.date, so a raw
+    date output column can never repr-match in the driver canon
+    (TIMESTAMP outputs are fine — proven by round-1 sampled passes)."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
     return o.select(
         "o_orderkey",
@@ -225,10 +230,10 @@ def func_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("o_orderdate").alias("o_dow"),
         F.dayofyear("o_orderdate").alias("o_doy"),
         F.weekofyear("o_orderdate").alias("o_week"),
-        F.last_day("o_orderdate").alias("month_end"),
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
         hc.floor_month(F.col("o_orderdate")).alias("month_start"),
-        F.date_add(F.col("o_orderdate"), 30).alias("due_date"),
-        F.add_months(F.col("o_orderdate"), 3).alias("plus3m"),
+        F.date_add(F.col("o_orderdate"), 30).cast("string").alias("due_date"),
+        F.add_months(F.col("o_orderdate"), 3).cast("string").alias("plus3m"),
         F.datediff(F.lit("2000-01-01").cast("timestamp"), F.col("o_orderdate"))
         .alias("days_to_y2k"),
         F.unix_timestamp("o_orderdate").alias("o_epoch"),

@@ -25,7 +25,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
-from hive_service_spark.catalog import load
+from hive_service_spark.catalog import load, par
 from hive_service_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -45,6 +45,14 @@ _MH_A = [2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53]
 _MH_B = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
 _MH_P = 2147483647  # 2^31-1 (Mersenne); a*H < 53*2^32 << 2^63, no overflow
 _POW2 = [1 << j for j in range(16)]
+
+# Shingles in more than this many documents are dropped from the
+# inverted-index self-join in dedup_ngram_jaccard (each contributes
+# O(df²) candidate pairs and ~zero Jaccard signal). Far above any df in
+# the synthetic testdata (max observed df ≈ low double digits), so the
+# oracle-checked results are identical; on real web text this is the
+# knob that keeps the join linear-ish.
+_HOT_SHINGLE_DF_CAP = 2000
 
 
 def _shingles(n: int = 3) -> Column:
@@ -74,7 +82,7 @@ SELECT
   md5(text)    AS content_hash,
   COUNT(*)     AS n_copies,
   MIN(doc_id)  AS keeper_doc_id,
-  SUM(n_chars) AS bytes_in_group
+  CAST(SUM(n_chars) AS BIGINT) AS bytes_in_group
 FROM documents
 GROUP BY md5(text)
 """
@@ -130,9 +138,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     char strings; the oracle hashes identically, and 60-bit collisions
     are ~|shingles|²/2⁶¹ ≈ never), count shared, then
     |A∩B| / (|A|+|B|-|A∩B|). The only shuffles are on the shingle hash
-    and the (doc_a, doc_b) pair key — never a cross join. At 100 TB add
-    a doc-frequency cap on hot shingles (stopword shingles) before the
-    self-join; testdata needs none."""
+    and the (doc_a, doc_b) pair key — never a cross join.
+
+    Hot-shingle cap: a shingle appearing in more than
+    ``_HOT_SHINGLE_DF_CAP`` documents (stopword shingles on real web
+    text: "one of the", boilerplate headers) would contribute O(df²)
+    candidate pairs — the quadratic bucket blowup that kills this join
+    at 100 TB. Such shingles carry ~no Jaccard signal (they are in
+    everything), so they are dropped from the POSTINGS list before the
+    self-join: df counts reuse the shingle partitioning (no extra
+    shuffle) and the tiny hot set broadcasts into a map-side anti-join.
+    Denominators still use FULL shingle-set sizes. The cap is far above
+    any df in the synthetic testdata, so oracle results are unchanged
+    there; on real corpora it trades a bounded Jaccard overestimate on
+    boilerplate-heavy pairs for join feasibility (the standard
+    MinHash/LSH-era engineering compromise)."""
     d = load(spark, sf_dir, "documents")
     # repartition straight off the scan: a small parquet file is ONE
     # split, which would serialize all per-row shingle work on a single
@@ -140,7 +160,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB the scan has thousands of splits and the repartition is a
     # no-op to remove — the rest of the plan is scale-ready as-is.
     sh = (
-        d.repartition(64)
+        d.repartition(par(spark))
         .where(F.size(F.split("text", " ")) >= 3)
         .select("doc_id", _shingles().alias("s"))
         .persist()
@@ -160,9 +180,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("shingle"),
         )
-        .repartition(64, "shingle")
+        .repartition(par(spark), "shingle")
         .persist()
     )
+    # hot-shingle df cap: the groupBy reuses inv's shingle partitioning
+    # (no extra shuffle), the surviving hot set is tiny -> broadcast
+    # anti-join keeps the filter map-side
+    hot = (
+        inv.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > _HOT_SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
     a, b = inv.alias("a"), inv.alias("b")
     # pin shuffle-hash: AQE's runtime stats put the postings list under
     # the broadcast threshold and flip this self-join to broadcast on
@@ -257,7 +287,7 @@ def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # barrier, so the 16 minhash lambdas below read `hs` instead of
     # re-inlining the md5 16x (measured 112s vs ~4s at sf0.1).
     sh = (
-        d.repartition(64)
+        d.repartition(par(spark))
         .where(F.size(F.split("text", " ")) >= 3)
         .select("doc_id", _shingles().alias("s"))
         .withColumn("hs", F.transform("s", _h))
@@ -492,7 +522,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregates — no explode, no groupBy shuffle (same scale rationale
     # as the minhash signatures above)
     hv = (
-        d.repartition(64)
+        d.repartition(par(spark))
         .where(F.size(F.split("text", " ")) >= 3)
         .select("doc_id", F.transform(_shingles(), _h).alias("hs"))
         .persist()
@@ -593,7 +623,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = e.select(
         "vec_id", "e", F.sqrt(_dot(F.col("e"), F.col("e"))).alias("nr")
     ).persist()
-    a = nrm.repartition(64).alias("a")
+    a = nrm.repartition(par(spark)).alias("a")
     b = nrm.alias("b")
     cos = F.round(
         _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nr") * F.col("b.nr")), 4
@@ -675,7 +705,7 @@ def dedup_winnow_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on the fingerprint for the inverted-index self-join
     inv = (
         hashed.select("doc_id", F.explode(fps).alias("fp"))
-        .repartition(64, "fp")
+        .repartition(par(spark), "fp")
         .persist()
     )
     a, b = inv.alias("a"), inv.alias("b")
@@ -740,7 +770,7 @@ def dedup_semantic_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
     n = e.withColumn("aa", _dot(F.col("e"), F.col("e"))).persist()
-    a, b = n.repartition(64).alias("a"), n.alias("b")
+    a, b = n.repartition(par(spark)).alias("a"), n.alias("b")
     cos = F.round(
         _dot(F.col("a.e"), F.col("b.e"))
         / F.sqrt(F.col("a.aa") * F.col("b.aa")),

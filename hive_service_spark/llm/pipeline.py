@@ -28,7 +28,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
-from hive_service_spark.catalog import load
+from hive_service_spark.catalog import load, par
 from hive_service_spark.llm.dedup import _h, _shingles
 from hive_service_spark.registry import query
 
@@ -83,8 +83,8 @@ drops AS (  -- stage 4: near-dup removal (keep the lower doc_id of a pair)
 )
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(n_words) AS n_tokens,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM keep1
 WHERE doc_id NOT IN (SELECT doc_id FROM drops)
 GROUP BY source
@@ -137,7 +137,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep1 = keep1.select("doc_id", "text", "source", "n_chars", "n_words")
     # local parallelism only: one small parquet split would serialize the
     # shingle explode; a cluster scan has thousands of splits (delete there)
-    keep1 = keep1.repartition(32).persist()
+    keep1 = keep1.repartition(par(spark)).persist()
     # stage 4: near-dup candidates via the inverted shingle index
     sh = keep1.select("doc_id", _shingles().alias("s")).persist()
     inv = (
@@ -148,7 +148,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("shingle"),
         )
-        .repartition(32, "shingle")
+        .repartition(par(spark), "shingle")
     )
     sizes = sh.select("doc_id", F.size("s").alias("n"))
     a, b = inv.alias("a"), inv.alias("b")
@@ -198,7 +198,7 @@ WITH rated AS (
 )
 SELECT source,
        COUNT(*) AS n_kept,
-       SUM(n_words) AS tokens_kept
+       CAST(SUM(n_words) AS BIGINT) AS tokens_kept
 FROM rated
 WHERE slot < rate * 10000
 GROUP BY source
@@ -262,7 +262,7 @@ packed AS (
 )
 SELECT source, shard_id,
        COUNT(*) AS n_docs,
-       SUM(n_words) AS shard_tokens
+       CAST(SUM(n_words) AS BIGINT) AS shard_tokens
 FROM packed
 GROUP BY source, shard_id
 ORDER BY source, shard_id
@@ -348,11 +348,28 @@ def pipeline_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a nonzero answer."""
     d = load(spark, sf_dir, "documents")
     w = F.split("text", " ")
-    grams4 = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 3),
-        lambda i: F.concat_ws(" ", F.slice(w, i, F.lit(4))),
+    # Guard docs shorter than 4 words: F.sequence(1, size-3) with a
+    # non-positive end defaults to step -1 and yields a DESCENDING list
+    # whose slice(w, 0, 4) throws (SQL arrays are 1-based), while the
+    # oracle's generate_series returns empty. Current testdata has
+    # min word count 10, but it regenerates every round.
+    grams4 = F.when(
+        F.size(w) >= 4,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 3),
+            lambda i: F.concat_ws(" ", F.slice(w, i, F.lit(4))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # 60-bit gram hash (15 hex chars), matching the oracle's
+    # substr(md5,1,15) EXACTLY — the 32-bit _h used elsewhere only
+    # agrees with a 60-bit oracle when no spurious 32-bit collision
+    # flags a doc on the Spark side only (~256k corpus grams x ~2.6k
+    # bench grams at sf0.1 makes that a real risk), and 60 bits also
+    # shrinks the false-positive rate of the check itself.
+    hashed = F.transform(
+        grams4,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
     )
-    hashed = F.transform(grams4, lambda g: _h(g).cast("bigint"))
     bench = (
         d.where(F.col("doc_id") % 97 == 0)
         .select(F.explode(hashed).alias("gram4"))

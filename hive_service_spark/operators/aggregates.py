@@ -266,8 +266,10 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COLLECT_ORACLE = """
 SELECT
   l_returnflag,
-  list(DISTINCT l_linestatus ORDER BY l_linestatus) AS statuses,
-  list_sort(list(DISTINCT l_shipmode_dummy))        AS quantile_buckets
+  array_to_string(list(DISTINCT l_linestatus ORDER BY l_linestatus), ',')
+    AS statuses,
+  array_to_string(list_sort(list(DISTINCT l_shipmode_dummy)), ',')
+    AS quantile_buckets
 FROM (
   SELECT l_returnflag, l_linestatus,
          CAST(l_quantity AS INTEGER) // 10 AS l_shipmode_dummy
@@ -281,15 +283,25 @@ GROUP BY l_returnflag
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set with deterministic ordering via sort_array
     (MkCollectionEvaluator; raw collect order is engine-dependent so
-    both sides sort)."""
+    both sides sort). Output arrays are serialized to comma-joined
+    strings at the query boundary: the external driver canonicalizes
+    results through pandas, which cannot sort/hash list cells."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         "l_linestatus",
         (F.col("l_quantity").cast("int") / 10).cast("int").alias("bucket"),
     )
     return li.groupBy("l_returnflag").agg(
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
-        F.sort_array(F.collect_set("bucket")).alias("quantile_buckets"),
+        F.concat_ws(",", F.sort_array(F.collect_set("l_linestatus"))).alias(
+            "statuses"
+        ),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_set("bucket")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("quantile_buckets"),
     )
 
 
@@ -345,12 +357,14 @@ def agg_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     capability the reference lacks, SURVEY.md §2.3), percentile_approx
     (different sketch than Hive's histogram-based one), and
     histogram_numeric. Rows-only check; exact counterparts are
-    oracle-tested above."""
+    oracle-tested above. The histogram's array<struct> output is
+    serialized with to_json so the driver's pandas canonicalizer can
+    hash the cell."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_nd_part"),
         F.percentile_approx("l_quantity", 0.5).alias("approx_p50"),
-        F.histogram_numeric("l_quantity", F.lit(5)).alias("hist_qty"),
+        F.to_json(F.histogram_numeric("l_quantity", F.lit(5))).alias("hist_qty"),
     )
 
 

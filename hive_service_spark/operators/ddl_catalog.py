@@ -250,7 +250,8 @@ WITH changes AS (
 )
 SELECT o.o_orderkey,
        o.o_orderstatus,
-       ROUND(COALESCE(c.new_price, CAST(o.o_totalprice AS DECIMAL(18,2))), 2)
+       CAST(ROUND(COALESCE(c.new_price, CAST(o.o_totalprice AS DECIMAL(18,2))),
+                  2) AS DOUBLE)
          AS o_totalprice,
        COALESCE(c.new_priority, o.o_orderpriority) AS o_orderpriority
 FROM orders o
@@ -287,13 +288,21 @@ def ddl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "o_orderstatus",
+            # MERGE arithmetic stays decimal-exact; ROUND happens while
+            # still DECIMAL (HALF_UP, exact, engine-identical — rounding
+            # AFTER a double cast diverges on .5 cents), then the FINAL
+            # column is cast to DOUBLE so the driver's pandas
+            # canonicalizer (which renders DuckDB DECIMAL as float64)
+            # sees identical reprs.
             F.round(
                 F.coalesce(
                     F.col("new_price"),
                     F.col("o_totalprice").cast("decimal(18,2)"),
                 ),
                 2,
-            ).alias("o_totalprice"),
+            )
+            .cast("double")
+            .alias("o_totalprice"),
             F.coalesce(F.col("new_priority"), F.col("o_orderpriority")).alias(
                 "o_orderpriority"
             ),

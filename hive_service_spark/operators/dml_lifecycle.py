@@ -243,7 +243,7 @@ WITH mv AS (
   FROM lineitem GROUP BY 1, 2
 )
 SELECT ship_year, COUNT(*) AS n_supplier_years,
-       ROUND(SUM(revenue), 2) AS total_revenue, SUM(n_items) AS total_items
+       ROUND(SUM(revenue), 2) AS total_revenue, CAST(SUM(n_items) AS BIGINT) AS total_items
 FROM mv GROUP BY ship_year ORDER BY ship_year
 """
 
@@ -273,7 +273,7 @@ def ddl_materialized_view_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT ship_year, COUNT(*) AS n_supplier_years,
                ROUND(SUM(revenue), 2) AS total_revenue,
-               SUM(n_items) AS total_items
+               CAST(SUM(n_items) AS BIGINT) AS total_items
         FROM supplier_rev_mv
         GROUP BY ship_year ORDER BY ship_year
         """

@@ -178,7 +178,7 @@ def inline_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FROM_JSON_ORACLE = """
 SELECT event_type,
        COUNT(*) AS n_rows,
-       SUM(CAST(json_extract(props, '$.k') AS INT)) AS k_sum,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
        MIN(CAST(json_extract(props, '$.k') AS INT)) AS k_min,
        MAX(CAST(json_extract(props, '$.k') AS INT)) AS k_max
 FROM events

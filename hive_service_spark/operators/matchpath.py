@@ -1,0 +1,183 @@
+"""General MatchPath: arbitrary symbol-pattern matching over row
+sequences — the full analog of the reference's MatchPath PTF
+(SURVEY.md §2.4, hive-exec!ql/udf/ptf/MatchPath.class: npath/matchpath,
+the pre-MATCH_RECOGNIZE row-pattern surface).
+
+The reference walks each PTF partition's ordered rows with a symbol
+automaton compiled from a pattern string like ``LATE.EARLY*.ONTIME``
+(symbols are boolean row-predicates; ``.`` chains; ``*``/``+``/``?``
+quantify; ``|`` alternates) and, for every row where a match STARTS,
+emits the row plus match metadata.
+
+Spark-first layout (the plan a 100 TB run wants):
+
+1. **Classify JVM-side**: one ``CASE`` expression maps each row to a
+   single symbol character — stays in whole-stage codegen, no Python.
+2. **One shuffle** on the partition key groups each entity's (bounded)
+   row sequence.
+3. **applyInPandas automaton**: per group, the symbol chars form a
+   string and the compiled pattern — translated to an anchored Python
+   regex — is tested at every position (greedy, leftmost-longest at
+   each start, exactly the reference's per-row "does a match begin
+   here" semantics). Arrow-batched, never row-at-a-time.
+
+The DuckDB oracle reproduces the identical semantics declaratively:
+``string_agg`` builds the same per-entity symbol string and
+``regexp_extract('^...')`` anchors the same greedy regex at every
+position — so the value hash verifies the automaton, not just counts.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from hive_service_spark.catalog import load
+from hive_service_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# pattern compiler: "a.b*.c" over named symbols -> (classifier, regex)
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|[*+?()|]")
+
+
+def compile_pattern(pattern: str, symbol_order: Iterable[str]) -> tuple[dict[str, str], str]:
+    """Compile a MatchPath pattern to (symbol->char map, regex source).
+
+    Grammar (the reference MatchPath surface): symbol names chained
+    with ``.``, postfix quantifiers ``* + ?``, grouping ``( )`` and
+    alternation ``|``. Symbols are assigned one character each in
+    ``symbol_order``; the regex matches over the per-row symbol-char
+    string. Rows matching no symbol get the reserved char ``'x'``,
+    which no pattern element can match.
+    """
+    chars: dict[str, str] = {}
+    for i, name in enumerate(symbol_order):
+        c = chr(ord("a") + i)
+        if c == "x":
+            c = chr(ord("a") + i + 1)  # skip the no-symbol char
+        chars[name] = c
+    out: list[str] = []
+    for tok in _TOKEN_RE.findall(pattern.replace(".", " ")):
+        if tok in "*+?()|":
+            out.append(tok)
+        elif tok in chars:
+            out.append(chars[tok])
+        else:
+            raise ValueError(f"unknown symbol {tok!r} in pattern {pattern!r}")
+    return chars, "".join(out)
+
+
+def matchpath(
+    df: DataFrame,
+    partition_by: str,
+    order_by: list[str],
+    symbols: dict[str, Column],
+    pattern: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Generic MatchPath over any DataFrame.
+
+    ``symbols`` maps symbol name -> boolean Column (first match wins,
+    like the reference's symbol-arg ordering). Emits one row per match
+    start: (partition key, start_rn, match_len, path_start, path_end).
+    """
+    chars, rx_src = compile_pattern(pattern, symbols.keys())
+    rx = re.compile(rx_src)
+
+    ch = F.lit("x")
+    # reversed: build CASE from last to first so the FIRST symbol wins
+    for name, cond in reversed(list(symbols.items())):
+        ch = F.when(cond, F.lit(chars[name])).otherwise(ch)
+
+    slim = df.select(
+        F.col(partition_by).alias("pk"),
+        F.col(ts_col).alias("_ts"),
+        *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_by)],
+        ch.alias("_ch"),
+    )
+    order_cols = [f"_o{i}" for i in range(len(order_by))]
+
+    out_schema = (
+        f"{partition_by} long, start_rn int, match_len int, "
+        "path_start timestamp, path_end timestamp"
+    )
+
+    def _walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        s = "".join(pdf["_ch"])
+        ts = pdf["_ts"]
+        pk = pdf["pk"].iloc[0]
+        rows = []
+        for i in range(len(s)):
+            m = rx.match(s, i)
+            if m and m.end() > i:
+                rows.append((pk, i + 1, m.end() - i, ts[i], ts[m.end() - 1]))
+        return pd.DataFrame(
+            rows,
+            columns=[partition_by, "start_rn", "match_len", "path_start", "path_end"],
+        )
+
+    return slim.groupBy("pk").applyInPandas(_walk, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# registered query: one-or-more views then a purchase (a pattern the
+# fixed-LEAD funnel cannot express — requires the general automaton)
+# ---------------------------------------------------------------------------
+
+_GENERAL_ORACLE = """
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'view' THEN 'a'
+              WHEN event_type = 'purchase' THEN 'b'
+              ELSE 'x' END AS ch,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+s AS (
+  SELECT user_id, string_agg(ch, '' ORDER BY rn) AS str
+  FROM c GROUP BY user_id
+),
+m AS (
+  SELECT c.user_id, c.rn AS start_rn, c.ts AS path_start,
+         length(regexp_extract(substr(s.str, CAST(c.rn AS INT)), '^aa*b'))
+           AS match_len
+  FROM c JOIN s USING (user_id)
+)
+SELECT m.user_id, CAST(m.start_rn AS INT) AS start_rn,
+       CAST(m.match_len AS INT) AS match_len,
+       CAST(m.path_start AS TIMESTAMP) AS path_start,
+       CAST(e.ts AS TIMESTAMP) AS path_end
+FROM m
+JOIN c e ON e.user_id = m.user_id AND e.rn = m.start_rn + m.match_len - 1
+WHERE m.match_len > 0
+ORDER BY m.user_id, start_rn
+"""
+
+
+@query("seq_matchpath_general", oracle=_GENERAL_ORACLE)
+def seq_matchpath_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General MatchPath: pattern ``view.view*.purchase`` (one or more
+    consecutive views then a purchase) per user — a quantified pattern
+    the fixed-LEAD funnel (seq_matchpath_funnel) cannot express. Each
+    match start emits (start_rn, greedy match length, path start/end
+    timestamps). See module docstring for the reference parity and the
+    100 TB plan shape."""
+    ev = load(spark, sf_dir, "events")
+    out = matchpath(
+        ev,
+        partition_by="user_id",
+        order_by=["ts", "event_id"],
+        symbols={
+            "view": F.col("event_type") == "view",
+            "purchase": F.col("event_type") == "purchase",
+        },
+        pattern="view.view*.purchase",
+    )
+    return out.orderBy("user_id", "start_rn")

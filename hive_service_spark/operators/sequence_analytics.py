@@ -39,8 +39,11 @@ WITH g AS (
 ),
 s AS (
   SELECT user_id, ts, value,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_no
+         -- BIGINT cast: DuckDB SUM(int) yields HUGEINT, which its
+         -- pandas path renders as float64 (vs Spark's int64)
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_no
   FROM g
 )
 SELECT user_id, session_no,
@@ -281,7 +284,8 @@ WITH scored AS (
 )
 SELECT event_type,
        COUNT(*) AS n_events,
-       COUNT(*) FILTER (WHERE sd > 0 AND abs((value - mu) / sd) > 3)
+       COUNT(*) FILTER (WHERE ROUND(sd, 6) > 0
+                        AND ROUND(abs((value - mu) / sd), 6) > 3)
          AS n_anomalies
 FROM scored
 GROUP BY event_type
@@ -294,11 +298,14 @@ def seq_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing z-score anomaly detection: each event scored against
     the mean/stddev of its type's previous 100 events (the frame ends
     at 1 PRECEDING so the point never scores itself). Per-type anomaly
-    counts. The window is a sequential pass over each sorted partition
-    in both engines — identical accumulation order, so the unrounded
-    threshold compare is engine-stable. One sort-shuffle per type at
-    scale; streaming analog is the watermarked aggregate in
-    streaming/events.py."""
+    counts. DuckDB combines sliding AVG/STDDEV via segment trees while
+    Spark re-accumulates each frame left-to-right; double addition is
+    non-associative, so sd and z are rounded to 6 decimals on BOTH
+    sides before the threshold compares (repo ROUND convention) —
+    otherwise a z within a few ulps of 3.0, or an sd that is exactly 0
+    in one engine and ~1e-16 in the other, flips n_anomalies. One
+    sort-shuffle per type at scale; streaming analog is the watermarked
+    aggregate in streaming/events.py."""
     ev = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("event_type")
@@ -311,12 +318,13 @@ def seq_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("value").over(w).alias("mu"),
         F.stddev_samp("value").over(w).alias("sd"),
     )
-    z = F.abs((F.col("value") - F.col("mu")) / F.col("sd"))
+    z = F.round(F.abs((F.col("value") - F.col("mu")) / F.col("sd")), 6)
+    sd_r = F.round(F.col("sd"), 6)
     return (
         scored.groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.count(F.when((F.col("sd") > 0) & (z > 3), 1)).alias(
+            F.count(F.when((sd_r > 0) & (z > 3), 1)).alias(
                 "n_anomalies"
             ),
         )

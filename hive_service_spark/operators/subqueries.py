@@ -97,7 +97,11 @@ def subq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- NOT IN -----------------------------------------------------------------
 
 _NOT_IN_SQL = """
-SELECT COUNT(*) AS n_suppliers, ROUND(SUM(s_acctbal), 2) + 0.0 AS total_bal
+-- COALESCE: the NOT IN filter can exclude every supplier, and an
+-- all-NULL SUM renders asymmetrically in the driver canon (Spark None
+-- vs DuckDB-pandas NaN) — coalesce to 0 keeps the empty case scalar
+SELECT COUNT(*) AS n_suppliers,
+       ROUND(COALESCE(SUM(s_acctbal), 0), 2) + 0.0 AS total_bal
 FROM supplier
 WHERE s_suppkey NOT IN (
   SELECT l_suppkey FROM lineitem

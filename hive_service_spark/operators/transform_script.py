@@ -32,7 +32,7 @@ for line in sys.stdin:
 """
 
 _TRANSFORM_ORACLE = """
-SELECT event_type_u, COUNT(*) AS n, SUM(uid2) AS uid2_sum
+SELECT event_type_u, COUNT(*) AS n, CAST(SUM(uid2) AS BIGINT) AS uid2_sum
 FROM (
   SELECT upper(event_type) AS event_type_u, user_id * 2 + 1 AS uid2
   FROM events
@@ -54,7 +54,7 @@ def transform_script_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(
         f"""
-        SELECT event_type_u, COUNT(*) AS n, SUM(uid2) AS uid2_sum
+        SELECT event_type_u, COUNT(*) AS n, CAST(SUM(uid2) AS BIGINT) AS uid2_sum
         FROM (
           SELECT TRANSFORM(event_type, user_id)
             USING 'python3 {script_path}'

@@ -272,13 +272,15 @@ def window_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RANGE_DECIMAL_ORACLE = """
 SELECT o_orderkey,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+         AS price_dec,
        COUNT(*) OVER (
          ORDER BY CAST(o_totalprice AS DECIMAL(18,2))
          RANGE BETWEEN 1000.00 PRECEDING AND CURRENT ROW) AS n_within_1000,
-       ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
          ORDER BY CAST(o_totalprice AS DECIMAL(18,2))
-         RANGE BETWEEN 1000.00 PRECEDING AND CURRENT ROW), 2) AS sum_within_1000
+         RANGE BETWEEN 1000.00 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS sum_within_1000
 FROM orders
 WHERE o_custkey < 20
 """
@@ -289,15 +291,72 @@ def window_range_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame over a DECIMAL ordering column — the
     HiveDecimalValueBoundaryScanner case, completing the typed-scanner
     matrix (long/double: window_range_frame; date/timestamp:
-    window_time_range; SURVEY.md §2.4). Decimal arithmetic is exact,
-    so the frame membership and the sum are bit-identical across
-    engines with no rounding hazards."""
+    window_time_range; SURVEY.md §2.4). Decimal arithmetic (frame
+    membership, the windowed sum) stays exact internally; only the
+    FINAL output columns are cast to DOUBLE+ROUND on both sides —
+    DuckDB's pandas path renders DECIMAL as float64 while Spark
+    collects Decimal objects, so a decimal output column can never
+    repr-hash-match even when values are equal."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
     price = F.col("o_totalprice").cast("decimal(18,2)")
     w = Window.orderBy(price).rangeBetween(-1000, 0)
     return o.select(
         "o_orderkey",
-        price.alias("price_dec"),
+        price.cast("double").alias("price_dec"),
         F.count(F.lit(1)).over(w).alias("n_within_1000"),
-        F.round(F.sum(price).over(w), 2).alias("sum_within_1000"),
+        # sums stay scale-2 exact in decimal; the plain double cast of
+        # an exact 2-decimal value renders identically in both engines
+        F.sum(price).over(w).cast("double").alias("sum_within_1000"),
+    )
+
+
+_RANGE_STRING_ORACLE = """
+SELECT o_orderkey,
+       o_orderstatus,
+       o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_orderstatus ORDER BY o_orderpriority
+         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS cum_price_with_peers,
+       COUNT(*) OVER (
+         PARTITION BY o_orderstatus ORDER BY o_orderpriority
+         RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS n_peers
+FROM orders
+WHERE o_custkey < 50
+"""
+
+
+@query("window_range_string", oracle=_RANGE_STRING_ORACLE)
+def window_range_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a STRING ordering column — the reference's
+    StringValueBoundaryScanner case (SURVEY.md §2.4), completing the
+    typed-scanner matrix (long/double/date/timestamp/decimal covered by
+    the sibling queries). For string order columns the meaningful RANGE
+    boundaries are value-equality ones: UNBOUNDED->CURRENT (cumulative
+    INCLUDING all peers of the current value — distinct from the ROWS
+    frame, which cuts peer groups) and CURRENT<->CURRENT (the peer
+    group itself). Both are native Spark range frames over any
+    orderable type — numeric-OFFSET-on-string is the only shape Spark's
+    rangeBetween rejects, and Hive's scanner treats string distance as
+    equality anyway. Decimal inside SUM keeps the money cumsum exact
+    and order-independent (repo ROUND convention); one shuffle on
+    o_orderstatus, sort within partition."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w_cum = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_orderpriority")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_peers = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_orderpriority")
+        .rangeBetween(Window.currentRow, Window.currentRow)
+    )
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.sum(price).over(w_cum).cast("double").alias("cum_price_with_peers"),
+        F.count(F.lit(1)).over(w_peers).alias("n_peers"),
     )

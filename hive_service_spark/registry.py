@@ -42,12 +42,14 @@ _QUERY_MODULES = (
     "hive_service_spark.operators.transform_script",
     "hive_service_spark.operators.ddl_catalog",
     "hive_service_spark.operators.dml_lifecycle",
+    "hive_service_spark.operators.acid_snapshots",
     "hive_service_spark.operators.tpch",
     "hive_service_spark.operators.tpch_extra",
     "hive_service_spark.operators.tpch_more",
     "hive_service_spark.operators.skew_scale",
     "hive_service_spark.operators.partition_pruning",
     "hive_service_spark.operators.sequence_analytics",
+    "hive_service_spark.operators.matchpath",
     "hive_service_spark.operators.temporal_joins",
     "hive_service_spark.functions.function_queries",
     "hive_service_spark.sources.source_queries",

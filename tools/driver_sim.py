@@ -38,6 +38,47 @@ def canon(cols, rows):
     return hashlib.sha256("\n".join(out).encode()).hexdigest()[:16]
 
 
+def pandas_canon(cols, rows):
+    """Mimic the REAL driver's canonicalizer, which goes through pandas
+    (sort_values -> repr per cell). This path CRASHES on unhashable
+    cells (list/dict/bytearray — round-1 agg_collect/agg_sketches reds)
+    and repr-diverges on Decimal vs float64 (window_range_decimal red),
+    none of which the repr canon above catches. Returns (hash, err)."""
+    import numpy as np
+    import pandas as pd
+
+    def _cell(v):
+        if isinstance(v, np.generic):
+            v = v.item()  # neutralize int32-vs-int64 width noise
+        if isinstance(v, float):
+            v = round(v, 6)
+        if v is not None and hasattr(v, "isoformat"):
+            v = v.isoformat()  # datetime == Timestamp; date != midnight-ts
+        return repr(v)
+
+    try:
+        if rows is None:
+            df = cols  # caller passed a prebuilt pandas DataFrame
+        else:
+            df = pd.DataFrame(list(rows), columns=list(cols))
+        df = df[sorted(df.columns)]
+        for c in df.columns:
+            if df[c].dtype == "float64":
+                df[c] = df[c].round(6)
+        if len(df) and len(df.columns):
+            # multi-column sort_values goes through lexsort/factorize,
+            # which is exactly where the real driver crashes on
+            # unhashable cells — keep that behavior
+            df = df.sort_values(by=list(df.columns), kind="mergesort")
+        payload = "\n".join(
+            "|".join(_cell(v) for v in row)
+            for row in df.itertuples(index=False)
+        )
+        return hashlib.sha256(payload.encode()).hexdigest()[:16], None
+    except Exception as ex:  # the driver records this as ERR
+        return None, f"{type(ex).__name__}: {ex}"
+
+
 def main():
     spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
     t0 = time.time()
@@ -57,16 +98,31 @@ def main():
         srows = [tuple(r) for r in sdf.collect()]
         scols = sdf.columns
         if name not in oracles:
-            print(f"  {name}: rows-only n={len(srows)} ({time.time()-t0:.1f}s)")
-            n_rowsonly += 1
+            # even rows-only outputs go through the real driver's pandas
+            # canon — an unhashable cell is an ERR there, so it is here
+            _, perr = pandas_canon(scols, srows)
+            if perr:
+                print(f"  {name}: PCANON-ERR {perr} ({time.time()-t0:.1f}s)")
+                n_fail += 1
+            else:
+                print(f"  {name}: rows-only n={len(srows)} ({time.time()-t0:.1f}s)")
+                n_rowsonly += 1
             continue
         rel = con.execute(oracles[name])
         dcols = [c[0] for c in rel.description]
         drows = rel.fetchall()
+        ph_s, perr_s = pandas_canon(scols, srows)
+        # the real driver's oracle side goes through duckdb's pandas
+        # conversion (DECIMAL -> float64, DATE -> midnight Timestamp) —
+        # re-execute and take .df() to reproduce that rendering
+        ph_d, perr_d = pandas_canon(con.execute(oracles[name]).df(), None)
         ok = (
             len(srows) == len(drows)
             and sorted(scols) == sorted(dcols)
             and canon(scols, srows) == canon(dcols, drows)
+            and perr_s is None
+            and perr_d is None
+            and ph_s == ph_d
         )
         n_pass += ok
         n_fail += not ok
@@ -75,6 +131,8 @@ def main():
         if not ok:
             print(f"    spark cols={sorted(scols)} n={len(srows)}")
             print(f"    duck  cols={sorted(dcols)} n={len(drows)}")
+            print(f"    repr={canon(scols, srows) == canon(dcols, drows)} "
+                  f"pandas={ph_s == ph_d} perr_s={perr_s} perr_d={perr_d}")
     print(f"PASS={n_pass} FAIL={n_fail} ROWS_ONLY={n_rowsonly}")
     spark.stop()
     sys.exit(1 if n_fail else 0)
