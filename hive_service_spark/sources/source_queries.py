@@ -46,7 +46,7 @@ _SCRATCH = "/root/repo/.scratch"
 
 _CSV_ORACLE = """
 SELECT n_regionkey, COUNT(*) AS n_nations,
-       MIN(n_name) AS first_name, SUM(n_nationkey) AS key_sum
+       MIN(n_name) AS first_name, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
 FROM nation
 GROUP BY n_regionkey
 """
@@ -178,7 +178,7 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _REGEX_ORACLE = """
-SELECT event_type, COUNT(*) AS n, SUM(user_id) AS user_id_sum
+SELECT event_type, COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS user_id_sum
 FROM (
   SELECT regexp_extract(line, '^\\[(\\w+)\\] user=(\\d+)$', 1) AS event_type,
          regexp_extract(line, '^\\[(\\w+)\\] user=(\\d+)$', 2)::BIGINT AS user_id
@@ -320,7 +320,7 @@ def sink_bucketed_smb_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SEQ_ORACLE = """
-SELECT o_orderpriority, COUNT(*) AS n_orders, SUM(o_orderkey) AS key_sum
+SELECT o_orderpriority, COUNT(*) AS n_orders, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
 FROM orders
 GROUP BY o_orderpriority
 """
