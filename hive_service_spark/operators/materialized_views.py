@@ -1,0 +1,298 @@
+"""Materialized-view rewrite — the Calcite ``rules/views`` analog.
+
+Reference surface (SURVEY.md §1.1, §4.1b): Hive maintains materialized
+views in the metastore and Calcite's 56-class ``optimizer/calcite/rules/
+views`` package (``MaterializedViewAggregateRule`` et al.) rewrites a
+user query onto an MV when the MV *contains* the query: the query's
+grouping columns are a subset of the MV's dimensions, every measure is
+derivable from the MV's stored aggregates, and every predicate touches
+only MV dimensions. Freshness is tracked per-MV (a stale MV is skipped
+unless rewriting on stale data is explicitly allowed).
+
+Spark has no automatic MV rewrite (SURVEY.md §4.1 conclusion), so this
+module supplies the missing piece Spark-first:
+
+- ``MaterializedView`` declares dims + stored measures over a base view;
+  ``build()`` materializes it ONCE as parquet partitioned for reuse.
+- ``rewrite(request)`` performs the same containment test Calcite does
+  and returns a DataFrame over the MV when it succeeds, or over the
+  base table when it must fall back — callers always get the right
+  answer, the MV is purely a physical shortcut.
+- Derivations mirror Calcite's: SUM→SUM(sum), COUNT→SUM(count),
+  MIN→MIN(min), MAX→MAX(max), AVG→SUM(sum)/SUM(count) (never AVG(avg)).
+
+100 TB design: the MV is a parquet table ~|dims| in size (orders of
+magnitude smaller than the base), so every rewritten query scans the
+small pre-aggregate instead of the 100 TB fact table — the exact
+reason the reference grew this feature. The rewrite itself is
+driver-side plan construction (no data movement); freshness is a
+manifest version check, not a base-table scan.
+"""
+
+from __future__ import annotations
+
+import shutil
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from hive_service_spark.catalog import load, register_views
+from hive_service_spark.registry import query
+
+_SCRATCH = "/root/repo/.scratch/mv"
+
+# measure kinds the rewriter knows how to derive from stored partials
+_DERIVABLE = {"sum", "count", "min", "max", "avg"}
+
+
+@dataclass(frozen=True)
+class Measure:
+    """One aggregate the user query asks for: ``kind(source_sql)``."""
+
+    kind: str  # sum | count | min | max | avg
+    source: str  # SQL expression over base columns, e.g. "l_quantity"
+
+    def __post_init__(self) -> None:
+        if self.kind not in _DERIVABLE:
+            raise ValueError(f"underivable aggregate kind {self.kind!r}")
+
+
+@dataclass
+class MaterializedView:
+    """A stored group-by aggregate over one base view.
+
+    ``measures`` maps a stable storage column name to the base SQL
+    expression it aggregates. For every measure expression the MV
+    stores the full derivation basis — sum, count, min, max — so any
+    ``_DERIVABLE`` aggregate over that expression can be answered
+    (Calcite keeps the same basis via its AggregateCall mapping).
+    """
+
+    name: str
+    base: str  # registered view name, e.g. "lineitem"
+    dims: tuple[str, ...]  # dimension SQL exprs WITH aliases, alias==usable name
+    measures: dict[str, str]  # measure name -> base SQL expression
+    version: int = 0
+    _built_version: int = field(default=-1)
+
+    @property
+    def path(self) -> str:
+        return f"{_SCRATCH}/{self.name}"
+
+    def _dim_aliases(self) -> list[str]:
+        return [d.split(" AS ")[-1].strip() for d in self.dims]
+
+    def build(self, spark: SparkSession) -> None:
+        """Materialize (or refresh) the MV as parquet."""
+        dim_sql = ", ".join(self.dims)
+        meas_sql = ", ".join(
+            f"SUM(CAST(({expr}) AS DOUBLE)) AS {m}_sum, "
+            f"COUNT({expr}) AS {m}_count, "
+            f"MIN({expr}) AS {m}_min, MAX({expr}) AS {m}_max"
+            for m, expr in self.measures.items()
+        )
+        mv_df = spark.sql(
+            f"SELECT {dim_sql}, {meas_sql} FROM {self.base} "
+            f"GROUP BY {', '.join(self._dim_aliases())}"
+        )
+        shutil.rmtree(self.path, ignore_errors=True)
+        mv_df.write.mode("overwrite").parquet(self.path)
+        self._built_version = self.version
+
+    def invalidate(self) -> None:
+        """Base table changed: bump version → MV is stale until rebuilt."""
+        self.version += 1
+
+    @property
+    def fresh(self) -> bool:
+        return self._built_version == self.version
+
+    # --- the rewrite rule ----------------------------------------------------
+
+    def can_answer(
+        self,
+        group_by: tuple[str, ...],
+        measures: dict[str, Measure],
+        filter_cols: tuple[str, ...] = (),
+    ) -> bool:
+        """Calcite-style containment test.
+
+        True iff the MV is fresh, the query groups by a subset of the
+        MV dimensions, filters only on MV dimensions, and every measure
+        aggregates an expression the MV stored a basis for.
+        """
+        dim_set = set(self._dim_aliases())
+        if not self.fresh:
+            return False
+        if not set(group_by) <= dim_set:
+            return False
+        if not set(filter_cols) <= dim_set:
+            return False
+        return all(m.source in self.measures.values() for m in measures.values())
+
+    def _storage_name(self, source: str) -> str:
+        for m, expr in self.measures.items():
+            if expr == source:
+                return m
+        raise KeyError(source)
+
+    def _derive(self, out_name: str, m: Measure) -> Column:
+        s = self._storage_name(m.source)
+        if m.kind == "sum":
+            return F.sum(f"{s}_sum").alias(out_name)
+        if m.kind == "count":
+            return F.sum(f"{s}_count").alias(out_name)
+        if m.kind == "min":
+            return F.min(f"{s}_min").alias(out_name)
+        if m.kind == "max":
+            return F.max(f"{s}_max").alias(out_name)
+        # avg: SUM(sum)/SUM(count) — re-averaging averages is wrong
+        return (F.sum(f"{s}_sum") / F.sum(f"{s}_count")).alias(out_name)
+
+    def rewrite(
+        self,
+        spark: SparkSession,
+        group_by: tuple[str, ...],
+        measures: dict[str, Measure],
+        predicate: Column | None = None,
+        filter_cols: tuple[str, ...] = (),
+    ) -> tuple[DataFrame, bool]:
+        """Answer the aggregate request, from the MV when containment
+        holds, else from the base table. Returns (df, used_mv)."""
+        if self.can_answer(group_by, measures, filter_cols):
+            df = spark.read.parquet(self.path)
+            if predicate is not None:
+                df = df.filter(predicate)
+            aggs = [self._derive(n, m) for n, m in measures.items()]
+            return df.groupBy(*group_by).agg(*aggs), True
+        # fallback: equivalent plan against the base view
+        base = spark.table(self.base)
+        dim_map = {a: d for d, a in zip(self.dims, self._dim_aliases())}
+        for alias in self._dim_aliases():
+            expr = dim_map[alias]
+            src = expr.split(" AS ")[0].strip() if " AS " in expr else expr
+            base = base.withColumn(alias, F.expr(src))
+        if predicate is not None:
+            base = base.filter(predicate)
+        aggs = []
+        for n, m in measures.items():
+            fn = {"sum": F.sum, "count": F.count, "min": F.min,
+                  "max": F.max, "avg": F.avg}[m.kind]
+            col = F.expr(m.source)
+            if m.kind == "sum":
+                col = col.cast("double")
+            aggs.append(fn(col).alias(n))
+        return base.groupBy(*group_by).agg(*aggs), False
+
+
+def lineitem_revenue_mv() -> MaterializedView:
+    """The demo MV: lineitem pre-aggregated by (returnflag, linestatus,
+    ship_year) — ~|3×2×8| rows regardless of base size."""
+    return MaterializedView(
+        name="lineitem_rev_mv",
+        base="lineitem",
+        dims=(
+            "l_returnflag",
+            "l_linestatus",
+            "YEAR(l_shipdate) AS ship_year",
+        ),
+        measures={
+            "revenue": "l_extendedprice * (1 - l_discount)",
+            "qty": "l_quantity",
+        },
+    )
+
+
+_MV_REWRITE_ORACLE = """
+SELECT l_returnflag,
+       EXTRACT(year FROM l_shipdate)::BIGINT AS ship_year,
+       CAST(COUNT(l_quantity) AS BIGINT) AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(MAX(l_extendedprice * (1 - l_discount)), 2) AS max_rev
+FROM lineitem
+WHERE l_returnflag <> 'N'
+GROUP BY l_returnflag, ship_year
+ORDER BY l_returnflag, ship_year
+"""
+
+
+@query("mv_rewrite_rollup", oracle=_MV_REWRITE_ORACLE)
+def mv_rewrite_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate query answered FROM THE MV via the rewrite rule: the
+    query groups by a strict subset of MV dims, filters on a dim, and
+    derives COUNT/SUM/AVG/MAX from the stored basis (AVG = sum/count
+    re-derivation, the classic Calcite MaterializedViewAggregateRule
+    case). The oracle runs the same query on the base table — matching
+    values prove the rewrite is semantics-preserving. pytest pins that
+    the physical plan scans the MV parquet, not base lineitem."""
+    register_views(spark, sf_dir)
+    mv = lineitem_revenue_mv()
+    mv.build(spark)
+    df, used_mv = mv.rewrite(
+        spark,
+        group_by=("l_returnflag", "ship_year"),
+        measures={
+            "n_items": Measure("count", "l_quantity"),
+            "revenue_raw": Measure("sum", "l_extendedprice * (1 - l_discount)"),
+            "avg_qty_raw": Measure("avg", "l_quantity"),
+            "max_rev_raw": Measure("max", "l_extendedprice * (1 - l_discount)"),
+        },
+        predicate=F.col("l_returnflag") != "N",
+        filter_cols=("l_returnflag",),
+    )
+    assert used_mv, "containment holds — rewrite must target the MV"
+    return (
+        df.select(
+            "l_returnflag",
+            F.col("ship_year").cast("long").alias("ship_year"),
+            "n_items",
+            F.round("revenue_raw", 2).alias("revenue"),
+            F.round("avg_qty_raw", 4).alias("avg_qty"),
+            F.round("max_rev_raw", 2).alias("max_rev"),
+        )
+        .orderBy("l_returnflag", "ship_year")
+    )
+
+
+_MV_FALLBACK_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(l_quantity) AS BIGINT) AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_tax > 0.04
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("mv_rewrite_fallback", oracle=_MV_FALLBACK_ORACLE)
+def mv_rewrite_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment FAILS (the filter touches l_tax, which the MV did
+    not store as a dimension) — the rewriter must decline the MV and
+    answer from the base table, still correctly. This is the soundness
+    half of the rule: an MV can only speed a query up, never change
+    its answer."""
+    register_views(spark, sf_dir)
+    mv = lineitem_revenue_mv()
+    mv.build(spark)
+    df, used_mv = mv.rewrite(
+        spark,
+        group_by=("l_returnflag",),
+        measures={
+            "n_items": Measure("count", "l_quantity"),
+            "revenue_raw": Measure("sum", "l_extendedprice * (1 - l_discount)"),
+        },
+        predicate=F.col("l_tax") > 0.04,
+        filter_cols=("l_tax",),
+    )
+    assert not used_mv, "filter on non-dim must force base-table fallback"
+    return (
+        df.select(
+            "l_returnflag",
+            "n_items",
+            F.round("revenue_raw", 2).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "hive_service_spark.operators.transform_script",
     "hive_service_spark.operators.ddl_catalog",
     "hive_service_spark.operators.dml_lifecycle",
+    "hive_service_spark.operators.materialized_views",
     "hive_service_spark.operators.acid_snapshots",
     "hive_service_spark.operators.tpch",
     "hive_service_spark.operators.tpch_extra",
