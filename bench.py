@@ -43,6 +43,8 @@ HEADLINE = [
     "seq_sessionize_batch",
     "skew_salted_replicated_join",
     "part_dynamic_partition_pruning",
+    "mv_rewrite_rollup",
+    "agg_ewah_bitmap_ops",
     # LLM-pipeline extensions
     "dedup_minhash_lsh",
     "pipeline_clean_corpus",

@@ -181,6 +181,19 @@ def logged_in_user() -> Column:
     return F.current_user()
 
 
+def grouping_id_hive(*cols: Column | str) -> Column:
+    """Hive 2.3's legacy ``GROUPING__ID`` virtual column: bit i is set
+    when the i-th GROUP BY column IS AGGREGATED, with the FIRST column
+    in the LOWEST bit — the reverse of Spark's/standard SQL's
+    ``grouping_id()`` (first column in the highest bit; SURVEY.md §1.2
+    flags the mismatch). Composed from per-column grouping() so it is
+    correct for any subset of grouping sets."""
+    out = F.lit(0).cast("bigint")
+    for i, c in enumerate(cols):
+        out = out + (F.grouping(c).cast("bigint") * F.lit(1 << i))
+    return out
+
+
 def reflect2(*_args) -> Column:
     """Hive reflect2 invokes arbitrary Java methods on a value — not
     supported from PySpark by design (arbitrary JVM reflection is a
@@ -190,16 +203,17 @@ def reflect2(*_args) -> Column:
     )
 
 
-def in_file(col: Column, lines_df) -> Column:
-    """Hive in_file(str, filename): membership against a file's lines.
-    Spark-first shape: the file is a DataFrame (spark.read.text) and
-    membership is a broadcast LEFT SEMI join — O(1) per row at any
-    scale, unlike the reference's per-row file read. Returns a join
-    usable via ``df.join(F.broadcast(lines_df), col == lines_df.value,
-    'left_semi')`` — provided as documentation-level helper."""
-    raise NotImplementedError(
-        "use df.join(F.broadcast(spark.read.text(path)), col == value, 'left_semi')"
-    )
+def in_file(spark, col: Column, path: str) -> Column:
+    """Hive ``in_file(str, filename)``: membership of a string against a
+    file's lines. The reference evaluates it per-row against a local
+    file; the Spark-first shape broadcasts the file's line set once per
+    query (the file is small by the function's contract — it rides the
+    broadcast, not a shuffle) and membership is a hash probe per row.
+    Equivalent set-join form for big files:
+    ``df.join(F.broadcast(spark.read.text(path)), col == value,
+    'left_semi')``."""
+    lines = [r[0] for r in spark.read.text(path).collect()]
+    return col.isin(lines)
 
 
 # --- the machine-checkable inventory ------------------------------------
@@ -350,9 +364,10 @@ HIVE_FUNCTION_TABLE: dict[str, str] = {
     "regr_syy": "builtin:regr_syy",
     "ngrams": "alias:llm.text.ngram_frequencies (explode pipeline)",
     "context_ngrams": "alias:llm.text.ngram_frequencies with context filter",
-    "ewah_bitmap": "na:niche EWAH bitmap index aggregate",
-    "ewah_bitmap_and": "na:niche", "ewah_bitmap_or": "na:niche",
-    "ewah_bitmap_empty": "na:niche",
+    "ewah_bitmap": "impl:functions.bitmap.ewah_bitmap (position-set aggregate, oracle-verified)",
+    "ewah_bitmap_and": "impl:functions.bitmap.ewah_bitmap_and",
+    "ewah_bitmap_or": "impl:functions.bitmap.ewah_bitmap_or",
+    "ewah_bitmap_empty": "impl:functions.bitmap.ewah_bitmap_empty",
     # misc / introspection
     "current_database": "builtin:current_database",
     "current_user": "builtin:current_user", "logged_in_user": "shim:logged_in_user",
@@ -360,6 +375,7 @@ HIVE_FUNCTION_TABLE: dict[str, str] = {
     "java_method": "builtin:java_method", "reflect2": "shim:reflect2 (raises)",
     "in_file": "shim:in_file (broadcast semi-join)",
     "grouping": "builtin:grouping",
+    "grouping__id": "shim:grouping_id_hive (legacy reversed bit order)",
     "internal_interval": "na:parser-internal",
     "sq_count_check": "na:Catalyst checks scalar subqueries natively",
     "noop": "na:test-only PTF", "noopstreaming": "na:test-only PTF",

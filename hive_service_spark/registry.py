@@ -43,6 +43,7 @@ _QUERY_MODULES = (
     "hive_service_spark.operators.ddl_catalog",
     "hive_service_spark.operators.dml_lifecycle",
     "hive_service_spark.operators.materialized_views",
+    "hive_service_spark.operators.bitmap_index",
     "hive_service_spark.operators.acid_snapshots",
     "hive_service_spark.operators.tpch",
     "hive_service_spark.operators.tpch_extra",
@@ -53,6 +54,7 @@ _QUERY_MODULES = (
     "hive_service_spark.operators.matchpath",
     "hive_service_spark.operators.temporal_joins",
     "hive_service_spark.functions.function_queries",
+    "hive_service_spark.functions.percentile_hive",
     "hive_service_spark.sources.source_queries",
     "hive_service_spark.llm.text",
     "hive_service_spark.llm.dedup",

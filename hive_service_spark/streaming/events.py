@@ -430,3 +430,104 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(target)
+
+
+_MV_REFRESH_ORACLE = """
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS total_value
+FROM events
+GROUP BY event_type, day
+"""
+
+
+@query("stream_mv_incremental_refresh", oracle=_MV_REFRESH_ORACLE)
+def stream_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the streaming
+    counterpart of operators/materialized_views.py. The events file is
+    staged as multiple files and read with maxFilesPerTrigger=1, so
+    availableNow delivers SEVERAL micro-batches; foreachBatch computes
+    each batch's partial aggregate and merges it into the on-disk MV
+    (new_mv = re-aggregate(old_mv ∪ batch_partial) — sums of sums,
+    sums of counts), writing a NEW snapshot version per batch (COW, so
+    a replayed batch can't corrupt the MV and readers never see a
+    partial write). Money math runs in DECIMAL so the merged total is
+    independent of how the stream was batched.
+
+    At 100 TB/day this is the standard warehouse rollup pattern: the
+    MV is partitioned by day, each batch merges only the day
+    partitions it touches, and old snapshots age out. The final MV
+    must equal the one-shot batch aggregate — that is the oracle."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    base = "/root/repo/.scratch/stream_mv"
+    ckpt = f"{_CKPT}/hs_stream_mv_refresh"
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    # stage events as 4 files so availableNow yields 4 micro-batches
+    src_dir = f"{base}/src"
+    from hive_service_spark.catalog import load as _load
+
+    _load(spark, sf_dir, "events").repartition(4).write.parquet(src_dir)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src_dir).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src_dir)
+
+    keys = ["event_type", "day"]
+    versions = f"{base}/mv_v"
+    state = {"cur": None, "batches": 0}
+
+    def _partial(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("day", F.date_trunc("day", "ts"))
+            .groupBy(*keys)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,4)"))
+                .cast("decimal(38,6)")
+                .alias("sum_value"),
+            )
+        )
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = _partial(batch_df)
+        if state["cur"] is not None:
+            old = spark.read.parquet(state["cur"])
+            merged = (
+                old.unionByName(partial)
+                .groupBy(*keys)
+                .agg(
+                    F.sum("n_events").cast("bigint").alias("n_events"),
+                    F.sum("sum_value").cast("decimal(38,6)").alias("sum_value"),
+                )
+            )
+        else:
+            merged = partial
+        nxt = f"{versions}{batch_id}"
+        merged.write.mode("overwrite").parquet(nxt)
+        state["cur"] = nxt
+        state["batches"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["batches"] >= 2, (
+        f"expected multiple micro-batches, got {state['batches']} — "
+        "incrementality untested"
+    )
+    mv = spark.read.parquet(state["cur"])
+    return mv.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round("sum_value", 2).cast("double").alias("total_value"),
+    )

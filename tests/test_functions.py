@@ -150,3 +150,91 @@ def test_sentences_ngrams(spark):
         F.sentences(F.lit("Hello world. Good day spark")).alias("s")
     ).collect()[0]
     assert got.s == [["Hello", "world"], ["Good", "day", "spark"]]
+
+
+def test_percentile_approx_hive_is_hives_algorithm(spark):
+    """The Hive NumericHistogram quantile is a DIFFERENT estimator from
+    both Spark's percentile_approx (KLL-ish) and exact percentile: on
+    discrete data it interpolates between adjacent distinct values.
+    Sanity: close to exact percentile (within one value step), and the
+    q=0.95 estimate differs from the exact rank statistic (proving we
+    did not just alias the builtin)."""
+    import pyspark.sql.functions as F
+
+    from hive_service_spark.catalog import load
+    from hive_service_spark.functions.percentile_hive import (
+        percentile_approx_hive,
+    )
+    from tests.conftest import SF_DIR
+
+    li = load(spark, SF_DIR, "lineitem")
+    hive_p = {
+        (r["l_returnflag"], r["q"]): r["p_hive"]
+        for r in percentile_approx_hive(
+            li, "l_returnflag", "l_quantity", [0.5, 0.95]
+        ).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p95"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+            F.expr("percentile(l_quantity, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    assert hive_p, "no groups"
+    diverged = False
+    for flag, (p50, p95) in exact.items():
+        # within one quantity step of the exact answer
+        assert abs(hive_p[(flag, 0.5)] - p50) <= 1.0, flag
+        assert abs(hive_p[(flag, 0.95)] - p95) <= 1.0, flag
+        if abs(hive_p[(flag, 0.95)] - p95) > 1e-9:
+            diverged = True
+    assert diverged, "estimator identical to exact percentile everywhere?"
+
+
+def test_in_file_membership(spark, tmp_path):
+    """in_file(str, filename): true iff the string equals one of the
+    file's lines — evaluated as a broadcast-resident hash probe."""
+    import pyspark.sql.functions as F
+
+    from hive_service_spark.functions import hive_compat as hc
+
+    p = tmp_path / "allowed.txt"
+    p.write_text("alpha\ngamma\n")
+    df = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",)], "w string"
+    )
+    got = sorted(
+        r["w"]
+        for r in df.where(hc.in_file(spark, F.col("w"), str(p))).collect()
+    )
+    assert got == ["alpha", "gamma"]
+
+
+def test_grouping_id_hive_legacy_bit_order(spark):
+    """Hive 2.3 GROUPING__ID puts the FIRST grouping column in the
+    LOWEST bit — the reverse of Spark's grouping_id(). Verify both the
+    reversal and the per-grouping-set values on a 2-column cube."""
+    import pyspark.sql.functions as F
+
+    from hive_service_spark.functions import hive_compat as hc
+
+    df = spark.createDataFrame([("a", "x", 1)], "c1 string, c2 string, v int")
+    rows = (
+        df.cube("c1", "c2")
+        .agg(
+            F.grouping_id().alias("spark_gid"),
+            hc.grouping_id_hive("c1", "c2").alias("hive_gid"),
+        )
+        .collect()
+    )
+    got = {(r["c1"], r["c2"]): (r["spark_gid"], r["hive_gid"]) for r in rows}
+    # (a,x): nothing aggregated -> 0/0 ; (a,NULL): c2 aggregated ->
+    # spark bit0=1, hive bit1=2 ; (NULL,x): c1 aggregated -> spark 2,
+    # hive 1 ; (NULL,NULL): both -> 3/3.
+    assert got[("a", "x")] == (0, 0)
+    assert got[("a", None)] == (1, 2)
+    assert got[(None, "x")] == (2, 1)
+    assert got[(None, None)] == (3, 3)
