@@ -186,3 +186,20 @@ def test_repetition_filter_is_map_only(spark):
     quality signals are pure array expressions, so the plan must have
     NO Exchange at all — one map pass over the scan."""
     assert "Exchange" not in P.operators(_df(spark, "text_repetition_filter"))
+
+
+def test_ewah_bitmap_pairs_broadcast_no_cartesian(spark):
+    """The flag-pair comparison joins a |flags|-row frame to itself —
+    must be a broadcast join (never a shuffle, never cartesian), and
+    the only wide stage is the distinct over (flag, block)."""
+    df = _df(spark, "agg_ewah_bitmap_ops")
+    assert not P.has_cartesian(df)
+    assert P.has_broadcast_join(df)
+
+
+def test_percentile_hive_quantiles_ride_broadcast(spark):
+    """The 4-row quantile frame joins via broadcast; the heavy side is
+    one groupBy + windows over |groups|x NDV rows, no cartesian."""
+    df = _df(spark, "agg_percentile_approx_hive")
+    assert not P.has_cartesian(df)
+    assert P.has_broadcast_join(df)
