@@ -476,3 +476,51 @@ def func_python_udf_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT r_name, py_reverse(r_name) AS rev_name, "
         "py_vowels(r_name) AS n_vowels FROM region ORDER BY r_name"
     )
+
+
+_HIVE_HASH_ORACLE = """
+WITH h AS (
+  SELECT c_custkey,
+         list_reduce(
+           list_prepend(0::BIGINT,
+             list_transform(
+               list_filter(string_split(c_name, ''), ch -> len(ch) > 0),
+               ch -> ascii(ch)::BIGINT)),
+           (acc, c) -> (acc*31 + c) % 4294967296) AS uh
+  FROM customer
+),
+signed AS (
+  SELECT c_custkey,
+         CASE WHEN uh >= 2147483648 THEN uh - 4294967296 ELSE uh END AS jh
+  FROM h
+)
+SELECT ((jh % 16) + 16) % 16 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(jh) AS BIGINT) AS min_hash,
+       CAST(MAX(jh) AS BIGINT) AS max_hash
+FROM signed GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query("func_hive_hash_buckets", oracle=_HIVE_HASH_ORACLE)
+def func_hive_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive ``hash()`` = Java String.hashCode (NOT Spark's Murmur3) and
+    the bucket assignment Hive's bucketed tables derive from it
+    (SURVEY.md §7 hard parts: Hive bucketing hash ≠ Spark bucketing
+    hash — this shim reproduces Hive's layout bucket-for-bucket). The
+    oracle folds the identical 31x+c recurrence in DuckDB; pytest pins
+    known Java values ("abc" -> 96354)."""
+    from hive_service_spark.functions.hive_compat import hive_hash_string
+
+    c = load(spark, sf_dir, "customer")
+    jh = hive_hash_string(F.col("c_name"))
+    return (
+        c.select(F.pmod(jh, F.lit(16)).cast("bigint").alias("bucket"), jh.alias("jh"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("jh").alias("min_hash"),
+            F.max("jh").alias("max_hash"),
+        )
+        .orderBy("bucket")
+    )

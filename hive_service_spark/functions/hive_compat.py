@@ -181,6 +181,27 @@ def logged_in_user() -> Column:
     return F.current_user()
 
 
+def hive_hash_string(c: Column) -> Column:
+    """Hive's ``hash(string)`` = Java ``String.hashCode()``:
+    h = Σ s[i]·31^(n-1-i) in wrapping 32-bit arithmetic — NOT Spark's
+    Murmur3 ``hash`` (SURVEY.md §2.7 ⚠). Computed JVM-side as a fold
+    over the characters: accumulate in unsigned-64 mod 2³², then map
+    back to signed 32-bit. Exact for single-UTF-16-unit characters
+    (ascii() = the code unit); matches Hive/Java bucket-for-bucket, so
+    layouts bucketed by Hive's hash can be reproduced."""
+    chars = F.filter(F.split(c, ""), lambda ch: F.length(ch) > 0)
+    h = F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: F.pmod(
+            acc * F.lit(31) + F.ascii(ch), F.lit(4294967296)
+        ),
+    )
+    return F.when(h >= F.lit(2147483648), h - F.lit(4294967296)).otherwise(
+        h
+    ).cast("bigint")
+
+
 def grouping_id_hive(*cols: Column | str) -> Column:
     """Hive 2.3's legacy ``GROUPING__ID`` virtual column: bit i is set
     when the i-th GROUP BY column IS AGGREGATED, with the FIRST column
@@ -328,7 +349,9 @@ HIVE_FUNCTION_TABLE: dict[str, str] = {
     "xpath_number": "builtin:xpath_number", "xpath_short": "builtin:xpath_short",
     "xpath_string": "builtin:xpath_string",
     # hash/crypto
-    "crc32": "builtin:crc32", "hash": "builtin:hash (⚠ Murmur3, Hive uses Java hashCode)",
+    "crc32": "builtin:crc32",
+    "hash": "shim:hive_hash_string (Java hashCode semantics; Spark's "
+            "Murmur3 builtin also available as hash)",
     "md5": "builtin:md5", "sha": "builtin:sha", "sha1": "builtin:sha1",
     "sha2": "builtin:sha2", "aes_decrypt": "builtin:aes_decrypt",
     "aes_encrypt": "builtin:aes_encrypt", "uuid": "builtin:uuid",

@@ -338,3 +338,125 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).otherwise(0),
     )
+
+
+_PII_ORACLE = r"""
+WITH aug AS (
+  SELECT doc_id, source,
+         text || ' contact user' || doc_id ||
+         '@mail' || (doc_id % 7) || '.example.com or call 555-' ||
+         lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+         CASE WHEN doc_id % 3 = 0
+              THEN ' ssn ' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                   || '-' || lpad((doc_id % 100)::VARCHAR, 2, '0')
+                   || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+              ELSE '' END AS text
+  FROM documents
+),
+red AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+         len(regexp_extract_all(text, '\b555-[0-9]{4}\b')) AS n_phones,
+         len(regexp_extract_all(text,
+           '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS n_ssns,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+           '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+  FROM aug
+)
+SELECT source,
+       CAST(SUM(n_emails) AS BIGINT) AS emails_redacted,
+       CAST(SUM(n_phones) AS BIGINT) AS phones_redacted,
+       CAST(SUM(n_ssns) AS BIGINT)   AS ssns_redacted,
+       CAST(SUM(CASE WHEN n_emails + n_phones + n_ssns > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS docs_touched,
+       CAST(SUM(len(redacted)) AS BIGINT) AS redacted_chars,
+       CAST(SUM(CASE WHEN redacted LIKE '%@%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS leak_check
+FROM red GROUP BY source ORDER BY source
+"""
+
+
+@query("text_pii_redaction", oracle=_PII_ORACLE)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training-data pipeline
+    runs before tokenization (emails / phone numbers / SSN-shaped ids
+    -> placeholder tokens). The synthetic corpus carries no PII, so a
+    deterministic doc_id-derived injection runs first ON BOTH ENGINES,
+    making every regex path value-checkable with nonzero counts
+    (leak_check pins that no email survives redaction). Map-only: at
+    100 TB this is a pure scan->regexp->write pipeline, no shuffle
+    except the final per-source rollup."""
+    d = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" ssn "),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                F.lit("-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\b555-[0-9]{4}\b"
+    ssn_re = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+    red = (
+        d.select("doc_id", "source", aug.alias("text"))
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.regexp_extract_all("text", F.lit(email_re), F.lit(0)))
+            .alias("n_emails"),
+            F.size(F.regexp_extract_all("text", F.lit(phone_re), F.lit(0)))
+            .alias("n_phones"),
+            F.size(F.regexp_extract_all("text", F.lit(ssn_re), F.lit(0)))
+            .alias("n_ssns"),
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace("text", email_re, "<EMAIL>"),
+                    ssn_re,
+                    "<SSN>",
+                ),
+                phone_re,
+                "<PHONE>",
+            ).alias("redacted"),
+        )
+    )
+    return (
+        red.groupBy("source")
+        .agg(
+            F.sum("n_emails").cast("bigint").alias("emails_redacted"),
+            F.sum("n_phones").cast("bigint").alias("phones_redacted"),
+            F.sum("n_ssns").cast("bigint").alias("ssns_redacted"),
+            F.sum(
+                F.when(
+                    F.col("n_emails") + F.col("n_phones") + F.col("n_ssns")
+                    > 0,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("docs_touched"),
+            F.sum(F.length("redacted")).cast("bigint").alias("redacted_chars"),
+            F.sum(
+                F.when(F.col("redacted").contains("@"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("leak_check"),
+        )
+        .orderBy("source")
+    )

@@ -200,3 +200,61 @@ def tablesample_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(F.col("l_orderkey") % 16 == 3).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+_SAMPLE_PCT_ORACLE = """
+WITH sampled AS (
+  SELECT o_orderkey, o_totalprice,
+         ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT AS coin
+  FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)::DOUBLE
+         AS sampled_total
+FROM sampled WHERE coin % 100 < 5
+"""
+
+
+@query("tablesample_percent", oracle=_SAMPLE_PCT_ORACLE)
+def tablesample_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLESAMPLE(5 PERCENT) as a content-stable hash coin
+    (md5(key) mod 100 < pct) instead of Hive's split-based SplitSample
+    or seeded Bernoulli df.sample: the same rows are sampled on every
+    engine, every cluster size, and every run — which is what a
+    reproducible training-data pipeline needs — and the filter is
+    map-only (no shuffle, prunes before any downstream work)."""
+    o = load(spark, sf_dir, "orders")
+    coin = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return o.where(coin % 100 < 5).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
+        )
+        .cast("double")
+        .alias("sampled_total"),
+    )
+
+
+_SAMPLE_ROWS_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_orderkey
+LIMIT 50
+"""
+
+
+@query("tablesample_rows", oracle=_SAMPLE_ROWS_ORACLE)
+def tablesample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLESAMPLE(50 ROWS). Hive takes the first N rows per split; a
+    deterministic cross-engine contract needs an order, so this is the
+    TopN form — which Catalyst executes as TakeOrderedAndProject (the
+    reference's TopNHash pushdown, SURVEY.md §2.6), never a global
+    sort."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(50)
+    )

@@ -238,3 +238,33 @@ def test_grouping_id_hive_legacy_bit_order(spark):
     assert got[("a", None)] == (1, 2)
     assert got[(None, "x")] == (2, 1)
     assert got[(None, None)] == (3, 3)
+
+
+def test_hive_hash_matches_java_hashcode(spark):
+    """Known Java String.hashCode values, incl. a negative one."""
+    import pyspark.sql.functions as F
+
+    from hive_service_spark.functions import hive_compat as hc
+
+    df = spark.createDataFrame(
+        [("abc",), ("hello world",), ("",), ("Customer#000000001",),
+         ("zzzzzzzzzz",)],
+        "s string",
+    )
+    got = {
+        r["s"]: r["h"]
+        for r in df.select(
+            "s", hc.hive_hash_string(F.col("s")).alias("h")
+        ).collect()
+    }
+
+    def jh(s):
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) & 0xFFFFFFFF
+        return h - (1 << 32) if h >= (1 << 31) else h
+
+    for s, h in got.items():
+        assert h == jh(s), (s, h, jh(s))
+    assert got["abc"] == 96354
+    assert any(h < 0 for h in got.values()), "no negative hash exercised"
