@@ -325,3 +325,73 @@ def ddl_explain_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT n_name, count(*) AS n FROM customer "
         "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
     )
+
+
+_STATS_ONLY_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+       CAST(COUNT(o_custkey) AS BIGINT) AS n_custkey_nonnull
+FROM orders
+"""
+
+
+@query("ddl_stats_only_answering", oracle=_STATS_ONLY_ORACLE)
+def ddl_stats_only_answering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's StatsOptimizer (Optimizer transform #27,
+    SURVEY.md §4.1a): COUNT/MIN/MAX answered from metastore statistics
+    with NO table scan. Spark's OptimizeMetadataOnlyQuery only covers
+    partition columns, so this supplies the missing piece explicitly:
+    ANALYZE materializes stats into the catalog, then DESCRIBE-style
+    metadata lookups (spark.catalog / DESCRIBE ... o_orderkey) answer
+    the aggregate — the result plan is a LocalTableScan over one
+    constructed row, zero bytes of the 100 TB table read. Correctness
+    guard: stats answered this way are only valid when the catalog is
+    not stale — the ANALYZE runs in the same 'transaction' here, which
+    is exactly Hive's StatsTask-after-write discipline."""
+    register_views(spark, sf_dir)
+    _fresh_table(spark, "stats_orders")
+    spark.sql(
+        """
+        CREATE TABLE hs_scratch.stats_orders USING parquet AS
+        SELECT * FROM orders
+        """
+    )
+    spark.sql(
+        "ANALYZE TABLE hs_scratch.stats_orders COMPUTE STATISTICS "
+        "FOR COLUMNS o_orderkey, o_custkey"
+    )
+    # stats lookups: pure metadata reads (HMS/catalog), no file I/O
+    row_count = int(
+        spark.sql("DESCRIBE TABLE EXTENDED hs_scratch.stats_orders")
+        .where(F.col("col_name") == "Statistics")
+        .head()[1]
+        .split(",")[1]
+        .strip()
+        .split(" ")[0]
+    )
+    key_stats = {
+        r[0]: r[1]
+        for r in spark.sql(
+            "DESCRIBE EXTENDED hs_scratch.stats_orders o_orderkey"
+        ).collect()
+    }
+    cust_stats = {
+        r[0]: r[1]
+        for r in spark.sql(
+            "DESCRIBE EXTENDED hs_scratch.stats_orders o_custkey"
+        ).collect()
+    }
+    n_nonnull = row_count - int(cust_stats["num_nulls"])
+    return spark.createDataFrame(
+        [
+            (
+                row_count,
+                int(key_stats["min"]),
+                int(key_stats["max"]),
+                n_nonnull,
+            )
+        ],
+        "n_rows bigint, min_key bigint, max_key bigint, "
+        "n_custkey_nonnull bigint",
+    )
