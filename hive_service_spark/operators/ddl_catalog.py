@@ -395,3 +395,79 @@ def ddl_stats_only_answering(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, min_key bigint, max_key bigint, "
         "n_custkey_nonnull bigint",
     )
+
+
+_CONSTRAINTS_ORACLE = """
+SELECT 'orders.o_custkey -> customer.c_custkey' AS fk,
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_child_rows,
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE o.o_custkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT) AS n_orphans,
+       CAST((SELECT COUNT(*) FROM
+              (SELECT c_custkey FROM customer
+               GROUP BY c_custkey HAVING COUNT(*) > 1))
+            AS BIGINT) AS n_pk_violations
+"""
+
+
+@query("ddl_constraints_informational", oracle=_CONSTRAINTS_ORACLE)
+def ddl_constraints_informational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Informational PRIMARY KEY / FOREIGN KEY constraints — the
+    metastore's add_primary_key/add_foreign_key/get_cross_reference
+    surface (SURVEY.md §1.1). Neither Hive nor Spark ENFORCES them
+    (RELY/NOVALIDATE); they are catalog metadata for optimizers and
+    humans. Spark-first: declared as table properties, and — the part
+    the reference never does — VALIDATED distributedly: the PK check is
+    one groupBy, the FK orphan check a broadcast anti-join probe
+    (customer broadcasts; at 100 TB the fact side streams map-only)."""
+    register_views(spark, sf_dir)
+    _fresh_table(spark, "orders_fk")
+    spark.sql(
+        """
+        CREATE TABLE hs_scratch.orders_fk USING parquet
+        TBLPROPERTIES (
+          'constraint.pk' = 'o_orderkey',
+          'constraint.fk.o_custkey' = 'customer.c_custkey RELY NOVALIDATE'
+        )
+        AS SELECT * FROM orders
+        """
+    )
+    # read the declared constraints back from the catalog (the
+    # get_cross_reference analog), then validate them
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(
+            "SHOW TBLPROPERTIES hs_scratch.orders_fk"
+        ).collect()
+    }
+    assert props["constraint.pk"] == "o_orderkey"
+    assert props["constraint.fk.o_custkey"].startswith("customer.c_custkey")
+
+    o = spark.table("hs_scratch.orders_fk")
+    c = load(spark, sf_dir, "customer")
+    orphans = (
+        o.where(F.col("o_custkey").isNotNull())
+        .join(
+            F.broadcast(c.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .count()
+    )
+    pk_viol = (
+        c.groupBy("c_custkey").count().where(F.col("count") > 1).count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                "orders.o_custkey -> customer.c_custkey",
+                o.count(),
+                orphans,
+                pk_viol,
+            )
+        ],
+        "fk string, n_child_rows bigint, n_orphans bigint, "
+        "n_pk_violations bigint",
+    )

@@ -268,3 +268,51 @@ def test_hive_hash_matches_java_hashcode(spark):
         assert h == jh(s), (s, h, jh(s))
     assert got["abc"] == 96354
     assert any(h < 0 for h in got.values()), "no negative hash exercised"
+
+
+def test_char_varchar_semantics(spark):
+    """SURVEY §1.2: CHAR(n)/VARCHAR(n) length-qualified types. Spark's
+    CHAR(5) pads on read exactly like Hive's. One documented delta:
+    Hive silently TRUNCATES a too-long VARCHAR insert, Spark raises
+    EXCEED_LIMIT_LENGTH — Hive semantics are recovered with an explicit
+    substr at the sink, which is what a migration shim must add."""
+    import pyspark.sql.functions as F
+    from pyspark.errors import PySparkException
+
+    spark.sql(
+        "CREATE DATABASE IF NOT EXISTS hs_scratch "
+        "LOCATION '/root/repo/.scratch/warehouse'"
+    )
+    spark.sql("DROP TABLE IF EXISTS hs_scratch.char_semantics")
+    spark.sql(
+        "CREATE TABLE hs_scratch.char_semantics "
+        "(c CHAR(5), v VARCHAR(3)) USING parquet"
+    )
+    spark.sql(
+        "INSERT INTO hs_scratch.char_semantics VALUES "
+        "('ab', 'abc'), ('abcde', 'ab')"
+    )
+    rows = {
+        r["c"]: r["v"]
+        for r in spark.table("hs_scratch.char_semantics").collect()
+    }
+    assert rows == {"ab   ": "abc", "abcde": "ab"}  # CHAR pads like Hive
+    # Spark refuses overflow where Hive truncates...
+    try:
+        spark.sql(
+            "INSERT INTO hs_scratch.char_semantics VALUES ('x', 'toolong')"
+        )
+        raise AssertionError("expected EXCEED_LIMIT_LENGTH")
+    except PySparkException as e:
+        assert "EXCEED_LIMIT_LENGTH" in str(e)
+    # ...and the Hive-compat sink shim is an explicit truncation:
+    spark.sql(
+        "INSERT INTO hs_scratch.char_semantics "
+        "SELECT 'x', substr('toolong', 1, 3)"
+    )
+    assert (
+        spark.table("hs_scratch.char_semantics")
+        .where(F.col("v") == "too")
+        .count()
+        == 1
+    )
