@@ -49,6 +49,14 @@ from hive_service_spark.registry import query
 _SCRATCH = "/root/repo/.scratch/acid"
 
 
+class ConcurrentWriteConflict(RuntimeError):
+    """A second writer published the version this commit was based on.
+
+    Analog of the reference's write-write conflict abort
+    (hive-exec!ql/lockmgr/DbTxnManager; SURVEY.md §1.1): the losing
+    transaction must re-read the latest snapshot and retry its DML."""
+
+
 class SnapshotTable:
     """A minimal snapshot-versioned parquet table with COW DML."""
 
@@ -75,20 +83,55 @@ class SnapshotTable:
         with open(os.path.join(self._log_dir(), f"{version:08d}.json")) as fh:
             return json.load(fh)
 
-    def _commit(self, op: str, buckets: dict[int, str]) -> int:
+    def _commit(
+        self,
+        op: str,
+        buckets: dict[int, str],
+        deletes: dict[int, list[str]] | None = None,
+        base_version: int | None = None,
+    ) -> int:
+        """Publish version ``base_version + 1`` with OPTIMISTIC
+        CONCURRENCY: the manifest is hard-linked into place with an
+        exclusive create, so if another writer published the same
+        version number first, THIS commit loses and raises
+        ``ConcurrentWriteConflict`` (the analog of the reference's
+        transaction manager rejecting a write-write conflict; Delta
+        Lake's commit protocol is the same file-level race). There is
+        no check-then-write window — the link either claims the
+        version slot or fails."""
         vs = self._versions()
-        v = (vs[-1] + 1) if vs else 0
+        latest = vs[-1] if vs else -1
+        if base_version is None:
+            base_version = latest
+        if base_version != latest:
+            raise ConcurrentWriteConflict(
+                f"read snapshot v{base_version} but latest is v{latest}"
+            )
+        v = base_version + 1
         os.makedirs(self._log_dir(), exist_ok=True)
         manifest = {
             "version": v,
             "op": op,
             "buckets": {str(b): rel for b, rel in sorted(buckets.items())},
+            "deletes": {
+                str(b): sorted(rels)
+                for b, rels in sorted((deletes or {}).items())
+                if rels
+            },
         }
         tmp = os.path.join(self._log_dir(), f".{v:08d}.json.tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        # atomic publish: a manifest is either fully visible or absent
-        os.replace(tmp, os.path.join(self._log_dir(), f"{v:08d}.json"))
+        final = os.path.join(self._log_dir(), f"{v:08d}.json")
+        try:
+            # atomic + exclusive publish: exactly one writer can claim v
+            os.link(tmp, final)
+        except FileExistsError:
+            raise ConcurrentWriteConflict(
+                f"version v{v} was published by a concurrent writer"
+            ) from None
+        finally:
+            os.unlink(tmp)
         return v
 
     # -- physical io --------------------------------------------------------
@@ -113,14 +156,28 @@ class SnapshotTable:
         return out
 
     def read(self, version: int | None = None) -> DataFrame:
-        """Read a snapshot (latest, or time-travel to ``version``)."""
+        """Read a snapshot (latest, or time-travel to ``version``).
+
+        Merge-on-read: if the manifest carries delete deltas (from
+        ``delete_mor``), the deleted keys are subtracted with a
+        BROADCAST anti-join — the delete set is the small change log,
+        never the table, so at 100 TB this is a map-side filter over
+        the base scan, exactly how the reference's ORC ACID reader
+        applies delete_delta files per split."""
         vs = self._versions()
         if not vs:
             raise FileNotFoundError(f"no snapshots at {self.path}")
         v = vs[-1] if version is None else version
         m = self._manifest(v)
         paths = [os.path.join(self.path, rel) for rel in m["buckets"].values()]
-        return self.spark.read.parquet(*paths)
+        df = self.spark.read.parquet(*paths)
+        del_rels = [r for rels in m.get("deletes", {}).values() for r in rels]
+        if del_rels:
+            dk = self.spark.read.parquet(
+                *[os.path.join(self.path, r) for r in del_rels]
+            ).select(self.key).distinct()
+            df = df.join(F.broadcast(dk), on=self.key, how="left_anti")
+        return df
 
     def history(self) -> list[dict]:
         return [self._manifest(v) for v in self._versions()]
@@ -157,14 +214,23 @@ class SnapshotTable:
 
     def _rewrite(self, op: str, bucket_ids: list[int], new_rows_fn) -> int:
         """Shared COW commit: rewrite ``bucket_ids`` via ``new_rows_fn``
-        (current-bucket-rows -> new-bucket-rows), carry the rest."""
+        (current-bucket-rows -> new-bucket-rows), carry the rest.
+        Pending delete deltas are APPLIED to the affected buckets
+        before the transform (so a COW rewrite never resurrects
+        MOR-deleted rows) and cleared for exactly those buckets; the
+        untouched buckets keep their deltas."""
         vs = self._versions()
-        cur = self._manifest(vs[-1])
-        v = vs[-1] + 1
+        base_v = vs[-1]
+        cur = self._manifest(base_v)
+        v = base_v + 1
+        cur_del = {int(b): rels for b, rels in cur.get("deletes", {}).items()}
         carried = {
             int(b): rel
             for b, rel in cur["buckets"].items()
             if int(b) not in bucket_ids
+        }
+        carried_del = {
+            b: rels for b, rels in cur_del.items() if b not in bucket_ids
         }
         if bucket_ids:
             affected_paths = [
@@ -172,10 +238,20 @@ class SnapshotTable:
                 for b in bucket_ids
             ]
             current = self.spark.read.parquet(*affected_paths)
+            del_rels = [r for b in bucket_ids for r in cur_del.get(b, [])]
+            if del_rels:
+                dk = self.spark.read.parquet(
+                    *[os.path.join(self.path, r) for r in del_rels]
+                ).select(self.key).distinct()
+                current = current.join(
+                    F.broadcast(dk), on=self.key, how="left_anti"
+                )
             rewritten = self._write_buckets(new_rows_fn(current), v, bucket_ids)
         else:
             rewritten = {}
-        return self._commit(op, {**carried, **rewritten})
+        return self._commit(
+            op, {**carried, **rewritten}, deletes=carried_del, base_version=base_v
+        )
 
     def merge(self, source: DataFrame, update_cols: list[str]) -> int:
         """MERGE: match on the key; matched rows take ``update_cols``
@@ -232,6 +308,94 @@ class SnapshotTable:
         return self._rewrite(
             "delete", bucket_ids, lambda cur: cur.where(~cond)
         )
+
+    # -- merge-on-read deletes + compactor (reference txn/compactor) --------
+
+    def delete_mor(self, cond: Column) -> int:
+        """DELETE WHERE cond, MERGE-ON-READ: writes only a per-bucket
+        delete-delta (the matched KEYS, not rewritten data), the exact
+        analog of the reference's ``delete_delta_x_y`` directories
+        (hive-exec!ql/io/AcidUtils; SURVEY.md §1.1). Base buckets are
+        untouched — the delete is O(|matched keys|) I/O regardless of
+        table size — and every reader subtracts the deltas until the
+        compactor folds them in. This is the write path a 100 TB
+        table wants for frequent small deletes (GDPR erasure, bad-doc
+        takedowns): the COW ``delete`` rewrites whole buckets."""
+        vs = self._versions()
+        base_v = vs[-1]
+        cur = self._manifest(base_v)
+        v = base_v + 1
+        matched = self.read().where(cond).select(self.key)
+        bucket_ids = self._affected_buckets(matched)
+        deletes = {
+            int(b): list(rels) for b, rels in cur.get("deletes", {}).items()
+        }
+        tagged = matched.withColumn("_b", self._bucket_of(F.col(self.key)))
+        for b in bucket_ids:
+            rel = f"data/dv{v}-b{b}"
+            (
+                tagged.where(F.col("_b") == b)
+                .select(self.key)
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.path, rel))
+            )
+            deletes.setdefault(b, []).append(rel)
+        buckets = {int(b): rel for b, rel in cur["buckets"].items()}
+        return self._commit(
+            "delete.mor", buckets, deletes=deletes, base_version=base_v
+        )
+
+    def compact(self) -> int:
+        """MAJOR compaction (reference ``ql/txn/compactor/Worker``):
+        fold every pending delete delta into fresh base buckets and
+        publish a delta-free manifest. Readers of older versions are
+        unaffected (their manifests still reference the old dirs until
+        ``vacuum``). One full rewrite of live data — schedule it like
+        the reference does, off the write path."""
+        vs = self._versions()
+        base_v = vs[-1]
+        snap = self.read()  # delete deltas applied
+        buckets = self._write_buckets(snap, base_v + 1, range(self.n_buckets))
+        return self._commit("compact", buckets, deletes={}, base_version=base_v)
+
+    def maybe_compact(self, max_delete_deltas: int = 10) -> bool:
+        """Compaction INITIATOR (reference ``ql/txn/compactor/
+        Initiator``): trigger a major compaction when the pending
+        delete-delta count crosses the threshold, else no-op. Returns
+        whether a compaction ran."""
+        cur = self._manifest(self._versions()[-1])
+        n = sum(len(rels) for rels in cur.get("deletes", {}).values())
+        if n >= max_delete_deltas:
+            self.compact()
+            return True
+        return False
+
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """CLEANER (reference ``ql/txn/compactor/Cleaner``): drop
+        manifests older than the newest ``retain_last`` versions and
+        delete every data dir no retained manifest references. After
+        vacuum, time travel beyond the retention window raises (the
+        files are gone), exactly like the reference cleaner removing
+        obsolete base/delta dirs once no open txn can read them.
+        Returns the removed relative dirs."""
+        vs = self._versions()
+        retained = vs[-retain_last:]
+        keep: set[str] = set()
+        for v in retained:
+            m = self._manifest(v)
+            keep.update(m["buckets"].values())
+            for rels in m.get("deletes", {}).values():
+                keep.update(rels)
+        removed: list[str] = []
+        data_dir = os.path.join(self.path, "data")
+        for d in sorted(os.listdir(data_dir)):
+            rel = f"data/{d}"
+            if rel not in keep:
+                shutil.rmtree(os.path.join(data_dir, d))
+                removed.append(rel)
+        for v in vs[: len(vs) - retain_last]:
+            os.unlink(os.path.join(self._log_dir(), f"{v:08d}.json"))
+        return removed
 
 
 # ---------------------------------------------------------------------------
@@ -329,3 +493,92 @@ def acid_merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(agg(t.read(), "v3"))
         .orderBy("snapshot")
     )
+
+
+# ---------------------------------------------------------------------------
+# registered query: MOR deletes -> COW-over-deltas -> compactor -> cleaner
+# ---------------------------------------------------------------------------
+
+_MOR_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus AS status,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey < 3000
+),
+mor AS (  -- v1+v2: two merge-on-read delete deltas
+  SELECT * FROM base WHERE price >= 30000 AND status <> 'P'
+),
+upd AS (  -- v3: COW UPDATE on top of the pending deltas
+  SELECT o_orderkey,
+         CASE WHEN status = 'F' AND price > 250000
+              THEN 'D' ELSE status END AS status,
+         price
+  FROM mor
+)
+SELECT 'mor' AS stage, 'ALL' AS status, COUNT(*) AS n_rows,
+       ROUND(SUM(price), 2) AS total_price FROM mor
+UNION ALL
+SELECT 'post_compact' AS stage, status, COUNT(*) AS n_rows,
+       ROUND(SUM(price), 2) AS total_price
+FROM upd GROUP BY status
+ORDER BY stage, status
+"""
+
+
+@query("acid_mor_compaction", oracle=_MOR_ORACLE)
+def acid_mor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read delete lifecycle with the compactor pipeline:
+    create v0 -> delete_mor (price delta) v1 -> delete_mor (status
+    delta) v2 -> COW UPDATE that must apply-and-clear the pending
+    deltas on its buckets v3 -> major compaction (Worker) v4 ->
+    vacuum to the latest version (Cleaner). The first output row
+    aggregates the MERGE-ON-READ view at v2 (base files untouched,
+    deltas subtracted at read); the post_compact rows re-aggregate
+    after compaction+vacuum, so the value hash proves delta
+    subtraction, COW-over-delta correctness, and compaction all
+    preserve exact row content. Reference: hive-exec!ql/io/AcidUtils
+    delete_delta dirs + ql/txn/compactor/{Initiator,Worker,Cleaner}
+    (SURVEY.md §1.1)."""
+    path = os.path.join(_SCRATCH, f"orders_mor_{os.getpid()}")
+    base = load(spark, sf_dir, "orders").where(F.col("o_orderkey") < 3000).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    t = SnapshotTable.create(spark, path, base, key_col="o_orderkey")
+    t.delete_mor(F.col("price") < 30000)       # v1: small-delete fast path
+    t.delete_mor(F.col("status") == "P")       # v2: second pending delta
+
+    mor_view = t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("price"), 2).alias("total_price"),
+    ).select(
+        F.lit("mor").alias("stage"), F.lit("ALL").alias("status"),
+        "n_rows", "total_price",
+    )
+    mor_view = spark.createDataFrame(
+        mor_view.collect(), mor_view.schema
+    )  # pin the v2 view before later commits change "latest"
+
+    # v3: COW update — must fold the pending deltas on its buckets
+    t.update(
+        (F.col("status") == "F") & (F.col("price") > 250000),
+        {"status": F.lit("D")},
+    )
+    # Initiator with threshold 0 == forced major compaction -> v4 (the
+    # update may already have folded every pending delta on its own
+    # buckets, so a >=1 threshold could legitimately no-op here; the
+    # threshold semantics are pytest-covered in test_acid_snapshots)
+    t.maybe_compact(max_delete_deltas=0)
+    t.vacuum(retain_last=1)                      # Cleaner drops old dirs
+
+    final = (
+        t.read()
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("price"), 2).alias("total_price"),
+        )
+        .select(F.lit("post_compact").alias("stage"), "status", "n_rows", "total_price")
+    )
+    return mor_view.unionByName(final).orderBy("stage", "status")

@@ -84,3 +84,74 @@ def test_delete_everything_then_history(spark, table):
     table.delete(F.lit(True))
     assert table.read().count() == 0
     assert table.read(version=0).count() == 20
+
+
+def test_mor_delete_leaves_base_untouched(spark, table):
+    m0 = table.history()[-1]
+    table.delete_mor(F.col("price") < 500)  # k 1..4
+    m1 = table.history()[-1]
+    # base bucket dirs are identical — only delete deltas were added
+    assert m1["buckets"] == m0["buckets"]
+    assert sum(len(r) for r in m1["deletes"].values()) >= 1
+    ks = {r["k"] for r in table.read().collect()}
+    assert ks == set(range(5, 21))
+    # time travel to v0 still sees everything
+    assert table.read(version=0).count() == 20
+
+
+def test_cow_update_applies_pending_deltas(spark, table):
+    table.delete_mor(F.col("k") == 7)
+    # COW update rewrites buckets; the delta for k=7's bucket must be
+    # folded in (row stays gone), not resurrected from the base file
+    table.update(F.lit(True), {"price": F.col("price") + 1.0})
+    got = {r["k"]: r["price"] for r in table.read().collect()}
+    assert 7 not in got and got[8] == 801.0 and len(got) == 19
+    # update touched every bucket, so no deltas remain
+    assert table.history()[-1]["deletes"] == {}
+
+
+def test_compactor_worker_and_initiator(spark, table):
+    table.delete_mor(F.col("k") <= 2)
+    table.delete_mor(F.col("k") == 20)
+    before = table.read()
+    rows_before = sorted(map(tuple, before.collect()))
+    # initiator: below threshold -> no-op; at threshold -> compacts
+    n_deltas = sum(len(r) for r in table.history()[-1]["deletes"].values())
+    assert n_deltas >= 2
+    assert table.maybe_compact(max_delete_deltas=n_deltas + 1) is False
+    assert table.history()[-1]["op"] == "delete.mor"
+    assert table.maybe_compact(max_delete_deltas=n_deltas) is True
+    m = table.history()[-1]
+    assert m["op"] == "compact" and m["deletes"] == {}
+    # compaction preserved exact content
+    assert sorted(map(tuple, table.read().collect())) == rows_before
+
+
+def test_vacuum_cleaner_retention(spark, table):
+    import os
+    table.delete_mor(F.col("k") <= 5)
+    table.compact()
+    rows = sorted(map(tuple, table.read().collect()))
+    removed = table.vacuum(retain_last=1)
+    assert removed  # old base + delta dirs actually deleted
+    for rel in removed:
+        assert not os.path.isdir(os.path.join(table.path, rel))
+    # latest still reads exactly; vacuumed versions are gone
+    assert sorted(map(tuple, table.read().collect())) == rows
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        table.read(version=0)
+
+
+def test_concurrent_writer_conflict(spark, table):
+    from hive_service_spark.operators.acid_snapshots import (
+        ConcurrentWriteConflict, SnapshotTable,
+    )
+    # writer B publishes v1 while writer A is still based on v0
+    b = SnapshotTable(spark, table.path, key_col="k", n_buckets=4)
+    b.delete(F.col("k") == 1)
+    with pytest.raises(ConcurrentWriteConflict):
+        table._commit("delete", {}, base_version=0)
+    # loser retries from the new snapshot and succeeds
+    v = table.delete(F.col("k") == 2)
+    assert v == 2 and {r["k"] for r in table.read().collect()} == set(range(3, 21))
