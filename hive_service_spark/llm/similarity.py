@@ -516,3 +516,191 @@ def ml_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("qv").alias("q_min"),
         F.array_max("qv").alias("q_max"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# 5. Product quantization + asymmetric-distance ANN (the 100 TB memory path)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8   # subspaces
+_PQ_D = _DIM // _PQ_M   # dims per subspace
+_PQ_K = 16  # codewords per subspace -> 8 x 4 bits = 4 bytes per vector
+
+_PQ_ORACLE = f"""
+WITH v AS ({_VECS_SQL}),
+anch AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, e
+  FROM (SELECT vec_id, e FROM v WHERE vec_id % 50 <> 0
+        ORDER BY vec_id LIMIT {_PQ_K})
+),
+sp AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s),
+book AS (
+  SELECT sp.s, anch.j,
+         list_slice(anch.e, sp.s*{_PQ_D} + 1, sp.s*{_PQ_D} + {_PQ_D}) AS c
+  FROM sp CROSS JOIN anch
+),
+enc AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vv.vec_id, b.s, b.j AS code,
+           ROW_NUMBER() OVER (PARTITION BY vv.vec_id, b.s ORDER BY
+             ROUND(
+               list_dot_product(
+                 list_slice(vv.e, b.s*{_PQ_D} + 1, b.s*{_PQ_D} + {_PQ_D}),
+                 list_slice(vv.e, b.s*{_PQ_D} + 1, b.s*{_PQ_D} + {_PQ_D}))
+               - 2 * list_dot_product(
+                   list_slice(vv.e, b.s*{_PQ_D} + 1, b.s*{_PQ_D} + {_PQ_D}),
+                   b.c)
+               + list_dot_product(b.c, b.c), 6), b.j) AS rn
+    FROM v vv CROSS JOIN book b
+  ) WHERE rn = 1
+),
+recon AS (
+  SELECT e2.vec_id, flatten(list(b.c ORDER BY e2.s)) AS r,
+         string_agg(CAST(e2.code AS VARCHAR), ',' ORDER BY e2.s) AS codes
+  FROM enc e2 JOIN book b ON b.s = e2.s AND b.j = e2.code
+  GROUP BY e2.vec_id
+),
+rr AS (SELECT vec_id, r, codes, sqrt(list_dot_product(r, r)) AS rn2 FROM recon),
+q AS (SELECT vec_id, e, nr FROM v WHERE {_IS_QUERY}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.codes,
+         ROUND(list_dot_product(q.e, c.r) / (q.nr * c.rn2), 4) + 0.0
+           AS approx_cosine
+  FROM q JOIN rr c ON q.vec_id <> c.vec_id
+)
+SELECT query_id, cand_id, codes, approx_cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY approx_cosine DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """Codebooks[s][j] = the s-th subspace of the j-th anchor vector.
+
+    Codebook 'training' is DRIVER-SIDE over a bounded sample by design
+    — that is where every PQ implementation trains (k-means over a
+    sample that fits in memory), and the anchors-as-codewords choice
+    (k-means with zero Lloyd iterations, deterministic anchor set =
+    first K non-query vec_ids) keeps the whole pipeline reproducible
+    in ANY engine so the DuckDB oracle can verify codes, reconstruction
+    and ranking by value. Production would run a few Lloyd iterations
+    over the same sample before broadcasting — identical plan shape,
+    better recall."""
+    v = _vecs(spark, sf_dir)
+    rows = (
+        v.where(F.expr("vec_id % 50 != 0"))
+        .orderBy("vec_id")
+        .limit(_PQ_K)
+        .select("e")
+        .collect()
+    )
+    return [
+        [
+            [float(rows[j]["e"][s * _PQ_D + i]) for i in range(_PQ_D)]
+            for j in range(_PQ_K)
+        ]
+        for s in range(_PQ_M)
+    ]
+
+
+@query("ann_pq_adc", oracle=_PQ_ORACLE)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance: every corpus
+    vector is encoded to {_PQ_M} 4-bit codes (64 doubles -> 4 bytes,
+    the 128x memory compression that lets a 100 TB embedding corpus
+    live in executor memory), queries stay EXACT and score against the
+    reconstructed codewords (ADC — asymmetric distance computation).
+
+    Scale shape: encoding is one MAP pass — the codebook is baked into
+    the plan as literals (the broadcast of a 16x8-double table), so no
+    shuffle, no UDF, whole-stage codegen end to end. Scoring is the
+    same broadcast-query join as the exact path but against 4-byte
+    codes + a 128-entry lookup (here expressed as reconstruction dot
+    products so the oracle can verify values); the final top-k window
+    is the only shuffle. Combine with ann_ivf_cells for IVF-PQ: route
+    to cells, then ADC-score inside the probed cell only."""
+    books = _pq_codebooks(spark, sf_dir)
+    v = _vecs(spark, sf_dir)
+    books_all = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(x) for x in books[s][j]])
+                    for j in range(_PQ_K)
+                ]
+            )
+            for s in range(_PQ_M)
+        ]
+    )
+
+    # One nested-HOF expression for all 8 codes — 128 separate
+    # aggregate expressions (one per subspace x codeword) made plan
+    # analysis/codegen the dominant cost (~8s per run regardless of
+    # row count); as a single transform-over-codebook-literal tree the
+    # plan is small and the per-row work identical.
+    def _sqd(sub: Column, c: Column) -> Column:
+        # ||x||^2 - 2<x,c> + ||c||^2, rounded like the oracle so the
+        # argmin picks the same codeword in both engines
+        return F.round(
+            _dot(sub, sub) - 2.0 * _dot(sub, c) + _dot(c, c), 6
+        )
+
+    def code_for(s: Column) -> Column:
+        sub = F.slice(F.col("e"), s * _PQ_D + 1, F.lit(_PQ_D))
+        bk = F.element_at(books_all, (s + 1).cast("int"))
+        dists = F.transform(bk, lambda c: _sqd(sub, c))
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)), code_for
+    )
+    enc = v.select("vec_id", "nr", codes.alias("codes"))
+    recon = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+            lambda s: F.element_at(
+                F.element_at(books_all, s + 1),
+                F.element_at(F.col("codes"), s + 1) + 1,
+            ),
+        )
+    )
+    rr = (
+        enc.withColumn("r", recon)  # codes is still the int array here
+        .withColumn("rn2", F.sqrt(_dot(F.col("r"), F.col("r"))))
+        .select(
+            "vec_id",
+            F.array_join(
+                F.transform("codes", lambda c: c.cast("string")), ","
+            ).alias("codes"),
+            "r",
+            "rn2",
+        )
+    )
+    q = v.where(F.expr(_IS_QUERY)).select("vec_id", "e", "nr")
+    scored = (
+        F.broadcast(q.alias("q"))
+        .join(rr.alias("c"), F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("cand_id"),
+            F.col("c.codes").alias("codes"),
+            (
+                F.round(
+                    _dot(F.col("q.e"), F.col("c.r"))
+                    / (F.col("q.nr") * F.col("c.rn2")),
+                    4,
+                )
+                + 0.0
+            ).alias("approx_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cosine"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "cand_id", "codes", "approx_cosine", "rank")
+    )
