@@ -31,7 +31,7 @@ from __future__ import annotations
 import os
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from hive_service_spark.catalog import load
 from hive_service_spark.registry import query
@@ -146,4 +146,149 @@ def part_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.sum("l_quantity"), 2).alias("qty"),
         )
         .orderBy("ship_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering — multi-column data skipping (file/row-group pruning)
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8          # 8 bits per dimension -> 16-bit Morton code
+_Z_CHUNKS = 64       # stand-in for files/row-groups after a clustered write
+# the 2-D range queries the layouts are judged on: one selective in the
+# sort dimension (where a linear sort is already optimal) and one that
+# filters ONLY the second dimension (the linear layout's worst case —
+# the situation z-ordering exists to fix)
+_ZQ_BOXES = [
+    ("both_dims", 32, 47, 64, 95),
+    ("y_only", 0, 255, 64, 71),
+]
+
+
+def _morton_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_zq_values = ", ".join(
+    f"('{b}', {x0}, {x1}, {y0}, {y1})" for b, x0, x1, y0, y1 in _ZQ_BOXES
+)
+
+_ZORDER_ORACLE = f"""
+WITH pts AS (
+  SELECT o_orderkey,
+         CAST(o_custkey % 256 AS INTEGER) AS x,
+         CAST(CAST(floor(o_totalprice / 2500) AS INTEGER) % 256 AS INTEGER)
+           AS y
+  FROM orders
+),
+coded AS (
+  SELECT *, {_morton_sql('x', 'y')} AS z FROM pts
+),
+layouts AS (
+  SELECT 'linear' AS layout, x, y,
+         NTILE({_Z_CHUNKS}) OVER (ORDER BY x, o_orderkey) AS chunk
+  FROM coded
+  UNION ALL
+  SELECT 'zorder' AS layout, x, y,
+         NTILE({_Z_CHUNKS}) OVER (ORDER BY z, o_orderkey) AS chunk
+  FROM coded
+),
+stats AS (
+  SELECT layout, chunk,
+         MIN(x) AS min_x, MAX(x) AS max_x,
+         MIN(y) AS min_y, MAX(y) AS max_y,
+         COUNT(*) AS n_rows
+  FROM layouts GROUP BY layout, chunk
+),
+boxes AS (
+  SELECT * FROM (VALUES {_zq_values}) AS t(box, x0, x1, y0, y1)
+)
+SELECT b.box, s.layout,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN s.max_x >= b.x0 AND s.min_x <= b.x1
+                      AND s.max_y >= b.y0 AND s.min_y <= b.y1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS chunks_touched,
+       CAST(SUM(CASE WHEN s.max_x >= b.x0 AND s.min_x <= b.x1
+                      AND s.max_y >= b.y0 AND s.min_y <= b.y1
+                     THEN s.n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+FROM stats s CROSS JOIN boxes b
+GROUP BY b.box, s.layout ORDER BY b.box, s.layout
+"""
+
+
+@query("layout_zorder_skipping", oracle=_ZORDER_ORACLE)
+def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering vs linear sort for multi-column
+    data skipping — the write-time layout decision that makes parquet
+    min/max row-group stats prune on BOTH filter columns instead of
+    one. Rows get a 16-bit Morton code interleaving 8 bits of customer
+    and 8 bits of price-bucket; each layout is split into
+    {_Z_CHUNKS} equal chunks (the stand-ins for files/row-groups of a
+    clustered write), and two 2-D range queries count how many chunks
+    their min/max boxes force open. The 'both_dims' box shows parity
+    with a linear sort on its selective dimension; the 'y_only' box is
+    the linear layout's worst case — it opens ALL chunks while the
+    z-ordered layout opens ~1/6 of them (64 vs 11 at sf0.01), which is
+    the skip win a 100 TB deployment banks on (Delta/Iceberg OPTIMIZE
+    ZORDER does exactly this before writing). The oracle recomputes
+    both layouts exactly, so the value hash proves the interleave and
+    the skip counts. No reference analog — Hive 2.3 sorts on one
+    column only (SORTED BY, SURVEY.md §2.6); listed as an extension."""
+    o = load(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 256).cast("int")
+    y = (F.floor(F.col("o_totalprice") / 2500).cast("int") % 256).cast("int")
+    z = None
+    for i in range(_Z_BITS):
+        tx = F.shiftleft(F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)), 2 * i)
+        ty = F.shiftleft(
+            F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        z = tx + ty if z is None else z + tx + ty
+    coded = o.select("o_orderkey", x.alias("x"), y.alias("y")).withColumn(
+        "z", z
+    )
+
+    def chunked(layout: str, order_col: str) -> DataFrame:
+        w = Window.orderBy(order_col, "o_orderkey")
+        return coded.select(
+            F.lit(layout).alias("layout"),
+            "x",
+            "y",
+            F.ntile(_Z_CHUNKS).over(w).alias("chunk"),
+        )
+
+    layouts = chunked("linear", "x").unionByName(chunked("zorder", "z"))
+    stats = layouts.groupBy("layout", "chunk").agg(
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    boxes = spark.createDataFrame(
+        _ZQ_BOXES, "box string, x0 int, x1 int, y0 int, y1 int"
+    )
+    hit = (
+        (F.col("max_x") >= F.col("x0"))
+        & (F.col("min_x") <= F.col("x1"))
+        & (F.col("max_y") >= F.col("y0"))
+        & (F.col("min_y") <= F.col("y1"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(boxes))
+        .groupBy("box", "layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias(
+                "chunks_touched"
+            ),
+            F.sum(F.when(hit, F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
+        )
+        .orderBy("box", "layout")
     )

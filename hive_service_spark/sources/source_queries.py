@@ -390,3 +390,62 @@ def sink_compaction_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("l_quantity").alias("sum_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# uniontype STORAGE round-trip (SURVEY.md §1.2 tagged-struct encoding)
+# ---------------------------------------------------------------------------
+
+_UNION_RT_ORACLE = """
+WITH t AS (
+  SELECT CASE WHEN o_orderstatus = 'O' THEN 0 ELSE 1 END AS tag,
+         CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS field0,
+         CASE WHEN o_orderstatus <> 'O' THEN o_orderpriority END AS field1
+  FROM orders WHERE o_orderkey < 4000
+)
+SELECT tag,
+       COUNT(*) AS n_rows,
+       CAST(COALESCE(SUM(CAST(field0 AS DECIMAL(18,2))), 0) AS DOUBLE)
+         AS sum_branch0,
+       COALESCE(MAX(field1), '') AS max_branch1
+FROM t GROUP BY tag ORDER BY tag
+"""
+
+
+@query("source_uniontype_roundtrip", oracle=_UNION_RT_ORACLE)
+def source_uniontype_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uniontype STORAGE: a union<double,string> column survives a
+    parquet write/read round-trip in the documented tagged-struct
+    encoding (struct<tag, field0, field1> — SURVEY.md §1.2; reference
+    serde UnionObjectInspector in hive-exec!serde2/objectinspector/).
+    Tag 0 carries the price of open orders, tag 1 the priority string
+    of everything else; after reading back, per-tag dispatch with
+    extract_union aggregates each branch. The oracle recomputes the
+    same dispatch from the base table, so the value hash proves the
+    encoding stored and recovered both branches exactly. Branch sums
+    go through DECIMAL so parallel double addition can't flap the
+    hash."""
+    import hive_service_spark.functions.hive_compat as hc
+
+    path = f"{_SCRATCH}/orders_uniontype"
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") < 4000)
+    tag = F.when(F.col("o_orderstatus") == "O", 0).otherwise(1)
+    u = hc.create_union(tag, F.col("o_totalprice"), F.col("o_orderpriority"))
+    o.select("o_orderkey", u.alias("u")).write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(F.col("u.tag").cast("int").alias("tag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(
+                F.sum(hc.extract_union(F.col("u"), 0).cast("decimal(18,2)")),
+                F.lit(0).cast("decimal(18,2)"),
+            )
+            .cast("double")
+            .alias("sum_branch0"),
+            F.coalesce(
+                F.max(hc.extract_union(F.col("u"), 1)), F.lit("")
+            ).alias("max_branch1"),
+        )
+        .orderBy("tag")
+    )
