@@ -1,0 +1,173 @@
+"""Cost-based optimization & physical data-skipping features.
+
+Reference capabilities covered (SURVEY.md §4):
+
+- **CBO / stats-driven planning** — Hive's Calcite cost-based optimizer
+  (`hive-exec!ql/optimizer/calcite/HiveVolcanoPlanner`,
+  `ql/stats/StatsUtils`; enabled by `hive.cbo.enable` +
+  `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`). Spark analog:
+  `ANALYZE TABLE` column stats + `spark.sql.cbo.enabled` +
+  `spark.sql.cbo.joinReorder.enabled` → `CostBasedJoinReorder` picks
+  the join order from rowCount/NDV instead of syntax order.
+- **Bucket pruning** — Hive's `FixedBucketPruningOptimizer`
+  (`hive-exec!ql/optimizer/FixedBucketPruningOptimizer.class`): an
+  equality predicate on the bucketing column reads only the matching
+  bucket files. Spark analog: `spark.sql.sources.bucketing.enabled`
+  scans show `SelectedBucketsCount: k out of n`. At 100 TB this is the
+  difference between scanning 1/128th of a table and all of it for a
+  point lookup — pinned in tests/test_plans.py.
+
+Both run against scratch catalog tables (the driver parquet rewritten
+bucketed / analyzed), mirroring how the reference's optimizer consumes
+metastore-persisted stats and bucket specs.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_service_spark.catalog import load
+from hive_service_spark.registry import query
+
+_SCRATCH = "/root/repo/.scratch/opt"
+
+
+def _scratch_db(spark: SparkSession) -> None:
+    os.makedirs(f"{_SCRATCH}/warehouse", exist_ok=True)
+    spark.sql(
+        "CREATE DATABASE IF NOT EXISTS hs_opt "
+        f"LOCATION '{_SCRATCH}/warehouse'"
+    )
+
+
+def _replace_table(spark: SparkSession, name: str) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS hs_opt.{name}")
+    shutil.rmtree(f"{_SCRATCH}/warehouse/{name}", ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# bucket pruning: point lookup reads 1 bucket of 16
+# ---------------------------------------------------------------------------
+
+_BUCKET_PRUNE_ORACLE = """
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS spend
+FROM orders
+WHERE o_custkey IN (7, 466, 1333)
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
+@query("opt_bucket_pruning", oracle=_BUCKET_PRUNE_ORACLE)
+def opt_bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned point lookup (FixedBucketPruningOptimizer analog):
+    orders persisted bucketed 16 ways on o_custkey; an IN-list equality
+    predicate on the bucket column lets Spark scan only the buckets
+    those keys hash to (`SelectedBucketsCount` in the scan — pinned in
+    tests/test_plans.py). At 100 TB a point lookup touches ≤3/16th of
+    the files with zero shuffle; bucket count would scale with table
+    size. Results (not file layout) are oracle-checked since Hive and
+    Spark bucket hash functions differ (SURVEY.md §7)."""
+    _scratch_db(spark)
+    tbl = f"orders_bp_{os.getpid()}"
+    _replace_table(spark, tbl)
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    (
+        o.write.mode("overwrite")
+        .bucketBy(16, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable(f"hs_opt.{tbl}")
+    )
+    back = spark.table(f"hs_opt.{tbl}")
+    return (
+        back.where(F.col("o_custkey").isin(7, 466, 1333))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CBO join reorder: stats flip a syntactically-bad join order
+# ---------------------------------------------------------------------------
+
+_CBO_ORACLE = """
+SELECT n_name,
+       COUNT(*) AS n_items,
+       CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+FROM lineitem
+JOIN customer ON l_orderkey % 1500 + 1 = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE n_name IN ('NATION_0', 'NATION_1')
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@query("opt_cbo_join_reorder", oracle=_CBO_ORACLE)
+def opt_cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based join reordering from ANALYZE'd column stats (Hive
+    `hive.cbo.enable` + Calcite Volcano planner; SURVEY.md §4.1a).
+    The query is WRITTEN worst-order — big fact joined to customer
+    first, selective nation last — but with rowCount/NDV stats on all
+    three scratch tables and `spark.sql.cbo.joinReorder.enabled`,
+    `CostBasedJoinReorder` plans (customer ⋈ nation) first, shrinking
+    the fact-side build to the two selected nations before the big
+    join. tests/test_plans.py pins both the stats visibility (EXPLAIN
+    COST rowCount) and the reorder itself. At 100 TB picking the
+    selective dim first is the difference between shuffling the whole
+    fact table and 8% of it."""
+    _scratch_db(spark)
+    sfx = str(os.getpid())
+    names = {t: f"{t}_cbo_{sfx}" for t in ("lineitem", "customer", "nation")}
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    for src, tbl in zip((li, cust, nat), names.values()):
+        _replace_table(spark, tbl)
+        src.write.mode("overwrite").saveAsTable(f"hs_opt.{tbl}")
+        spark.sql(
+            f"ANALYZE TABLE hs_opt.{tbl} COMPUTE STATISTICS FOR ALL COLUMNS"
+        )
+    old = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    }
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try:
+        df = spark.sql(
+            f"""
+            SELECT n_name,
+                   COUNT(*) AS n_items,
+                   CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+            FROM hs_opt.{names['lineitem']}
+            JOIN hs_opt.{names['customer']}
+              ON l_orderkey % 1500 + 1 = c_custkey
+            JOIN hs_opt.{names['nation']}
+              ON c_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_0', 'NATION_1')
+            GROUP BY n_name
+            ORDER BY n_name
+            """
+        )
+        # Force plan materialization NOW: QueryExecution memoizes its
+        # optimized/executed plan, so the reorder is decided while the
+        # CBO confs are still set, not at the caller's action time.
+        df._jdf.queryExecution().executedPlan()
+        return df
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -592,3 +592,71 @@ def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+# --- Q22: global sales opportunity (scalar avg + NOT EXISTS anti-join) ------
+
+_Q22_ORACLE = """
+WITH eligible AS (
+  SELECT c_custkey, c_acctbal, c_nationkey % 10 AS cntrycode
+  FROM customer
+  WHERE c_nationkey % 10 IN (1, 2, 3, 4, 5, 6, 7)
+),
+cutoff AS (
+  SELECT AVG(c_acctbal) AS avg_bal FROM eligible WHERE c_acctbal > 0.00
+)
+SELECT cntrycode,
+       COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM eligible e, cutoff
+WHERE e.c_acctbal > cutoff.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = e.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+@query("q22_global_sales_opportunity", oracle=_Q22_ORACLE)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (reference perf corpus
+    `ql/src/test/queries/clientpositive/perf/query*.q` — SURVEY.md §5):
+    customers in a country-code set with above-average positive balance
+    and NO urgent orders. Driver testdata has no c_phone, so
+    cntrycode = c_nationkey % 10, and every testdata customer has at
+    least one order, so "no orders" is adapted to "no 1-URGENT order"
+    (same IN-list + scalar-avg + NOT EXISTS plan signature, non-empty
+    answer). Spark-first decorrelation: the positive-balance average
+    is a 1-row aggregate broadcast via crossJoin (map-side partial agg,
+    no full shuffle of customer), and NOT EXISTS becomes a left_anti
+    join against the o_custkey projection — at 100 TB that anti-join
+    shuffles both sides once on custkey; customer never shuffles twice."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    eligible = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        (F.col("c_nationkey") % 10).alias("cntrycode"),
+    ).where(F.col("cntrycode").isin(1, 2, 3, 4, 5, 6, 7))
+    cutoff = eligible.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = eligible.crossJoin(F.broadcast(cutoff)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    no_orders = rich.join(
+        orders.select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        no_orders.groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "hive_service_spark.operators.tpch_more",
     "hive_service_spark.operators.skew_scale",
     "hive_service_spark.operators.partition_pruning",
+    "hive_service_spark.operators.optimizer_features",
     "hive_service_spark.operators.sequence_analytics",
     "hive_service_spark.operators.matchpath",
     "hive_service_spark.operators.temporal_joins",
