@@ -171,3 +171,78 @@ def opt_cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# runtime bloom-filter semi-join reduction
+# ---------------------------------------------------------------------------
+
+_RTF_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@query("opt_runtime_bloom_filter", oracle=_RTF_ORACLE)
+def opt_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join reduction — the Hive/Tez
+    `hive.tez.dynamic.semijoin.reduction` capability
+    (`hive-exec!ql/parse/GenTezUtils` + `ql/exec/FilterOperator` with a
+    runtime bloom from the dim build side; SURVEY.md §4.2). Spark
+    analog: `InjectRuntimeFilter` builds `bloom_filter_agg` over the
+    selective orders side and pushes `bloom_filter_might_contain`
+    into the lineitem scan filter, so ~80% of fact rows die BEFORE the
+    join shuffle. Thresholds are lowered to sf0.1-appropriate values
+    (the defaults target real cluster sizes: 10 GiB application-side
+    scans); broadcast is disabled for the probe so the shuffle-join
+    path — the one that matters at 100 TB where orders outgrows any
+    broadcast — is what gets exercised. Plan pin in
+    tests/test_plans.py. Money sums in DECIMAL (order-independent)."""
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        orders = load(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        net = (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).cast("decimal(18,4)")
+        df = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(net).cast("double").alias("revenue"),
+            )
+            .orderBy("o_year")
+        )
+        # memoize the plan while the runtime-filter confs are in force
+        df._jdf.queryExecution().executedPlan()
+        return df
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

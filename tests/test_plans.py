@@ -282,3 +282,14 @@ def test_cbo_reorders_worst_order_join(spark):
     with redirect_stdout(buf):
         df.explain(mode="cost")
     assert "rowCount=" in buf.getvalue()
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """opt_runtime_bloom_filter: the selective orders side must build a
+    bloom filter that is applied to lineitem BEFORE the join shuffle
+    (Hive dynamic semijoin reduction analog). Both the build aggregate
+    and the probe predicate must be in the plan."""
+    df = _df(spark, "opt_runtime_bloom_filter")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bloom_filter_agg" in plan, plan[:3000]
+    assert "might_contain" in plan.lower(), plan[:3000]

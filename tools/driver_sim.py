@@ -17,7 +17,13 @@ from pyspark.sql import SparkSession
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as e  # noqa: E402
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF = _args[0] if _args else "/root/testdata/sf0.01"
+# --only=name1,name2 restricts the oracle sweep (full gate still the default)
+ONLY = None
+for _a in sys.argv[1:]:
+    if _a.startswith("--only="):
+        ONLY = set(_a.split("=", 1)[1].split(","))
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -93,6 +99,8 @@ def main():
     qs, oracles = e.queries(), e.oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in sorted(qs.items()):
+        if ONLY is not None and name not in ONLY:
+            continue
         t0 = time.time()
         sdf = fn(spark, SF)
         srows = [tuple(r) for r in sdf.collect()]
