@@ -582,3 +582,119 @@ def acid_mor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("post_compact").alias("stage"), "status", "n_rows", "total_price")
     )
     return mor_view.unionByName(final).orderBy("stage", "status")
+
+
+# ---------------------------------------------------------------------------
+# registered query: CDC — classified change set between two snapshots
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus AS status,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey < 2500
+),
+v1 AS (  -- UPDATE: reprice open big orders in DECIMAL
+  SELECT o_orderkey, status,
+         CASE WHEN status = 'O' AND price > 200000
+              THEN CAST(ROUND(CAST(price AS DECIMAL(18,2))
+                              * CAST(1.05 AS DECIMAL(3,2)), 2) AS DOUBLE)
+              ELSE price END AS price
+  FROM base
+),
+v2 AS (  -- DELETE small orders
+  SELECT * FROM v1 WHERE price >= 20000
+),
+v3 AS (  -- MERGE-insert sentinel rows
+  SELECT * FROM v2
+  UNION ALL
+  SELECT * FROM (VALUES (9000001, 'N', 111.0), (9000002, 'N', 222.0))
+              AS t(o_orderkey, status, price)
+),
+diff AS (
+  SELECT CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+              WHEN f.o_orderkey IS NULL THEN 'delete'
+              ELSE 'update' END AS change_type,
+         COALESCE(f.price, b.price) AS price
+  FROM base b FULL OUTER JOIN v3 f USING (o_orderkey)
+  WHERE b.o_orderkey IS NULL OR f.o_orderkey IS NULL
+     OR b.status <> f.status OR b.price <> f.price
+)
+SELECT change_type, COUNT(*) AS n_rows,
+       ROUND(SUM(price), 2) AS price_sum
+FROM diff GROUP BY change_type ORDER BY change_type
+"""
+
+
+@query("acid_cdc_changes", oracle=_CDC_ORACLE)
+def acid_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC read between snapshot versions — the incremental-consumption
+    analog of the reference's ACID delta files (`hive-exec!ql/io/
+    AcidUtils` exposes base+delta dirs per ValidTxnList so readers can
+    consume only what changed; SURVEY.md §1.1). Without per-commit
+    row-level change files, a snapshot store derives the change set by
+    DIFFING two versions: UPDATE v1 → DELETE v2 → MERGE-insert v3, then
+    full-outer join v0 vs v3 on the table key classifying each row as
+    insert / update / delete. Scale: both sides bucket-hash on the SAME
+    key the snapshot layout buckets by, so the diff join co-partitions
+    with the storage layout; unchanged rows are filtered before the
+    aggregate. Downstream incremental jobs (index refresh, MV
+    maintenance, replication) consume exactly this classified stream."""
+    path = os.path.join(_SCRATCH, f"orders_cdc_{os.getpid()}")
+    base = load(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2500).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    t = SnapshotTable.create(spark, path, base, key_col="o_orderkey")
+    t.update(
+        (F.col("status") == "O") & (F.col("price") > 200000),
+        {
+            "price": F.round(
+                F.col("price").cast("decimal(18,2)")
+                * F.lit("1.05").cast("decimal(3,2)"),
+                2,
+            ).cast("double")
+        },
+    )
+    t.delete(F.col("price") < 20000)
+    t.merge(
+        spark.createDataFrame(
+            [(9000001, "N", 111.0), (9000002, "N", 222.0)],
+            "o_orderkey long, status string, price double",
+        ),
+        update_cols=["status", "price"],
+    )
+
+    old = t.read(version=0).select(
+        F.col("o_orderkey").alias("k_old"),
+        F.col("status").alias("status_old"),
+        F.col("price").alias("price_old"),
+    )
+    new = t.read().select(
+        F.col("o_orderkey").alias("k_new"),
+        F.col("status").alias("status_new"),
+        F.col("price").alias("price_new"),
+    )
+    joined = old.join(new, F.col("k_old") == F.col("k_new"), "full_outer")
+    changed = joined.where(
+        F.col("k_old").isNull()
+        | F.col("k_new").isNull()
+        | (F.col("status_old") != F.col("status_new"))
+        | (F.col("price_old") != F.col("price_new"))
+    )
+    classified = changed.select(
+        F.when(F.col("k_old").isNull(), "insert")
+        .when(F.col("k_new").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        F.coalesce(F.col("price_new"), F.col("price_old")).alias("price"),
+    )
+    return (
+        classified.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("price"), 2).alias("price_sum"),
+        )
+        .orderBy("change_type")
+    )
