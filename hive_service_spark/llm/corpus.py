@@ -215,3 +215,58 @@ def sample_hash_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "sample_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+WITH grouped AS (
+  SELECT doc_id, source,
+         md5(lower(trim(text))) AS content_group
+  FROM documents
+),
+assigned AS (
+  SELECT doc_id, source,
+         CASE WHEN b < 80 THEN 'train'
+              WHEN b < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id, source,
+               ('0x' || substr(md5(content_group), 1, 15))::BIGINT % 100 AS b
+        FROM grouped)
+)
+SELECT source, split, COUNT(*) AS n_docs
+FROM assigned
+GROUP BY source, split
+ORDER BY source, split
+"""
+
+
+@query("pipeline_train_val_test_split", oracle=_SPLIT_ORACLE)
+def pipeline_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe deterministic train/val/test split (80/10/10): the
+    split is assigned per CONTENT GROUP (md5 of normalized text), not
+    per row, so exact duplicates can never straddle train and eval —
+    the train-test-contamination failure a row-wise random split
+    invites. Assignment is a pure hash of the group key (no RNG, no
+    state): identical on every engine, run, retry, and cluster size,
+    and new data lands in stable splits without reshuffling old rows.
+    Map-only until the final count aggregate — no shuffle at 100 TB
+    except one partial-agg tree on (source, split). A near-dup-safe
+    variant would feed the MinHash-LSH cluster id (llm/dedup.py) in as
+    the group key — same split logic, one extra join."""
+    d = load(spark, sf_dir, "documents")
+    group = F.md5(F.lower(F.trim(F.col("text"))))
+    bucket = (
+        F.conv(F.substring(F.md5(group), 1, 15), 16, 10).cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "split")
+    )
