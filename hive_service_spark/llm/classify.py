@@ -1,0 +1,185 @@
+"""LLM-pipeline extension — distributed text classification.
+
+Multinomial Naive Bayes trained AND applied entirely as DataFrame
+algebra: the "learned" counterpart of the heuristic language-ID in
+llm/text.py (the pattern a production corpus pipeline uses to route /
+filter documents when hand rules stop scaling). No reference analog —
+Hive has no ML surface (SURVEY.md §2.3); this is part of the
+BASELINE.json training-data-pipeline mandate.
+
+Scale design (100 TB):
+- Training is two aggregations over exploded tokens — one shuffle on
+  (word, label), one on label. The model (vocab × labels counts) is
+  tiny relative to the corpus and BROADCASTS for inference.
+- Inference avoids the naive docs × labels token explosion: matched
+  (token ⋈ model) rows aggregate per (doc, label), and every
+  unmatched token contributes the label's Laplace default weight via
+  `(n_tokens - n_matched) * default_l` — so the big side is only ever
+  exploded once, not once per label.
+- Determinism across engines: all log weights are quantized to
+  BIGINT (round(1024·ln p)) at model-build time and SUMMED AS
+  INTEGERS, so scores are exact and order-independent — no
+  float-accumulation-order hazard between Spark's left-to-right and
+  DuckDB's tree aggregation, and argmax can't flip on a last-ulp tie.
+  Ties break on label order, pinned identically on both sides.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from hive_service_spark.catalog import load
+from hive_service_spark.registry import query
+
+_NB_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, doc_id % 5 = 0 AS is_test, lang,
+         unnest(string_split(lower(text), ' ')) AS word
+  FROM documents
+),
+wl AS (  -- token occurrences per (word, label) in TRAIN
+  SELECT word, lang, COUNT(*) AS c_wl
+  FROM tok WHERE NOT is_test GROUP BY word, lang
+),
+l AS (   -- tokens + docs per label in TRAIN
+  SELECT lang, COUNT(*) AS c_l, COUNT(DISTINCT doc_id) AS n_docs
+  FROM tok WHERE NOT is_test GROUP BY lang
+),
+v AS (SELECT COUNT(DISTINCT word) AS vocab FROM tok WHERE NOT is_test),
+model AS (
+  SELECT wl.word, wl.lang,
+         CAST(ROUND(1024 * ln((wl.c_wl + 1.0) / (l.c_l + v.vocab)))
+              AS BIGINT) AS w
+  FROM wl, l, v WHERE wl.lang = l.lang
+),
+label AS (
+  SELECT l.lang,
+         CAST(ROUND(1024 * ln(CAST(l.n_docs AS DOUBLE)
+                              / (SELECT SUM(n_docs) FROM l)))
+              AS BIGINT) AS w_prior,
+         CAST(ROUND(1024 * ln(1.0 / (l.c_l + v.vocab))) AS BIGINT)
+           AS w_default
+  FROM l, v
+),
+test_doc AS (
+  SELECT doc_id, lang AS actual_lang, COUNT(*) AS n_tokens
+  FROM tok WHERE is_test GROUP BY doc_id, lang
+),
+matched AS (
+  SELECT t.doc_id, m.lang,
+         CAST(SUM(m.w) AS BIGINT) AS w_sum, COUNT(*) AS n_matched
+  FROM tok t JOIN model m ON t.word = m.word
+  WHERE t.is_test
+  GROUP BY t.doc_id, m.lang
+),
+scored AS (
+  SELECT d.doc_id, d.actual_lang, lb.lang AS cand,
+         lb.w_prior + COALESCE(ma.w_sum, 0)
+           + (d.n_tokens - COALESCE(ma.n_matched, 0)) * lb.w_default
+           AS score
+  FROM test_doc d
+  CROSS JOIN label lb
+  LEFT JOIN matched ma ON ma.doc_id = d.doc_id AND ma.lang = lb.lang
+),
+predicted AS (
+  SELECT doc_id, actual_lang, cand AS predicted_lang
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, cand) AS rn
+        FROM scored)
+  WHERE rn = 1
+)
+SELECT actual_lang, predicted_lang, COUNT(*) AS n_docs
+FROM predicted
+GROUP BY actual_lang, predicted_lang
+ORDER BY actual_lang, predicted_lang
+"""
+
+
+@query("ml_naive_bayes_langid", oracle=_NB_ORACLE)
+def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language-ID: train on 80% of documents
+    (doc_id % 5 != 0), classify the held-out 20%, emit the confusion
+    matrix. See the module docstring for the scale + determinism
+    design (broadcast model, default-weight trick for unmatched
+    tokens, BIGINT-quantized log weights)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        (F.col("doc_id") % 5 == 0).alias("is_test"),
+        "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("word"),
+    )
+    train = tok.where(~F.col("is_test"))
+    test = tok.where(F.col("is_test"))
+
+    wl = train.groupBy("word", "lang").agg(F.count(F.lit(1)).alias("c_wl"))
+    lab = train.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("c_l"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    vocab = train.agg(F.count_distinct("word").alias("vocab"))
+
+    def _q(col):  # quantized log weight — BIGINT, summed exactly
+        return F.round(F.lit(1024) * F.log(col)).cast("bigint")
+
+    model = (
+        wl.join(F.broadcast(lab), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "word",
+            "lang",
+            _q((F.col("c_wl") + 1.0) / (F.col("c_l") + F.col("vocab"))).alias("w"),
+        )
+    )
+    total_docs = lab.agg(F.sum("n_docs").alias("total_docs"))
+    label = (
+        lab.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(total_docs))
+        .select(
+            "lang",
+            _q(F.col("n_docs").cast("double") / F.col("total_docs")).alias(
+                "w_prior"
+            ),
+            _q(F.lit(1.0) / (F.col("c_l") + F.col("vocab"))).alias("w_default"),
+        )
+    )
+
+    test_doc = test.groupBy("doc_id", F.col("lang").alias("actual_lang")).agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    matched = (
+        test.select("doc_id", "word")
+        .join(F.broadcast(model.withColumnRenamed("lang", "cand")), "word")
+        .groupBy("doc_id", "cand")
+        .agg(
+            F.sum("w").cast("bigint").alias("w_sum"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )
+    scored = (
+        test_doc.crossJoin(F.broadcast(label.withColumnRenamed("lang", "cand")))
+        .join(matched, ["doc_id", "cand"], "left")
+        .select(
+            "doc_id",
+            "actual_lang",
+            "cand",
+            (
+                F.col("w_prior")
+                + F.coalesce(F.col("w_sum"), F.lit(0))
+                + (F.col("n_tokens") - F.coalesce(F.col("n_matched"), F.lit(0)))
+                * F.col("w_default")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "cand")
+    predicted = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("actual_lang", F.col("cand").alias("predicted_lang"))
+    )
+    return (
+        predicted.groupBy("actual_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("actual_lang", "predicted_lang")
+    )

@@ -63,6 +63,7 @@ _QUERY_MODULES = (
     "hive_service_spark.llm.multimodal",
     "hive_service_spark.llm.pipeline",
     "hive_service_spark.llm.corpus",
+    "hive_service_spark.llm.classify",
     "hive_service_spark.streaming.events",
 )
 
