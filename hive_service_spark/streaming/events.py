@@ -531,3 +531,120 @@ def stream_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_events",
         F.round("sum_value", 2).cast("double").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stream-stream LEFT OUTER interval join
+# ---------------------------------------------------------------------------
+
+_SS_OUTER_ORACLE = """
+WITH cutoff AS (
+  -- decidable horizon: views newer than this are still buffered when
+  -- the stream ends (their 1h match window has not fully passed the
+  -- 2h watermark), so neither engine may count them; 4h = interval +
+  -- watermark + 1h boundary-semantics margin
+  SELECT least((SELECT MAX(ts) FROM events WHERE event_type = 'view'),
+               (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+         - INTERVAL 4 HOUR AS c
+),
+j AS (
+  SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+  FROM (SELECT * FROM events WHERE event_type = 'view') v
+  LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+    ON v.user_id = p.user_id
+   AND p.ts >= v.ts
+   AND p.ts <= v.ts + INTERVAL 1 HOUR
+  WHERE v.ts <= (SELECT c FROM cutoff)
+)
+SELECT user_id,
+       COUNT(DISTINCT view_id) AS n_views,
+       COUNT(DISTINCT CASE WHEN purchase_id IS NOT NULL
+                           THEN view_id END) AS n_converted_views,
+       COUNT(DISTINCT CASE WHEN purchase_id IS NULL
+                           THEN view_id END) AS n_orphan_views
+FROM j
+GROUP BY user_id
+HAVING COUNT(DISTINCT CASE WHEN purchase_id IS NULL THEN view_id END) > 0
+ORDER BY user_id
+"""
+
+
+@query("stream_stream_outer_join", oracle=_SS_OUTER_ORACLE)
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: views that converted to
+    a purchase within 1 hour vs views that never did. The outer side is
+    the hard streaming case — an unmatched view can only be emitted
+    (with NULL purchase columns) once the purchase stream's watermark
+    has passed `view_ts + 1 hour`, proving no match can still arrive;
+    availableNow's final no-data micro-batch advances the watermark to
+    flush them. State stays finite at 100 TB/day exactly as in the
+    inner join: equi-key shuffle on user_id, watermark-bounded buffers
+    on both sides. Views inside the last interval+watermark of the
+    stream are STILL BUFFERED when input ends (no verdict possible
+    yet), so both engines restrict to the decidable horizon — the
+    correct way to consume a streaming outer join; never treat a
+    not-yet-emitted row as a non-match. Output is the per-user
+    conversion/orphan census (join-row NULLs aggregated away —
+    canon-safe), value-checked against the identical batch LEFT
+    JOIN."""
+    ev = _stream(spark, sf_dir)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id AND
+            purchase_ts >= view_ts AND
+            purchase_ts <= view_ts + INTERVAL 1 HOUR
+            """
+        ),
+        "left_outer",
+    )
+    rows = _run_to_table(
+        joined.select("user_id", "view_id", "purchase_id", "view_ts"),
+        "ss_outer_join",
+        "append",
+    )
+    # decidable horizon, mirrored in the oracle (see _SS_OUTER_ORACLE)
+    from hive_service_spark.catalog import load
+
+    ev_batch = load(spark, sf_dir, "events")
+    cutoff = ev_batch.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+        ).alias("c")
+    )
+    return (
+        rows.crossJoin(F.broadcast(cutoff))
+        .where(F.col("view_ts") <= F.col("c") - F.expr("INTERVAL 4 HOUR"))
+        .groupBy("user_id")
+        .agg(
+            F.count_distinct("view_id").alias("n_views"),
+            F.count_distinct(
+                F.when(F.col("purchase_id").isNotNull(), F.col("view_id"))
+            ).alias("n_converted_views"),
+            F.count_distinct(
+                F.when(F.col("purchase_id").isNull(), F.col("view_id"))
+            ).alias("n_orphan_views"),
+        )
+        .where(F.col("n_orphan_views") > 0)
+        .orderBy("user_id")
+    )
