@@ -1,0 +1,218 @@
+"""Multi-statement HiveQL script sessions (the beeline/CLI surface).
+
+Reference: HiveServer2 executes scripts statement-by-statement with
+variable substitution — `beeline -f script.sql`, `hive -f`, and the
+session's `SET` command (`hive-exec!ql/processors/{CommandProcessor,
+SetProcessor}.class`, variable substitution in
+`ql/parse/VariableSubstitution.class`; SURVEY.md §3.1/§3.2). A real
+user's workload is rarely one statement: it is a script of
+SET / temp-table / INSERT / SELECT steps sharing session state.
+
+This module provides that surface on Spark: a statement splitter that
+respects string literals, backtick identifiers, and both comment
+styles; `${hivevar:...}` / `${hiveconf:...}` / bare `${...}`
+substitution sourced from SET statements and an initial binding map;
+sequential execution through `spark.sql` (which natively handles SET,
+CREATE TEMPORARY VIEW, CTAS, INSERT, SELECT). The LAST statement's
+DataFrame is the script result, exactly like beeline prints the last
+result set. Session state (temp views, confs) persists across
+statements within the SparkSession — the HiveServer2 session analog.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F  # noqa: F401  (parity with sibling modules)
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_service_spark.registry import query
+
+
+def split_statements(script: str) -> list[str]:
+    """Split a HiveQL script into statements on ``;`` — ignoring
+    semicolons inside '...'/"..." literals (with backslash escapes and
+    ''-style doubling), `...` identifiers, ``-- line`` comments, and
+    ``/* block */`` comments. Comments are preserved inside statements
+    (Spark's parser accepts them); empty statements are dropped."""
+    out: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(script)
+    mode: str | None = None  # "'", '"', '`', '--', '/*'
+    while i < n:
+        c = script[i]
+        nxt = script[i + 1] if i + 1 < n else ""
+        if mode is None:
+            if c == ";":
+                stmt = "".join(buf).strip()
+                if stmt:
+                    out.append(stmt)
+                buf = []
+                i += 1
+                continue
+            if c in "'\"`":
+                mode = c
+            elif c == "-" and nxt == "-":
+                mode = "--"
+            elif c == "/" and nxt == "*":
+                mode = "/*"
+        elif mode in "'\"":
+            if c == "\\":  # escaped char inside a literal
+                buf.append(c)
+                i += 1
+                c = script[i] if i < n else ""
+            elif c == mode:
+                if nxt == mode:  # '' doubling
+                    buf.append(c)
+                    i += 1
+                    c = script[i]
+                else:
+                    mode = None
+        elif mode == "`":
+            if c == "`":
+                mode = None
+        elif mode == "--":
+            if c == "\n":
+                mode = None
+        elif mode == "/*":
+            if c == "*" and nxt == "/":
+                buf.append(c)
+                i += 1
+                c = script[i]
+                mode = None
+        buf.append(c)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _strip_leading_comments(stmt: str) -> str:
+    """Drop leading -- lines and /* */ blocks so a statement that
+    starts with a comment is still recognized as a SET command."""
+    prev = None
+    while prev != stmt:
+        prev = stmt
+        stmt = re.sub(r"\A\s*--[^\n]*\n?", "", stmt)
+        stmt = re.sub(r"\A\s*/\*.*?\*/", "", stmt, flags=re.DOTALL)
+    return stmt.strip()
+
+
+_SET_RE = re.compile(
+    r"^\s*SET\s+(?P<key>[A-Za-z0-9_.:\-]+)\s*=\s*(?P<val>.*?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_VAR_RE = re.compile(r"\$\{(?:(?P<ns>hivevar|hiveconf|env):)?(?P<name>[^}]+)\}")
+
+
+def substitute(stmt: str, bindings: dict[str, str]) -> str:
+    """`VariableSubstitution` analog: replace ``${hivevar:x}`` /
+    ``${hiveconf:x}`` / ``${x}`` from the binding map (namespaced keys
+    are tried first, then the bare name). Unknown variables are left
+    as-is, matching Hive's behavior."""
+
+    def repl(m: re.Match) -> str:
+        ns, name = m.group("ns"), m.group("name")
+        if ns:
+            return bindings.get(f"{ns}:{name}", bindings.get(name, m.group(0)))
+        return bindings.get(
+            name,
+            bindings.get(f"hivevar:{name}", bindings.get(f"hiveconf:{name}", m.group(0))),
+        )
+
+    # iterate to a fixed point so nested definitions (${a} -> "${b}") resolve
+    for _ in range(10):
+        new = _VAR_RE.sub(repl, stmt)
+        if new == stmt:
+            break
+        stmt = new
+    return stmt
+
+
+def run_script(
+    spark: SparkSession,
+    script: str,
+    bindings: dict[str, str] | None = None,
+) -> DataFrame | None:
+    """Execute a multi-statement HiveQL script; returns the LAST
+    statement's DataFrame (None for an all-DDL script). ``SET k=v``
+    statements update the substitution bindings AND the session conf
+    (via spark.sql, as HiveServer2's SetProcessor does); everything
+    else goes straight to ``spark.sql`` after substitution."""
+    bindings = dict(bindings or {})
+    result: DataFrame | None = None
+    for stmt in split_statements(script):
+        stmt = substitute(stmt, bindings)
+        m = _SET_RE.match(_strip_leading_comments(stmt))
+        if m:
+            key, val = m.group("key"), m.group("val")
+            bindings[key] = val
+            if key.startswith("hivevar:"):
+                continue  # pure script variable, not a session conf
+            key = key.removeprefix("hiveconf:")
+            spark.conf.set(key, val)
+            continue
+        result = spark.sql(stmt)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# registered query: a representative parameterized session script
+# ---------------------------------------------------------------------------
+
+_SCRIPT_ORACLE = """
+WITH big_cust AS (
+  SELECT o_custkey, CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS spend
+  FROM orders
+  WHERE year(o_orderdate) = 1997
+  GROUP BY o_custkey
+  HAVING SUM(o_totalprice) > 400000
+)
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(ROUND(SUM(b.spend), 2) AS DOUBLE) AS segment_spend
+FROM big_cust b JOIN customer c ON b.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+_SESSION_SCRIPT = """
+-- session variables, beeline-style
+SET hivevar:target_year=1997;
+SET hivevar:min_spend=400000;  -- spend floor; ';' in strings is safe: 'a;b'
+SET spark.sql.session.timeZone=UTC;
+
+CREATE OR REPLACE TEMPORARY VIEW big_cust AS
+SELECT o_custkey, CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS spend
+FROM orders_script
+WHERE year(o_orderdate) = ${hivevar:target_year}
+GROUP BY o_custkey
+HAVING SUM(o_totalprice) > ${min_spend};
+
+/* final result set: segment census of the big spenders */
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(ROUND(SUM(b.spend), 2) AS DOUBLE) AS segment_spend
+FROM big_cust b JOIN customer_script c ON b.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@query("script_hiveql_session", oracle=_SCRIPT_ORACLE)
+def script_hiveql_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multi-statement session: SET variables → temp view
+    parameterized by ${hivevar}/${bare} substitution → final SELECT,
+    exactly the beeline -f workflow (module docstring). The script
+    plans through the same Catalyst pipeline as the DataFrame queries —
+    filters push down, the dim side broadcasts — because the runner is
+    sugar over spark.sql, not an interpreter. DECIMAL money math,
+    cast to DOUBLE at the boundary (repo canon convention)."""
+    from hive_service_spark.catalog import load
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_script")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_script")
+    out = run_script(spark, _SESSION_SCRIPT)
+    assert out is not None
+    return out

@@ -40,6 +40,7 @@ _QUERY_MODULES = (
     "hive_service_spark.operators.lateral",
     "hive_service_spark.operators.subqueries",
     "hive_service_spark.operators.transform_script",
+    "hive_service_spark.operators.sql_script",
     "hive_service_spark.operators.ddl_catalog",
     "hive_service_spark.operators.dml_lifecycle",
     "hive_service_spark.operators.materialized_views",

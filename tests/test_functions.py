@@ -316,3 +316,50 @@ def test_char_varchar_semantics(spark):
         .count()
         == 1
     )
+
+
+class TestHiveQLScriptRunner:
+    """split_statements / substitute / run_script (operators/sql_script.py)."""
+
+    def test_split_respects_literals_and_comments(self):
+        from hive_service_spark.operators.sql_script import split_statements
+
+        script = (
+            "SELECT 'a;b' AS x; -- trailing; comment\n"
+            "SELECT \"c;d\"; /* block; ; comment */ SELECT `e;f`;\n"
+            "SELECT 1"
+        )
+        got = split_statements(script)
+        assert len(got) == 4, got
+        assert got[0] == "SELECT 'a;b' AS x"
+        assert "c;d" in got[1]
+        assert "`e;f`" in got[2]
+        assert got[3] == "SELECT 1"
+
+    def test_split_escaped_and_doubled_quotes(self):
+        from hive_service_spark.operators.sql_script import split_statements
+
+        got = split_statements(r"SELECT 'it''s;ok', 'x\';y'; SELECT 2")
+        assert len(got) == 2, got
+
+    def test_substitute_namespaces_and_nesting(self):
+        from hive_service_spark.operators.sql_script import substitute
+
+        b = {"hivevar:y": "1997", "tbl": "orders_${hivevar:y}", "hiveconf:z": "9"}
+        assert substitute("SELECT * FROM ${tbl}", b) == "SELECT * FROM orders_1997"
+        assert substitute("${hivevar:y}-${z}", b) == "1997-9"
+        assert substitute("${missing}", b) == "${missing}"  # Hive leaves unknowns
+
+    def test_run_script_session_state(self, spark):
+        from hive_service_spark.operators.sql_script import run_script
+
+        out = run_script(
+            spark,
+            """
+            SET hivevar:k=3;
+            CREATE OR REPLACE TEMPORARY VIEW nums_script AS
+              SELECT explode(sequence(1, 10)) AS n;
+            SELECT COUNT(*) AS n_big FROM nums_script WHERE n > ${hivevar:k};
+            """,
+        )
+        assert out.collect()[0].n_big == 7
