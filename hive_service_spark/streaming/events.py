@@ -648,3 +648,72 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_orphan_views") > 0)
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# chained windowed aggregations (window-on-window rollup)
+# ---------------------------------------------------------------------------
+
+_CHAINED_ORACLE = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_start,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT time_bucket(INTERVAL 15 MINUTE, ts)) AS BIGINT)
+         AS n_quarter_buckets,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+-- decidable horizon (see stream_stream_outer_join): hours whose
+-- chained windows could still be open when input ends are excluded
+-- on BOTH sides
+WHERE time_bucket(INTERVAL 1 HOUR, ts)
+        <= (SELECT MAX(ts) FROM events) - INTERVAL 4 HOUR
+GROUP BY 1
+ORDER BY hour_start
+"""
+
+
+@query("stream_chained_windows", oracle=_CHAINED_ORACLE)
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained streaming window aggregation: 15-minute tumbling
+    partials rolled up to hourly totals in ONE streaming query (the
+    second groupBy windows over `window_time` of the first — the
+    multi-stage streaming rollup Spark 3.4+ enables). This is the
+    streaming form of the classic pre-aggregation cascade: at
+    100 TB/day the 15-min stage absorbs the raw-event firehose with
+    one state row per window, and the hourly stage only sees 4 rows
+    per hour — partial aggregation exactly like map-side combine.
+    Each stage's watermark evicts closed windows. The batch oracle
+    checks both granularities (hourly totals + how many 15-min
+    buckets fed each hour)."""
+    quarter = (
+        _stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "15 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_part"),
+            F.sum("value").alias("v_part"),
+        )
+    )
+    hourly = (
+        quarter.groupBy(F.window(F.window_time("window"), "1 hour"))
+        .agg(
+            F.sum("n_part").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_quarter_buckets"),
+            F.round(F.sum("v_part"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "n_events",
+            "n_quarter_buckets",
+            "total_value",
+        )
+    )
+    out = _run_to_table(hourly, "hs_stream_chained", "append")
+    from hive_service_spark.catalog import load
+
+    cutoff = load(spark, sf_dir, "events").agg(F.max("ts").alias("mx"))
+    return (
+        out.crossJoin(F.broadcast(cutoff))
+        .where(F.col("hour_start") <= F.col("mx") - F.expr("INTERVAL 4 HOUR"))
+        .select("hour_start", "n_events", "n_quarter_buckets", "total_value")
+        .orderBy("hour_start")
+    )
