@@ -39,6 +39,8 @@ HEADLINE = [
     "q9_product_profit",
     "q18_large_volume_customer",
     "q21_suppliers_waiting",
+    "q22_global_sales_opportunity",
+    "opt_runtime_bloom_filter",
     "temporal_asof_join",
     "seq_sessionize_batch",
     "skew_salted_replicated_join",
