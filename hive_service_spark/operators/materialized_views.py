@@ -296,3 +296,88 @@ def mv_rewrite_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental maintenance of a JOIN materialized view
+# ---------------------------------------------------------------------------
+
+_MV_JOIN_INC_ORACLE = """
+SELECT c_mktsegment,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, o_year
+ORDER BY c_mktsegment, o_year
+"""
+
+
+@query("mv_incremental_join_maintenance", oracle=_MV_JOIN_INC_ORACLE)
+def mv_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a join-aggregate MV — the delta
+    algebra behind Hive's `MaterializedViewRewriteRule` +
+    `ALTER MATERIALIZED VIEW ... REBUILD` incremental path
+    (`hive-exec!optimizer/calcite/rules/views`, SURVEY.md §4.1b):
+    for MV = γ(A ⋈ B), when deltas ΔA, ΔB arrive the refresh is
+
+        MV' = combine( MV, γ(ΔA ⋈ B_old), γ(A_old ⋈ ΔB), γ(ΔA ⋈ ΔB) )
+
+    never a recompute of A_old ⋈ B_old — the only joins executed touch
+    a delta on at least one side, so at 100 TB the refresh cost scales
+    with the day's arrivals, not the table. Here orders/customer are
+    split 90/10 into old/delta, the MV base γ(O_old ⋈ C_old) is
+    materialized as parquet, and the three delta terms are combined by
+    re-aggregating stored partials (SUM of sums / SUM of counts — the
+    same derivation table the rewriter uses). The DuckDB oracle is the
+    FULL recompute over the complete tables, so the value hash proves
+    the incremental algebra is exact. Deltas broadcast (small side);
+    the combine touches only MV-sized data."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    o_old = orders.where(F.col("o_orderkey") % 10 != 0)
+    o_new = orders.where(F.col("o_orderkey") % 10 == 0)
+    c_old = cust.where(F.col("c_custkey") % 10 != 0)
+    c_new = cust.where(F.col("c_custkey") % 10 == 0)
+
+    def agg_join(o: DataFrame, c: DataFrame, broadcast_c: bool) -> DataFrame:
+        right = F.broadcast(c) if broadcast_c else c
+        return (
+            o.join(right, o.o_custkey == c.c_custkey)
+            .groupBy(
+                "c_mktsegment",
+                F.year("o_orderdate").cast("int").alias("o_year"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                    "rev_partial"
+                ),
+            )
+        )
+
+    # MV base: the one-time expensive build (γ(A_old ⋈ B_old)),
+    # persisted; refreshes below never touch this join again
+    import os
+
+    path = f"{_SCRATCH}/join_mv_base_{os.getpid()}"  # per-process: no .scratch race
+    shutil.rmtree(path, ignore_errors=True)
+    agg_join(o_old, c_old, broadcast_c=False).write.parquet(path)
+    mv_base = spark.read.parquet(path)
+
+    delta_terms = [
+        agg_join(o_new, c_old, broadcast_c=False),  # ΔA ⋈ B_old (ΔA small side)
+        agg_join(o_old, c_new, broadcast_c=True),   # A_old ⋈ ΔB (ΔB broadcasts)
+        agg_join(o_new, c_new, broadcast_c=True),   # ΔA ⋈ ΔB
+    ]
+    combined = mv_base
+    for t in delta_terms:
+        combined = combined.unionByName(t)
+    return (
+        combined.groupBy("c_mktsegment", "o_year")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("rev_partial").cast("double").alias("revenue"),
+        )
+        .orderBy("c_mktsegment", "o_year")
+    )
