@@ -183,3 +183,152 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("actual_lang", "predicted_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM perplexity quality filter (CCNet-style)
+# ---------------------------------------------------------------------------
+
+_LM_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang, source, i AS pos, w[i] AS w1, w[i+1] AS w2
+  FROM (SELECT doc_id, lang, source,
+               string_split(lower(text), ' ') AS w FROM documents),
+       unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+train AS (SELECT * FROM tok WHERE lang = 'en' AND doc_id % 5 <> 0),
+big AS (SELECT w1, w2, COUNT(*) AS c12 FROM train GROUP BY w1, w2),
+uni AS (SELECT w1, COUNT(*) AS c1 FROM train GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w2) AS vocab FROM train),
+model AS (
+  SELECT b.w1, b.w2,
+         CAST(ROUND(1024 * ln((b.c12 + 1.0) / (u.c1 + v.vocab)))
+              AS BIGINT) AS q
+  FROM big b, uni u, v WHERE b.w1 = u.w1
+),
+backoff AS (
+  SELECT u.w1,
+         CAST(ROUND(1024 * ln(1.0 / (u.c1 + v.vocab))) AS BIGINT) AS q
+  FROM uni u, v
+),
+scored AS (
+  SELECT t.doc_id, t.source,
+         COALESCE(m.q, b.q,
+                  (SELECT CAST(ROUND(1024 * ln(1.0 / vocab)) AS BIGINT)
+                   FROM v)) AS q
+  FROM tok t
+  LEFT JOIN model m ON t.w1 = m.w1 AND t.w2 = m.w2
+  LEFT JOIN backoff b ON t.w1 = b.w1
+),
+per_doc AS (
+  SELECT doc_id, source,
+         CAST(SUM(q) AS BIGINT) AS score_q,
+         COUNT(*) AS n_bigrams
+  FROM scored GROUP BY doc_id, source
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE score_q < -9 * 1024 * n_bigrams)
+         AS n_flagged,
+       ROUND(CAST(SUM(score_q) AS DOUBLE) / 1024.0
+             / CAST(SUM(n_bigrams) AS DOUBLE) * -1.0, 6) AS mean_nll
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("ml_bigram_lm_quality", oracle=_LM_ORACLE)
+def ml_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filtering: train an add-one-smoothed word
+    BIGRAM language model on the reference slice (English training
+    docs), score every document's mean negative log-likelihood per
+    token, and flag docs worse than a fixed 9-nat threshold — the
+    perplexity gate production pipelines put between raw crawl and
+    training shards (a KenLM stand-in expressible as pure relational
+    algebra). Same engine-exactness discipline as the NB classifier:
+    BIGINT-quantized log weights, integer per-doc sums, the flag
+    compare is integer-only (`score_q < -9·1024·n_bigrams`), and
+    mean_nll is derived from two exact integer sums with one division.
+    Scale: bigram/unigram models are corpus-vocabulary-sized and
+    BROADCAST; the corpus is exploded once into bigrams (map-only) and
+    aggregated per doc — one shuffle on doc_id, one on source."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), " ")
+    tok = (
+        d.select("doc_id", "lang", "source", w.alias("w"))
+        .where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.struct(
+                        F.element_at("w", i).alias("w1"),
+                        F.element_at("w", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "lang", "source", "bg.w1", "bg.w2")
+    )
+    train = tok.where((F.col("lang") == "en") & (F.col("doc_id") % 5 != 0))
+    big = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = train.agg(F.count_distinct("w2").alias("vocab"))
+
+    def _q(col):
+        return F.round(F.lit(1024) * F.log(col)).cast("bigint")
+
+    model = (
+        big.join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            _q((F.col("c12") + 1.0) / (F.col("c1") + F.col("vocab"))).alias("q_m"),
+        )
+    )
+    backoff = uni.crossJoin(F.broadcast(vocab)).select(
+        "w1", _q(F.lit(1.0) / (F.col("c1") + F.col("vocab"))).alias("q_b")
+    )
+    unseen = vocab.select(_q(F.lit(1.0) / F.col("vocab")).alias("q_u"))
+
+    scored = (
+        tok.select("doc_id", "source", "w1", "w2")
+        .join(F.broadcast(model), ["w1", "w2"], "left")
+        .join(F.broadcast(backoff), ["w1"], "left")
+        .crossJoin(F.broadcast(unseen))
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("q_m", "q_b", "q_u").alias("q"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        F.sum("q").cast("bigint").alias("score_q"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(
+                F.when(
+                    F.col("score_q") < F.lit(-9) * 1024 * F.col("n_bigrams"),
+                    1,
+                )
+            ).alias("n_flagged"),
+            F.round(
+                F.sum("score_q").cast("double")
+                / F.lit(1024.0)
+                / F.sum("n_bigrams").cast("double")
+                * -1.0,
+                6,
+            ).alias("mean_nll"),
+        )
+        .orderBy("source")
+    )
