@@ -449,3 +449,70 @@ def source_uniontype_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tag")
     )
+
+
+# ---------------------------------------------------------------------------
+# schema evolution: mixed-schema parquet read with mergeSchema
+# ---------------------------------------------------------------------------
+
+_EVOLUTION_ORACLE = """
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+v2 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 1
+),
+unioned AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       COUNT(o_totalprice) AS n_with_price,
+       ROUND(SUM(COALESCE(o_totalprice, 0)), 2) AS known_revenue
+FROM unioned
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query("source_schema_evolution", oracle=_EVOLUTION_ORACLE)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a live table (the add-a-column lifecycle
+    Hive handles via `ALTER TABLE ADD COLUMNS` + schema-on-read,
+    `hive-serde!serde2/lazy/LazySimpleSerDe` null-padding missing
+    trailing columns; SURVEY.md §1.3): generation-1 files carry 2 data
+    columns, generation-2 files add o_totalprice, and ONE read with
+    `mergeSchema` reconciles both — old files surface the new column
+    as NULL, exactly Hive's semantics. At 100 TB schema changes roll
+    through file-by-file (no rewrite of old data), so every reader
+    must handle mixed generations; COUNT(col) vs COUNT(*) shows the
+    null-padding is real. Footer merging is a driver-side metadata
+    operation, not a data scan."""
+    import os
+    import shutil
+
+    path = f"{_SCRATCH}/orders_evolution_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    o = load(spark, sf_dir, "orders")
+    (
+        o.where(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_orderstatus")
+        .write.parquet(f"{path}/gen=1")
+    )
+    (
+        o.where(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.parquet(f"{path}/gen=2")
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count("o_totalprice").alias("n_with_price"),
+            F.round(F.sum(F.coalesce("o_totalprice", F.lit(0.0))), 2).alias(
+                "known_revenue"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )

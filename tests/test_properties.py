@@ -183,3 +183,32 @@ def test_percentile_exact_matches_model(spark, vals):
     want = s[lo] + (pos - lo) * (s[hi] - s[lo])
     assert got is not None
     assert math.isclose(got, want, rel_tol=1e-9, abs_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# HiveQL script splitter round-trip (operators/sql_script.py)
+# ---------------------------------------------------------------------------
+
+_IDENT = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz_0123456789 ", min_size=1, max_size=20
+).map(str.strip).filter(bool)
+# statement bodies mixing identifiers with quoted literals that may
+# contain semicolons, doubled quotes, and comment-lookalike text
+_LITERAL = st.text(
+    alphabet="abc;-- /*xyz*/'", min_size=0, max_size=12
+).map(lambda s: "'" + s.replace("'", "''") + "'")
+_STMT = st.lists(st.one_of(_IDENT, _LITERAL), min_size=1, max_size=5).map(
+    lambda parts: "SELECT " + ", ".join(parts)
+)
+
+
+@given(st.lists(_STMT, min_size=1, max_size=6))
+@settings(max_examples=200, deadline=None)
+def test_script_split_roundtrip(stmts):
+    """Joining statements with ';' and re-splitting yields the same
+    statements — semicolons inside string literals (including doubled
+    quotes and comment-lookalike text) never split."""
+    from hive_service_spark.operators.sql_script import split_statements
+
+    script = ";\n".join(stmts) + ";"
+    assert split_statements(script) == [s.strip() for s in stmts]
