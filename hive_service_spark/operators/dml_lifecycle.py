@@ -278,3 +278,105 @@ def ddl_materialized_view_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ship_year ORDER BY ship_year
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension maintenance
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH day1 AS (
+  SELECT c_custkey, c_mktsegment FROM customer
+),
+day2 AS (  -- the day-2 snapshot: every 7th customer switches segment
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN 'MACHINERY2'
+              ELSE c_mktsegment END AS c_mktsegment
+  FROM customer
+),
+history AS (
+  -- closed-out day-1 versions of the changed rows
+  SELECT d1.c_custkey, d1.c_mktsegment,
+         'd1' AS valid_from, 'd2' AS valid_to, FALSE AS is_current
+  FROM day1 d1 JOIN day2 d2 ON d1.c_custkey = d2.c_custkey
+  WHERE d1.c_mktsegment <> d2.c_mktsegment
+  UNION ALL
+  -- new current versions of the changed rows
+  SELECT d2.c_custkey, d2.c_mktsegment,
+         'd2' AS valid_from, NULL AS valid_to, TRUE AS is_current
+  FROM day1 d1 JOIN day2 d2 ON d1.c_custkey = d2.c_custkey
+  WHERE d1.c_mktsegment <> d2.c_mktsegment
+  UNION ALL
+  -- untouched rows stay current with their original validity
+  SELECT d1.c_custkey, d1.c_mktsegment,
+         'd1' AS valid_from, NULL AS valid_to, TRUE AS is_current
+  FROM day1 d1 JOIN day2 d2 ON d1.c_custkey = d2.c_custkey
+  WHERE d1.c_mktsegment = d2.c_mktsegment
+)
+SELECT c_mktsegment, is_current, valid_from,
+       COUNT(*) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+FROM history
+GROUP BY c_mktsegment, is_current, valid_from
+ORDER BY c_mktsegment, is_current, valid_from
+"""
+
+
+@query("ddl_scd2_dimension", oracle=_SCD2_ORACLE)
+def ddl_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 — the MERGE workload Hive's
+    ACID DML exists for (`UpdateDeleteSemanticAnalyzer` rewriting
+    MERGE WHEN MATCHED/NOT MATCHED; SURVEY.md §1.1): when a new
+    snapshot of the customer dimension arrives, changed rows get their
+    current version CLOSED (valid_to set, is_current=false) and a new
+    current version INSERTED; unchanged rows pass through. Expressed
+    Spark-first as one day1⋈day2 comparison + three projections
+    unioned — equivalently a single MERGE with two WHEN clauses — so
+    the dimension history is append-only and time-travel-queryable.
+    One co-partitioned shuffle on the dimension key at 100 TB; the
+    change set (the only data rewritten) is typically <<1% of the
+    dimension. Output: per-segment census of current vs historical
+    versions with a key checksum."""
+    cust = load(spark, sf_dir, "customer")
+    day1 = cust.select("c_custkey", "c_mktsegment")
+    day2 = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, "MACHINERY2")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    j = day1.alias("d1").join(
+        day2.alias("d2"), F.col("d1.c_custkey") == F.col("d2.c_custkey")
+    )
+    changed = j.where(F.col("d1.c_mktsegment") != F.col("d2.c_mktsegment"))
+    unchanged = j.where(F.col("d1.c_mktsegment") == F.col("d2.c_mktsegment"))
+    closed = changed.select(
+        F.col("d1.c_custkey").alias("c_custkey"),
+        F.col("d1.c_mktsegment").alias("c_mktsegment"),
+        F.lit("d1").alias("valid_from"),
+        F.lit("d2").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    fresh = changed.select(
+        F.col("d2.c_custkey").alias("c_custkey"),
+        F.col("d2.c_mktsegment").alias("c_mktsegment"),
+        F.lit("d2").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    kept = unchanged.select(
+        F.col("d1.c_custkey").alias("c_custkey"),
+        F.col("d1.c_mktsegment").alias("c_mktsegment"),
+        F.lit("d1").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    history = closed.unionByName(fresh).unionByName(kept)
+    return (
+        history.groupBy("c_mktsegment", "is_current", "valid_from")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_custkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("c_mktsegment", "is_current", "valid_from")
+    )

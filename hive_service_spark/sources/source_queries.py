@@ -516,3 +516,82 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# malformed-record handling on a JSON source (PERMISSIVE mode)
+# ---------------------------------------------------------------------------
+
+_CORRUPT_ORACLE = """
+WITH lines AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         o_orderkey % 11 = 0 AS corrupted
+  FROM orders
+)
+SELECT CASE WHEN corrupted THEN 'corrupt' ELSE 'good' END AS record_class,
+       COUNT(*) AS n_records,
+       CAST(SUM(CASE WHEN corrupted THEN 0 ELSE o_orderkey END) AS BIGINT)
+         AS key_sum,
+       ROUND(SUM(CASE WHEN corrupted THEN 0 ELSE o_totalprice END), 2)
+         AS good_revenue
+FROM lines
+GROUP BY record_class
+ORDER BY record_class
+"""
+
+
+@query("source_json_corrupt_records", oracle=_CORRUPT_ORACLE)
+def source_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record tolerance on a text-JSON source — the
+    production reality Hive handles with SerDe error modes
+    (`hive-serde!serde2/{JsonSerDe,LazySimpleSerDe}` null-row behavior,
+    `hive.exec.bad.records.*`; SURVEY.md §2.2): every 11th line of a
+    JSONL feed is truncated mid-record, and the PERMISSIVE reader
+    (Spark's default, with `columnNameOfCorruptRecord`) loads good rows
+    typed while quarantining bad lines into the corrupt column instead
+    of failing the job — at 100 TB a single bad line must never kill a
+    6-hour ingest. The census proves every line is accounted for:
+    good rows aggregate, corrupt rows are counted (their payload is
+    non-NULL only in the quarantine column). DROPMALFORMED/FAILFAST
+    are the same reader with stricter modes."""
+    import os
+    import shutil
+
+    path = f"{_SCRATCH}/orders_jsonl_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    o = load(spark, sf_dir, "orders")
+    line = F.to_json(F.struct("o_orderkey", "o_orderstatus", "o_totalprice"))
+    # corrupt every 11th record by truncating the JSON mid-object
+    mangled = o.select(
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.substring(line, 1, 15)
+        )
+        .otherwise(line)
+        .alias("value")
+    )
+    mangled.write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(
+            "o_orderkey long, o_orderstatus string, o_totalprice double, "
+            "_bad string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+    )
+    return (
+        back.select(
+            F.when(F.col("_bad").isNotNull(), "corrupt")
+            .otherwise("good")
+            .alias("record_class"),
+            F.coalesce("o_orderkey", F.lit(0)).alias("k"),
+            F.coalesce("o_totalprice", F.lit(0.0)).alias("p"),
+        )
+        .groupBy("record_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+            F.round(F.sum("p"), 2).alias("good_revenue"),
+        )
+        .orderBy("record_class")
+    )
