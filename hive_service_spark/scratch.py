@@ -1,0 +1,78 @@
+"""Per-process scratch-directory management.
+
+Several query families stage data on local disk inside the query
+(format round-trips, streaming checkpoints, foreachBatch sink targets,
+snapshot stores). That state is mutable and owned by ONE run — sharing
+a fixed path across concurrently-running processes (pytest alongside
+the driver, two driver invocations) lets one process overwrite or
+rmtree files the other is mid-read on. Every such path therefore lives
+under a per-pid namespace from :func:`pid_dir`; namespaces left behind
+by dead processes are reaped lazily.
+
+This mirrors what the reference does with per-session scratchdirs
+(hive.exec.scratchdir gets a session-id subdirectory); on a cluster the
+analogous staging goes to per-application HDFS/S3 temp prefixes, which
+Spark already namespaces by application id.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from pathlib import Path
+
+SCRATCH_ROOT = "/root/repo/.scratch"
+
+# prefixes of per-process namespaces this module manages
+_NS_PREFIXES = ("proc-", "src-")
+
+_reaped = False
+
+
+def _reap_dead_namespaces() -> None:
+    """Remove scratch namespaces whose owning process is gone."""
+    global _reaped
+    if _reaped:
+        return
+    _reaped = True
+    root = Path(SCRATCH_ROOT)
+    if not root.is_dir():
+        return
+    for d in root.iterdir():
+        if not d.is_dir():
+            continue
+        for prefix in _NS_PREFIXES:
+            if d.name.startswith(prefix):
+                break
+        else:
+            continue
+        try:
+            pid = int(d.name.rsplit("-", 1)[1])
+        except (ValueError, IndexError):
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # liveness probe, no signal delivered
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid — leave it
+
+
+def pid_dir(kind: str = "proc") -> str:
+    """Per-process scratch namespace ``.scratch/<kind>-<pid>``."""
+    _reap_dead_namespaces()
+    path = f"{SCRATCH_ROOT}/{kind}-{os.getpid()}"
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def atomic_copy(src: str | os.PathLike, dst: str | os.PathLike) -> None:
+    """Copy ``src`` to ``dst`` so a concurrent reader of ``dst`` never
+    sees a torn file: copy to a per-pid temp name in the same directory
+    then atomically rename over the target."""
+    dst = Path(dst)
+    tmp = dst.with_name(f".{dst.name}.{os.getpid()}.tmp")
+    shutil.copyfile(src, tmp)
+    os.replace(tmp, dst)

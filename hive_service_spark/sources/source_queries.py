@@ -37,7 +37,13 @@ from pyspark.sql import DataFrame, SparkSession
 from hive_service_spark.catalog import load
 from hive_service_spark.registry import query
 
-_SCRATCH = "/root/repo/.scratch"
+from hive_service_spark.scratch import SCRATCH_ROOT as _SCRATCH
+from hive_service_spark.scratch import pid_dir
+
+# Per-process root for write-then-read-back round-trips: two concurrent
+# processes (pytest alongside driver_sim) overwriting the same staged
+# dataset race — one reads the other's half-written files.
+_PID_SCRATCH = pid_dir("src")
 
 
 # ---------------------------------------------------------------------------
@@ -57,7 +63,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """parquet -> csv(header) -> read back with explicit schema -> agg.
     Schema-on-read with a declared StructType, exactly like a Hive
     EXTERNAL TABLE ... ROW FORMAT DELIMITED over text files."""
-    path = f"{_SCRATCH}/nation_csv"
+    path = f"{_PID_SCRATCH}/nation_csv"
     n = load(spark, sf_dir, "nation")
     n.write.mode("overwrite").option("header", True).csv(path)
     back = spark.read.schema(n.schema).option("header", True).csv(path)
@@ -87,7 +93,7 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """parquet -> json-lines -> read back with explicit schema -> agg.
     Timestamps survive via ISO-8601; doubles survive via shortest
     round-trip repr (both Spark defaults)."""
-    path = f"{_SCRATCH}/orders_json"
+    path = f"{_PID_SCRATCH}/orders_json"
     o = load(spark, sf_dir, "orders")
     o.write.mode("overwrite").json(path)
     back = spark.read.schema(o.schema).json(path)
@@ -118,7 +124,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORC reader + predicate pushdown replace Hive's
     VectorizedOrcInputFormat/SearchArgument wholesale: the quantity
     filter reaches the ORC stripe index as a pushed filter."""
-    path = f"{_SCRATCH}/lineitem_orc"
+    path = f"{_PID_SCRATCH}/lineitem_orc"
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus", "l_quantity",
         "l_extendedprice", "l_discount",
@@ -143,7 +149,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _avro_available(spark: SparkSession) -> bool:
     try:
         spark.range(1).write.mode("overwrite").format("avro").save(
-            f"{_SCRATCH}/avro_probe"
+            f"{_PID_SCRATCH}/avro_probe"
         )
         return True
     except Exception:
@@ -163,7 +169,7 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write, read-back, and agg are identical code). The round-trip
     result is format-independent, so the oracle holds either way."""
     fmt = "avro" if _avro_available(spark) else "parquet"
-    path = f"{_SCRATCH}/region_{fmt}"
+    path = f"{_PID_SCRATCH}/region_{fmt}"
     r = load(spark, sf_dir, "region")
     r.write.mode("overwrite").format(fmt).save(path)
     back = spark.read.format(fmt).load(path)
@@ -193,7 +199,7 @@ def source_text_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RegexSerDe analog: render rows to log lines, write as a text
     file, read back with spark.read.text, re-parse with
     regexp_extract. The parse is a pure JVM expression (no UDF)."""
-    path = f"{_SCRATCH}/events_text"
+    path = f"{_PID_SCRATCH}/events_text"
     ev = load(spark, sf_dir, "events")
     lines = ev.select(
         F.concat(F.lit("["), "event_type", F.lit("] user="), "user_id")
@@ -235,7 +241,7 @@ def sink_dynamic_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the filter is a PartitionFilter in the scan (pruning, zero data
     read outside 1996), mirroring Hive's SortedDynPartitionOptimizer +
     partition pruner."""
-    path = f"{_SCRATCH}/orders_by_year"
+    path = f"{_PID_SCRATCH}/orders_by_year"
     o = load(spark, sf_dir, "orders")
     (
         o.withColumn("o_year", F.year("o_orderdate"))
@@ -338,7 +344,7 @@ def source_sequencefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     kept for format parity, not the hot path."""
     import shutil
 
-    path = f"{_SCRATCH}/orders_seqfile"
+    path = f"{_PID_SCRATCH}/orders_seqfile"
     shutil.rmtree(path, ignore_errors=True)
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     o.rdd.map(lambda r: (r[0], r[1])).saveAsSequenceFile(path)
@@ -373,8 +379,8 @@ def sink_compaction_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalescing after a shuffle); the rewrite is a single shuffle-free
     scan + round-robin exchange — exactly what table-maintenance
     `OPTIMIZE` jobs do."""
-    small = f"{_SCRATCH}/lineitem_fragmented"
-    compacted = f"{_SCRATCH}/lineitem_compacted"
+    small = f"{_PID_SCRATCH}/lineitem_fragmented"
+    compacted = f"{_PID_SCRATCH}/lineitem_compacted"
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_quantity"
     )
@@ -427,7 +433,7 @@ def source_uniontype_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash."""
     import hive_service_spark.functions.hive_compat as hc
 
-    path = f"{_SCRATCH}/orders_uniontype"
+    path = f"{_PID_SCRATCH}/orders_uniontype"
     o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") < 4000)
     tag = F.when(F.col("o_orderstatus") == "O", 0).otherwise(1)
     u = hc.create_union(tag, F.col("o_totalprice"), F.col("o_orderpriority"))
@@ -491,7 +497,7 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    path = f"{_SCRATCH}/orders_evolution_{os.getpid()}"
+    path = f"{_PID_SCRATCH}/orders_evolution_{os.getpid()}"
     shutil.rmtree(path, ignore_errors=True)
     o = load(spark, sf_dir, "orders")
     (
@@ -557,7 +563,7 @@ def source_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    path = f"{_SCRATCH}/orders_jsonl_{os.getpid()}"
+    path = f"{_PID_SCRATCH}/orders_jsonl_{os.getpid()}"
     shutil.rmtree(path, ignore_errors=True)
     o = load(spark, sf_dir, "orders")
     line = F.to_json(F.struct("o_orderkey", "o_orderstatus", "o_totalprice"))

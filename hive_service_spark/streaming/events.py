@@ -19,6 +19,9 @@ parquet/Delta/Kafka via the identical writeStream call.
 
 from __future__ import annotations
 
+import os
+from pathlib import Path
+
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -27,7 +30,14 @@ from pyspark.sql.types import StructType
 
 from hive_service_spark.registry import query
 
-_CKPT = "/root/repo/.scratch/checkpoints"
+# Checkpoints and foreachBatch sink targets are mutable state a
+# streaming query owns exclusively — they live in the per-process
+# scratch namespace (see hive_service_spark.scratch).
+from hive_service_spark.scratch import SCRATCH_ROOT as _SCRATCH  # noqa: E402
+from hive_service_spark.scratch import atomic_copy, pid_dir  # noqa: E402
+
+_NS = pid_dir("proc")
+_CKPT = f"{_NS}/checkpoints"
 
 
 def _raw_schema(spark: SparkSession, sf_dir: str) -> StructType:
@@ -45,21 +55,23 @@ def _stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     column gets the same nanos->micros conversion as the batch path
     (catalog.load)."""
     import shutil
-    from pathlib import Path
 
     src = Path(sf_dir) / "events.parquet"
-    stage = Path("/root/repo/.scratch/stream_src") / Path(sf_dir).name
+    stage = Path(f"{_SCRATCH}/stream_src") / Path(sf_dir).name
     stage.mkdir(parents=True, exist_ok=True)
     dst = stage / "events.parquet"
     # mtime check matters: the stream reads the STAGED file with the
     # SOURCE file's schema, so a stale copy from an older testdata
     # generation (same size, different encoding) would mismatch.
+    # The stage dir is shared across processes (it is a read-only cache
+    # once written), so the copy goes through a per-pid temp file +
+    # atomic rename — a concurrent reader never sees a torn file.
     if (
         not dst.exists()
         or dst.stat().st_size != src.stat().st_size
         or dst.stat().st_mtime < src.stat().st_mtime
     ):
-        shutil.copyfile(src, dst)
+        atomic_copy(src, dst)
     from pyspark.sql.types import LongType, TimestampNTZType
 
     raw = _raw_schema(spark, sf_dir)
@@ -400,7 +412,7 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle checks what actually landed on disk."""
     import shutil
 
-    target = "/root/repo/.scratch/fb_target"
+    target = f"{_NS}/fb_target"
     ckpt = f"{_CKPT}/hs_stream_foreach_batch"
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(target, ignore_errors=True)
@@ -464,7 +476,7 @@ def stream_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
     import shutil
     from pathlib import Path
 
-    base = "/root/repo/.scratch/stream_mv"
+    base = f"{_NS}/stream_mv"
     ckpt = f"{_CKPT}/hs_stream_mv_refresh"
     shutil.rmtree(base, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
