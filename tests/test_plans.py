@@ -293,3 +293,15 @@ def test_runtime_bloom_filter_injected(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "bloom_filter_agg" in plan, plan[:3000]
     assert "might_contain" in plan.lower(), plan[:3000]
+
+
+def test_recursive_cte_union_loop(spark):
+    """Recursive CTEs must plan as Catalyst's native loop operator
+    (UnionLoop), not be silently rewritten to something non-iterative;
+    the hierarchy walk's rollup join must still be a real join over the
+    loop output."""
+    df = _df(spark, "cte_recursive_org_rollup")
+    plan = P.simple_plan(df)
+    assert "UnionLoop" in plan, plan[:3000]
+    spine = _df(spark, "cte_recursive_date_spine")
+    assert "UnionLoop" in P.simple_plan(spine)
