@@ -47,6 +47,7 @@ HEADLINE = [
     "part_dynamic_partition_pruning",
     "mv_rewrite_rollup",
     "agg_ewah_bitmap_ops",
+    "cte_recursive_org_rollup",
     # LLM-pipeline extensions
     "dedup_minhash_lsh",
     "pipeline_clean_corpus",
