@@ -704,3 +704,212 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("query_id", "cand_id", "codes", "approx_cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# 8. distributed Lloyd k-means — unsupervised codebook training
+# ---------------------------------------------------------------------------
+
+_KM_K = 8       # clusters
+_KM_ITERS = 2   # centroid updates before the final assignment pass
+
+
+def _km_assign_sql(vsrc: str, csrc: str, keep_d2: bool) -> str:
+    """One DuckDB Lloyd assignment: nearest centroid by squared L2,
+    distance rounded to 6dp before the argmin so both engines pick the
+    same winner, ties broken on cluster id."""
+    d2 = (
+        f"ROUND(list_dot_product({vsrc}.e, {vsrc}.e)"
+        f" - 2 * list_dot_product({vsrc}.e, {csrc}.c)"
+        f" + list_dot_product({csrc}.c, {csrc}.c), 6)"
+    )
+    extra = ", d2" if keep_d2 else ""
+    return f"""
+  SELECT vec_id, e, cl{extra} FROM (
+    SELECT {vsrc}.vec_id, {vsrc}.e, {csrc}.cl, {d2} AS d2,
+           ROW_NUMBER() OVER (PARTITION BY {vsrc}.vec_id
+             ORDER BY {d2} ASC, {csrc}.cl ASC) AS rn
+    FROM {vsrc} CROSS JOIN {csrc}
+  ) WHERE rn = 1
+"""
+
+
+def _km_recenter_sql(asrc: str) -> str:
+    """Per-cluster per-dimension mean, rounded to 6dp so both engines
+    quantize the new centroid identically."""
+    return f"""
+  SELECT cl, list(cx ORDER BY d) AS c FROM (
+    SELECT cl, d, ROUND(AVG(x), 6) AS cx
+    FROM (SELECT cl, unnest(e) AS x,
+                 unnest(generate_series(1, {_DIM})) AS d
+          FROM {asrc})
+    GROUP BY cl, d
+  ) GROUP BY cl
+"""
+
+
+_KMEANS_ORACLE = f"""
+WITH v AS ({_VECS_SQL}),
+c0 AS (SELECT vec_id AS cl, e AS c FROM v WHERE vec_id < {_KM_K}),
+a1 AS ({_km_assign_sql('v', 'c0', keep_d2=False)}),
+c1 AS ({_km_recenter_sql('a1')}),
+a2 AS ({_km_assign_sql('v', 'c1', keep_d2=False)}),
+c2 AS ({_km_recenter_sql('a2')}),
+a3 AS ({_km_assign_sql('v', 'c2', keep_d2=True)})
+SELECT CAST(cl AS BIGINT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       ROUND(AVG(d2), 4) + 0.0 AS avg_d2
+FROM a3
+GROUP BY cl
+"""
+
+
+def _km_assign(v: DataFrame, cent: DataFrame) -> DataFrame:
+    """One Lloyd assignment pass: nearest centroid by squared L2,
+    distance rounded to 6dp before the argmin (engine lockstep), ties
+    to the lowest cluster id. argmin is min(struct(d2, cl)) — the
+    lexicographic struct-min IS that tie-break, and the hash aggregate
+    partially reduces the k*n pair space map-side, where a window
+    argmin would shuffle-and-sort all of it."""
+    d2 = F.round(
+        F.col("v.nr") * F.col("v.nr")
+        - 2 * _dot(F.col("v.e"), F.col("cent.c"))
+        + _dot(F.col("cent.c"), F.col("cent.c")),
+        6,
+    )
+    return (
+        v.alias("v")
+        .crossJoin(F.broadcast(cent.alias("cent")))
+        .select("v.vec_id", "v.e", "cent.cl", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cl")).alias("m"), F.first("e").alias("e"))
+        .select("vec_id", "e", F.col("m.cl").alias("cl"), F.col("m.d2").alias("d2"))
+    )
+
+
+def _km_recenter(assigned: DataFrame) -> DataFrame:
+    """New centroids: per-cluster per-dimension mean rounded to 6dp so
+    both engines quantize the update identically."""
+    return (
+        assigned.select("cl", F.posexplode("e").alias("d", "x"))
+        .groupBy("cl", "d")
+        .agg(F.round(F.avg("x"), 6).alias("cx"))
+        .groupBy("cl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "cx"))),
+                lambda s: s["cx"],
+            ).alias("c")
+        )
+    )
+
+
+def _km_centroids(v: DataFrame) -> DataFrame:
+    """Run _KM_ITERS Lloyd updates from the deterministic init (first
+    k vectors by id). Lineage is truncated between iterations: the
+    k-row centroid frame is the only loop-carried state, and chaining
+    it lazily makes Catalyst inline each centroid expression subtree
+    into the next iteration's zip_with/aggregate lambdas — exponential
+    plan growth (the repo's known higher-order-function inlining
+    pitfall). localCheckpoint keeps the k x d state on executors; no
+    driver round-trip, same operators at any scale."""
+    cent = v.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cl"), F.col("e").alias("c")
+    )
+    for _ in range(_KM_ITERS):
+        cent = _km_recenter(_km_assign(v, cent)).localCheckpoint(eager=True)
+    return cent
+
+
+@query("ml_kmeans_lloyd", oracle=_KMEANS_ORACLE)
+def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding corpus — the
+    unsupervised counterpart of `ml_label_centroids` and the honest
+    training step for the IVF/PQ coarse quantizers (which currently
+    seed from labels / a driver-side sample). Deterministic throughout:
+    init = the first k vectors by id, per-iteration distances and
+    centroid means rounded to 6dp on both engines, argmin ties broken
+    on cluster id — so the DuckDB oracle replays the IDENTICAL
+    algorithm (each iteration unrolled as a CTE pair) and the value
+    hash verifies assignments, not just shapes.
+
+    Scale design (100 TB): this is exactly MLlib KMeans' data layout —
+    each iteration broadcasts k x d centroids (control-plane state,
+    independent of corpus size) and makes one map pass to assign plus
+    one k*d-cell aggregation to recenter; the corpus shuffles only by
+    cluster id for the recenter aggregate, whose map-side partial
+    reduces each partition to at most k*d cells. Iterations chain
+    lazily here (the whole loop is one Catalyst plan); on a long-lived
+    cluster job you persist the assignment frame between iterations
+    instead — same operators, plus a cache."""
+    v = _vecs(spark, sf_dir)
+    final = _km_assign(v, _km_centroids(v))
+    return final.groupBy(F.col("cl").cast("bigint").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (F.round(F.avg("d2"), 4) + 0.0).alias("avg_d2"),
+    )
+
+
+_IVF_KM_ORACLE = f"""
+WITH v AS ({_VECS_SQL}),
+c0 AS (SELECT vec_id AS cl, e AS c FROM v WHERE vec_id < {_KM_K}),
+a1 AS ({_km_assign_sql('v', 'c0', keep_d2=False)}),
+c1 AS ({_km_recenter_sql('a1')}),
+a2 AS ({_km_assign_sql('v', 'c1', keep_d2=False)}),
+c2 AS ({_km_recenter_sql('a2')}),
+a3 AS ({_km_assign_sql('v', 'c2', keep_d2=False)}),
+cells AS (
+  SELECT a3.vec_id, a3.e, v.nr, a3.cl FROM a3 JOIN v ON a3.vec_id = v.vec_id
+),
+q AS (SELECT * FROM cells WHERE {_IS_QUERY}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.cl AS cell,
+         ROUND({_COS_SQL.format(a='q', b='c')}, 4) + 0.0 AS cosine
+  FROM q JOIN cells c ON q.cl = c.cl AND q.vec_id <> c.vec_id
+)
+SELECT query_id, cand_id, CAST(cell AS BIGINT) AS cell, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+@query("ann_ivf_kmeans", oracle=_IVF_KM_ORACLE)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a k-means-trained coarse quantizer — the production
+    composition: `_km_centroids` (distributed Lloyd, see
+    ml_kmeans_lloyd) trains the codebook unsupervised, every vector is
+    routed to its nearest centroid's cell, and queries probe only their
+    own cell (nprobe=1). This supersedes ann_ivf_cells' label-derived
+    centroids (kept as the supervised-shortcut variant) — on a real
+    corpus there are no labels to cheat with. The oracle replays
+    training + routing + probing end-to-end, so the value hash verifies
+    the whole pipeline, not just the probe. Scale shape is identical to
+    ann_ivf_cells: routing is a broadcast of k x d centroids against
+    one map pass, and the probe is an equi-join on the cell id."""
+    v = _vecs(spark, sf_dir)
+    cells = _km_assign(v, _km_centroids(v)).join(
+        v.select("vec_id", "nr"), "vec_id"
+    )
+    q = cells.where(F.expr(_IS_QUERY))
+    scored = (
+        F.broadcast(q.alias("q"))
+        .join(
+            cells.alias("c"),
+            (F.col("q.cl") == F.col("c.cl"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("cand_id"),
+            F.col("q.cl").cast("bigint").alias("cell"),
+            (F.round(_cos("q", "c"), 4) + 0.0).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "cand_id", "cell", "cosine", "rank")
+    )
