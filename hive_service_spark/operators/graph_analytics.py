@@ -1,0 +1,141 @@
+"""Graph analytics: fixed-iteration PageRank over a derived graph.
+
+The reference has no graph operators — Hive users run PageRank-style
+jobs as hand-rolled iterative self-join scripts over edge tables
+(SURVEY.md §2 has no graph family; this module is extension surface
+like the LLM wave, where link-based quality scores are a standard
+training-data signal for web corpora). The iterative-DataFrame
+pattern here completes the repo's trio of distributed iterative
+algorithms: min-label propagation (dedup_cluster_components), Lloyd
+k-means (ml_kmeans_lloyd), and power-iteration PageRank.
+
+Graph: suppliers are nodes; an undirected edge joins two suppliers
+that co-supply at least one order (both directions materialized, so
+out-degree = degree). Edge derivation is a per-order self-join —
+TPC-H orders have at most 7 lineitems, so the per-key pair expansion
+is bounded by a constant (49) and the edge build stays linear in
+lineitem count at any scale factor.
+
+Determinism across engines: every iteration rounds the new rank
+vector to 8dp before the next step and the final output rounds to
+6dp, so Spark and the unrolled-CTE DuckDB oracle quantize identically
+and the value hash verifies the actual rank vector.
+
+Scale notes (100 TB): each power iteration is one shuffle — ranks
+join edges on the source node (contributions = rank/degree fanned out
+along edges), then aggregate by destination. Edges are the big frame
+and are partition-stable across iterations; at cluster scale you
+bucket the edge table by src once and every iteration's join is
+shuffle-free on the edge side, shuffling only the (node, rank) frame.
+Lineage is truncated per iteration (localCheckpoint) for the same
+reason as ml_kmeans_lloyd — loop-carried plans otherwise nest.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_service_spark.catalog import load
+from hive_service_spark.registry import query
+
+_DAMP = 0.85
+_ITERS = 3
+_TOPN = 20
+
+_EDGES_SQL = """
+  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey <> b.l_suppkey
+"""
+
+_PR_STEP_SQL = """
+  SELECT e.dst AS node,
+         ROUND({base} + {damp} * SUM(r.rank / d.deg), 8) AS rank
+  FROM edges e
+  JOIN {prev} r ON e.src = r.node
+  JOIN deg d ON e.src = d.node
+  GROUP BY e.dst, n.n
+"""
+
+
+def _pr_oracle() -> str:
+    steps = []
+    prev = "r0"
+    for i in range(1, _ITERS + 1):
+        steps.append(
+            f"r{i} AS ({_PR_STEP_SQL.format(base='(1 - 0.85) / n.n', damp='0.85', prev=prev)})"
+            .replace("FROM edges e", "FROM edges e CROSS JOIN nn n")
+        )
+        prev = f"r{i}"
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH edges AS ({_EDGES_SQL}),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS deg
+        FROM edges GROUP BY src),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+r0 AS (SELECT node, 1.0 / n.n AS rank FROM deg CROSS JOIN nn n),
+{steps_sql}
+SELECT CAST(node AS BIGINT) AS node,
+       ROUND(rank, 6) AS pagerank,
+       CAST(pos AS BIGINT) AS pos
+FROM (
+  SELECT node, rank,
+         ROW_NUMBER() OVER (ORDER BY ROUND(rank, 6) DESC, node ASC) AS pos
+  FROM {prev}
+) WHERE pos <= {_TOPN}
+"""
+
+
+@query("graph_pagerank_cosupply", oracle=_pr_oracle())
+def graph_pagerank_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank (d=0.85) over the supplier co-supply
+    graph; returns the top-20 suppliers by link centrality. Every node
+    in the graph has degree >= 1 by construction (isolated suppliers
+    are excluded), so there is no dangling-mass term and the update is
+    exactly r' = (1-d)/N + d * sum(r/deg over in-neighbors)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .where(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("deg")
+    )
+    n_nodes = deg.count()  # scalar graph-order statistic, O(1) result
+    base = (1.0 - _DAMP) / n_nodes
+    ranks = deg.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(_ITERS):
+        ranks = (
+            edges.join(ranks.alias("r"), edges.src == F.col("r.node"))
+            .join(deg.alias("d"), edges.src == F.col("d.node"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.round(
+                    F.lit(base)
+                    + F.lit(_DAMP) * F.sum(F.col("r.rank") / F.col("d.deg")),
+                    8,
+                ).alias("rank")
+            )
+            .localCheckpoint(eager=True)
+        )
+    from pyspark.sql import Window
+
+    # top-k first via TakeOrderedAndProject (distributed-safe: the
+    # ordering is a deterministic total order, so limit-then-number
+    # equals number-then-filter), THEN a 20-row window for positions —
+    # never a global single-partition window over all nodes.
+    top = ranks.orderBy(F.desc(F.round("rank", 6)), F.asc("node")).limit(_TOPN)
+    w = Window.orderBy(F.desc(F.round("rank", 6)), F.asc("node"))
+    return top.withColumn("pos", F.row_number().over(w)).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.round("rank", 6).alias("pagerank"),
+        F.col("pos").cast("bigint").alias("pos"),
+    )
