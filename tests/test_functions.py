@@ -284,6 +284,15 @@ def test_char_varchar_semantics(spark):
         "LOCATION '/root/repo/.scratch/warehouse'"
     )
     spark.sql("DROP TABLE IF EXISTS hs_scratch.char_semantics")
+    # a killed earlier run can leave the managed-table directory behind
+    # with no catalog entry — DROP TABLE is then a no-op and CREATE
+    # fails with LOCATION_ALREADY_EXISTS; clear the location like the
+    # ddl_catalog module does
+    import shutil
+
+    shutil.rmtree(
+        "/root/repo/.scratch/warehouse/char_semantics", ignore_errors=True
+    )
     spark.sql(
         "CREATE TABLE hs_scratch.char_semantics "
         "(c CHAR(5), v VARCHAR(3)) USING parquet"
