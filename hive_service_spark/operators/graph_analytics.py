@@ -27,8 +27,12 @@ along edges), then aggregate by destination. Edges are the big frame
 and are partition-stable across iterations; at cluster scale you
 bucket the edge table by src once and every iteration's join is
 shuffle-free on the edge side, shuffling only the (node, rank) frame.
-Lineage is truncated per iteration (localCheckpoint) for the same
-reason as ml_kmeans_lloyd — loop-carried plans otherwise nest.
+Each iteration's rank frame is materialized with an eager
+localCheckpoint: measured head-to-head at sf0.1, lazy chaining is
+~1.7x slower because deg and every earlier iteration's aggregate
+re-execute inside the nested plan, while the checkpoint computes each
+iteration exactly once (and on a long-running PageRank it also bounds
+plan depth).
 """
 
 from __future__ import annotations

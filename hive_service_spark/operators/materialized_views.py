@@ -186,10 +186,16 @@ class MaterializedView:
         return base.groupBy(*group_by).agg(*aggs), False
 
 
+_MV_INSTANCES: dict[str, MaterializedView] = {}
+
+
 def lineitem_revenue_mv() -> MaterializedView:
     """The demo MV: lineitem pre-aggregated by (returnflag, linestatus,
-    ship_year) — ~|3×2×8| rows regardless of base size."""
-    return MaterializedView(
+    ship_year) — ~|3×2×8| rows regardless of base size. One instance
+    per process so freshness tracking persists across query calls —
+    a repeat invocation reuses the built MV instead of re-aggregating
+    the base table, which is the entire point of a materialized view."""
+    return _MV_INSTANCES.setdefault("lineitem_rev_mv", MaterializedView(
         name="lineitem_rev_mv",
         base="lineitem",
         dims=(
@@ -201,7 +207,7 @@ def lineitem_revenue_mv() -> MaterializedView:
             "revenue": "l_extendedprice * (1 - l_discount)",
             "qty": "l_quantity",
         },
-    )
+    ))
 
 
 _MV_REWRITE_ORACLE = """
@@ -229,7 +235,8 @@ def mv_rewrite_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the physical plan scans the MV parquet, not base lineitem."""
     register_views(spark, sf_dir)
     mv = lineitem_revenue_mv()
-    mv.build(spark)
+    if not mv.fresh:
+        mv.build(spark)
     df, used_mv = mv.rewrite(
         spark,
         group_by=("l_returnflag", "ship_year"),
@@ -276,7 +283,8 @@ def mv_rewrite_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     its answer."""
     register_views(spark, sf_dir)
     mv = lineitem_revenue_mv()
-    mv.build(spark)
+    if not mv.fresh:
+        mv.build(spark)
     df, used_mv = mv.rewrite(
         spark,
         group_by=("l_returnflag",),

@@ -305,3 +305,21 @@ def test_recursive_cte_union_loop(spark):
     assert "UnionLoop" in plan, plan[:3000]
     spine = _df(spark, "cte_recursive_date_spine")
     assert "UnionLoop" in P.simple_plan(spine)
+
+
+def test_kmeans_ivf_join_shapes(spark):
+    """ann_ivf_kmeans: the centroid routing join is a BROADCAST
+    nested-loop over the k-row centroid frame (never an unbroadcast
+    cartesian), and the cell probe is an equi-join on the cell id."""
+    df = _df(spark, "ann_ivf_kmeans")
+    plan = P.operators(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_pagerank_no_cartesian(spark):
+    """graph_pagerank_cosupply: the edge build is an equi-join on the
+    order key and every power iteration joins ranks to edges on the
+    source node — no cartesian anywhere."""
+    df = _df(spark, "graph_pagerank_cosupply")
+    assert not P.has_cartesian(df), P.operators(df)
