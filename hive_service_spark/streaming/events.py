@@ -729,3 +729,85 @@ def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("hour_start", "n_events", "n_quarter_buckets", "total_value")
         .orderBy("hour_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream-static dimension enrichment
+# ---------------------------------------------------------------------------
+
+_STATIC_ENRICH_ORACLE = """
+WITH mx AS (SELECT MAX(ts) AS mx FROM events),
+agg AS (
+  SELECT time_bucket(INTERVAL 6 HOUR, e.ts) AS window_start,
+         c.c_mktsegment AS segment,
+         COUNT(*) AS n_events,
+         CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+         ROUND(SUM(e.value), 2) AS total_value
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT a.window_start, a.segment, a.n_events, a.n_users, a.total_value
+FROM agg a CROSS JOIN mx
+WHERE a.window_start <= mx.mx - INTERVAL 9 HOUR
+"""
+
+
+@query("stream_static_enrich", oracle=_STATIC_ENRICH_ORACLE)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment — THE most common streaming
+    topology: the event stream joins a slowly-changing dimension table
+    (here customer, keyed by user id) and aggregates per dimension
+    attribute. Spark plans the static side as a broadcast into every
+    micro-batch; the join itself keeps NO state (unlike stream-stream
+    joins) — only the windowed aggregate downstream does. At 100 TB/day
+    the pattern is identical: the dimension is re-read and broadcast
+    per batch, picking up dimension updates between batches — the
+    lookup-join semantics Hive users approximate with periodic map-join
+    batch jobs.
+
+    COUNT(DISTINCT user) is not incrementally plannable in streaming
+    (it needs full per-window value state), so the standard two-level
+    rewrite aggregates by (window, segment, user) first and counts rows
+    per (window, segment) second — a chained stateful topology, hence
+    the watermark + append mode + decided-horizon cutoff (same shape as
+    stream_chained_windows: only windows the watermark has closed are
+    emitted, and the oracle applies the identical cutoff)."""
+    from hive_service_spark.catalog import load
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    per_user = (
+        _stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .join(F.broadcast(cust), "user_id")
+        .groupBy(F.window("ts", "6 hours"), "segment", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ev_u"),
+            F.sum("value").alias("val_u"),
+        )
+    )
+    agg = (
+        per_user.groupBy(
+            F.window(F.window_time("window"), "6 hours").alias("w2"), "segment"
+        )
+        .agg(
+            F.sum("n_ev_u").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(F.sum("val_u"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w2.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+    )
+    out = _run_to_table(agg, "hs_stream_static_enrich", "append")
+    cutoff = load(spark, sf_dir, "events").agg(F.max("ts").alias("mx"))
+    return (
+        out.crossJoin(F.broadcast(cutoff))
+        .where(F.col("window_start") <= F.col("mx") - F.expr("INTERVAL 9 HOUR"))
+        .select("window_start", "segment", "n_events", "n_users", "total_value")
+    )
