@@ -524,3 +524,58 @@ def func_hive_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_TRY_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_quantity / NULLIF(l_linenumber - 1, 0), 6) AS try_div,
+       TRY_CAST(CAST(l_orderkey AS VARCHAR) AS INTEGER) AS try_int_ok,
+       TRY_CAST(CASE WHEN l_orderkey % 2 = 0
+                     THEN CAST(l_orderkey AS VARCHAR)
+                     ELSE l_returnflag END AS INTEGER) AS try_int_mixed,
+       CASE WHEN l_quantity <= 10
+            THEN CAST(l_quantity AS BIGINT) * 922337203685477580
+            ELSE NULL END AS try_ovf_mul,
+       [CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS BIGINT)]
+         [l_linenumber] AS try_elem
+FROM lineitem
+WHERE l_orderkey < 200
+"""
+
+
+@query("func_try_family", oracle=_TRY_ORACLE)
+def func_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe `try_*` family — NULL-on-error arithmetic the
+    data-cleaning path depends on (division by zero, unparseable casts,
+    bigint overflow, out-of-range array index via a variable index that
+    overruns for most rows). Hive 2.3 predates these
+    (its non-strict mode silently NULLs some of the same cases); the
+    oracle reproduces each NULL contract explicitly: NULLIF for /0,
+    DuckDB TRY_CAST for casts, a CASE guard for the overflow DuckDB
+    would raise on, and DuckDB's native NULL-past-end list index."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide("l_quantity", F.col("l_linenumber") - 1), 6
+        ).alias("try_div"),
+        F.try_to_number(
+            F.col("l_orderkey").cast("string"), F.lit("999999999")
+        ).cast("int").alias("try_int_ok"),
+        F.expr(
+            "try_cast(CASE WHEN l_orderkey % 2 = 0 "
+            "THEN CAST(l_orderkey AS STRING) "
+            "ELSE l_returnflag END AS INT)"
+        ).alias("try_int_mixed"),
+        F.try_multiply(
+            F.col("l_quantity").cast("bigint"), F.lit(922337203685477580)
+        ).alias("try_ovf_mul"),
+        F.try_element_at(
+            F.array(
+                F.col("l_orderkey").cast("bigint"),
+                F.col("l_linenumber").cast("bigint"),
+            ),
+            F.col("l_linenumber"),
+        ).alias("try_elem"),
+    )

@@ -323,3 +323,27 @@ def test_pagerank_no_cartesian(spark):
     source node — no cartesian anywhere."""
     df = _df(spark, "graph_pagerank_cosupply")
     assert not P.has_cartesian(df), P.operators(df)
+
+
+def test_join_strategy_hints_matrix(spark):
+    """All four join-strategy hints must reach the physical planner:
+    the control surface users tune big joins with (Hive analog:
+    hive.auto.convert.join / MAPJOIN hint / sort-merge-bucket flags).
+    Tested directly on catalog tables so each hint is the only signal."""
+    from hive_service_spark.catalog import load
+
+    o = load(spark, SF_DIR, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, SF_DIR, "customer").select("c_custkey", "c_name")
+    cases = {
+        "merge": "SortMergeJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+        "broadcast": "BroadcastHashJoin",
+    }
+    for hint, op in cases.items():
+        df = o.join(c.hint(hint), o.o_custkey == c.c_custkey)
+        plan = P.operators(df)
+        assert op in plan, f"hint {hint!r} did not plan {op}:\n{plan}"
+    # shuffle_replicate_nl forces the cartesian path (equi-condition
+    # becomes a post-filter) — the one place CartesianProduct is legal
+    df = o.join(c.hint("shuffle_replicate_nl"), o.o_custkey == c.c_custkey)
+    assert "CartesianProduct" in P.operators(df)
