@@ -85,6 +85,30 @@ def _stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+class _state_partitions:
+    """Pin spark.sql.shuffle.partitions to the session's parallelism
+    for the duration of one streaming run. AQE is disabled in stateful
+    streaming, so a stateful operator materializes the FULL configured
+    partition count as state-store instances per micro-batch — under
+    the plain 200-partition default that is 200 state commits per batch
+    for a local[8] run. The checkpoint is recreated per invocation, so
+    the count is safe to change between runs; on a cluster this knob is
+    sized to the executor count the same way."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self) -> None:
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(self.spark.sparkContext.defaultParallelism),
+        )
+
+    def __exit__(self, *exc) -> None:
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def _run_to_table(df: DataFrame, name: str, mode: str) -> DataFrame:
     """Execute the streaming plan to completion (availableNow) into a
     memory sink and return the materialized table."""
@@ -97,15 +121,16 @@ def _run_to_table(df: DataFrame, name: str, mode: str) -> DataFrame:
     # each invocation replays the full input from offset 0 — a stale
     # checkpoint would pin the old source/offsets, so start clean
     shutil.rmtree(f"{_CKPT}/{name}", ignore_errors=True)
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", f"{_CKPT}/{name}")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", f"{_CKPT}/{name}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -433,14 +458,15 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(target)
 
-    q = (
-        agg.writeStream.foreachBatch(_write_batch)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.foreachBatch(_write_batch)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(target)
 
 
@@ -525,13 +551,14 @@ def stream_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
         state["cur"] = nxt
         state["batches"] += 1
 
-    q = (
-        stream.writeStream.foreachBatch(_merge_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(_merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     assert state["batches"] >= 2, (
         f"expected multiple micro-batches, got {state['batches']} — "
         "incrementality untested"
