@@ -211,3 +211,115 @@ def json_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (Spark 4 user-defined TABLE function surface)
+# ---------------------------------------------------------------------------
+
+_UDTF_ORACLE = """
+SELECT d.doc_id,
+       CAST(g.i AS INTEGER)                         AS win_idx,
+       CAST(LEAST(10, len(w.ws) - g.i * 10) AS INTEGER) AS n_words,
+       w.ws[g.i * 10 + 1]                           AS head_word
+FROM (SELECT doc_id, string_split(text, ' ') AS ws
+      FROM documents WHERE doc_id < 50) w
+JOIN documents d ON d.doc_id = w.doc_id
+CROSS JOIN LATERAL (
+  SELECT unnest(generate_series(0,
+           CAST(CEIL(len(w.ws) / 10.0) AS INTEGER) - 1)) AS i
+) g
+"""
+
+
+@query("udtf_python_word_windows", oracle=_UDTF_ORACLE)
+def udtf_python_word_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined TABLE function in Python (Spark 4 `@udtf`) applied
+    with a LATERAL join — the extension analog of Hive's GenericUDTF
+    subclassing surface (`hive-exec!ql/udf/generic/GenericUDTF`,
+    SURVEY.md §2.1 UDTFOperator): explode/posexplode/stack cover the
+    builtins; this covers the USER-AUTHORED table function contract
+    (one eval per input row, 0..n output rows, declared schema). The
+    function windows each document into 10-word chunks and emits
+    (win_idx, n_words, head_word) per chunk; the oracle replays the
+    windowing with generate_series. Python UDTFs run Arrow-batched in
+    the Python worker — fine for this control surface, but bulk
+    chunking stays in mapInPandas/JVM expressions (doc_chunking_overlap)
+    on the hot path."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="win_idx: int, n_words: int, head_word: string")
+    class WordWindows:
+        def eval(self, text: str):
+            words = text.split(" ")
+            for i in range(0, len(words), 10):
+                chunk = words[i : i + 10]
+                yield i // 10, len(chunk), chunk[0]
+
+    spark.udtf.register("hs_word_windows", WordWindows)
+    load(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 50
+    ).createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.win_idx, t.n_words, t.head_word
+        FROM docs_udtf d, LATERAL hs_word_windows(d.text) t
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured type (Spark 4)
+# ---------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS k_sum,
+       CAST(ROUND(SUM(CAST(value * 2 AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS doubled_sum,
+       CAST(COUNT(*) FILTER (WHERE json_extract(props, '$.missing') IS NULL)
+            AS BIGINT) AS n_missing
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("json_variant_shred", oracle=_VARIANT_ORACLE)
+def json_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured navigation (Spark 4): each event's JSON
+    is parsed ONCE into the binary VARIANT encoding, then typed paths
+    are extracted with variant_get / try_variant_get — the modern
+    replacement for per-path get_json_object re-parsing and the typed
+    from_json when the schema is open-ended. The row payload here is a
+    constructed nested document (props object + a value array) so the
+    paths exercise object fields, array indexing, and a missing path;
+    the oracle recomputes every extracted value from the raw columns,
+    verifying the parse->navigate->cast pipeline end to end."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.parse_json(
+            F.to_json(
+                F.struct(
+                    F.from_json("props", "k INT").alias("props"),
+                    F.array(F.col("value"), F.col("value") * 2).alias("vals"),
+                )
+            )
+        ).alias("v"),
+    )
+    shredded = v.select(
+        "event_type",
+        F.expr("variant_get(v, '$.props.k', 'int')").alias("k"),
+        F.expr("variant_get(v, '$.vals[1]', 'double')").alias("doubled"),
+        F.expr("try_variant_get(v, '$.nope', 'int')").alias("missing"),
+    )
+    return shredded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").cast("bigint").alias("k_sum"),
+        F.round(F.sum(F.col("doubled").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("doubled_sum"),
+        F.count(F.when(F.col("missing").isNull(), 1)).alias("n_missing"),
+    )
