@@ -228,9 +228,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _A_SQL = "[" + ",".join(map(str, _MH_A)) + "]"
 _B_SQL = "[" + ",".join(map(str, _MH_B)) + "]"
 
-# CTE prefix shared by the minhash-LSH oracle and the duplicate-cluster
-# oracle below (identical signatures/candidates in both).
-_MINHASH_CTES = f"""
+# CTE prefix shared by the minhash-LSH oracle, the duplicate-cluster
+# oracle, and the incremental new-batch oracle below (identical
+# signatures in all; the symmetric corpus-wide candidate join is only
+# in _MINHASH_CTES).
+_MINHASH_BASE_CTES = f"""
 sh AS (
   SELECT doc_id, {_SHINGLE_SQL} AS s
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
@@ -249,7 +251,9 @@ bands AS (
          mh[b*4+1]::VARCHAR || '-' || mh[b*4+2]::VARCHAR || '-' ||
          mh[b*4+3]::VARCHAR || '-' || mh[b*4+4]::VARCHAR AS bkey
   FROM sig, unnest([0,1,2,3]) AS u(b)
-),
+)"""
+
+_MINHASH_CTES = _MINHASH_BASE_CTES + """,
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -273,11 +277,10 @@ WHERE len(list_intersect(sa.s, sb.s)) * 1.0 /
 """
 
 
-def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared MinHash+LSH pipeline: returns verified near-dup pairs
-    (doc_a, doc_b, est_jaccard, true_jaccard) with true Jaccard >= 0.8.
-    Used by dedup_minhash_lsh (reported as-is) and
-    dedup_cluster_components (as the edge set)."""
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle sets + 16-hash MinHash signatures per document — the
+    shared front end of every MinHash consumer (corpus-wide pair
+    search, duplicate clustering, incremental new-batch probing)."""
     d = load(spark, sf_dir, "documents")
     # repartition off the single-split scan + persist: the shingle and
     # hash arrays feed signature computation AND both sides of the
@@ -309,7 +312,12 @@ def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("mh"),
     ).persist()
-    bands = sig.select(
+    return sig
+
+
+def _band_frame(sig: DataFrame) -> DataFrame:
+    """LSH band keys (4 bands x 4 rows) from a signature frame."""
+    return sig.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
         F.col("mh"),
@@ -320,6 +328,15 @@ def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "-", *[F.element_at("mh", F.col("b") * 4 + k) for k in (1, 2, 3, 4)]
         ).alias("bkey"),
     )
+
+
+def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared MinHash+LSH pipeline: returns verified near-dup pairs
+    (doc_a, doc_b, est_jaccard, true_jaccard) with true Jaccard >= 0.8.
+    Used by dedup_minhash_lsh (reported as-is) and
+    dedup_cluster_components (as the edge set)."""
+    sig = _signatures(spark, sf_dir)
+    bands = _band_frame(sig)
     ba, bb = bands.alias("ba"), bands.alias("bb")
     cand = (  # shuffle_hash pinned: same AQE broadcast-flip hazard as
         # the jaccard postings self-join above
@@ -804,4 +821,94 @@ def dedup_semantic_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("n_dropped"))
         .orderBy("source")
+    )
+
+
+_INCR_ORACLE = f"""
+WITH {_MINHASH_BASE_CTES},
+inc AS (SELECT * FROM sig WHERE doc_id % 5 = 0),
+corp AS (SELECT * FROM sig WHERE doc_id % 5 <> 0),
+icand AS (
+  SELECT DISTINCT i.doc_id AS di, c.doc_id AS dc
+  FROM bands i JOIN bands c ON i.b = c.b AND i.bkey = c.bkey
+  WHERE i.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+),
+ver AS (
+  SELECT di, dc,
+         ROUND(len(list_intersect(si.s, sc.s)) * 1.0 /
+               (len(si.s) + len(sc.s) - len(list_intersect(si.s, sc.s))), 4)
+           AS jac
+  FROM icand
+  JOIN sig si ON si.doc_id = di
+  JOIN sig sc ON sc.doc_id = dc
+  WHERE len(list_intersect(si.s, sc.s)) * 1.0 /
+        (len(si.s) + len(sc.s) - len(list_intersect(si.s, sc.s))) >= 0.8
+)
+SELECT i.doc_id,
+       CAST(COALESCE(v.n_matches, 0) AS BIGINT) AS n_matches,
+       CAST(COALESCE(v.best_match, -1) AS BIGINT) AS best_match,
+       COALESCE(v.best_jaccard, 0.0) + 0.0 AS best_jaccard
+FROM inc i
+LEFT JOIN (
+  SELECT di, COUNT(*) AS n_matches, MIN(dc) AS best_match,
+         MAX(jac) AS best_jaccard
+  FROM ver GROUP BY di
+) v ON v.di = i.doc_id
+"""
+
+
+@query("dedup_incremental_newbatch", oracle=_INCR_ORACLE)
+def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the production shape: a NEW batch of
+    documents (doc_id % 5 = 0, ~20%) is screened against the EXISTING
+    corpus (the rest) without ever re-deduplicating the corpus against
+    itself. The corpus band table is the stored index (in production it
+    is appended to as batches are admitted — here both sides derive
+    from the same signature frame); candidates come from an asymmetric
+    incoming->corpus band equi-join, so the join cost is
+    O(|batch| x bucket occupancy), independent of corpus-pair count.
+    Every incoming doc gets a decision row: match count, the canonical
+    corpus duplicate (min doc id), and the best true Jaccard —
+    verified, not just banded (COALESCEd to -1/0.0 so the decision
+    table has no NULLs at the driver boundary)."""
+    sig = _signatures(spark, sf_dir)
+    bands = _band_frame(sig)
+    is_inc = F.col("doc_id") % 5 == 0
+    bi = bands.where(is_inc).alias("bi")
+    bc = bands.where(~is_inc).alias("bc")
+    cand = (
+        bi.join(
+            bc.hint("shuffle_hash"),  # same AQE broadcast-flip hazard
+            (F.col("bi.b") == F.col("bc.b"))
+            & (F.col("bi.bkey") == F.col("bc.bkey")),
+        )
+        .select(
+            F.col("bi.doc_id").alias("di"), F.col("bc.doc_id").alias("dc")
+        )
+        .distinct()
+    )
+    si, sc = sig.alias("si"), sig.alias("sc")
+    inter = F.size(F.array_intersect(F.col("si.s"), F.col("sc.s")))
+    union = F.size(F.col("si.s")) + F.size(F.col("sc.s")) - inter
+    jac = inter / union
+    ver = (
+        cand.join(si, F.col("di") == F.col("si.doc_id"))
+        .join(sc, F.col("dc") == F.col("sc.doc_id"))
+        .where(jac >= 0.8)
+        .select("di", "dc", F.round(jac, 4).alias("jac"))
+    )
+    decisions = ver.groupBy("di").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("dc").alias("best_match"),
+        F.max("jac").alias("best_jaccard"),
+    )
+    inc_docs = sig.where(is_inc).select("doc_id")
+    return (
+        inc_docs.join(decisions, inc_docs.doc_id == decisions.di, "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_matches", F.lit(0)).cast("bigint").alias("n_matches"),
+            F.coalesce("best_match", F.lit(-1)).cast("bigint").alias("best_match"),
+            (F.coalesce("best_jaccard", F.lit(0.0)) + 0.0).alias("best_jaccard"),
+        )
     )

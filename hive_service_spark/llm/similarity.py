@@ -913,3 +913,62 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("query_id", "cand_id", "cell", "cosine", "rank")
     )
+
+
+@query("ann_lsh_bucketed_index", oracle=_LSH_ORACLE)
+def ann_lsh_bucketed_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING layout for hyperplane LSH: the signature table is
+    persisted as a catalog table BUCKETED on the bucket id (the index
+    build), and query batches probe it without the index ever being
+    re-shuffled — the bucketed side reads pre-partitioned, pre-sorted
+    files, so the only Exchange in the probe plan is the (tiny) query
+    side being routed to the index's bucket layout. At 100 TB this is
+    the difference between re-shuffling the corpus per query batch and
+    shuffling kilobytes: build once, probe forever (bucket count scales
+    with cluster width). Algorithmically identical to
+    ann_lsh_hyperplane — same planes, buckets, ranks — so it shares
+    that query's oracle; the plan difference is pinned in
+    tests/test_plans.py."""
+    import os
+    import shutil
+
+    from hive_service_spark.scratch import SCRATCH_ROOT
+
+    spark.sql(
+        "CREATE DATABASE IF NOT EXISTS hs_scratch "
+        f"LOCATION '{SCRATCH_ROOT}/warehouse'"
+    )
+    tbl = f"lsh_index_{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS hs_scratch.{tbl}")
+    shutil.rmtree(f"{SCRATCH_ROOT}/warehouse/{tbl}", ignore_errors=True)
+
+    v = _vecs(spark, sf_dir)
+    bkt = v.select("vec_id", "e", "nr", _bucket(F.col("e")).alias("bucket"))
+    (
+        bkt.write.mode("overwrite")
+        .bucketBy(8, "bucket")
+        .sortBy("bucket")
+        .saveAsTable(f"hs_scratch.{tbl}")
+    )
+    index = spark.table(f"hs_scratch.{tbl}")
+    q = bkt.where(F.expr(_IS_QUERY))
+    scored = (
+        q.alias("q")
+        .join(
+            index.alias("c").hint("merge"),
+            (F.col("q.bucket") == F.col("c.bucket"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("cand_id"),
+            F.col("q.bucket").alias("bucket"),
+            (F.round(_cos("q", "c"), 4) + 0.0).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "cand_id", "bucket", "cosine", "rank")
+    )

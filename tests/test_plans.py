@@ -347,3 +347,24 @@ def test_join_strategy_hints_matrix(spark):
     # becomes a post-filter) — the one place CartesianProduct is legal
     df = o.join(c.hint("shuffle_replicate_nl"), o.o_custkey == c.c_custkey)
     assert "CartesianProduct" in P.operators(df)
+
+
+def test_lsh_bucketed_index_no_index_shuffle(spark):
+    """ann_lsh_bucketed_index: the persisted index must be read through
+    its bucket layout — a sort-merge probe with NO Exchange above the
+    bucketed scan; only the query side may shuffle."""
+    df = _df(spark, "ann_lsh_bucketed_index")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # the top-k window shuffles on query_id downstream — that one is
+    # expected; the JOIN must see exactly one bucket-partitioned
+    # exchange (the query side being routed to the index layout)
+    n_bucket_exchanges = len(
+        re.findall(r"Exchange hashpartitioning\(bucket", plan)
+    )
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert n_bucket_exchanges == 1, (
+        "expected exactly one bucket-routing shuffle (query side only), "
+        f"got {n_bucket_exchanges}:\n" + plan[:3000]
+    )
