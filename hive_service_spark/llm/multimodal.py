@@ -382,3 +382,84 @@ def mm_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     revisits the driver."""
     p = _payloads(spark, sf_dir).select("doc_id", "payload")
     return p.mapInPandas(_stride_resize, schema=_RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio: REAL PCM decode (no codec library needed) + windowed stats
+# ---------------------------------------------------------------------------
+
+_PCM_ORACLE = """
+WITH samp AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, CAST(least(length(text), 512) // 2 AS INTEGER)),
+           i -> ascii(substr(text, 2*i - 1, 1))
+                + 256 * ascii(substr(text, 2*i, 1))) AS s
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(s) AS INTEGER)  AS n_samples,
+       CAST(list_sum(s) AS BIGINT) AS sum_s,
+       CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS sum_sq,
+       CAST(list_max(s) AS INTEGER) AS peak,
+       ROUND(sqrt(list_sum(list_transform(s, x -> x * x)) * 1.0 / len(s)), 4)
+         AS rms
+FROM samp
+"""
+
+
+@query("mm_audio_pcm_stats", oracle=_PCM_ORACLE)
+def mm_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode — 16-bit little-endian PCM needs no codec
+    library, so unlike the image stubs this path runs actual sample
+    decoding end-to-end: the first 512 payload bytes (the header
+    analysis window) are reinterpreted as int16 samples with
+    numpy.frombuffer inside an Arrow-batched mapInPandas, and per-clip
+    loudness stats come out. The payload bytes are ASCII (<128), so
+    every sample's high byte is < 128 and the signed/unsigned int16
+    readings coincide — which is what lets DuckDB's oracle rebuild the
+    identical samples from character codes. The sums are kept in EXACT
+    int64 (sum, sum of squares, peak) so no float accumulation order
+    can flap the hash; RMS is derived from the exact sums identically
+    on both sides. Scale shape: slice JVM-side first (substring prunes
+    the Arrow transfer to 512 bytes/row), then one Python hop, no
+    per-row pickling."""
+    import numpy as np
+
+    src = _payloads(spark, sf_dir).select(
+        "doc_id", F.expr("substring(payload, 1, 512)").alias("win")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["win"]):
+                n = len(buf) // 2
+                a = np.frombuffer(buf[: 2 * n], dtype="<i2").astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        n,
+                        int(a.sum()),
+                        int((a * a).sum()),
+                        int(a.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "sum_s", "sum_sq", "peak"]
+            )
+
+    decoded = src.mapInPandas(
+        decode,
+        schema="doc_id long, n_samples int, sum_s long, sum_sq long, peak int",
+    )
+    return decoded.select(
+        "doc_id",
+        "n_samples",
+        "sum_s",
+        "sum_sq",
+        "peak",
+        F.round(
+            F.sqrt(F.col("sum_sq") / F.col("n_samples")), 4
+        ).alias("rms"),
+    )
