@@ -912,3 +912,108 @@ def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("best_jaccard", F.lit(0.0)) + 0.0).alias("best_jaccard"),
         )
     )
+
+
+_PARA_ORACLE = """
+WITH chunks AS (
+  SELECT doc_id, i,
+         array_to_string(list_slice(w, i * 20 + 1, i * 20 + 20), ' ') AS ctxt
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       LATERAL (
+         SELECT unnest(generate_series(0,
+                  CAST(CEIL(len(w) / 20.0) AS INTEGER) - 1)) AS i
+       )
+),
+freq AS (
+  SELECT md5(ctxt) AS h, COUNT(DISTINCT doc_id) AS ndocs
+  FROM chunks GROUP BY 1
+),
+kept AS (
+  SELECT c.doc_id, c.i, c.ctxt
+  FROM chunks c JOIN freq f ON md5(c.ctxt) = f.h
+  WHERE f.ndocs = 1
+)
+SELECT a.doc_id,
+       CAST(a.n_chunks AS BIGINT) AS n_chunks,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       ROUND(COALESCE(k.n_kept, 0) * 1.0 / a.n_chunks, 4) AS kept_fraction,
+       COALESCE(k.kept_md5, md5('')) AS kept_md5
+FROM (SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY 1) a
+LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         md5(array_to_string(list(ctxt ORDER BY i), ' ')) AS kept_md5
+  FROM kept GROUP BY doc_id
+) k ON a.doc_id = k.doc_id
+"""
+
+
+@query("dedup_paragraph_global", oracle=_PARA_ORACLE)
+def dedup_paragraph_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style GLOBAL paragraph dedup: documents are chunked
+    into fixed 20-word spans, every span that appears verbatim in more
+    than one document (cross-corpus boilerplate: headers, footers,
+    license blocks) is dropped from ALL documents, and each document is
+    reassembled from its surviving spans in order. The decision is
+    corpus-global — a span's fate depends on every other document —
+    which is exactly why this must be a distributed groupBy on the span
+    hash and not a per-doc map. Output is the per-doc audit row:
+    chunk counts, kept fraction, and the md5 of the reassembled text
+    (verifying the actual reassembly, not just counts).
+
+    Scale shape (100 TB): one explode to spans (fan-out ~n_words/20),
+    one hash-groupBy for corpus frequencies (map-side partial combine:
+    at most |distinct spans| cells), one equi-join back on the span
+    hash, one per-doc rebuild groupBy. The md5 runs JVM-side; no
+    Python in the path."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    chunks = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("w") / 20.0).cast("int") - 1,
+                )
+            ).alias("i"),
+            F.col("w"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.array_join(
+                F.slice("w", F.col("i") * 20 + 1, 20), " "
+            ).alias("ctxt"),
+        )
+        .withColumn("h", F.md5("ctxt"))
+        .persist()
+    )
+    freq = chunks.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("ndocs")
+    )
+    kept = chunks.join(freq, "h").where(F.col("ndocs") == 1)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+    kept_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "ctxt"))),
+                    lambda s: s["ctxt"],
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )
+    return per_doc.join(kept_doc, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_chunks").cast("bigint").alias("n_chunks"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.round(
+            F.coalesce("n_kept", F.lit(0)) / F.col("n_chunks"), 4
+        ).alias("kept_fraction"),
+        F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+    )

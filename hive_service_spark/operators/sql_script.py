@@ -216,3 +216,50 @@ def script_hiveql_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_script(spark, _SESSION_SCRIPT)
     assert out is not None
     return out
+
+
+_SESSION_VARS_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS revenue,
+       CAST(COUNT(*) FILTER (WHERE lower(l_linestatus) = 'o') AS BIGINT)
+         AS n_open_ci
+FROM lineitem
+WHERE l_quantity > 45
+GROUP BY l_returnflag
+"""
+
+
+@query("script_session_variables", oracle=_SESSION_VARS_ORACLE)
+def script_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed SQL session variables (DECLARE / SET VAR) — the modern
+    form of the ${hivevar:...} text substitution the script runner
+    above implements: the variable is a typed session object resolved
+    by the analyzer, not a string splice, so quoting/injection hazards
+    disappear. Also exercised: IDENTIFIER() dynamic column resolution
+    (the parameterized-column idiom) and a case-insensitive UTF8_LCASE
+    collation comparison (Hive compares case-sensitively; collation is
+    the engine-level fix users previously hand-rolled with lower()).
+    The oracle inlines the variable's final value and replays the
+    collation compare with lower()."""
+    from hive_service_spark.catalog import load
+
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sv")
+    spark.sql("DECLARE OR REPLACE hs_min_qty DOUBLE DEFAULT 30.0")
+    spark.sql("SET VAR hs_min_qty = 45.0")
+    spark.sql("DECLARE OR REPLACE hs_qty_col STRING DEFAULT 'l_quantity'")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS revenue,
+               CAST(COUNT(*) FILTER (
+                 WHERE l_linestatus COLLATE UTF8_LCASE = 'o'
+               ) AS BIGINT) AS n_open_ci
+        FROM lineitem_sv
+        WHERE IDENTIFIER(hs_qty_col) > hs_min_qty
+        GROUP BY l_returnflag
+        """
+    )
