@@ -154,3 +154,78 @@ def temporal_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "id_a", "id_b", "ts_a", "ts_b")
         .orderBy("user_id", "id_a", "id_b")
     )
+
+
+_SCD2_PIT_ORACLE = """
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment AS segment,
+         TIMESTAMP '1995-01-01' AS valid_from,
+         CASE WHEN c_custkey % 7 = 0 THEN TIMESTAMP '1997-01-01' END
+           AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'MACHINERY2' AS segment,
+         TIMESTAMP '1997-01-01' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM customer WHERE c_custkey % 7 = 0
+)
+SELECT d.segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS revenue
+FROM orders o
+JOIN dim d
+  ON o.o_custkey = d.c_custkey
+ AND o.o_orderdate >= d.valid_from
+ AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+GROUP BY d.segment
+"""
+
+
+@query("temporal_scd2_pointintime", oracle=_SCD2_PIT_ORACLE)
+def temporal_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact-to-SCD2 join — the warehouse pattern the SCD2
+    maintenance query (ddl_scd2_dimension) exists to enable: every
+    order is attributed to the dimension version that was CURRENT on
+    its order date (customers with c_custkey % 7 = 0 switch segment on
+    1997-01-01; their pre-1997 orders must land on the old segment).
+    Spark-first shape: an equi-join on the dimension key carrying the
+    validity-range residual — SCD2 guarantees few versions per key, so
+    the per-key pair expansion is bounded by version count, and at
+    100 TB this is an ordinary key-partitioned shuffle join (bucket
+    both sides by the key and it is shuffle-free). Exactly one version
+    matches per (order, key) because validity intervals partition the
+    timeline."""
+    cust = load(spark, sf_dir, "customer")
+    v1 = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.when(
+            F.col("c_custkey") % 7 == 0,
+            F.lit("1997-01-01").cast("timestamp"),
+        ).alias("valid_to"),
+    )
+    v2 = (
+        cust.where(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            F.lit("MACHINERY2").alias("segment"),
+            F.lit("1997-01-01").cast("timestamp").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+        )
+    )
+    dim = v1.unionByName(v2)
+    o = load(spark, sf_dir, "orders")
+    joined = o.join(
+        dim,
+        (o.o_custkey == dim.c_custkey)
+        & (o.o_orderdate >= dim.valid_from)
+        & (dim.valid_to.isNull() | (o.o_orderdate < dim.valid_to)),
+    )
+    return joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("revenue"),
+    )
