@@ -972,3 +972,91 @@ def ann_lsh_bucketed_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("query_id", "cand_id", "bucket", "cosine", "rank")
     )
+
+
+_RECALL_IVF_KM_ORACLE = f"""
+WITH v AS ({_VECS_SQL}),
+c0 AS (SELECT vec_id AS cl, e AS c FROM v WHERE vec_id < {_KM_K}),
+a1 AS ({_km_assign_sql('v', 'c0', keep_d2=False)}),
+c1 AS ({_km_recenter_sql('a1')}),
+a2 AS ({_km_assign_sql('v', 'c1', keep_d2=False)}),
+c2 AS ({_km_recenter_sql('a2')}),
+a3 AS ({_km_assign_sql('v', 'c2', keep_d2=False)}),
+cells AS (
+  SELECT a3.vec_id, a3.e, v.nr, a3.cl FROM a3 JOIN v ON a3.vec_id = v.vec_id
+),
+q AS (SELECT * FROM cells WHERE {_IS_QUERY}),
+gt AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND({_COS_SQL.format(a='q', b='c')}, 4) DESC,
+                      c.vec_id) AS rank
+    FROM q JOIN cells c ON q.vec_id <> c.vec_id
+  ) WHERE rank <= 3
+),
+ann AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND({_COS_SQL.format(a='q', b='c')}, 4) DESC,
+                      c.vec_id) AS rank
+    FROM q JOIN cells c ON q.cl = c.cl AND q.vec_id <> c.vec_id
+  ) WHERE rank <= 3
+)
+SELECT g.query_id,
+       COUNT(a.cand_id) AS n_hits,
+       ROUND(COUNT(a.cand_id) / 3.0, 4) AS recall_at_3
+FROM gt g LEFT JOIN ann a
+  ON a.query_id = g.query_id AND a.cand_id = g.cand_id
+GROUP BY g.query_id
+"""
+
+
+@query("ann_recall_ivf_kmeans", oracle=_RECALL_IVF_KM_ORACLE)
+def ann_recall_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@3 of the PRODUCTION ANN path (k-means-trained IVF,
+    nprobe=1) against exact ground truth — the post-(re)build
+    evaluation a deployment runs before switching traffic to a new
+    index. Same measurement harness as ann_recall_at_k (which grades
+    the LSH index); the oracle replays codebook training, routing, and
+    both top-3 rankings end to end."""
+    v = _vecs(spark, sf_dir)
+    cells = _km_assign(v, _km_centroids(v)).join(
+        v.select("vec_id", "nr"), "vec_id"
+    )
+    q = cells.where(F.expr(_IS_QUERY))
+
+    def scored(cond) -> DataFrame:
+        return (
+            F.broadcast(q.alias("q"))
+            .join(cells.alias("c"), cond)
+            .select(
+                F.col("q.vec_id").alias("query_id"),
+                F.col("c.vec_id").alias("cand_id"),
+                (F.round(_cos("q", "c"), 4) + 0.0).alias("cosine"),
+            )
+        )
+
+    gt = _topk(scored(F.col("q.vec_id") != F.col("c.vec_id")), 3)
+    ann = _topk(
+        scored(
+            (F.col("q.cl") == F.col("c.cl"))
+            & (F.col("q.vec_id") != F.col("c.vec_id"))
+        ),
+        3,
+    )
+    return (
+        gt.alias("g")
+        .join(
+            ann.alias("a"),
+            (F.col("a.query_id") == F.col("g.query_id"))
+            & (F.col("a.cand_id") == F.col("g.cand_id")),
+            "left",
+        )
+        .groupBy(F.col("g.query_id").alias("query_id"))
+        .agg(
+            F.count(F.col("a.cand_id")).alias("n_hits"),
+            F.round(F.count(F.col("a.cand_id")) / 3.0, 4).alias("recall_at_3"),
+        )
+    )
