@@ -1,0 +1,44 @@
+"""Unit tests for the per-process scratch namespace manager."""
+
+from __future__ import annotations
+
+import os
+import shutil
+from pathlib import Path
+
+import hive_service_spark.scratch as scratch
+
+
+def test_pid_dir_is_per_process_and_created():
+    d = scratch.pid_dir("proc")
+    assert d.endswith(f"proc-{os.getpid()}")
+    assert os.path.isdir(d)
+
+
+def test_reaper_removes_dead_keeps_alive_and_foreign(tmp_path, monkeypatch):
+    root = tmp_path / "scratch"
+    root.mkdir()
+    dead = root / "proc-999999999"  # pid_max is < 2^22 on Linux: never alive
+    alive = root / f"src-{os.getpid()}"
+    foreign = root / "stream_src"  # shared cache dir — not a pid namespace
+    unparsable = root / "proc-notanumber"
+    for d in (dead, alive, foreign, unparsable):
+        d.mkdir()
+    monkeypatch.setattr(scratch, "SCRATCH_ROOT", str(root))
+    monkeypatch.setattr(scratch, "_reaped", False)
+    scratch._reap_dead_namespaces()
+    assert not dead.exists(), "dead-pid namespace must be reaped"
+    assert alive.exists(), "own namespace must survive"
+    assert foreign.exists(), "non-namespace dirs must never be touched"
+    assert unparsable.exists(), "unparsable names must never be touched"
+
+
+def test_atomic_copy_replaces_and_leaves_no_temp(tmp_path):
+    src = tmp_path / "a.bin"
+    dst = tmp_path / "b.bin"
+    src.write_bytes(b"x" * 1024)
+    dst.write_bytes(b"old")
+    scratch.atomic_copy(src, dst)
+    assert dst.read_bytes() == b"x" * 1024
+    leftovers = [p for p in tmp_path.iterdir() if ".tmp" in p.name]
+    assert not leftovers, f"temp files left behind: {leftovers}"
