@@ -1060,3 +1060,123 @@ def ann_recall_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count(F.col("a.cand_id")) / 3.0, 4).alias("recall_at_3"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 10. SemDeDup — semantic dedup scoped to k-means cells
+# ---------------------------------------------------------------------------
+
+# Pair threshold: p99 of this corpus's pairwise cosine is ~0.29, max
+# ~0.51, so 0.3 marks the top ~1% most-similar pairs as semantic dups —
+# a small-but-nonzero dup set at any regenerated sf.
+_SEMDEDUP_TAU = 0.3
+
+_SEMDEDUP_ORACLE = f"""
+WITH v AS ({_VECS_SQL}),
+c0 AS (SELECT vec_id AS cl, e AS c FROM v WHERE vec_id < {_KM_K}),
+a1 AS ({_km_assign_sql('v', 'c0', keep_d2=False)}),
+c1 AS ({_km_recenter_sql('a1')}),
+a2 AS ({_km_assign_sql('v', 'c1', keep_d2=False)}),
+c2 AS ({_km_recenter_sql('a2')}),
+a3 AS ({_km_assign_sql('v', 'c2', keep_d2=True)}),
+cells AS (
+  SELECT a3.vec_id, a3.e, a3.cl, a3.d2, v.nr
+  FROM a3 JOIN v ON a3.vec_id = v.vec_id
+),
+pairs AS (
+  SELECT a.cl AS cl, a.vec_id AS va, a.d2 AS da, b.vec_id AS vb, b.d2 AS db
+  FROM cells a JOIN cells b ON a.cl = b.cl AND a.vec_id < b.vec_id
+  WHERE ROUND({_COS_SQL.format(a='a', b='b')}, 4) >= {_SEMDEDUP_TAU}
+),
+dropped AS (
+  SELECT DISTINCT CASE WHEN da < db THEN va ELSE vb END AS x FROM pairs
+),
+per_cell_pairs AS (
+  SELECT cl, COUNT(*) AS n_dup_pairs FROM pairs GROUP BY cl
+),
+summary AS (
+  SELECT c.cl, COUNT(*) AS n_members, COUNT(d.x) AS n_dropped
+  FROM cells c LEFT JOIN dropped d ON c.vec_id = d.x
+  GROUP BY c.cl
+)
+SELECT CAST(s.cl AS BIGINT) AS cluster,
+       CAST(s.n_members AS BIGINT) AS n_members,
+       CAST(COALESCE(p.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+       CAST(s.n_dropped AS BIGINT) AS n_dropped
+FROM summary s LEFT JOIN per_cell_pairs p ON s.cl = p.cl
+"""
+
+
+@query("dedup_semdedup_cells", oracle=_SEMDEDUP_ORACLE)
+def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540):
+    cluster the embedding corpus with the distributed Lloyd codebook
+    (`_km_centroids`, the ml_kmeans_lloyd trainer), then look for
+    near-duplicate pairs ONLY within each cell — cosine >= tau between
+    cell-mates — and drop, per pair, the member CLOSER to its centroid
+    (the paper's keep-farthest-from-centroid policy; centroid distance
+    is the d2 the assignment pass already computed). Tie on d2 drops
+    the higher vec_id. The rule is one-pass greedy per neighborhood —
+    a vector is dropped iff SOME same-cell neighbor within tau
+    dominates it — so no connected-components iteration is needed, and
+    the oracle replays training, routing, pairing, and the dominance
+    rule end-to-end (d2 and cosine rounded identically in both
+    engines). Output: per-cell members / dup pairs / dropped counts.
+
+    Scale design (100 TB): this is the whole point of SemDeDup — k
+    grows with the corpus (k ~ n / target_cell_size, e.g. 110k cells
+    for 100M+ docs in the paper) so cells stay bounded and the pair
+    space is sum(cell^2) ~ n * cell_size, NOT n^2. The pair join is an
+    equi-join on the cell id (one shuffle of vec_id+d2+embedding); the
+    dominance test and per-cell aggregates are cell-local. A
+    production guard caps runaway cells (skewed codebooks) by
+    splitting them with a finer sub-codebook — same operator shape,
+    one more level. Relation to dedup_semantic_survivorship: that
+    query verifies the brute-force all-pairs baseline; this one is the
+    bounded-candidate production path."""
+    v = _vecs(spark, sf_dir)
+    cells = _km_assign(v, _km_centroids(v)).join(
+        v.select("vec_id", "nr"), "vec_id"
+    )
+    pairs = (
+        cells.alias("a")
+        .join(
+            cells.alias("b"),
+            (F.col("a.cl") == F.col("b.cl"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(F.round(_cos("a", "b"), 4) >= _SEMDEDUP_TAU)
+        .select(
+            F.col("a.cl").alias("cl"),
+            F.col("a.vec_id").alias("va"),
+            F.col("a.d2").alias("da"),
+            F.col("b.vec_id").alias("vb"),
+            F.col("b.d2").alias("db"),
+        )
+        .persist()  # consumed twice: dropped set + per-cell pair counts
+    )
+    dropped = pairs.select(
+        F.when(F.col("da") < F.col("db"), F.col("va"))
+        .otherwise(F.col("vb"))
+        .alias("x")
+    ).distinct()
+    per_cell_pairs = pairs.groupBy("cl").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs")
+    )
+    summary = (
+        cells.join(dropped, cells["vec_id"] == dropped["x"], "left")
+        .groupBy("cl")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count("x").alias("n_dropped"),
+        )
+    )
+    return summary.join(per_cell_pairs, "cl", "left").select(
+        F.col("cl").cast("bigint").alias("cluster"),
+        "n_members",
+        F.coalesce(F.col("n_dup_pairs"), F.lit(0))
+        .cast("bigint")
+        .alias("n_dup_pairs"),
+        "n_dropped",
+    )
