@@ -1,0 +1,167 @@
+"""Streaming corpus-ingest dedup — the daily-ingest topology as a
+LIVE stream.
+
+`dedup_incremental_newbatch` (llm/dedup.py) screens a new BATCH of
+documents against the stored corpus band index. This module runs the
+identical decision function as a Structured Streaming query: documents
+arrive in a landing directory, MinHash signatures are computed
+map-side on the stream (pure column expressions — no shuffle, no
+state), candidates come from a STATELESS stream-static left-outer
+join against the corpus band index, and each incoming doc gets one
+decision row (match count / canonical duplicate / best Jaccard) from
+a single streaming aggregation. Result is value-identical to the
+batch query, so it shares the batch oracle — the streaming plan is
+cross-checked against batch SQL semantics like every query in
+streaming/events.py.
+
+Reference note: Hive 2.3 has no streaming surface (SURVEY.md §1.1) —
+this is part of the extension surface, composing the LSH index layout
+of llm/dedup.py with Structured Streaming.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_service_spark.llm.dedup import (
+    _band_frame,
+    _h,
+    _INCR_ORACLE,
+    _MH_A,
+    _MH_B,
+    _MH_P,
+    _shingles,
+    _signatures,
+)
+from hive_service_spark.registry import query
+from hive_service_spark.scratch import SCRATCH_ROOT as _SCRATCH
+from hive_service_spark.scratch import atomic_copy
+from hive_service_spark.streaming.events import _run_to_table
+
+
+def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table: the parquet file is
+    staged into a scratch landing directory (the dir a production
+    ingest keeps dropping files into) with the same mtime-checked
+    atomic copy as the events stager."""
+    src = Path(sf_dir) / "documents.parquet"
+    stage = Path(f"{_SCRATCH}/stream_doc_src") / Path(sf_dir).name
+    stage.mkdir(parents=True, exist_ok=True)
+    dst = stage / "documents.parquet"
+    if (
+        not dst.exists()
+        or dst.stat().st_size != src.stat().st_size
+        or dst.stat().st_mtime < src.stat().st_mtime
+    ):
+        atomic_copy(src, dst)
+    schema = spark.read.parquet(str(src)).schema
+    return spark.readStream.schema(schema).parquet(str(stage))
+
+
+@query("stream_dedup_lsh_ingest", oracle=_INCR_ORACLE)
+def stream_dedup_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LSH dedup ingest: the incoming partition
+    (doc_id % 5 = 0, the same split as dedup_incremental_newbatch) is
+    consumed as a STREAM; the corpus (the rest) is the static stored
+    index. Per micro-batch:
+
+    1. signatures map-side on the stream: shingle set + 16 MinHash
+       lambdas — pure narrow column expressions, no state;
+    2. band keys exploded (4 x 4) and LEFT-OUTER joined to the static
+       corpus band index on (band, bucket-key) — stream-static joins
+       are STATELESS, and left-outer keeps docs with zero candidates;
+    3. candidates verified with exact Jaccard against the static
+       signature table (second stateless static join);
+    4. ONE streaming aggregation per doc_id builds the decision row —
+       duplicate (band, pair) hits are collapsed with collect_set
+       instead of a DISTINCT (distinct is a second stateful op;
+       size(collect_set(..)) is the streaming-safe rewrite, state
+       bounded by per-doc candidate fanout), and unverified/null
+       candidates are excluded inside the aggregates with WHEN flags
+       rather than a filter, so every incoming doc keeps its row.
+
+    Value-identical to the batch decision table, so it shares
+    _INCR_ORACLE. Scale (100 TB/day): the static index is the bucketed
+    band table of ann_lsh_bucketed_index — the stream routes to it
+    without re-shuffling the corpus; state is one decision row per
+    in-flight doc. The md5-per-shingle work is recomputed per lambda
+    on the stream (the batch path's persist barrier has no streaming
+    equivalent); production would stage signatures via foreachBatch —
+    same decision function."""
+    sig_all = _signatures(spark, sf_dir)
+    is_inc = F.col("doc_id") % 5 == 0
+    corp_sig = sig_all.where(~is_inc).select("doc_id", "s").persist()
+    corp_bands = (
+        _band_frame(sig_all.where(~is_inc))
+        .select("b", "bkey", F.col("doc_id").alias("dc"))
+        .persist()
+    )
+
+    docs = _doc_stream(spark, sf_dir).where(is_inc)
+    sh = docs.where(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", _shingles().alias("s")
+    )
+    # name `hs` as a column to limit md5 re-inlining across the 16
+    # minhash lambdas (streaming frames cannot persist)
+    sh = sh.select("doc_id", "s", F.transform("s", _h).alias("hs"))
+    sig = sh.select(
+        "doc_id",
+        "s",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        "hs", lambda h: (F.lit(a) * h + F.lit(b)) % _MH_P
+                    )
+                )
+                for a, b in zip(_MH_A, _MH_B)
+            ]
+        ).alias("mh"),
+    )
+    bands = sig.select(
+        "doc_id",
+        "s",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+        "mh",
+    ).select(
+        "doc_id",
+        "s",
+        "b",
+        F.concat_ws(
+            "-", *[F.element_at("mh", F.col("b") * 4 + k) for k in (1, 2, 3, 4)]
+        ).alias("bkey"),
+    )
+
+    cand = bands.join(corp_bands, ["b", "bkey"], "left")
+    paired = cand.join(
+        corp_sig.withColumnRenamed("doc_id", "dc_id").withColumnRenamed(
+            "s", "sc"
+        ),
+        cand["dc"] == F.col("dc_id"),
+        "left",
+    )
+    inter = F.size(F.array_intersect(F.col("s"), F.col("sc")))
+    union = F.size(F.col("s")) + F.size(F.col("sc")) - inter
+    jac = F.round(inter / union, 4)
+    flagged = paired.select(
+        "doc_id",
+        "dc",
+        F.when(jac >= 0.8, jac).alias("vjac"),
+    )
+    decisions = flagged.groupBy("doc_id").agg(
+        F.size(
+            F.collect_set(F.when(F.col("vjac").isNotNull(), F.col("dc")))
+        )
+        .cast("bigint")
+        .alias("n_matches"),
+        F.coalesce(
+            F.min(F.when(F.col("vjac").isNotNull(), F.col("dc"))), F.lit(-1)
+        )
+        .cast("bigint")
+        .alias("best_match"),
+        (F.coalesce(F.max("vjac"), F.lit(0.0)) + 0.0).alias("best_jaccard"),
+    )
+    return _run_to_table(decisions, "hs_stream_dedup_ingest", "complete")
