@@ -368,3 +368,14 @@ def test_lsh_bucketed_index_no_index_shuffle(spark):
         "expected exactly one bucket-routing shuffle (query side only), "
         f"got {n_bucket_exchanges}:\n" + plan[:3000]
     )
+
+
+def test_semdedup_pair_join_is_cell_equijoin(spark):
+    """dedup_semdedup_cells: the intra-cell pair search must be an
+    equi-join on the cell id (SortMergeJoin/ShuffledHashJoin with the
+    vec_id residual), never an unbounded cartesian — the whole point
+    of SemDeDup's cell scoping. The only nested-loop allowed is the
+    broadcast of the k-row centroid frame during routing."""
+    df = _df(spark, "dedup_semdedup_cells")
+    plan = P.operators(df)
+    assert "CartesianProduct" not in plan, plan
