@@ -57,6 +57,7 @@ HEADLINE = [
     "knn_cosine_bruteforce",
     "ann_lsh_hyperplane",
     "ann_ivf_kmeans",
+    "dedup_semdedup_cells",
     "mm_feature_extract",
 ]
 
