@@ -98,7 +98,14 @@ def graph_pagerank_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the graph has degree >= 1 by construction (isolated suppliers
     are excluded), so there is no dangling-mass term and the update is
     exactly r' = (1-d)/N + d * sum(r/deg over in-neighbors)."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # pre-distinct (order, supplier): a supplier shipping several
+    # lineitems of one order would otherwise multiply the pair
+    # expansion before the edge DISTINCT collapses it
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
     edges = (
         li.alias("a")
         .join(li.alias("b"), "l_orderkey")
@@ -108,23 +115,38 @@ def graph_pagerank_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_suppkey").alias("dst"),
         )
         .distinct()
-        .persist()
+        .persist()  # edge build (pair self-join + distinct) runs ONCE;
+        # deg, the initial rank vector, and edges_deg all read the cache
     )
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("double").alias("deg")
+    )
+    # degree is loop-INVARIANT: fold it into the edge table once so
+    # each iteration joins ranks against ONE frame instead of two
+    edges_deg = (
+        edges.join(deg, edges.src == deg.node)
+        .select("src", "dst", "deg")
+        .persist()
     )
     n_nodes = deg.count()  # scalar graph-order statistic, O(1) result
     base = (1.0 - _DAMP) / n_nodes
     ranks = deg.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(_ITERS):
+        # the rank frame is one row per NODE — the small side by
+        # definition (edges >= nodes) — so it broadcasts and each
+        # iteration is map-side join + one aggregation shuffle; at
+        # web-graph scale (ranks too big to broadcast) drop the hint
+        # and bucket edges by src instead, as the module doc notes
         ranks = (
-            edges.join(ranks.alias("r"), edges.src == F.col("r.node"))
-            .join(deg.alias("d"), edges.src == F.col("d.node"))
+            edges_deg.join(
+                F.broadcast(ranks.alias("r")),
+                edges_deg.src == F.col("r.node"),
+            )
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 F.round(
                     F.lit(base)
-                    + F.lit(_DAMP) * F.sum(F.col("r.rank") / F.col("d.deg")),
+                    + F.lit(_DAMP) * F.sum(F.col("r.rank") / F.col("deg")),
                     8,
                 ).alias("rank")
             )

@@ -35,6 +35,13 @@ def get_session(app: str = "hive_service_spark", cpus: int | None = None) -> Spa
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
+        # Shuffle/spill files on tmpfs: this host's shared disk shows
+        # multi-second I/O jitter that hit the shuffle-heavy dedup
+        # queries with 2-10x run-to-run swings (CPU-bound window
+        # queries stayed flat, fingering the disk, not the JVM).
+        # 126G of RAM-backed /dev/shm dwarfs local-mode shuffle volume;
+        # a real cluster puts spark.local.dir on node-local SSDs.
+        .config("spark.local.dir", "/dev/shm/spark-local")
         .config("spark.sql.session.timeZone", "UTC")
         # Hive 2.3 semantics: non-ANSI arithmetic (overflow wraps, / on
         # ints yields double) — matches reference and DuckDB tolerance.
