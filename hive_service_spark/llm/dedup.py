@@ -598,17 +598,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COSINE_ORACLE = """
 WITH n AS (
-  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
-  FROM embeddings
+  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nr
+  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+        FROM embeddings)
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(list_dot_product(a.e, b.e)
-             / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)),
-             4) AS cosine
+       ROUND(list_dot_product(a.e, b.e) / (a.nr * b.nr), 4) AS cosine
 FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE ROUND(list_dot_product(a.e, b.e)
-            / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)),
-            4) >= 0.4
+WHERE ROUND(list_dot_product(a.e, b.e) / (a.nr * b.nr), 4) >= 0.4
 """
 
 

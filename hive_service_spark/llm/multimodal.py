@@ -304,6 +304,7 @@ FROM (
   SELECT doc_id, text,
          unnest(generate_series(0, (length(text) - 1) // 64)) AS frame_idx
   FROM documents
+  WHERE length(text) > 0
 )
 WHERE frame_idx % 4 = 0
 """
@@ -316,7 +317,11 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (posexplode over a sequence), so at scale Spark parallelizes frames
     across executors BEFORE any Python/codec step — the shape of video
     frame-sample + per-frame embed pipelines."""
-    p = _payloads(spark, sf_dir)
+    # empty payloads are excluded on BOTH sides: Spark's sequence(0,-1)
+    # yields a DESCENDING [0,-1] (frame 0 would survive) while DuckDB's
+    # generate_series(0,-1) is empty — a latent engine divergence if a
+    # regenerated corpus ever contains an empty document
+    p = _payloads(spark, sf_dir).where(F.octet_length("payload") > 0)
     frames = p.select(
         "doc_id",
         "payload",
