@@ -460,3 +460,125 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# feature-hashing embeddings: documents -> vectors without a model
+# ---------------------------------------------------------------------------
+
+_HE_DIM = 64
+_HE_QMOD = 37  # every 37th doc serves as a query probe (~3% sample)
+
+_HASH_EMBED_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+),
+tf AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(t), 1, 8))::BIGINT % {_HE_DIM}) AS b,
+         COUNT(*)::DOUBLE AS c
+  FROM tok GROUP BY 1, 2
+),
+ids AS (SELECT DISTINCT doc_id FROM tf),
+grid AS (
+  SELECT ids.doc_id, g.i AS b
+  FROM ids CROSS JOIN (SELECT unnest(generate_series(0, {_HE_DIM - 1})) AS i) g
+),
+vec AS (
+  SELECT grid.doc_id, list(COALESCE(tf.c, 0.0) ORDER BY grid.b) AS e
+  FROM grid LEFT JOIN tf ON tf.doc_id = grid.doc_id AND tf.b = grid.b
+  GROUP BY grid.doc_id
+),
+n AS (SELECT doc_id, e, sqrt(list_dot_product(e, e)) AS nr FROM vec),
+q AS (SELECT * FROM n WHERE doc_id % {_HE_QMOD} = 0),
+scored AS (
+  SELECT q.doc_id AS doc_id, c.doc_id AS neighbor_id,
+         ROUND(list_dot_product(q.e, c.e) / (q.nr * c.nr), 4) + 0.0 AS cosine
+  FROM q JOIN n c ON q.doc_id <> c.doc_id
+)
+SELECT doc_id, neighbor_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+@query("text_hash_embed_knn", oracle=_HASH_EMBED_ORACLE)
+def text_hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-embeddings (the feature-hashing trick) + exact top-1
+    neighbor: every document becomes a dense 64-dim term-frequency
+    vector with NO model — token -> md5-derived bucket, value = count —
+    then each sampled probe doc (doc_id % 37 = 0) finds its nearest
+    corpus neighbor by cosine. This closes the documents->vectors gap:
+    the similarity/dedup stack (LSH, IVF, SemDeDup) otherwise assumes a
+    pre-supplied `embeddings` table; hash-embeddings derive one from
+    raw text deterministically in pure JVM expressions, so the oracle
+    replays featurization AND search end-to-end.
+
+    Engine-lockstep notes: bucket hash is the shared 32-bit md5 prefix
+    (`_h`, llm/dedup.py) mod 64 (non-negative on both sides); all dot
+    products are sums of products of integer counts — exact in double
+    at any summation order — and norms are correctly-rounded sqrts, so
+    the rounded cosine and its ORDER BY are bit-identical across
+    engines.
+
+    Scale (100 TB): featurization is one narrow map + a
+    (doc, bucket<=64) partial-combine groupBy + a 64-cell map-assembly
+    groupBy per doc — embarrassingly parallel; the probe is the
+    broadcast-sample exact-search pattern of knn_cosine_bruteforce
+    (bounded query set, one corpus map pass). A full-corpus ANN over
+    these derived vectors reuses the LSH/IVF index paths unchanged
+    (same array<double> shape as the embeddings table)."""
+    from hive_service_spark.llm.dedup import _h
+    from hive_service_spark.llm.similarity import _dot
+    from hive_service_spark.catalog import par
+    from pyspark.sql import Window
+
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    tf = (
+        tok.select("doc_id", (_h(F.col("t")) % _HE_DIM).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    vec = (
+        tf.groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("b", "c"))).alias("m"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_HE_DIM - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("m", i.cast("bigint")), F.lit(0.0)
+                ),
+            ).alias("e"),
+        )
+    )
+    n = (
+        vec.repartition(par(spark))
+        .withColumn("nr", F.sqrt(_dot(F.col("e"), F.col("e"))))
+        .persist()
+    )
+    q = n.where(F.col("doc_id") % _HE_QMOD == 0)
+    cos = F.round(
+        _dot(F.col("q.e"), F.col("c.e")) / (F.col("q.nr") * F.col("c.nr")), 4
+    )
+    scored = (
+        F.broadcast(q.alias("q"))
+        .join(n.alias("c"), F.col("q.doc_id") != F.col("c.doc_id"))
+        .select(
+            F.col("q.doc_id").alias("doc_id"),
+            F.col("c.doc_id").alias("neighbor_id"),
+            (cos + 0.0).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "neighbor_id", "cosine")
+    )
