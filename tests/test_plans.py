@@ -379,3 +379,14 @@ def test_semdedup_pair_join_is_cell_equijoin(spark):
     df = _df(spark, "dedup_semdedup_cells")
     plan = P.operators(df)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_hash_embed_probe_is_broadcast(spark):
+    """text_hash_embed_knn: the exact top-1 probe broadcasts the
+    bounded query sample against the corpus (the knn_cosine_bruteforce
+    pattern) — a broadcast nested-loop over the ~3% sample, never an
+    unbroadcast cartesian of the full corpus with itself."""
+    df = _df(spark, "text_hash_embed_knn")
+    plan = P.operators(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
