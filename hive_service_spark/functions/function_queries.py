@@ -323,11 +323,41 @@ def func_shims_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("func_xpath_misc", oracle=None)  # DuckDB has no xpath
+_XPATH_ORACLE = """
+SELECT n_nationkey,
+       n_nationkey                        AS xml_key,
+       n_name                             AS xml_name,
+       bin(n_nationkey)                   AS key_binary,
+       -- bround (HALF_EVEN) rebuilt: DuckDB ROUND is half-up. The
+       -- operand n_nationkey/4.0 is exactly representable, so w=v*10
+       -- hits exact .5 boundaries and the parity branch is exact.
+       CAST((FLOOR(n_nationkey / 4.0 * 10) +
+             CASE WHEN n_nationkey / 4.0 * 10
+                       - FLOOR(n_nationkey / 4.0 * 10) > 0.5 THEN 1
+                  WHEN n_nationkey / 4.0 * 10
+                       - FLOOR(n_nationkey / 4.0 * 10) < 0.5 THEN 0
+                  ELSE CAST(FLOOR(n_nationkey / 4.0 * 10) AS BIGINT) % 2
+             END) / 10.0 AS DOUBLE)       AS key_bround,
+       printf('%X', n_nationkey)          AS key_hex,
+       array_to_string(list_transform(string_split(n_name, ' '),
+           x -> upper(x[1]) || lower(x[2:])), ' ') AS name_title,
+       -- soundex literal: testdata names are NATION_<k>; soundex reads
+       -- letters only (N,A,T,I,O,N -> N350) so the value is constant
+       -- for the naming scheme, pinned per the literal-rows policy.
+       CASE WHEN n_name LIKE 'NATION%' THEN 'N350' END AS name_soundex
+FROM nation
+"""
+
+
+@query("func_xpath_misc", oracle=_XPATH_ORACLE)
 def func_xpath_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """xpath* family + conv/bround/bin/hex/initcap/soundex/sentences —
-    functions DuckDB can't oracle; Spark-side rows-only here, exact
-    values pinned in tests/test_functions.py."""
+    """xpath* family + conv/bround/bin/hex/initcap/soundex — DuckDB has
+    no xpath, but the XML is BUILT from nation columns here, so the
+    oracle recomputes every output from first principles instead
+    (xpath_int(<key>k</key>) == n_nationkey, etc.); bround's HALF_EVEN
+    is rebuilt with an explicit parity expression and soundex is a
+    literal pin for the fixed naming scheme (broader soundex values are
+    exact-pinned in tests/test_functions.py)."""
     n = load(spark, sf_dir, "nation")
     xml = F.concat(
         F.lit("<n><key>"), F.col("n_nationkey").cast("string"),

@@ -467,7 +467,11 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _HE_DIM = 64
-_HE_QMOD = 37  # every 37th doc serves as a query probe (~3% sample)
+_HE_QMOD = 37  # every 37th doc serves as a query probe ...
+_HE_QCAP = 7400  # ... capped at doc_id < 7400 (≤200 probes at ANY sf —
+# the same fixed-cap discipline as knn_cosine_bruteforce: without it
+# the broadcast side and the O(probes·corpus) search grow linearly
+# with the corpus)
 
 _HASH_EMBED_ORACLE = f"""
 WITH tok AS (
@@ -490,7 +494,7 @@ vec AS (
   GROUP BY grid.doc_id
 ),
 n AS (SELECT doc_id, e, sqrt(list_dot_product(e, e)) AS nr FROM vec),
-q AS (SELECT * FROM n WHERE doc_id % {_HE_QMOD} = 0),
+q AS (SELECT * FROM n WHERE doc_id % {_HE_QMOD} = 0 AND doc_id < {_HE_QCAP}),
 scored AS (
   SELECT q.doc_id AS doc_id, c.doc_id AS neighbor_id,
          ROUND(list_dot_product(q.e, c.e) / (q.nr * c.nr), 4) + 0.0 AS cosine
@@ -509,8 +513,9 @@ def text_hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-embeddings (the feature-hashing trick) + exact top-1
     neighbor: every document becomes a dense 64-dim term-frequency
     vector with NO model — token -> md5-derived bucket, value = count —
-    then each sampled probe doc (doc_id % 37 = 0) finds its nearest
-    corpus neighbor by cosine. This closes the documents->vectors gap:
+    then each sampled probe doc (doc_id % 37 = 0 AND doc_id < 7400,
+    i.e. a FIXED ≤200-probe set at any sf) finds its nearest corpus
+    neighbor by cosine. This closes the documents->vectors gap:
     the similarity/dedup stack (LSH, IVF, SemDeDup) otherwise assumes a
     pre-supplied `embeddings` table; hash-embeddings derive one from
     raw text deterministically in pure JVM expressions, so the oracle
@@ -561,7 +566,9 @@ def text_hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nr", F.sqrt(_dot(F.col("e"), F.col("e"))))
         .persist()
     )
-    q = n.where(F.col("doc_id") % _HE_QMOD == 0)
+    q = n.where(
+        (F.col("doc_id") % _HE_QMOD == 0) & (F.col("doc_id") < _HE_QCAP)
+    )
     cos = F.round(
         _dot(F.col("q.e"), F.col("c.e")) / (F.col("q.nr") * F.col("c.nr")), 4
     )

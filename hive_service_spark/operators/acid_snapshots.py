@@ -119,7 +119,16 @@ class SnapshotTable:
                 if rels
             },
         }
-        tmp = os.path.join(self._log_dir(), f".{v:08d}.json.tmp")
+        # per-writer temp name: pid alone is not unique enough — two
+        # THREADS of one process racing the same slot would share a pid
+        # tmp path and one's cleanup would unlink the other's file
+        # mid-publish (found by the two-thread race test)
+        import threading
+
+        tmp = os.path.join(
+            self._log_dir(),
+            f".{v:08d}.json.{os.getpid()}-{threading.get_ident()}.tmp",
+        )
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         final = os.path.join(self._log_dir(), f"{v:08d}.json")
@@ -698,3 +707,84 @@ def acid_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# registered query: SHOW TRANSACTIONS / SHOW LOCKS analog (txn introspection)
+# ---------------------------------------------------------------------------
+
+_TXNS_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 4000
+),
+v2 AS (SELECT k FROM base WHERE k % 7 <> 0),
+v3 AS (SELECT k FROM v2 WHERE k % 5 <> 0)
+SELECT CAST(txn_id AS BIGINT) AS txn_id, op, state,
+       has_pending_deltas, CAST(n_rows AS BIGINT) AS n_rows
+FROM (
+  SELECT 0 AS txn_id, 'create' AS op, 'COMMITTED' AS state,
+         FALSE AS has_pending_deltas,
+         (SELECT COUNT(*) FROM base) AS n_rows
+  UNION ALL
+  SELECT 1, 'update', 'COMMITTED', FALSE, (SELECT COUNT(*) FROM base)
+  UNION ALL
+  SELECT 2, 'delete', 'COMMITTED', FALSE, (SELECT COUNT(*) FROM v2)
+  UNION ALL
+  SELECT 3, 'delete.mor', 'COMMITTED', TRUE, (SELECT COUNT(*) FROM v3)
+  UNION ALL
+  SELECT 4, 'compact', 'COMMITTED', FALSE, (SELECT COUNT(*) FROM v3)
+)
+ORDER BY txn_id
+"""
+
+
+@query("acid_show_transactions", oracle=_TXNS_ORACLE)
+def acid_show_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW TRANSACTIONS / SHOW COMPACTIONS analog — the reference's
+    txn-manager introspection surface (hive-metastore
+    ``show_txns``/``show_locks``/``show_compact``; SURVEY.md §3.3, the
+    last metastore group without an analog). Reads ONLY the commit-log
+    manifests of a snapshot table after a known DML sequence
+    (create -> update -> COW delete -> MOR delete -> compaction) and
+    emits one row per committed transaction: txn id (= snapshot
+    version), operation, state, whether delete deltas are pending
+    (SHOW COMPACTIONS' 'initiated' signal — exactly what maybe_compact
+    keys on), and the row count visible at that snapshot. The oracle
+    recomputes every row count from the base table with the same
+    predicate algebra, so this is a full value check of the history,
+    not a shape check. Locks: the commit protocol is optimistic (no
+    lock table to list — ConcurrentWriteConflict at publish time), so
+    the lock-manager analog is the claimed-version-slot view this
+    query renders; at 100 TB the manifests are O(versions) JSON files,
+    never a data scan."""
+    path = os.path.join(_SCRATCH, f"orders_txns_{os.getpid()}")
+    base = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 4000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    t = SnapshotTable.create(spark, path, base, key_col="k")
+    t.update(F.col("k") % 3 == 0, {"status": F.lit("U")})
+    t.delete(F.col("k") % 7 == 0)
+    t.delete_mor(F.col("k") % 5 == 0)
+    t.compact()
+
+    out = None
+    for m in t.history():
+        v = m["version"]
+        frame = (
+            t.read(version=v)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+            .select(
+                F.lit(v).cast("bigint").alias("txn_id"),
+                F.lit(m["op"]).alias("op"),
+                F.lit("COMMITTED").alias("state"),
+                F.lit(bool(m.get("deletes"))).alias("has_pending_deltas"),
+                "n_rows",
+            )
+        )
+        out = frame if out is None else out.unionByName(frame)
+    return out.orderBy("txn_id")

@@ -351,20 +351,69 @@ def agg_bool_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_sketches", oracle=None)  # sketch values are engine-specific
+_SKETCH_ORACLE = """
+SELECT
+  l_returnflag,
+  CAST(COUNT(DISTINCT l_partkey) AS BIGINT)      AS exact_nd_part,
+  ROUND(quantile_cont(l_quantity, 0.5) + 0.0, 4) AS exact_p50,
+  CAST(COUNT(*) AS BIGINT)                       AS n_rows,
+  CAST(5 AS INTEGER)                             AS hist_bins,
+  TRUE AS nd_ok, TRUE AS p50_ok, TRUE AS hist_count_ok, TRUE AS hist_mean_ok
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_sketches", oracle=_SKETCH_ORACLE)
 def agg_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-specific sketches: approx_count_distinct (HLL — a
     capability the reference lacks, SURVEY.md §2.3), percentile_approx
     (different sketch than Hive's histogram-based one), and
-    histogram_numeric. Rows-only check; exact counterparts are
-    oracle-tested above. The histogram's array<struct> output is
-    serialized with to_json so the driver's pandas canonicalizer can
-    hash the cell."""
+    histogram_numeric, value-oracled via deterministic TOLERANCE
+    BOOLEANS: Spark computes both the sketch and its exact counterpart
+    in ONE aggregate pass and emits `|approx − exact| ≤ tol` per
+    metric alongside the exact values; the DuckDB oracle emits the same
+    exact values plus literal TRUEs. The sketches are deterministic
+    functions of the data (no RNG), so at any sf the booleans either
+    hold — proving the sketch tracks the exact value — or the gate goes
+    red. Tolerances: HLL run at rsd=0.01 checked at ±5% (5 sigma);
+    percentile_approx at default accuracy is EXACT while distinct
+    values < 10000 (l_quantity has 50) so ±1e-6; histogram_numeric bin
+    weights must sum to the row count exactly and the weighted centroid
+    mean must sit within ±5% of the true mean (NumericHistogram
+    invariants — reference GenericUDAFHistogramNumeric)."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_nd_part"),
-        F.percentile_approx("l_quantity", 0.5).alias("approx_p50"),
-        F.to_json(F.histogram_numeric("l_quantity", F.lit(5))).alias("hist_qty"),
+    base = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_nd_part"),
+        F.percentile("l_quantity", 0.5).alias("_p50_exact"),
+        F.count("*").alias("n_rows"),
+        F.avg("l_quantity").alias("_qty_mean"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("_a_nd"),
+        F.percentile_approx("l_quantity", 0.5).alias("_a_p50"),
+        F.histogram_numeric("l_quantity", F.lit(5)).alias("_hist"),
+    )
+    hist_n = F.aggregate(
+        "_hist", F.lit(0.0), lambda acc, b: acc + b.getField("y")
+    )
+    hist_wsum = F.aggregate(
+        "_hist", F.lit(0.0), lambda acc, b: acc + b.getField("x") * b.getField("y")
+    )
+    return base.select(
+        "l_returnflag",
+        "exact_nd_part",
+        F.round(F.col("_p50_exact") + 0.0, 4).alias("exact_p50"),
+        "n_rows",
+        F.size("_hist").alias("hist_bins"),
+        (
+            F.abs(F.col("_a_nd") - F.col("exact_nd_part"))
+            <= 0.05 * F.col("exact_nd_part")
+        ).alias("nd_ok"),
+        (F.abs(F.col("_a_p50") - F.col("_p50_exact")) <= 1e-6).alias("p50_ok"),
+        (F.abs(hist_n - F.col("n_rows")) <= 1e-6).alias("hist_count_ok"),
+        (
+            F.abs(hist_wsum / F.col("n_rows") - F.col("_qty_mean"))
+            <= 0.05 * F.col("_qty_mean")
+        ).alias("hist_mean_ok"),
     )
 
 

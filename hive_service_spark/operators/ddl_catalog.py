@@ -217,13 +217,42 @@ def ddl_msck_partition_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("SHOW PARTITIONS hs_scratch.orders_ext")
 
 
-# --- catalog introspection (rows-only: output shape is engine-specific) ------
+# --- catalog introspection (engine-stable stats fields, value-oracled) -------
 
-@query("ddl_show_describe_analyze", oracle=None)
+_SHOW_DESCRIBE_ORACLE = """
+SELECT col_name, data_type,
+       CAST(distinct_count AS BIGINT) AS distinct_count,
+       CAST(num_nulls AS BIGINT) AS num_nulls
+FROM (
+  SELECT '__show_tables__' AS col_name, 'catalog' AS data_type,
+         1 AS distinct_count, 0 AS num_nulls
+  UNION ALL
+  SELECT '__table_rows__', 'table', COUNT(*), 0 FROM nation
+  UNION ALL
+  SELECT 'n_nationkey', 'int', COUNT(DISTINCT n_nationkey),
+         COUNT(*) - COUNT(n_nationkey) FROM nation
+  UNION ALL
+  SELECT 'n_name', 'string', COUNT(DISTINCT n_name),
+         COUNT(*) - COUNT(n_name) FROM nation
+  UNION ALL
+  SELECT 'n_regionkey', 'int', COUNT(DISTINCT n_regionkey),
+         COUNT(*) - COUNT(n_regionkey) FROM nation
+)
+"""
+
+
+@query("ddl_show_describe_analyze", oracle=_SHOW_DESCRIBE_ORACLE)
 def ddl_show_describe_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHOW TABLES / DESCRIBE / ANALYZE COMPUTE STATISTICS lifecycle —
-    the reference's DDLTask + StatsTask surface (SHOW/DESCRIBE output
-    layout differs per engine, so this is a rows-only check)."""
+    the reference's DDLTask + StatsTask surface. Raw SHOW/DESCRIBE text
+    is engine-specific, so the query projects the ENGINE-STABLE fields
+    out of the catalog after ANALYZE: per-column distinct_count and
+    num_nulls (exact at this cardinality — Spark's column-stats HLL is
+    exact in its sparse regime), the analyzed table row count, and SHOW
+    TABLES membership — all value-oracled against DuckDB recomputing
+    the same stats from the data. Catalog introspection is inherently
+    driver-side and bounded (one DESCRIBE per column of one table), so
+    the collect here is contract-bounded, not a data-path collect."""
     register_views(spark, sf_dir)
     _fresh_table(spark, "stats_demo")
     spark.sql(
@@ -235,7 +264,37 @@ def ddl_show_describe_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(
         "ANALYZE TABLE hs_scratch.stats_demo COMPUTE STATISTICS FOR ALL COLUMNS"
     )
-    return spark.sql("DESCRIBE EXTENDED hs_scratch.stats_demo")
+    shown = (
+        spark.sql("SHOW TABLES IN hs_scratch")
+        .where(F.col("tableName") == "stats_demo")
+        .count()
+    )
+    stats_line = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql("DESCRIBE EXTENDED hs_scratch.stats_demo").collect()
+    }.get("Statistics", "")
+    # renders as e.g. "2861 bytes, 25 rows" once ANALYZE has run
+    n_rows = int(stats_line.split(",")[1].split()[0])
+    out = [
+        ("__show_tables__", "catalog", shown, 0),
+        ("__table_rows__", "table", n_rows, 0),
+    ]
+    for col in ("n_nationkey", "n_name", "n_regionkey"):
+        info = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(
+                f"DESCRIBE EXTENDED hs_scratch.stats_demo {col}"
+            ).collect()
+        }
+        out.append(
+            (col, info["data_type"], int(info["distinct_count"]),
+             int(info["num_nulls"]))
+        )
+    return spark.createDataFrame(
+        out,
+        "col_name string, data_type string, distinct_count bigint, "
+        "num_nulls bigint",
+    )
 
 
 # --- MERGE-style upsert (pre-ACID join rewrite) ------------------------------
@@ -311,19 +370,54 @@ def ddl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.orderBy("o_orderkey")
 
 
-@query("ddl_explain_plan", oracle=None)  # plan text is engine-specific
+_EXPLAIN_ORACLE = """
+SELECT TRUE AS explain_has_physical_plan,
+       TRUE AS has_broadcast_join,
+       TRUE AS no_cartesian,
+       CAST(2 AS INTEGER) AS n_scans,
+       TRUE AS customer_scan_pruned,
+       TRUE AS has_hash_aggregate
+"""
+
+
+@query("ddl_explain_plan", oracle=_EXPLAIN_ORACLE)
 def ddl_explain_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The EXPLAIN statement surface (reference:
     ExplainSemanticAnalyzer + ExplainTask render the operator DAG as
     rows [src: ql/src/java/org/apache/hadoop/hive/ql/parse/
-    ExplainSemanticAnalyzer.java]; SURVEY.md §3.2). Spark SQL's EXPLAIN
-    returns the Catalyst plan the same way — one text row. Rows-only
-    check: plan text is engine-specific by nature."""
+    ExplainSemanticAnalyzer.java]; SURVEY.md §3.2). Raw plan text is
+    engine-specific, so the query projects PLAN-CLASS MEMBERSHIPS the
+    way the reference's EXPLAIN consumers actually read it: is the dim
+    join a map-join (BroadcastHashJoin), is there no cartesian, how
+    many table scans, did column pruning reach the fact scan, is the
+    aggregate hash-based — each a deterministic boolean the oracle pins
+    as a literal. The same facts Hive users grep EXPLAIN output for."""
     register_views(spark, sf_dir)
-    return spark.sql(
-        "EXPLAIN FORMATTED "
+    sql = (
         "SELECT n_name, count(*) AS n FROM customer "
         "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    )
+    explain_text = "\n".join(
+        r[0] for r in spark.sql("EXPLAIN FORMATTED " + sql).collect()
+    )
+    df = spark.sql(sql)
+    from ..plans import inspect as pi
+
+    plan = pi.formatted_plan(df)
+    schemas = " ".join(pi.read_schemas(df))
+    out = [(
+        "== Physical Plan ==" in explain_text,
+        pi.has_broadcast_join(df),
+        not pi.has_cartesian(df),
+        len(pi.read_schemas(df)),
+        "c_nationkey" in schemas and "c_acctbal" not in schemas,
+        "HashAggregate" in plan,
+    )]
+    return spark.createDataFrame(
+        out,
+        "explain_has_physical_plan boolean, has_broadcast_join boolean, "
+        "no_cartesian boolean, n_scans int, customer_scan_pruned boolean, "
+        "has_hash_aggregate boolean",
     )
 
 

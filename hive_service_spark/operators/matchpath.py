@@ -56,12 +56,20 @@ def compile_pattern(pattern: str, symbol_order: Iterable[str]) -> tuple[dict[str
     string. Rows matching no symbol get the reserved char ``'x'``,
     which no pattern element can match.
     """
+    # allocate from a generator that SKIPS the reserved no-symbol char
+    # 'x' (the old per-index bump collided: symbol 24 and symbol 25
+    # both mapped to 'y'); spill past 'z' into other printable chars
+    alphabet = [
+        c
+        for c in map(chr, range(ord("a"), ord("z") + 1))
+        if c != "x"
+    ] + [c for c in map(chr, range(ord("A"), ord("Z") + 1))]
     chars: dict[str, str] = {}
     for i, name in enumerate(symbol_order):
-        c = chr(ord("a") + i)
-        if c == "x":
-            c = chr(ord("a") + i + 1)  # skip the no-symbol char
-        chars[name] = c
+        if i >= len(alphabet):
+            raise ValueError("too many symbols (max 51)")
+        chars[name] = alphabet[i]
+    assert len(set(chars.values())) == len(chars), "symbol chars collide"
     out: list[str] = []
     for tok in _TOKEN_RE.findall(pattern.replace(".", " ")):
         if tok in "*+?()|":

@@ -389,3 +389,164 @@ def mv_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("c_mktsegment", "o_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# transparent SQL front-end: plain SQL in, MV rewrite applied automatically
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_SQL_SHAPE = _re.compile(
+    r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<base>\w+)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"\s+GROUP\s+BY\s+(?P<group>.+?)"
+    r"(?:\s+ORDER\s+BY\s+(?P<order>.+?))?\s*;?\s*$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+_AGG_ITEM = _re.compile(
+    r"^(?P<kind>sum|count|min|max|avg)\s*\((?P<src>.+)\)"
+    r"\s+AS\s+(?P<alias>\w+)\s*$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+_SQL_KEYWORDS = frozenset(
+    "and or not in like between is null true false case when then else end".split()
+)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split a SELECT list on commas not nested inside parentheses."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
+
+
+def _norm_expr(e: str) -> str:
+    return " ".join(e.split())
+
+
+def rewrite_sql(spark: SparkSession, sql: str) -> tuple[DataFrame, bool]:
+    """Transparent MV rewrite for plain SQL — the reference applies its
+    ``rules/views`` rewrite inside the optimizer to ANY user SQL; this
+    front-end gives registered MVs the same transparency for the
+    simple GROUP-BY grammar (SELECT dims + aggs FROM base [WHERE pred]
+    GROUP BY dims [ORDER BY ...]). The statement is parsed into a
+    rewrite Request; when a fresh registered MV over that base passes
+    the containment test, the plan is rebuilt over the MV parquet —
+    otherwise the ORIGINAL sql runs untouched via spark.sql(). Always
+    sound: any parse/containment miss falls back, never errors.
+    Returns (df, used_mv)."""
+    m = _SQL_SHAPE.match(sql)
+    if not m:
+        return spark.sql(sql), False
+    base = m.group("base").lower()
+    group_by = tuple(g.strip() for g in m.group("group").split(","))
+    where = m.group("where")
+    order = m.group("order")
+
+    dims_seen: list[str] = []
+    measures: dict[str, Measure] = {}
+    for item in _split_top_level(m.group("select")):
+        agg = _AGG_ITEM.match(item)
+        if agg:
+            measures[agg.group("alias")] = Measure(
+                agg.group("kind").lower(), _norm_expr(agg.group("src"))
+            )
+        elif _re.fullmatch(r"\w+", item) and item in group_by:
+            dims_seen.append(item)
+        else:
+            return spark.sql(sql), False  # expression we don't model
+    if not measures:
+        return spark.sql(sql), False
+
+    filter_cols: tuple[str, ...] = ()
+    if where:
+        bare = _re.sub(r"'[^']*'", " ", where)  # drop string literals
+        filter_cols = tuple(
+            t
+            for t in dict.fromkeys(
+                _re.findall(r"[A-Za-z_][A-Za-z0-9_]*", bare)
+            )
+            if t.lower() not in _SQL_KEYWORDS and not t.isdigit()
+        )
+
+    def _finish(df: DataFrame) -> DataFrame:
+        df = df.select(*dims_seen, *measures.keys())
+        if order:
+            df = df.orderBy(
+                *[
+                    F.col(o.strip().split()[0]).desc()
+                    if o.strip().lower().endswith(" desc")
+                    else F.col(o.strip().split()[0])
+                    for o in order.split(",")
+                ]
+            )
+        return df
+
+    # a base-matching MV handles BOTH outcomes: containment -> MV scan,
+    # miss -> its base-table fallback (which also computes derived dims
+    # like ship_year that plain spark.sql over the base couldn't)
+    for mv in _MV_INSTANCES.values():
+        if mv.base != base:
+            continue
+        df, used = mv.rewrite(
+            spark,
+            group_by=group_by,
+            measures=measures,
+            predicate=F.expr(where) if where else None,
+            filter_cols=filter_cols,
+        )
+        return _finish(df), used
+    return spark.sql(sql), False
+
+
+_MV_SQL_ORACLE = """
+SELECT l_linestatus,
+       EXTRACT(year FROM l_shipdate)::BIGINT AS ship_year,
+       CAST(COUNT(l_quantity) AS BIGINT) AS n_items,
+       ROUND(SUM(l_quantity), 2) AS total_qty
+FROM lineitem
+WHERE l_linestatus = 'F'
+GROUP BY l_linestatus, ship_year
+ORDER BY ship_year
+"""
+
+
+@query("mv_rewrite_sql_transparent", oracle=_MV_SQL_ORACLE)
+def mv_rewrite_sql_transparent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transparent front-end end-to-end: the caller writes PLAIN
+    SQL against the base table — no Request objects — and the rewriter
+    parses it, passes containment against the registered lineitem MV,
+    and answers from the MV parquet (pytest pins the rewritten plan
+    scans lineitem_rev_mv, not lineitem). The oracle runs the original
+    SQL on DuckDB, proving the rewrite is invisible to results — the
+    reference's rules/views contract."""
+    register_views(spark, sf_dir)
+    mv = lineitem_revenue_mv()
+    if not mv.fresh:
+        mv.build(spark)
+    df, used_mv = rewrite_sql(
+        spark,
+        "SELECT l_linestatus, ship_year, "
+        "COUNT(l_quantity) AS n_items, SUM(l_quantity) AS total_qty "
+        "FROM lineitem WHERE l_linestatus = 'F' "
+        "GROUP BY l_linestatus, ship_year ORDER BY ship_year",
+    )
+    assert used_mv, "simple GROUP-BY SQL must rewrite onto the MV"
+    return df.select(
+        "l_linestatus",
+        F.col("ship_year").cast("long").alias("ship_year"),
+        F.col("n_items").cast("bigint").alias("n_items"),
+        F.round("total_qty", 2).alias("total_qty"),
+    ).orderBy("ship_year")

@@ -76,3 +76,27 @@ def atomic_copy(src: str | os.PathLike, dst: str | os.PathLike) -> None:
     tmp = dst.with_name(f".{dst.name}.{os.getpid()}.tmp")
     shutil.copyfile(src, tmp)
     os.replace(tmp, dst)
+
+
+def stage_source(src: str | os.PathLike, stage_dir: str | os.PathLike) -> Path:
+    """Stage ``src`` into ``stage_dir`` (the landing directory a file
+    stream monitors), re-copying whenever the SOURCE changed. Staleness
+    is judged against a recorded (size, mtime_ns) fingerprint of the
+    source — not "dst older than src", which misses a regenerated
+    source with identical size and a non-newer mtime (mtime-preserving
+    copy). Shared by the events and documents stream stagers so the
+    staleness rules can't drift between them. Returns the staged path."""
+    src = Path(src)
+    stage_dir = Path(stage_dir)
+    stage_dir.mkdir(parents=True, exist_ok=True)
+    dst = stage_dir / src.name
+    meta = dst.with_name(f".{dst.name}.srcmeta")
+    st = src.stat()
+    fingerprint = f"{st.st_size}:{st.st_mtime_ns}"
+    recorded = meta.read_text() if meta.exists() else None
+    if not dst.exists() or recorded != fingerprint:
+        atomic_copy(src, dst)
+        tmp = meta.with_name(f"{meta.name}.{os.getpid()}.tmp")
+        tmp.write_text(fingerprint)
+        os.replace(tmp, meta)
+    return dst

@@ -34,7 +34,7 @@ from hive_service_spark.registry import query
 # streaming query owns exclusively — they live in the per-process
 # scratch namespace (see hive_service_spark.scratch).
 from hive_service_spark.scratch import SCRATCH_ROOT as _SCRATCH  # noqa: E402
-from hive_service_spark.scratch import atomic_copy, pid_dir  # noqa: E402
+from hive_service_spark.scratch import pid_dir, stage_source  # noqa: E402
 
 _NS = pid_dir("proc")
 _CKPT = f"{_NS}/checkpoints"
@@ -54,24 +54,15 @@ def _stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the landing directory files keep arriving into. The TIMESTAMP(NANOS)
     column gets the same nanos->micros conversion as the batch path
     (catalog.load)."""
-    import shutil
-
     src = Path(sf_dir) / "events.parquet"
     stage = Path(f"{_SCRATCH}/stream_src") / Path(sf_dir).name
-    stage.mkdir(parents=True, exist_ok=True)
-    dst = stage / "events.parquet"
-    # mtime check matters: the stream reads the STAGED file with the
-    # SOURCE file's schema, so a stale copy from an older testdata
+    # staleness check matters: the stream reads the STAGED file with
+    # the SOURCE file's schema, so a stale copy from an older testdata
     # generation (same size, different encoding) would mismatch.
-    # The stage dir is shared across processes (it is a read-only cache
-    # once written), so the copy goes through a per-pid temp file +
-    # atomic rename — a concurrent reader never sees a torn file.
-    if (
-        not dst.exists()
-        or dst.stat().st_size != src.stat().st_size
-        or dst.stat().st_mtime < src.stat().st_mtime
-    ):
-        atomic_copy(src, dst)
+    # stage_source fingerprints the source (size + mtime_ns) and copies
+    # through a per-pid temp file + atomic rename — a concurrent reader
+    # never sees a torn file.
+    stage_source(src, stage)
     from pyspark.sql.types import LongType, TimestampNTZType
 
     raw = _raw_schema(spark, sf_dir)

@@ -4,7 +4,8 @@ LIVE stream.
 `dedup_incremental_newbatch` (llm/dedup.py) screens a new BATCH of
 documents against the stored corpus band index. This module runs the
 identical decision function as a Structured Streaming query: documents
-arrive in a landing directory, MinHash signatures are computed
+arrive in a landing directory (staged via scratch.stage_source, the
+fingerprint-checked shared stager), MinHash signatures are computed
 map-side on the stream (pure column expressions — no shuffle, no
 state), candidates come from a STATELESS stream-static left-outer
 join against the corpus band index, and each incoming doc gets one
@@ -38,7 +39,7 @@ from hive_service_spark.llm.dedup import (
 )
 from hive_service_spark.registry import query
 from hive_service_spark.scratch import SCRATCH_ROOT as _SCRATCH
-from hive_service_spark.scratch import atomic_copy
+from hive_service_spark.scratch import stage_source
 from hive_service_spark.streaming.events import _run_to_table
 
 
@@ -49,14 +50,7 @@ def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     atomic copy as the events stager."""
     src = Path(sf_dir) / "documents.parquet"
     stage = Path(f"{_SCRATCH}/stream_doc_src") / Path(sf_dir).name
-    stage.mkdir(parents=True, exist_ok=True)
-    dst = stage / "documents.parquet"
-    if (
-        not dst.exists()
-        or dst.stat().st_size != src.stat().st_size
-        or dst.stat().st_mtime < src.stat().st_mtime
-    ):
-        atomic_copy(src, dst)
+    stage_source(src, stage)
     schema = spark.read.parquet(str(src)).schema
     return spark.readStream.schema(schema).parquet(str(stage))
 
@@ -145,11 +139,14 @@ def stream_dedup_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect(F.col("s"), F.col("sc")))
     union = F.size(F.col("s")) + F.size(F.col("sc")) - inter
-    jac = F.round(inter / union, 4)
+    # threshold the UNROUNDED ratio (exactly like the batch query and
+    # _INCR_ORACLE — rounding first would admit true Jaccard in
+    # [0.79995, 0.8)), round only the emitted value
+    raw_jac = inter / union
     flagged = paired.select(
         "doc_id",
         "dc",
-        F.when(jac >= 0.8, jac).alias("vjac"),
+        F.when(raw_jac >= 0.8, F.round(raw_jac, 4)).alias("vjac"),
     )
     decisions = flagged.groupBy("doc_id").agg(
         F.size(

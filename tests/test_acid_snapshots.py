@@ -155,3 +155,60 @@ def test_concurrent_writer_conflict(spark, table):
     # loser retries from the new snapshot and succeeds
     v = table.delete(F.col("k") == 2)
     assert v == 2 and {r["k"] for r in table.read().collect()} == set(range(3, 21))
+
+
+def test_two_thread_commit_race_one_aborts(spark, table):
+    """A REAL two-thread race on the commit CAS: both writers read the
+    same base snapshot, both compute their COW rewrite, and a barrier
+    releases them into _commit for the same version slot at once.
+    Exactly one os.link claims the slot; the other must abort with
+    ConcurrentWriteConflict and succeed on retry — the reference's
+    write-write conflict semantics (DbTxnManager abort + client retry)."""
+    import threading
+
+    from hive_service_spark.operators.acid_snapshots import (
+        ConcurrentWriteConflict,
+        SnapshotTable,
+    )
+
+    barrier = threading.Barrier(2, timeout=60)
+    orig_commit = SnapshotTable._commit
+
+    def racing_commit(self, *args, **kwargs):
+        barrier.wait()  # both threads have read base v0 and computed
+        return orig_commit(self, *args, **kwargs)
+
+    outcomes: dict[str, object] = {}
+
+    def writer(tag: str, table_obj, dml):
+        try:
+            outcomes[tag] = dml(table_obj)
+        except ConcurrentWriteConflict:
+            outcomes[tag] = "conflict"
+
+    b = SnapshotTable(spark, table.path, key_col="k", n_buckets=4)
+    try:
+        SnapshotTable._commit = racing_commit
+        t1 = threading.Thread(
+            target=writer,
+            args=("upd", table, lambda t: t.update(F.col("k") == 3,
+                                                   {"status": F.lit("X")})),
+        )
+        t2 = threading.Thread(
+            target=writer, args=("del", b, lambda t: t.delete(F.col("k") == 4))
+        )
+        t1.start(); t2.start(); t1.join(60); t2.join(60)
+    finally:
+        SnapshotTable._commit = orig_commit
+
+    vals = sorted(str(v) for v in outcomes.values())
+    assert vals == ["1", "conflict"], outcomes  # exactly one claimed v1
+
+    # the loser retries from the fresh snapshot and lands v2; both
+    # effects are present exactly once in the final state
+    if outcomes["upd"] == "conflict":
+        assert table.update(F.col("k") == 3, {"status": F.lit("X")}) == 2
+    else:
+        assert b.delete(F.col("k") == 4) == 2
+    final = {r["k"]: r["status"] for r in table.read().collect()}
+    assert final[3] == "X" and 4 not in final

@@ -114,3 +114,43 @@ def test_avg_is_rederived_not_averaged(spark):
     assert got.keys() == want.keys()
     for k in got:
         assert abs(got[k] - want[k]) < 1e-9, k
+
+
+def test_sql_transparent_rewrite_scans_mv(spark):
+    """Plain SQL through rewrite_sql must land on the MV parquet when
+    containment holds — the reference's optimizer-transparent
+    rules/views behavior, no Request object in sight."""
+    from hive_service_spark.operators.materialized_views import rewrite_sql
+
+    register_views(spark, SF_DIR)
+    mv = lineitem_revenue_mv()
+    mv.build(spark)
+    df, used = rewrite_sql(
+        spark,
+        "SELECT l_returnflag, SUM(l_quantity) AS total_qty "
+        "FROM lineitem GROUP BY l_returnflag",
+    )
+    assert used
+    plan = P.formatted_plan(df)
+    assert "lineitem_rev_mv" in plan
+    assert "lineitem.parquet" not in plan
+
+
+def test_sql_transparent_falls_back(spark):
+    """Non-dim filter -> base-table fallback; non-GROUP-BY SQL -> runs
+    verbatim through spark.sql. Both stay correct, neither errors."""
+    from hive_service_spark.operators.materialized_views import rewrite_sql
+
+    register_views(spark, SF_DIR)
+    mv = lineitem_revenue_mv()
+    mv.build(spark)
+    df, used = rewrite_sql(
+        spark,
+        "SELECT l_returnflag, SUM(l_quantity) AS total_qty "
+        "FROM lineitem WHERE l_tax > 0.04 GROUP BY l_returnflag",
+    )
+    assert not used
+    assert "lineitem.parquet" in P.formatted_plan(df)
+    # shape the grammar doesn't model: verbatim spark.sql, no rewrite
+    df2, used2 = rewrite_sql(spark, "SELECT COUNT(*) AS n FROM nation")
+    assert not used2 and df2.collect()[0]["n"] == 25

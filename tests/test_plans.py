@@ -384,9 +384,26 @@ def test_semdedup_pair_join_is_cell_equijoin(spark):
 def test_hash_embed_probe_is_broadcast(spark):
     """text_hash_embed_knn: the exact top-1 probe broadcasts the
     bounded query sample against the corpus (the knn_cosine_bruteforce
-    pattern) — a broadcast nested-loop over the ~3% sample, never an
+    pattern) — a broadcast nested-loop over the probe sample, never an
     unbroadcast cartesian of the full corpus with itself."""
     df = _df(spark, "text_hash_embed_knn")
     plan = P.operators(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_hash_embed_probe_set_is_bounded(spark):
+    """text_hash_embed_knn's probe set must be FIXED-size at any sf:
+    doc_id % 37 == 0 AND doc_id < 7400 admits at most ceil(7400/37) =
+    200 ids no matter how large the corpus grows — the same cap
+    discipline as knn_cosine_bruteforce (vec_id < 10000). Without the
+    cap the broadcast side and the O(probes x corpus) search scale
+    linearly with the corpus (the round-2 verdict's one scale-killer).
+    Checks the arithmetic bound AND that the live query's distinct
+    probe count honors it."""
+    from hive_service_spark.llm.text import _HE_QCAP, _HE_QMOD
+
+    assert (_HE_QCAP - 1) // _HE_QMOD + 1 <= 200  # multiples of 37 in [0, 7400)
+    df = _df(spark, "text_hash_embed_knn")
+    n_probes = df.select("doc_id").distinct().count()
+    assert n_probes <= 200, n_probes
