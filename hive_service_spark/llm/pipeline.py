@@ -394,3 +394,169 @@ def pipeline_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_contaminated"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# staged quality funnel: the per-stage attrition report of a cleaning run
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH docs AS (SELECT doc_id, text, lang, n_chars FROM documents),
+s1 AS (SELECT * FROM docs WHERE n_chars >= 120),
+s2 AS (SELECT * FROM s1 WHERE lang IN ('en', 'es', 'de', 'fr')),
+s3 AS (
+  SELECT * FROM s2
+  WHERE len(string_split(text, ' ')) >= 20
+    AND len(list_filter(string_split(text, ' '), w -> length(w) <= 3))
+        * 1.0 / len(string_split(text, ' ')) BETWEEN 0.05 AND 0.65
+),
+s4 AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id) AS rn
+    FROM s3
+  ) WHERE rn = 1
+),
+counts AS (
+  SELECT 0 AS stage_id, 'ingest' AS stage, (SELECT COUNT(*) FROM docs) AS n
+  UNION ALL SELECT 1, 'min_length', (SELECT COUNT(*) FROM s1)
+  UNION ALL SELECT 2, 'lang_allowlist', (SELECT COUNT(*) FROM s2)
+  UNION ALL SELECT 3, 'stopword_band', (SELECT COUNT(*) FROM s3)
+  UNION ALL SELECT 4, 'exact_dedup', (SELECT COUNT(*) FROM s4)
+)
+SELECT CAST(stage_id AS INTEGER) AS stage_id, stage,
+       CAST(n AS BIGINT) AS surviving_docs,
+       CAST(COALESCE(LAG(n) OVER (ORDER BY stage_id) - n, 0) AS BIGINT)
+         AS dropped_here
+FROM counts
+ORDER BY stage_id
+"""
+
+
+@query("pipeline_quality_funnel", oracle=_FUNNEL_ORACLE)
+def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attrition report every production corpus-cleaning run emits:
+    one row per cascade stage (ingest -> min-length -> language
+    allowlist -> stopword-ratio band -> exact dedup) with surviving
+    and dropped-here counts. Distinct from pipeline_clean_corpus
+    (which outputs the cleaned corpus stats): this is the FUNNEL view
+    operators actually monitor — where did the data go. Stages 1-3 are
+    map-only predicates stacked on ONE scan (Spark computes all four
+    stage flags in a single pass and aggregates conditional counts —
+    no per-stage rescans); the dedup stage is the only shuffle. The
+    oracle replays the cascade as nested CTEs; integer counts keep it
+    exact at any sf."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    short_ratio = (
+        F.size(F.filter(words, lambda w: F.length(w) <= 3))
+        / F.size(words)
+    )
+    flagged = d.select(
+        "doc_id",
+        "text",
+        (F.col("n_chars") >= 120).alias("f1"),
+        F.col("lang").isin("en", "es", "de", "fr").alias("f2"),
+        ((F.size(words) >= 20) & short_ratio.between(0.05, 0.65)).alias("f3"),
+    ).select(
+        "doc_id",
+        "text",
+        "f1",
+        (F.col("f1") & F.col("f2")).alias("s2"),
+        (F.col("f1") & F.col("f2") & F.col("f3")).alias("s3"),
+    )
+    # dedup among s3 survivors only: one shuffle on md5(text)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        flagged.where("s3")
+        .withColumn("rn", F.row_number().over(w))
+        .agg(F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n4"))
+    )
+    base = flagged.agg(
+        F.count("*").alias("n0"),
+        F.sum(F.col("f1").cast("int")).alias("n1"),
+        F.sum(F.col("s2").cast("int")).alias("n2"),
+        F.sum(F.col("s3").cast("int")).alias("n3"),
+    )
+    row = base.crossJoin(F.broadcast(deduped))
+    stages = [
+        (0, "ingest", "n0"),
+        (1, "min_length", "n1"),
+        (2, "lang_allowlist", "n2"),
+        (3, "stopword_band", "n3"),
+        (4, "exact_dedup", "n4"),
+    ]
+    out = None
+    prev = None
+    for sid, sname, col in stages:
+        dropped = (
+            (F.col(prev) - F.col(col)) if prev is not None else F.lit(0)
+        )
+        frame = row.select(
+            F.lit(sid).cast("int").alias("stage_id"),
+            F.lit(sname).alias("stage"),
+            F.col(col).cast("bigint").alias("surviving_docs"),
+            dropped.cast("bigint").alias("dropped_here"),
+        )
+        out = frame if out is None else out.unionByName(frame)
+        prev = col
+    return out.orderBy("stage_id")
+
+
+# ---------------------------------------------------------------------------
+# language-balanced sampling: deterministic per-class quotas
+# ---------------------------------------------------------------------------
+
+_LANG_QUOTA = 40
+
+_BALANCED_ORACLE = f"""
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||text),1,8))::BIGINT,
+                    doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sampled
+FROM ranked WHERE rn <= {_LANG_QUOTA}
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("corpus_language_balanced_sample", oracle=_BALANCED_ORACLE)
+def corpus_language_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced subcorpus selection — per-language quotas so
+    low-resource languages aren't drowned by the head language (the
+    standard multilingual-mixture rebalancing step; cf. the sampling
+    exponents in multilingual pretraining recipes). Deterministic:
+    docs rank per language by a content hash (the shared 32-bit md5
+    prefix — an unseeded uniform order both engines reproduce exactly)
+    and the top QUOTA per language are taken. One window over a
+    per-language shuffle, no global sort; quota selection emits
+    aggregate checksums (id sum, char sum) so the oracle verifies the
+    EXACT membership of the sample, not just its size. At 100 TB the
+    rank-per-partition + quota is the textbook distributed stratified
+    sampler (and the hash order makes reruns reproducible for training
+    manifests)."""
+    d = load(spark, sf_dir, "documents")
+    hv = _h(F.concat(F.col("doc_id").cast("string"), F.col("text")))
+    return (
+        d.select("lang", "doc_id", "n_chars", hv.alias("_hv"))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("lang").orderBy(F.col("_hv").asc(),
+                                               F.col("doc_id").asc())))
+        .where(F.col("rn") <= _LANG_QUOTA)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+            F.sum("n_chars").cast("bigint").alias("chars_sampled"),
+        )
+        .orderBy("lang")
+    )

@@ -182,11 +182,18 @@ ORDER BY o_year
 @query("q8_market_share", oracle=_Q8_ORACLE)
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: the widest snowflake in the suite (7 joins) with a
-    conditional-share aggregate. Join order: filters prune part /
-    orders / region first; nation & region & part & supplier & customer
-    broadcast; the only big shuffles are lineitem⋈orders. The same
-    nation table joins twice (customer side, supplier side) — alias
-    discipline mirrors the reference's QBJoinTree handling."""
+    conditional-share aggregate. The snowflake arms are COLLAPSED
+    OFF THE FACT PATH first (reference: Hive's join-reorder does the
+    same via star-schema detection, SURVEY.md §4.1a): region⋈nation⋈
+    customer reduces to a one-column AMERICA-customer key set, and
+    supplier⋈nation to (s_suppkey, supp_nation) — tiny dim⋈dim
+    broadcast joins that run once. The fact stream (lineitem) then
+    passes through only FOUR joins — part, supplier-dim, orders
+    (the one big shuffle pair), customer-dim — instead of seven;
+    fewer per-row probes AND fewer broadcast builds, which round-2
+    benchmarking showed dominate this query's wall-clock on slow
+    hosts. The same nation table joins twice (customer side, supplier
+    side) — alias discipline mirrors the reference's QBJoinTree."""
     part = load(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").where(
@@ -197,18 +204,29 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = load(spark, sf_dir, "nation").alias("nc")
     ns = load(spark, sf_dir, "nation").alias("ns")
     region = load(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    # snowflake arms, collapsed once off the fact path
+    cust_am = (
+        cust.join(
+            F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey")
+        )
+        .join(
+            F.broadcast(region),
+            F.col("nc.n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nat = supp.join(
+        F.broadcast(ns), F.col("s_nationkey") == F.col("ns.n_nationkey")
+    ).select("s_suppkey", F.col("ns.n_name").alias("supp_nation"))
     t = (
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))
-        .join(F.broadcast(region), F.col("nc.n_regionkey") == F.col("r_regionkey"))
-        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns.n_nationkey"))
+        .join(F.broadcast(cust_am), F.col("o_custkey") == F.col("c_custkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
-            F.col("ns.n_name").alias("supp_nation"),
+            "supp_nation",
         )
     )
     share_num = F.sum(

@@ -42,3 +42,31 @@ def test_atomic_copy_replaces_and_leaves_no_temp(tmp_path):
     assert dst.read_bytes() == b"x" * 1024
     leftovers = [p for p in tmp_path.iterdir() if ".tmp" in p.name]
     assert not leftovers, f"temp files left behind: {leftovers}"
+
+
+def test_stage_source_recopies_on_mtime_preserving_regen(tmp_path):
+    """The round-2 ADVICE gap: a regenerated source with IDENTICAL size
+    and a non-newer mtime (mtime-preserving copy) must still be
+    re-staged. stage_source fingerprints (size, mtime_ns) rather than
+    comparing dst-vs-src recency, so any fingerprint change recopies."""
+    import os
+
+    from hive_service_spark.scratch import stage_source
+
+    src = tmp_path / "src" / "data.parquet"
+    src.parent.mkdir()
+    stage = tmp_path / "landing"
+    src.write_bytes(b"AAAA")
+    dst = stage_source(src, stage)
+    assert dst.read_bytes() == b"AAAA"
+
+    # regenerate: same size, mtime pinned OLDER than the staged copy
+    src.write_bytes(b"BBBB")
+    os.utime(src, ns=(1, 1))
+    dst2 = stage_source(src, stage)
+    assert dst2.read_bytes() == b"BBBB"  # old code served stale AAAA
+
+    # unchanged source: no recopy (staged file inode left alone)
+    ino = dst2.stat().st_ino
+    stage_source(src, stage)
+    assert dst2.stat().st_ino == ino
