@@ -470,13 +470,20 @@ def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = (
         flagged.where("s3")
         .withColumn("rn", F.row_number().over(w))
-        .agg(F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n4"))
+        # coalesce: if zero docs survive the stopword band, the agg runs
+        # on an empty frame and SUM yields NULL — the oracle's COUNT(*)
+        # is 0, so NULL would be a spurious gate red (round-3 advice)
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)), F.lit(0)
+            ).alias("n4")
+        )
     )
     base = flagged.agg(
         F.count("*").alias("n0"),
-        F.sum(F.col("f1").cast("int")).alias("n1"),
-        F.sum(F.col("s2").cast("int")).alias("n2"),
-        F.sum(F.col("s3").cast("int")).alias("n3"),
+        F.coalesce(F.sum(F.col("f1").cast("int")), F.lit(0)).alias("n1"),
+        F.coalesce(F.sum(F.col("s2").cast("int")), F.lit(0)).alias("n2"),
+        F.coalesce(F.sum(F.col("s3").cast("int")), F.lit(0)).alias("n3"),
     )
     row = base.crossJoin(F.broadcast(deduped))
     stages = [

@@ -148,13 +148,27 @@ class SnapshotTable:
     def _bucket_of(self, col: Column) -> Column:
         return F.pmod(F.hash(col), F.lit(self.n_buckets))
 
+    def _writer_uid(self) -> str:
+        """Writer-unique suffix for UNCOMMITTED data dirs: two racing
+        writers targeting the same version must never share a physical
+        path, or the loser's mode('overwrite') could clobber bucket
+        files the winner's already-published manifest points at. The
+        manifest records the actual (uid-suffixed) reldirs, so the
+        published snapshot only ever references dirs its own writer
+        wrote; a loser's orphan dirs are swept by ``vacuum`` (they
+        appear in no manifest)."""
+        import threading
+
+        return f"{os.getpid()}-{threading.get_ident()}"
+
     def _write_buckets(self, df: DataFrame, version: int, bucket_ids) -> dict[int, str]:
         """Write df's rows (already restricted to bucket_ids) out as one
         immutable dir per bucket; returns {bucket: reldir}."""
         out: dict[int, str] = {}
+        uid = self._writer_uid()
         tagged = df.withColumn("_b", self._bucket_of(F.col(self.key)))
         for b in bucket_ids:
-            rel = f"data/v{version}-b{b}"
+            rel = f"data/v{version}-b{b}-{uid}"
             (
                 tagged.where(F.col("_b") == b)
                 .drop("_b")
@@ -340,8 +354,9 @@ class SnapshotTable:
             int(b): list(rels) for b, rels in cur.get("deletes", {}).items()
         }
         tagged = matched.withColumn("_b", self._bucket_of(F.col(self.key)))
+        uid = self._writer_uid()
         for b in bucket_ids:
-            rel = f"data/dv{v}-b{b}"
+            rel = f"data/dv{v}-b{b}-{uid}"
             (
                 tagged.where(F.col("_b") == b)
                 .select(self.key)

@@ -481,33 +481,54 @@ def rewrite_sql(spark: SparkSession, sql: str) -> tuple[DataFrame, bool]:
             if t.lower() not in _SQL_KEYWORDS and not t.isdigit()
         )
 
+    # ORDER BY items we model are strictly `col [ASC|DESC]`; anything
+    # else (NULLS FIRST, expressions, positions) falls back to
+    # spark.sql rather than being silently treated as plain ascending
+    # (round-3 advice)
+    order_items: list[tuple[str, bool]] = []
+    if order:
+        for o in order.split(","):
+            im = _re.fullmatch(
+                r"(\w+)(?:\s+(asc|desc))?", o.strip(), _re.IGNORECASE
+            )
+            if not im:
+                return spark.sql(sql), False
+            order_items.append(
+                (im.group(1), (im.group(2) or "asc").lower() == "desc")
+            )
+
     def _finish(df: DataFrame) -> DataFrame:
         df = df.select(*dims_seen, *measures.keys())
-        if order:
+        if order_items:
             df = df.orderBy(
                 *[
-                    F.col(o.strip().split()[0]).desc()
-                    if o.strip().lower().endswith(" desc")
-                    else F.col(o.strip().split()[0])
-                    for o in order.split(",")
+                    F.col(c).desc() if is_desc else F.col(c)
+                    for c, is_desc in order_items
                 ]
             )
         return df
 
     # a base-matching MV handles BOTH outcomes: containment -> MV scan,
     # miss -> its base-table fallback (which also computes derived dims
-    # like ship_year that plain spark.sql over the base couldn't)
-    for mv in _MV_INSTANCES.values():
-        if mv.base != base:
-            continue
-        df, used = mv.rewrite(
-            spark,
-            group_by=group_by,
-            measures=measures,
-            predicate=F.expr(where) if where else None,
-            filter_cols=filter_cols,
-        )
-        return _finish(df), used
+    # like ship_year that plain spark.sql over the base couldn't).
+    # The whole attempt is guarded: a WHERE clause Spark's expression
+    # parser rejects (or any rewrite error) must FALL BACK to the
+    # original SQL, never raise — the docstring's soundness contract
+    # (round-3 advice).
+    try:
+        for mv in _MV_INSTANCES.values():
+            if mv.base != base:
+                continue
+            df, used = mv.rewrite(
+                spark,
+                group_by=group_by,
+                measures=measures,
+                predicate=F.expr(where) if where else None,
+                filter_cols=filter_cols,
+            )
+            return _finish(df), used
+    except Exception:
+        pass
     return spark.sql(sql), False
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 from pathlib import Path
 
 SCRATCH_ROOT = "/root/repo/.scratch"
@@ -73,7 +74,13 @@ def atomic_copy(src: str | os.PathLike, dst: str | os.PathLike) -> None:
     sees a torn file: copy to a per-pid temp name in the same directory
     then atomically rename over the target."""
     dst = Path(dst)
-    tmp = dst.with_name(f".{dst.name}.{os.getpid()}.tmp")
+    # pid AND thread id: two threads of one process staging the same
+    # target concurrently must not share the temp path, or one's
+    # os.replace races the other's copy (round-3 advice — the same
+    # collision acid_snapshots' manifest publish fixed)
+    tmp = dst.with_name(
+        f".{dst.name}.{os.getpid()}-{threading.get_ident()}.tmp"
+    )
     shutil.copyfile(src, tmp)
     os.replace(tmp, dst)
 
@@ -96,7 +103,9 @@ def stage_source(src: str | os.PathLike, stage_dir: str | os.PathLike) -> Path:
     recorded = meta.read_text() if meta.exists() else None
     if not dst.exists() or recorded != fingerprint:
         atomic_copy(src, dst)
-        tmp = meta.with_name(f"{meta.name}.{os.getpid()}.tmp")
+        tmp = meta.with_name(
+            f"{meta.name}.{os.getpid()}-{threading.get_ident()}.tmp"
+        )
         tmp.write_text(fingerprint)
         os.replace(tmp, meta)
     return dst

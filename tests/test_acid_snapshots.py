@@ -212,3 +212,92 @@ def test_two_thread_commit_race_one_aborts(spark, table):
         assert b.delete(F.col("k") == 4) == 2
     final = {r["k"]: r["status"] for r in table.read().collect()}
     assert final[3] == "X" and 4 not in final
+
+
+def test_same_bucket_race_never_corrupts_winner(spark, table):
+    """Round-3 advice: the commit CAS protects the manifest slot, but
+    if racing writers shared PHYSICAL data paths, the loser's
+    mode('overwrite') could clobber a bucket dir the winner's
+    already-published manifest references. Data dirs are now
+    writer-unique (pid-tid suffix), so this test forces BOTH writers
+    onto the SAME bucket and asserts the winner's published v1 is
+    byte-intact even while the loser races, then that the loser's
+    retry lands cleanly on v2."""
+    import threading
+
+    from hive_service_spark.operators.acid_snapshots import (
+        ConcurrentWriteConflict,
+        SnapshotTable,
+    )
+
+    # pick two distinct keys that hash into the SAME bucket (n_buckets=4)
+    rows = (
+        spark.range(1, 21)
+        .select(
+            F.col("id").alias("k"),
+            F.pmod(F.hash(F.col("id")), F.lit(4)).alias("b"),
+        )
+        .collect()
+    )
+    by_bucket: dict[int, list[int]] = {}
+    for r in rows:
+        by_bucket.setdefault(r["b"], []).append(r["k"])
+    k1, k2 = next(ks[:2] for ks in by_bucket.values() if len(ks) >= 2)
+
+    barrier = threading.Barrier(2, timeout=60)
+    orig_commit = SnapshotTable._commit
+
+    def racing_commit(self, *args, **kwargs):
+        # both writers have fully WRITTEN their rewritten bucket dirs
+        # before either commits — the window where a shared path would
+        # have let the loser overwrite the winner's files
+        barrier.wait()
+        return orig_commit(self, *args, **kwargs)
+
+    outcomes: dict[str, object] = {}
+
+    def writer(tag, tbl, dml):
+        try:
+            outcomes[tag] = dml(tbl)
+        except ConcurrentWriteConflict:
+            outcomes[tag] = "conflict"
+
+    b = SnapshotTable(spark, table.path, key_col="k", n_buckets=4)
+    try:
+        SnapshotTable._commit = racing_commit
+        t1 = threading.Thread(
+            target=writer,
+            args=("upd", table,
+                  lambda t: t.update(F.col("k") == k1, {"status": F.lit("X")})),
+        )
+        t2 = threading.Thread(
+            target=writer, args=("del", b, lambda t: t.delete(F.col("k") == k2))
+        )
+        t1.start(); t2.start(); t1.join(120); t2.join(120)
+    finally:
+        SnapshotTable._commit = orig_commit
+
+    assert sorted(str(v) for v in outcomes.values()) == ["1", "conflict"]
+
+    # the winner's published v1 must be complete and correct — 20 rows
+    # (update) or 19 (delete), with ONLY the winner's effect applied
+    v1 = {r["k"]: r["status"] for r in table.read(version=1).collect()}
+    if outcomes["upd"] == 1:
+        assert len(v1) == 20 and v1[k1] == "X" and k2 in v1
+    else:
+        assert len(v1) == 19 and k2 not in v1 and v1[k1] != "X"
+
+    # loser retries cleanly onto v2; both effects now present
+    if outcomes["upd"] == "conflict":
+        assert table.update(F.col("k") == k1, {"status": F.lit("X")}) == 2
+    else:
+        assert b.delete(F.col("k") == k2) == 2
+    final = {r["k"]: r["status"] for r in table.read().collect()}
+    assert final[k1] == "X" and k2 not in final
+
+    # and every dir any retained manifest references actually exists
+    for m in table.history():
+        for rel in list(m["buckets"].values()) + [
+            r for rels in m.get("deletes", {}).values() for r in rels
+        ]:
+            assert os.path.isdir(os.path.join(table.path, rel)), rel

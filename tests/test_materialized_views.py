@@ -154,3 +154,47 @@ def test_sql_transparent_falls_back(spark):
     # shape the grammar doesn't model: verbatim spark.sql, no rewrite
     df2, used2 = rewrite_sql(spark, "SELECT COUNT(*) AS n FROM nation")
     assert not used2 and df2.collect()[0]["n"] == 25
+
+
+def test_sql_rewrite_error_falls_back_not_raises(spark):
+    """Round-3 advice: a WHERE clause the rewrite path can't analyze
+    (qualified column name — F.expr parses it but analysis against the
+    MV/base frame fails) must FALL BACK to spark.sql(sql), never
+    raise. The fallback result must equal running the SQL directly."""
+    from hive_service_spark.operators.materialized_views import rewrite_sql
+
+    register_views(spark, SF_DIR)
+    mv = lineitem_revenue_mv()
+    mv.build(spark)
+    sql = (
+        "SELECT l_returnflag, SUM(l_quantity) AS total_qty "
+        "FROM lineitem WHERE lineitem.l_linestatus = 'F' "
+        "GROUP BY l_returnflag"
+    )
+    df, used = rewrite_sql(spark, sql)  # must not raise
+    assert not used
+    expect = {
+        (r["l_returnflag"], r["total_qty"]) for r in spark.sql(sql).collect()
+    }
+    assert {(r["l_returnflag"], r["total_qty"]) for r in df.collect()} == expect
+
+
+def test_sql_order_by_modifier_falls_back_not_misparses(spark):
+    """Round-3 advice: ORDER BY items beyond bare `col [asc|desc]`
+    (e.g. DESC NULLS LAST) used to be silently treated as plain
+    ascending; they must now fall back to spark.sql so the ordering is
+    honored."""
+    from hive_service_spark.operators.materialized_views import rewrite_sql
+
+    register_views(spark, SF_DIR)
+    mv = lineitem_revenue_mv()
+    mv.build(spark)
+    df, used = rewrite_sql(
+        spark,
+        "SELECT l_returnflag, SUM(l_quantity) AS total_qty "
+        "FROM lineitem GROUP BY l_returnflag "
+        "ORDER BY l_returnflag DESC NULLS LAST",
+    )
+    assert not used  # modifier we don't model -> verbatim spark.sql
+    flags = [r["l_returnflag"] for r in df.collect()]
+    assert flags == sorted(flags, reverse=True)
