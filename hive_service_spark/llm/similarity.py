@@ -889,8 +889,14 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_ivf_cells: routing is a broadcast of k x d centroids against
     one map pass, and the probe is an equi-join on the cell id."""
     v = _vecs(spark, sf_dir)
-    cells = _km_assign(v, _km_centroids(v)).join(
-        v.select("vec_id", "nr"), "vec_id"
+    # persist: the routed corpus feeds BOTH sides of the probe join —
+    # without the cache the whole assignment pass (broadcast routing +
+    # argmin aggregate) is physically duplicated per reference (no
+    # ReusedExchange across the filter asymmetry; measured 2x the work)
+    cells = (
+        _km_assign(v, _km_centroids(v))
+        .join(v.select("vec_id", "nr"), "vec_id")
+        .persist()
     )
     q = cells.where(F.expr(_IS_QUERY))
     scored = (
@@ -1022,8 +1028,12 @@ def ann_recall_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LSH index); the oracle replays codebook training, routing, and
     both top-3 rankings end to end."""
     v = _vecs(spark, sf_dir)
-    cells = _km_assign(v, _km_centroids(v)).join(
-        v.select("vec_id", "nr"), "vec_id"
+    # persist: referenced FOUR times (gt + ann, q + c sides each) —
+    # uncached, the assignment pass runs 4x (no ReusedExchange)
+    cells = (
+        _km_assign(v, _km_centroids(v))
+        .join(v.select("vec_id", "nr"), "vec_id")
+        .persist()
     )
     q = cells.where(F.expr(_IS_QUERY))
 
@@ -1136,8 +1146,13 @@ def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     query verifies the brute-force all-pairs baseline; this one is the
     bounded-candidate production path."""
     v = _vecs(spark, sf_dir)
-    cells = _km_assign(v, _km_centroids(v)).join(
-        v.select("vec_id", "nr"), "vec_id"
+    # persist: the pair join's a/b sides and the member summary all
+    # re-derive the routed corpus — uncached that's THREE assignment
+    # passes (no ReusedExchange through the self-join aliases)
+    cells = (
+        _km_assign(v, _km_centroids(v))
+        .join(v.select("vec_id", "nr"), "vec_id")
+        .persist()
     )
     pairs = (
         cells.alias("a")
