@@ -1,0 +1,185 @@
+"""Distributed BPE tokenizer training — unrolled merge rounds.
+
+Byte-pair encoding (Sennrich et al. 2016, arXiv:1508.07909) is how
+every modern LLM vocabulary is built. The trainer here uses the same
+trick production BPE trainers do: after one pass that reduces the
+corpus to a WORD-FREQUENCY table, every merge round runs over the
+vocabulary (types × their counts), not the corpus — so at 100 TB the
+corpus is touched exactly once (one map-side-combined word count) and
+the iterative part is bounded by vocabulary size.
+
+Engine-exactness: each word's symbol sequence is encoded as
+``|s1||s2||...|`` (every symbol wrapped in its own pipes). Applying a
+merge (a,b) is then a plain string ``replace`` of ``|a||b|`` with
+``|ab|`` — and because each symbol carries BOTH its delimiters, the
+non-overlapping left-to-right replace that Spark, DuckDB, and Python
+all implement is exactly BPE's greedy merge, including runs
+(``|a||a||a||a|`` -> ``|aa||aa|``) and adjacent repeats — no
+shared-delimiter undercount. Pair counts are exact integers; the best
+pair is argmax with a lexicographic (w1, w2) tie-break, so both
+engines pick the identical merge every round. Words containing the
+delimiter character are excluded up front (documented contract).
+
+No reference analog (Hive 2.3 has no tokenizer surface); this is the
+LLM-pipeline extension wave, sibling of ml_bigram_lm_quality.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_service_spark.catalog import load
+from hive_service_spark.registry import query
+
+_BPE_MERGES = 3  # unrolled merge rounds (oracle replays each round)
+
+
+def _seq_pairs_sql(src: str) -> str:
+    """DuckDB: adjacent symbol pairs of each word's current sequence,
+    weighted by word count."""
+    return f"""
+  SELECT s[i] AS w1, s[i + 1] AS w2, CAST(SUM(c) AS BIGINT) AS sc
+  FROM (SELECT c, string_split(trim(seq, '|'), '||') AS s FROM {src}),
+       unnest(generate_series(1, len(s) - 1)) AS t(i)
+  GROUP BY 1, 2
+"""
+
+
+def _best_sql(pairs: str) -> str:
+    return f"SELECT w1, w2, sc FROM {pairs} ORDER BY sc DESC, w1, w2 LIMIT 1"
+
+
+def _apply_sql(src: str, best: str) -> str:
+    return f"""
+  SELECT w.word, w.c,
+         replace(w.seq, '|' || b.w1 || '||' || b.w2 || '|',
+                 '|' || b.w1 || b.w2 || '|') AS seq
+  FROM {src} w, {best} b
+"""
+
+
+def _bpe_oracle() -> str:
+    parts = [
+        """
+WITH tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+),
+words AS (
+  SELECT word, COUNT(*) AS c,
+         '|' || array_to_string(regexp_extract_all(word, '.'), '||') || '|'
+           AS seq
+  FROM tok
+  WHERE word <> '' AND word NOT LIKE '%|%'
+  GROUP BY word
+)"""
+    ]
+    src = "words"
+    selects = []
+    for r in range(_BPE_MERGES):
+        parts.append(f", pairs{r} AS ({_seq_pairs_sql(src)})")
+        parts.append(f", best{r} AS ({_best_sql(f'pairs{r}')})")
+        parts.append(f", words{r + 1} AS ({_apply_sql(src, f'best{r}')})")
+        selects.append(
+            f"SELECT {r + 1} AS merge_rank, w1 AS left_sym, w2 AS right_sym,"
+            f" w1 || w2 AS merged, sc AS pair_count FROM best{r}"
+        )
+        src = f"words{r + 1}"
+    parts.append("\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY merge_rank")
+    return "".join(parts)
+
+
+_BPE_ORACLE = _bpe_oracle()
+
+
+@query("tok_bpe_train_merges", oracle=_BPE_ORACLE)
+def tok_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the first N BPE merges on the corpus: reduce the corpus to
+    word frequencies (the ONLY corpus-wide pass), split words into
+    character symbols, then N times (a) count adjacent symbol pairs
+    weighted by word frequency, (b) pick the most frequent pair
+    (lexicographic tie-break), (c) merge it everywhere via the
+    pipe-delimited replace (see module docstring for why that is
+    exactly greedy BPE on both engines). Output: the learned merge
+    table — rank, pair, merged symbol, weighted pair count — the
+    artifact a tokenizer ships.
+
+    Scale (100 TB): word counting is one map-side-combined shuffle of
+    the corpus; every merge round is vocabulary-sized (types, not
+    tokens): one explode of per-word symbol sequences, one pair-count
+    aggregate, a 1-row argmax (TakeOrderedAndProject), and a map-only
+    broadcast-apply of the merge. State between rounds is the
+    vocabulary frame, localCheckpoint-truncated like the k-means loop
+    so the plan doesn't double per round."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+    words = (
+        tok.where((F.col("word") != "") & (~F.col("word").contains("|")))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "word",
+            "c",
+            F.concat(
+                F.lit("|"),
+                F.array_join(F.regexp_extract_all("word", F.lit("."), 0), "||"),
+                F.lit("|"),
+            ).alias("seq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    merge_rows: list[DataFrame] = []
+    cur = words
+    for r in range(_BPE_MERGES):
+        syms = F.split(
+            F.regexp_replace(F.regexp_replace("seq", r"^\|", ""), r"\|$", ""),
+            r"\|\|",
+        )
+        pairs = (
+            cur.select("c", syms.alias("s"))
+            .select(
+                "c",
+                F.explode(
+                    F.transform(
+                        F.slice("s", 1, F.size("s") - 1),
+                        lambda x, i: F.struct(
+                            x.alias("w1"),
+                            F.element_at("s", (i + 2).cast("int")).alias("w2"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.w1", "p.w2")
+            .agg(F.sum("c").cast("bigint").alias("sc"))
+        )
+        best = pairs.orderBy(
+            F.desc("sc"), F.asc("w1"), F.asc("w2")
+        ).limit(1).localCheckpoint(eager=True)
+        merge_rows.append(
+            best.select(
+                F.lit(r + 1).cast("int").alias("merge_rank"),
+                F.col("w1").alias("left_sym"),
+                F.col("w2").alias("right_sym"),
+                F.concat("w1", "w2").alias("merged"),
+                F.col("sc").alias("pair_count"),
+            )
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(best))
+            .select(
+                "word",
+                "c",
+                F.replace(
+                    F.col("seq"),
+                    F.concat(F.lit("|"), "w1", F.lit("||"), "w2", F.lit("|")),
+                    F.concat(F.lit("|"), "w1", "w2", F.lit("|")),
+                ).alias("seq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("merge_rank")

@@ -68,6 +68,7 @@ _QUERY_MODULES = (
     "hive_service_spark.llm.corpus",
     "hive_service_spark.llm.classify",
     "hive_service_spark.llm.selection",
+    "hive_service_spark.llm.tokenizer",
     "hive_service_spark.streaming.events",
     "hive_service_spark.streaming.ingest",
 )
