@@ -1195,3 +1195,157 @@ def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_dup_pairs"),
         "n_dropped",
     )
+
+
+# ---------------------------------------------------------------------------
+# 11. Ranking-quality metrics: MRR@3 / nDCG@3 for the IVF index
+# ---------------------------------------------------------------------------
+
+# integer gains: round(1e6 / log2(rank+1)) for ranks 1..3, so per-query
+# DCG is an exact integer sum on both engines (a float 1/log2 mean
+# would flap on parallel-sum association at the ROUND boundary)
+_G1, _G2, _G3 = 1000000, 630930, 500000
+_IDCG3 = _G1 + _G2 + _G3
+
+_RANKEVAL_ORACLE = f"""
+WITH v AS ({_VECS_SQL}),
+c0 AS (SELECT vec_id AS cl, e AS c FROM v WHERE vec_id < {_KM_K}),
+a1 AS ({_km_assign_sql('v', 'c0', keep_d2=False)}),
+c1 AS ({_km_recenter_sql('a1')}),
+a2 AS ({_km_assign_sql('v', 'c1', keep_d2=False)}),
+c2 AS ({_km_recenter_sql('a2')}),
+a3 AS ({_km_assign_sql('v', 'c2', keep_d2=False)}),
+cells AS (
+  SELECT a3.vec_id, a3.e, v.nr, a3.cl FROM a3 JOIN v ON a3.vec_id = v.vec_id
+),
+q AS (SELECT * FROM cells WHERE {_IS_QUERY}),
+gt AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND({_COS_SQL.format(a='q', b='c')}, 4) DESC,
+                      c.vec_id) AS rank
+    FROM q JOIN cells c ON q.vec_id <> c.vec_id
+  ) WHERE rank <= 3
+),
+ann AS (
+  SELECT query_id, cand_id, rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND({_COS_SQL.format(a='q', b='c')}, 4) DESC,
+                      c.vec_id) AS rank
+    FROM q JOIN cells c ON q.cl = c.cl AND q.vec_id <> c.vec_id
+  ) WHERE rank <= 3
+),
+perq AS (
+  SELECT g.query_id,
+         MIN(CASE WHEN a.cand_id IS NOT NULL THEN a.rank END) AS first_rel,
+         CAST(COALESCE(SUM(CASE a.rank WHEN 1 THEN {_G1} WHEN 2 THEN {_G2}
+                                       WHEN 3 THEN {_G3} END), 0)
+              AS BIGINT) AS dcg_q
+  FROM gt g LEFT JOIN ann a
+    ON a.query_id = g.query_id AND a.cand_id = g.cand_id
+  GROUP BY g.query_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(CAST(SUM(CASE first_rel WHEN 1 THEN 1000 WHEN 2 THEN 500
+                                     WHEN 3 THEN 333 ELSE 0 END) AS DOUBLE)
+             / 1000.0 / COUNT(*), 4) + 0.0 AS mrr_at_3,
+       ROUND(CAST(SUM(dcg_q) AS DOUBLE)
+             / {_IDCG3}.0 / COUNT(*), 4) + 0.0 AS ndcg_at_3
+FROM perq
+"""
+
+
+@query("ann_eval_ranking_metrics", oracle=_RANKEVAL_ORACLE)
+def ann_eval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@3 and nDCG@3 for the k-means IVF index against exact
+    ground truth — the ranking-quality half of the eval harness
+    (ann_recall_ivf_kmeans grades set overlap; these grade ORDER).
+    Relevance is binary membership in the exact top-3; gains are
+    integer-quantized (round(1e6/log2(rank+1))) so per-query DCG and
+    the corpus totals are exact integer sums on both engines, with
+    single final divisions — no float-accumulation flap.
+
+    Scale: identical operator shape to the recall gauge (bounded probe
+    set, broadcast probes, cell equi-join for the ANN side), plus one
+    per-query aggregate and one global aggregate — eval cost is
+    O(probes · cell) regardless of corpus size."""
+    v = _vecs(spark, sf_dir)
+    cells = (
+        _km_assign(v, _km_centroids(v))
+        .join(v.select("vec_id", "nr"), "vec_id")
+        .persist()
+    )
+    q = cells.where(F.expr(_IS_QUERY))
+
+    def ranked(cond) -> DataFrame:
+        scored = (
+            F.broadcast(q.alias("q"))
+            .join(cells.alias("c"), cond)
+            .select(
+                F.col("q.vec_id").alias("query_id"),
+                F.col("c.vec_id").alias("cand_id"),
+                (F.round(_cos("q", "c"), 4) + 0.0).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("cand_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("query_id", "cand_id", "rank")
+        )
+
+    gt = ranked(F.col("q.vec_id") != F.col("c.vec_id")).drop("rank")
+    ann = ranked(
+        (F.col("q.cl") == F.col("c.cl"))
+        & (F.col("q.vec_id") != F.col("c.vec_id"))
+    )
+    gain = (
+        F.when(F.col("a.rank") == 1, _G1)
+        .when(F.col("a.rank") == 2, _G2)
+        .when(F.col("a.rank") == 3, _G3)
+    )
+    perq = (
+        gt.alias("g")
+        .join(
+            ann.alias("a"),
+            (F.col("a.query_id") == F.col("g.query_id"))
+            & (F.col("a.cand_id") == F.col("g.cand_id")),
+            "left",
+        )
+        .groupBy(F.col("g.query_id").alias("query_id"))
+        .agg(
+            F.min(
+                F.when(F.col("a.cand_id").isNotNull(), F.col("a.rank"))
+            ).alias("first_rel"),
+            F.coalesce(F.sum(gain), F.lit(0)).cast("bigint").alias("dcg_q"),
+        )
+    )
+    mrr_milli = (
+        F.when(F.col("first_rel") == 1, 1000)
+        .when(F.col("first_rel") == 2, 500)
+        .when(F.col("first_rel") == 3, 333)
+        .otherwise(0)
+    )
+    return perq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        (
+            F.round(
+                F.sum(mrr_milli).cast("double") / 1000.0 / F.count(F.lit(1)),
+                4,
+            )
+            + 0.0
+        ).alias("mrr_at_3"),
+        (
+            F.round(
+                F.sum("dcg_q").cast("double")
+                / float(_IDCG3)
+                / F.count(F.lit(1)),
+                4,
+            )
+            + 0.0
+        ).alias("ndcg_at_3"),
+    )

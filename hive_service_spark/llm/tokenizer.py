@@ -92,25 +92,52 @@ words AS (
 _BPE_ORACLE = _bpe_oracle()
 
 
-@query("tok_bpe_train_merges", oracle=_BPE_ORACLE)
-def tok_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train the first N BPE merges on the corpus: reduce the corpus to
-    word frequencies (the ONLY corpus-wide pass), split words into
-    character symbols, then N times (a) count adjacent symbol pairs
-    weighted by word frequency, (b) pick the most frequent pair
-    (lexicographic tie-break), (c) merge it everywhere via the
-    pipe-delimited replace (see module docstring for why that is
-    exactly greedy BPE on both engines). Output: the learned merge
-    table — rank, pair, merged symbol, weighted pair count — the
-    artifact a tokenizer ships.
+def _bpe_segment_oracle() -> str:
+    parts = [
+        """
+WITH tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+),
+words AS (
+  SELECT word, COUNT(*) AS c,
+         '|' || array_to_string(regexp_extract_all(word, '.'), '||') || '|'
+           AS seq
+  FROM tok
+  WHERE word <> '' AND word NOT LIKE '%|%'
+  GROUP BY word
+)"""
+    ]
+    src = "words"
+    for r in range(_BPE_MERGES):
+        parts.append(f", pairs{r} AS ({_seq_pairs_sql(src)})")
+        parts.append(f", best{r} AS ({_best_sql(f'pairs{r}')})")
+        parts.append(f", words{r + 1} AS ({_apply_sql(src, f'best{r}')})")
+        src = f"words{r + 1}"
+    parts.append(
+        f"""
+SELECT CAST({_BPE_MERGES} AS INTEGER) AS n_merges,
+       CAST(COUNT(*) AS BIGINT) AS vocab_types,
+       CAST(SUM(c) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(c * length(word)) AS BIGINT) AS total_chars,
+       CAST(SUM(c * len(string_split(trim(seq, '|'), '||'))) AS BIGINT)
+         AS total_bpe_tokens,
+       ROUND(CAST(SUM(c * length(word)) AS DOUBLE)
+             / CAST(SUM(c * len(string_split(trim(seq, '|'), '||')))
+                    AS DOUBLE), 4) + 0.0 AS chars_per_token
+FROM {src}
+"""
+    )
+    return "".join(parts)
 
-    Scale (100 TB): word counting is one map-side-combined shuffle of
-    the corpus; every merge round is vocabulary-sized (types, not
-    tokens): one explode of per-word symbol sequences, one pair-count
-    aggregate, a 1-row argmax (TakeOrderedAndProject), and a map-only
-    broadcast-apply of the merge. State between rounds is the
-    vocabulary frame, localCheckpoint-truncated like the k-means loop
-    so the plan doesn't double per round."""
+
+_BPE_SEGMENT_ORACLE = _bpe_segment_oracle()
+
+
+def _train_chain(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Shared trainer: returns (final vocabulary frame with merged
+    sequences, one 1-row merge frame per round)."""
     d = load(spark, sf_dir, "documents")
     tok = d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
     words = (
@@ -179,7 +206,65 @@ def tok_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
 
+    return cur, merge_rows
+
+
+@query("tok_bpe_train_merges", oracle=_BPE_ORACLE)
+def tok_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the first N BPE merges on the corpus: reduce the corpus to
+    word frequencies (the ONLY corpus-wide pass), split words into
+    character symbols, then N times (a) count adjacent symbol pairs
+    weighted by word frequency, (b) pick the most frequent pair
+    (lexicographic tie-break), (c) merge it everywhere via the
+    pipe-delimited replace (see module docstring for why that is
+    exactly greedy BPE on both engines). Output: the learned merge
+    table — rank, pair, merged symbol, weighted pair count — the
+    artifact a tokenizer ships.
+
+    Scale (100 TB): word counting is one map-side-combined shuffle of
+    the corpus; every merge round is vocabulary-sized (types, not
+    tokens): one explode of per-word symbol sequences, one pair-count
+    aggregate, a 1-row argmax (TakeOrderedAndProject), and a map-only
+    broadcast-apply of the merge. State between rounds is the
+    vocabulary frame, localCheckpoint-truncated like the k-means loop
+    so the plan doesn't double per round."""
+    _, merge_rows = _train_chain(spark, sf_dir)
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionByName(m)
     return out.orderBy("merge_rank")
+
+
+@query("tok_bpe_segment_stats", oracle=_BPE_SEGMENT_ORACLE)
+def tok_bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merges — segment the corpus with the trained
+    tokenizer and report the numbers that grade a vocabulary: types,
+    whitespace tokens, characters, BPE tokens after N merges, and
+    chars-per-token (the compression a tokenizer buys). Because
+    segmentation is materialized on the word-frequency table, applying
+    the tokenizer to the whole corpus is a weighted aggregate over the
+    vocabulary — no second corpus pass, which is exactly how a 100 TB
+    deployment re-tokenizes: corpus joins the (word -> tokens) table
+    instead of re-running merges per occurrence."""
+    final, _ = _train_chain(spark, sf_dir)
+    n_sym = F.size(
+        F.split(
+            F.regexp_replace(F.regexp_replace("seq", r"^\|", ""), r"\|$", ""),
+            r"\|\|",
+        )
+    )
+    return final.agg(
+        F.lit(_BPE_MERGES).cast("int").alias("n_merges"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_types"),
+        F.sum("c").cast("bigint").alias("total_ws_tokens"),
+        F.sum(F.col("c") * F.length("word")).cast("bigint").alias("total_chars"),
+        F.sum(F.col("c") * n_sym).cast("bigint").alias("total_bpe_tokens"),
+        (
+            F.round(
+                F.sum(F.col("c") * F.length("word")).cast("double")
+                / F.sum(F.col("c") * n_sym).cast("double"),
+                4,
+            )
+            + 0.0
+        ).alias("chars_per_token"),
+    )
