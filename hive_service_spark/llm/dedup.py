@@ -1014,3 +1014,127 @@ def dedup_paragraph_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kept_fraction"),
         F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 3c. LSH quality gauge: candidate precision / recall vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+# bounded probe set (<= 200 docs at ANY sf) — the knn_cosine_bruteforce
+# discipline: ground truth is O(probes * corpus), never all-pairs
+_PR_PROBE = "doc_id % 7 = 0 AND doc_id < 1400"
+
+_LSH_PR_ORACLE = f"""
+WITH {_MINHASH_CTES},
+gt AS (
+  SELECT DISTINCT LEAST(p.doc_id, s.doc_id) AS a,
+                  GREATEST(p.doc_id, s.doc_id) AS b
+  FROM (SELECT * FROM sig WHERE {_PR_PROBE}) p
+  JOIN sig s ON p.doc_id <> s.doc_id
+  WHERE len(list_intersect(p.s, s.s)) * 1.0 /
+        (len(p.s) + len(s.s) - len(list_intersect(p.s, s.s))) >= 0.8
+),
+candp AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  WHERE (doc_a % 7 = 0 AND doc_a < 1400) OR (doc_b % 7 = 0 AND doc_b < 1400)
+),
+joined AS (
+  SELECT c.a, c.b, g.a AS hit
+  FROM candp c LEFT JOIN gt g ON c.a = g.a AND c.b = g.b
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM sig WHERE {_PR_PROBE}) AS BIGINT) AS n_probes,
+  CAST((SELECT COUNT(*) FROM gt) AS BIGINT) AS n_true_pairs,
+  CAST(COUNT(*) AS BIGINT) AS n_candidates,
+  CAST(COUNT(hit) AS BIGINT) AS n_true_candidates,
+  CASE WHEN (SELECT COUNT(*) FROM gt) = 0 THEN 1.0
+       ELSE ROUND(COUNT(hit) * 1.0 / (SELECT COUNT(*) FROM gt), 4) + 0.0
+  END AS candidate_recall,
+  CASE WHEN COUNT(*) = 0 THEN 1.0
+       ELSE ROUND(COUNT(hit) * 1.0 / COUNT(*), 4) + 0.0
+  END AS candidate_precision
+FROM joined
+"""
+
+
+@query("dedup_eval_lsh_pr", oracle=_LSH_PR_ORACLE)
+def dedup_eval_lsh_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality gauge — the dedup counterpart of the ANN recall
+    gauges: for a bounded probe set, compute exact-Jaccard ground
+    truth (probe x corpus, broadcast — O(probes*n), never all-pairs)
+    and measure what fraction of true near-dup pairs the 4x4 MinHash
+    banding surfaced as candidates (candidate recall) and what
+    fraction of probe-touching candidates are truly >= 0.8 (candidate
+    precision). This is the measurement a deployment runs before
+    trusting a banding configuration at 100 TB: recall bounds missed
+    dups (silent corpus pollution), precision bounds wasted verify
+    work. Both ratios derive from exact integer counts with one final
+    division; empty denominators pin to 1.0 on both engines."""
+    sig = _signatures(spark, sf_dir)
+    probe = sig.where(F.expr(_PR_PROBE))
+    inter = F.size(F.array_intersect(F.col("p.s"), F.col("s.s")))
+    jac = inter / (
+        F.size(F.col("p.s")) + F.size(F.col("s.s")) - inter
+    )
+    gt = (
+        F.broadcast(probe.alias("p"))
+        .join(sig.alias("s"), F.col("p.doc_id") != F.col("s.doc_id"))
+        .where(jac >= 0.8)
+        .select(
+            F.least(F.col("p.doc_id"), F.col("s.doc_id")).alias("a"),
+            F.greatest(F.col("p.doc_id"), F.col("s.doc_id")).alias("b"),
+        )
+        .distinct()
+    )
+    bands = _band_frame(sig)
+    cand = (
+        bands.alias("ba")
+        .join(
+            bands.alias("bb").hint("shuffle_hash"),
+            (F.col("ba.b") == F.col("bb.b"))
+            & (F.col("ba.bkey") == F.col("bb.bkey"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("a"), F.col("bb.doc_id").alias("b")
+        )
+        .distinct()
+        .where(
+            F.expr("(a % 7 = 0 AND a < 1400) OR (b % 7 = 0 AND b < 1400)")
+        )
+    )
+    joined = cand.join(
+        gt.withColumnRenamed("a", "ga").withColumnRenamed("b", "gb"),
+        (F.col("a") == F.col("ga")) & (F.col("b") == F.col("gb")),
+        "left",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.count("ga").cast("bigint").alias("n_true_candidates"),
+    )
+    n_probes = probe.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes")
+    )
+    n_gt = gt.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+    out = n_probes.crossJoin(F.broadcast(n_gt)).crossJoin(
+        F.broadcast(joined)
+    )
+    recall = F.when(F.col("n_true_pairs") == 0, F.lit(1.0)).otherwise(
+        F.round(
+            F.col("n_true_candidates") / F.col("n_true_pairs"), 4
+        )
+        + 0.0
+    )
+    precision = F.when(F.col("n_candidates") == 0, F.lit(1.0)).otherwise(
+        F.round(
+            F.col("n_true_candidates") / F.col("n_candidates"), 4
+        )
+        + 0.0
+    )
+    return out.select(
+        "n_probes",
+        "n_true_pairs",
+        "n_candidates",
+        "n_true_candidates",
+        recall.alias("candidate_recall"),
+        precision.alias("candidate_precision"),
+    )

@@ -468,3 +468,165 @@ def mm_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("sum_sq") / F.col("n_samples")), 4
         ).alias("rms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image near-dup: aHash over DECODED rasters + band join
+# ---------------------------------------------------------------------------
+
+_AH_HAM = 6  # near-dup threshold (bits differing out of 64)
+
+_AHASH_ORACLE = f"""
+WITH img AS (
+  SELECT doc_id, substr(text, 1, 64 * (length(text) // 64)) AS body,
+         length(text) // 64 AS h
+  FROM documents WHERE length(text) >= 512
+),
+px AS (
+  SELECT doc_id, k,
+         ascii(substr(body,
+               ((((k // 8) * h) // 8) * 64) + ((k % 8) * 8) + 1, 1)) AS val
+  FROM img, unnest(generate_series(0, 63)) AS t(k)
+),
+tot AS (SELECT doc_id, SUM(val) AS total FROM px GROUP BY doc_id),
+bits AS (
+  SELECT p.doc_id,
+         string_agg(CASE WHEN p.val * 64 > t.total THEN '1' ELSE '0' END,
+                    '' ORDER BY p.k) AS ahash
+  FROM px p JOIN tot t ON p.doc_id = t.doc_id
+  GROUP BY p.doc_id
+),
+bands AS (
+  SELECT doc_id, ahash, b, substr(ahash, b * 16 + 1, 16) AS band
+  FROM bits, unnest(generate_series(0, 3)) AS g(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, c.doc_id AS dc,
+         a.ahash AS ha, c.ahash AS hc
+  FROM bands a JOIN bands c
+    ON a.b = c.b AND a.band = c.band AND a.doc_id <> c.doc_id
+),
+pairs AS (
+  SELECT da, dc,
+         len(list_filter(generate_series(1, 64),
+             i -> substr(ha, i, 1) <> substr(hc, i, 1))) AS hamming
+  FROM cand
+),
+agg AS (
+  SELECT da AS doc_id, COUNT(*) AS n_band_mates,
+         COUNT(*) FILTER (WHERE hamming <= {_AH_HAM}) AS n_near_dups,
+         MIN(hamming) AS min_hamming
+  FROM pairs GROUP BY da
+)
+SELECT b.doc_id, b.ahash,
+       CAST(COALESCE(a.n_band_mates, 0) AS BIGINT) AS n_band_mates,
+       CAST(COALESCE(a.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+       CAST(COALESCE(a.min_hamming, 64) AS INTEGER) AS min_hamming
+FROM bits b LEFT JOIN agg a ON b.doc_id = a.doc_id
+"""
+
+
+def _ahash_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Average-hash over the DECODED raster: sample an 8x8 grid
+    (row (i*h)//8, column j*8), threshold each sample against the
+    integer grid mean (val*64 > total — exact, no float mean), emit
+    the 64 bits as a '0'/'1' string. A decoder that misplaced the
+    raster by one byte flips bits and fails the value hash."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, raster = _decode_pgm(bytes(payload))
+            vals = [
+                int(raster[((k // 8) * h) // 8 * w + (k % 8) * 8])
+                for k in range(64)
+            ]
+            total = sum(vals)
+            bits = "".join(
+                "1" if v * 64 > total else "0" for v in vals
+            )
+            rows.append((int(doc_id), bits))
+        yield pd.DataFrame(rows, columns=["doc_id", "ahash"])
+
+
+@query("mm_image_ahash_neardup", oracle=_AHASH_ORACLE)
+def mm_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection via perceptual average-hash
+    (aHash): decode every P5 payload (REAL netpbm parse in Arrow-
+    batched Python, as mm_pgm_decode), compute a 64-bit aHash from an
+    8x8 grid of decoded pixels, then find near-dups by LSH-style
+    banding — docs sharing any 16-bit hash band are candidates, exact
+    Hamming distance <= 6 marks a duplicate. Output is a per-image
+    summary (hash, band-mates, near-dups, closest distance), so every
+    decoded image is value-checked even when no dups exist. The
+    oracle recomputes hash, banding, and Hamming from the
+    pre-encoding source text.
+
+    This is the image half of the dedup stack: the same
+    band-equi-join discipline as dedup_minhash_lsh (candidates are
+    band collisions, never all pairs), with the decode confined to one
+    Arrow map — at 100 TB the pair space is sum over band buckets of
+    bucket^2, and the raster never leaves the executor."""
+    d = load(spark, sf_dir, "documents").where(F.length("text") >= 512)
+    h = F.floor(F.length("text") / 64).cast("int")
+    body = F.expr("substr(text, 1, 64 * (length(text) div 64))")
+    payload = F.concat(
+        F.lit("P5\n64 "), h.cast("string"), F.lit("\n255\n"), body
+    ).cast("binary")
+    bits = d.select("doc_id", payload.alias("payload")).mapInPandas(
+        _ahash_features, schema="doc_id bigint, ahash string"
+    ).persist()  # consumed by both sides of the band join + the summary
+    bands = bits.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda b: F.struct(
+                    b.cast("int").alias("b"),
+                    F.substring("ahash", b * 16 + 1, 16).alias("band"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "ahash", "bb.b", "bb.band")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("c").hint("shuffle_hash"),
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.doc_id") != F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("c.doc_id").alias("dc"),
+            F.col("a.ahash").alias("ha"),
+            F.col("c.ahash").alias("hc"),
+        )
+        .distinct()
+    )
+    ham = F.expr(
+        "size(filter(sequence(1, 64),"
+        " i -> substring(ha, i, 1) != substring(hc, i, 1)))"
+    )
+    agg = (
+        cand.select("da", ham.alias("hamming"))
+        .groupBy("da")
+        .agg(
+            F.count(F.lit(1)).alias("n_band_mates"),
+            F.count(F.when(F.col("hamming") <= _AH_HAM, 1)).alias(
+                "n_near_dups"
+            ),
+            F.min("hamming").alias("min_hamming"),
+        )
+    )
+    return bits.join(agg, bits["doc_id"] == agg["da"], "left").select(
+        bits["doc_id"],
+        "ahash",
+        F.coalesce("n_band_mates", F.lit(0)).cast("bigint").alias(
+            "n_band_mates"
+        ),
+        F.coalesce("n_near_dups", F.lit(0)).cast("bigint").alias(
+            "n_near_dups"
+        ),
+        F.coalesce("min_hamming", F.lit(64)).cast("int").alias("min_hamming"),
+    )
