@@ -62,6 +62,9 @@ HEADLINE = [
     # production serving shapes (round-2 verdict: bench-invisible before)
     "ann_lsh_bucketed_index",
     "dedup_incremental_newbatch",
+    # round-4 additions: data-selection + tokenizer training
+    "pipeline_dsir_importance",
+    "tok_bpe_train_merges",
 ]
 
 # Pure-CPU sentinel queries (plan-pinned, untouched since round 1) and
