@@ -1138,3 +1138,136 @@ def dedup_eval_lsh_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall.alias("candidate_recall"),
         precision.alias("candidate_precision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 3d. asymmetric CONTAINMENT detection (quotes / boilerplate inclusion)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_TAU = 0.9   # containment threshold |A∩B| / |A|
+_CONTAIN_JDUP = 0.8  # at/above this Jaccard the containment is symmetric
+                     # (a full near-dup) — flagged, not excluded: on this
+                     # synthetic corpus every containment is also a dup,
+                     # so excluding them would value-check nothing
+
+_CONTAINMENT_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 3
+),
+inv AS (
+  SELECT doc_id, ('0x'||substr(md5(unnest(s)),1,15))::BIGINT AS shingle
+  FROM sh
+),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_a, doc_b, n_shared, sa.n AS na, sb.n AS nb,
+         n_shared * 1.0 / (sa.n + sb.n - n_shared) AS jac,
+         CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND doc_a < doc_b)
+              THEN doc_a ELSE doc_b END AS contained_doc,
+         CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND doc_a < doc_b)
+              THEN doc_b ELSE doc_a END AS container_doc,
+         n_shared * 1.0 / LEAST(sa.n, sb.n) AS containment
+  FROM shared
+  JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = doc_a
+  JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = doc_b
+)
+SELECT contained_doc, container_doc,
+       ROUND(containment, 4) + 0.0 AS containment,
+       ROUND(jac, 4) + 0.0 AS jaccard,
+       jac >= {_CONTAIN_JDUP} AS is_symmetric_dup,
+       CAST(LEAST(na, nb) AS BIGINT) AS contained_size,
+       CAST(GREATEST(na, nb) AS BIGINT) AS container_size
+FROM scored
+WHERE containment >= {_CONTAIN_TAU}
+"""
+
+
+@query("dedup_containment_pairs", oracle=_CONTAINMENT_ORACLE)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-CONTAINMENT: the smaller document's shingle set
+    is >= 90% inside the larger one's, but the pair is NOT a symmetric
+    near-dup (Jaccard < 0.8) — quotes, excerpt pages, and
+    boilerplate-wrapped copies, the duplication mode Jaccard
+    thresholds systematically miss (a short doc quoted inside a long
+    one has tiny Jaccard but total containment; symmetric full dups
+    surface too and are FLAGGED via is_symmetric_dup rather than
+    excluded, so the query emits checked rows on corpora where every
+    containment happens to be a dup). Candidate generation
+    reuses the inverted 60-bit shingle index equi-join — the RIGHT
+    generator for containment, since any pair with |A∩B| > 0 shares a
+    posting, unlike MinHash bands whose collision odds track Jaccard
+    and starve extreme-containment pairs. Direction is derived from
+    set sizes (smaller = contained; doc_id tie-break), so both engines
+    emit identical directed rows.
+
+    Scale: identical plan discipline to dedup_ngram_jaccard — postings
+    self-join on the hash with the hot-shingle df cap, pair-key
+    aggregate, broadcast size lookup; never a cross join."""
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        d.repartition(par(spark))
+        .where(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", _shingles().alias("s"))
+        .persist()
+    )
+    sizes = sh.select("doc_id", F.size("s").alias("n"))
+    inv = (
+        sh.select("doc_id", F.explode("s").alias("t"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("t"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("shingle"),
+        )
+        .repartition(par(spark), "shingle")
+        .persist()
+    )
+    hot = (
+        inv.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > _HOT_SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na, nb = F.col("sa.n"), F.col("sb.n")
+    jac = F.col("n_shared") / (na + nb - F.col("n_shared"))
+    containment = F.col("n_shared") / F.least(na, nb)
+    a_contained = (na < nb) | ((na == nb) & (F.col("doc_a") < F.col("doc_b")))
+    return (
+        shared.join(
+            F.broadcast(sizes.alias("sa")), F.col("sa.doc_id") == F.col("doc_a")
+        )
+        .join(F.broadcast(sizes.alias("sb")), F.col("sb.doc_id") == F.col("doc_b"))
+        .where(containment >= _CONTAIN_TAU)
+        .select(
+            F.when(a_contained, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+            F.when(a_contained, F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("container_doc"),
+            (F.round(containment, 4) + 0.0).alias("containment"),
+            (F.round(jac, 4) + 0.0).alias("jaccard"),
+            (jac >= _CONTAIN_JDUP).alias("is_symmetric_dup"),
+            F.least(na, nb).cast("bigint").alias("contained_size"),
+            F.greatest(na, nb).cast("bigint").alias("container_size"),
+        )
+    )
