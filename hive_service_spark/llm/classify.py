@@ -32,8 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from hive_service_spark.catalog import load
 from hive_service_spark.registry import query
 
-_NB_ORACLE = """
-WITH tok AS (
+_NB_SCORED_CTES = """tok AS (
   SELECT doc_id, doc_id % 5 = 0 AS is_test, lang,
          unnest(string_split(lower(text), ' ')) AS word
   FROM documents
@@ -81,7 +80,10 @@ scored AS (
   FROM test_doc d
   CROSS JOIN label lb
   LEFT JOIN matched ma ON ma.doc_id = d.doc_id AND ma.lang = lb.lang
-),
+)"""
+
+_NB_ORACLE = f"""
+WITH {_NB_SCORED_CTES},
 predicted AS (
   SELECT doc_id, actual_lang, cand AS predicted_lang
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -96,13 +98,10 @@ ORDER BY actual_lang, predicted_lang
 """
 
 
-@query("ml_naive_bayes_langid", oracle=_NB_ORACLE)
-def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multinomial Naive Bayes language-ID: train on 80% of documents
-    (doc_id % 5 != 0), classify the held-out 20%, emit the confusion
-    matrix. See the module docstring for the scale + determinism
-    design (broadcast model, default-weight trick for unmatched
-    tokens, BIGINT-quantized log weights)."""
+def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared NB scorer: per (test doc, candidate label) quantized
+    log-posterior scores, with actual_lang and n_tokens carried —
+    consumed by the confusion matrix and the calibration bins."""
     d = load(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
@@ -164,6 +163,7 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "actual_lang",
             "cand",
+            "n_tokens",
             (
                 F.col("w_prior")
                 + F.coalesce(F.col("w_sum"), F.lit(0))
@@ -172,6 +172,17 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
+    return scored
+
+
+@query("ml_naive_bayes_langid", oracle=_NB_ORACLE)
+def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language-ID: train on 80% of documents
+    (doc_id % 5 != 0), classify the held-out 20%, emit the confusion
+    matrix. See the module docstring for the scale + determinism
+    design (broadcast model, default-weight trick for unmatched
+    tokens, BIGINT-quantized log weights)."""
+    scored = _nb_scored(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "cand")
     predicted = (
         scored.withColumn("rn", F.row_number().over(w))
@@ -182,6 +193,102 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         predicted.groupBy("actual_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("actual_lang", "predicted_lang")
+    )
+
+
+_CALIB_ORACLE = f"""
+WITH {{ctes}},
+ranked AS (
+  SELECT doc_id, actual_lang, cand, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand) AS rn
+  FROM scored
+),
+perdoc AS (
+  SELECT r1.doc_id,
+         r1.cand = r1.actual_lang AS correct,
+         (r1.score - r2.score) // d.n_tokens AS margin_per_token
+  FROM (SELECT * FROM ranked WHERE rn = 1) r1
+  JOIN (SELECT * FROM ranked WHERE rn = 2) r2 ON r1.doc_id = r2.doc_id
+  JOIN test_doc d ON d.doc_id = r1.doc_id
+)
+SELECT CAST(LEAST(margin_per_token // 8, 7) AS INTEGER) AS confidence_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE correct) AS BIGINT) AS n_correct,
+       ROUND(COUNT(*) FILTER (WHERE correct) * 1.0 / COUNT(*), 4) + 0.0
+         AS accuracy,
+       ROUND(CAST(SUM(margin_per_token) AS DOUBLE)
+             / COUNT(*) / 1024.0, 4) + 0.0 AS mean_margin_nats
+FROM perdoc
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query(
+    "ml_calibration_bins",
+    oracle=_CALIB_ORACLE.format(ctes=_NB_SCORED_CTES),
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration (reliability diagram): bin held-out
+    documents by the NB decision margin — (top score − runner-up
+    score) per token, in the same BIGINT-quantized log units as the
+    model — and report accuracy per confidence bin. A well-calibrated
+    classifier's accuracy rises with the bin; this is the check a
+    pipeline runs before trusting classifier scores as soft labels or
+    filter thresholds. Margins, bins, and counts are pure integer
+    arithmetic (floor divisions), so both engines bin identically; the
+    only floats are two final ratios.
+
+    Scale: reuses the NB scorer (broadcast model, one shuffle on
+    doc_id); binning adds one self-join of the tiny top-2 frame and
+    one 8-row aggregate."""
+    scored = _nb_scored(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "cand")
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    r1 = ranked.where(F.col("rn") == 1).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("cand") == F.col("actual_lang")).alias("correct"),
+        F.col("score").alias("s1"),
+    )
+    r2 = ranked.where(F.col("rn") == 2).select(
+        "doc_id", F.col("score").alias("s2")
+    )
+    perdoc = r1.join(r2, "doc_id").select(
+        "correct",
+        F.expr("(s1 - s2) div n_tokens").alias("margin_per_token"),
+    )
+    return (
+        perdoc.groupBy(
+            F.least(F.expr("margin_per_token div 8"), F.lit(7))
+            .cast("int")
+            .alias("confidence_bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count(F.when(F.col("correct"), 1))
+            .cast("bigint")
+            .alias("n_correct"),
+            (
+                F.round(
+                    F.count(F.when(F.col("correct"), 1))
+                    / F.count(F.lit(1)),
+                    4,
+                )
+                + 0.0
+            ).alias("accuracy"),
+            (
+                F.round(
+                    F.sum("margin_per_token").cast("double")
+                    / F.count(F.lit(1))
+                    / 1024.0,
+                    4,
+                )
+                + 0.0
+            ).alias("mean_margin_nats"),
+        )
+        .orderBy("confidence_bin")
     )
 
 
