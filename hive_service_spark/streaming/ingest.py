@@ -162,3 +162,68 @@ def stream_dedup_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.max("vjac"), F.lit(0.0)) + 0.0).alias("best_jaccard"),
     )
     return _run_to_table(decisions, "hs_stream_dedup_ingest", "complete")
+
+
+# ---------------------------------------------------------------------------
+# streaming count-min sketch maintenance
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_cms_ingest",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents
+)
+SELECT j,
+       (('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || t), 1, 8))::BIGINT
+        % 64) AS b,
+       CAST(COUNT(*) AS BIGINT) AS cell
+FROM tok, unnest(generate_series(0, 3)) AS g(j)
+GROUP BY 1, 2
+""",
+)
+def stream_cms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE count-min sketch maintenance: the document stream is
+    tokenized per micro-batch and ONE streaming aggregation keeps the
+    d x w counter grid current — the mergeability that makes CMS the
+    streaming-native frequency sketch (cells add across batches, so
+    update-mode state is just the 256 cells, independent of stream
+    length). Value-identical to the batch sketch in
+    text_cms_heavy_hitters (same md5-derived row hashes), proven by
+    sharing its cells oracle: after the full corpus streams through,
+    every counter matches the batch replay exactly.
+
+    At 100 TB/day this is the production frequency-monitor shape:
+    per-executor partial cells combine map-side, the stateful
+    aggregation holds d*w rows total, and the sketch is queryable
+    mid-stream at any time."""
+    from hive_service_spark.llm.selection import _CMS_D, _CMS_W
+
+    stream = _doc_stream(spark, sf_dir)
+    tok = stream.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    jb = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_CMS_D - 1)),
+            lambda j: F.struct(
+                j.cast("int").alias("j"),
+                (
+                    _h(
+                        F.concat(
+                            j.cast("string"), F.lit(":"), F.col("t")
+                        )
+                    )
+                    % _CMS_W
+                ).alias("b"),
+            ),
+        )
+    )
+    cells = (
+        tok.select(jb.alias("jb"))
+        .select("jb.j", "jb.b")
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cell"))
+    )
+    out = _run_to_table(cells, "cms_cells", "complete")
+    return out.select("j", "b", "cell")
