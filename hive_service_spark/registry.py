@@ -60,6 +60,7 @@ _QUERY_MODULES = (
     "hive_service_spark.functions.function_queries",
     "hive_service_spark.functions.percentile_hive",
     "hive_service_spark.sources.source_queries",
+    "hive_service_spark.sources.python_datasource",
     "hive_service_spark.llm.text",
     "hive_service_spark.llm.dedup",
     "hive_service_spark.llm.similarity",

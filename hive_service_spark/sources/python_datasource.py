@@ -1,0 +1,178 @@
+"""User-defined source via the Python Data Source API (Spark 4).
+
+The reference's storage extension point is the SerDe + InputFormat
+pair: users plug arbitrary record formats into the engine by
+implementing deserialize() over file splits
+(hive-serde!serde2/SerDe + hive-exec!ql/io/* ; SURVEY.md §1.3, §2.2).
+Spark's idiomatic equivalent for Python users is the DataSource /
+DataSourceReader API (SPIP: Python Data Source API, Spark 4): schema,
+split enumeration (partitions), per-split reading, and filter
+pushdown, all user code — registered once, then `spark.read.format()`
+like any built-in.
+
+``FixedWidthDataSource`` reads the classic mainframe-style
+fixed-width record layout (the kind of file LazySimpleSerDe +
+RegexSerDe jobs parse in Hive deployments): each line is
+columns at fixed byte offsets, no delimiters. The reader:
+
+- enumerates one InputPartition per data file — Spark schedules splits
+  across executors exactly like a real InputFormat;
+- implements ``pushFilters`` so an EqualTo predicate on the status
+  column is applied INSIDE the source (rows skipped at parse time) —
+  the Python-source analog of PushedFilters reaching a parquet scan;
+- yields typed tuples; numeric fields stay strings until a decimal
+  CAST in the query, keeping money math exact.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_service_spark.catalog import load
+from hive_service_spark.registry import query
+from hive_service_spark.scratch import pid_dir
+
+try:  # Spark >= 4 only; gate so older interpreters still import the repo
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        EqualTo,
+        InputPartition,
+    )
+
+    _HAVE_DSAPI = True
+except ImportError:  # pragma: no cover
+    _HAVE_DSAPI = False
+
+
+_WIDTHS = (10, 1, 13, 15)  # orderkey, status, price, priority
+_SCHEMA = (
+    "o_orderkey bigint, o_orderstatus string, "
+    "o_price_str string, o_orderpriority string"
+)
+
+if _HAVE_DSAPI:
+
+    class _FixedWidthPartition(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class FixedWidthDataSource(DataSource):
+        """format('fixedwidth').option('path', dir) over 39-byte rows."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "fixedwidth"
+
+        def schema(self) -> str:
+            return _SCHEMA
+
+        def reader(self, schema):
+            return FixedWidthReader(self.options)
+
+    class FixedWidthReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options["path"]
+            self.status_eq: str | None = None
+
+        def pushFilters(self, filters):
+            """Accept EqualTo on o_orderstatus; everything else stays
+            with Spark. The accepted filter is applied at parse time —
+            rows never leave the source."""
+            for f in filters:
+                if (
+                    isinstance(f, EqualTo)
+                    and f.attribute == ("o_orderstatus",)
+                    and isinstance(f.value, str)
+                ):
+                    self.status_eq = f.value
+                else:
+                    yield f
+
+        def partitions(self):
+            import os
+
+            return [
+                _FixedWidthPartition(os.path.join(self.path, f))
+                for f in sorted(os.listdir(self.path))
+                if f.startswith("part-")
+            ]
+
+        def read(self, partition):
+            w0, w1, w2, w3 = _WIDTHS
+            o1 = w0 + w1
+            o2 = o1 + w2
+            o3 = o2 + w3
+            with open(partition.path, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.rstrip("\n")
+                    if len(line) < o3:
+                        continue
+                    status = line[w0:o1]
+                    if self.status_eq is not None and status != self.status_eq:
+                        continue
+                    yield (
+                        int(line[:w0]),
+                        status,
+                        line[o1:o2].strip(),
+                        line[o2:o3].strip(),
+                    )
+
+
+_PYDS_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,4))), 2)::DOUBLE
+         AS revenue
+FROM orders
+WHERE o_orderkey < 5000 AND o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("source_python_datasource", oracle=_PYDS_ORACLE)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end user-defined source: orders are serialized to
+    fixed-width text (JVM-side format_string — Java %.2f HALF_UP
+    matches DuckDB ROUND for positive prices), then read back through
+    the registered Python DataSource with one partition per file
+    (parallel splits) and the status predicate PUSHED into the Python
+    reader via pushFilters. Money re-enters as a string and is cast to
+    DECIMAL before summing, so the round-trip is exact. The oracle
+    recomputes from the original table — a parse offset off by one
+    byte anywhere fails the value hash."""
+    if not _HAVE_DSAPI:  # pragma: no cover
+        raise RuntimeError("Python Data Source API requires Spark >= 4")
+
+    path = f"{pid_dir('pyds')}/orders_fixedwidth"
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") < 5000)
+    line = F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), _WIDTHS[0], "0"),
+        F.col("o_orderstatus"),
+        F.format_string("%013.2f", F.col("o_totalprice")),
+        F.rpad(F.col("o_orderpriority"), _WIDTHS[3], " "),
+    )
+    o.select(line.alias("value")).repartition(4).write.mode(
+        "overwrite"
+    ).text(path)
+
+    spark.dataSource.register(FixedWidthDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    back = (
+        spark.read.format("fixedwidth")
+        .option("path", path)
+        .load()
+        .where(F.col("o_orderstatus") == "F")
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_price_str").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
