@@ -103,3 +103,27 @@ def test_zipf_regression_matches_numpy(spark):
         r["lang"]: r["zipf_slope"] for r in _df(spark, "text_zipf_fit").collect()
     }
     assert abs(got["en"] - slope_np) < 1e-3, (got["en"], slope_np)
+
+
+def test_containment_and_ahash_never_cartesian(spark):
+    """Round-4 dedup additions keep the candidate-generation
+    discipline: containment rides the postings equi-join, aHash rides
+    the 16-bit band equi-join — no cross join at any size."""
+    for name in ("dedup_containment_pairs", "mm_image_ahash_neardup"):
+        plan = P.formatted_plan(_df(spark, name))
+        assert "CartesianProduct" not in plan, (name, plan[:2000])
+
+
+def test_scd2_build_no_single_partition_sort(spark):
+    """The SCD2 builder's windows partition by user_id — a global
+    (single-partition) sort would serialize the 100 TB change log."""
+    plan = P.formatted_plan(_df(spark, "temporal_scd2_build"))
+    assert "SinglePartition" not in plan, plan[:2000]
+
+
+def test_dsir_feature_stream_reused_not_recomputed(spark):
+    """The hashed feature stream feeds model fit AND scoring; the
+    persist must make the second consumer an InMemoryTableScan, not a
+    re-explode of the corpus."""
+    plan = P.formatted_plan(_df(spark, "pipeline_dsir_importance"))
+    assert "InMemoryTableScan" in plan, plan[:2000]
