@@ -630,3 +630,72 @@ def mm_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.coalesce("min_hamming", F.lit(64)).cast("int").alias("min_hamming"),
     )
+
+
+# ---------------------------------------------------------------------------
+# applyInArrow: pyarrow-native grouped aggregation (no pandas hop)
+# ---------------------------------------------------------------------------
+
+_ARROW_GROUP_ORACLE = """
+SELECT source AS media_source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+       CAST(SUM(list_sum(list_transform(string_split_regex(text, ''),
+                                        c -> ascii(c)))) AS BIGINT)
+         AS byte_checksum,
+       CAST(MAX(length(text)) AS BIGINT) AS max_doc_bytes
+FROM documents
+GROUP BY source
+ORDER BY media_source
+"""
+
+
+@query("mm_arrow_group_stats", oracle=_ARROW_GROUP_ORACLE)
+def mm_arrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().applyInArrow — the zero-pandas Python interop path:
+    each media_source group arrives as a pyarrow.Table, the stats are
+    computed with pyarrow/numpy on the raw Arrow buffers (no
+    DataFrame materialization, no pandas object boxing), and a
+    one-row pyarrow.Table goes back. Completes the Python-interop
+    matrix alongside mapInPandas (mm_pgm_decode), applyInPandas,
+    applyInPandasWithState (streaming), the Python UDTF, and the
+    Python DataSource. Exact integer outputs keep the oracle strict.
+
+    At 100 TB: same shuffle as any groupBy (one exchange on the
+    group key); Arrow batches stream through the Python worker
+    without a pandas conversion — the cheapest possible Python hop
+    for binary-payload analytics."""
+    import pyarrow as pa
+
+    def group_stats(table: "pa.Table") -> "pa.Table":
+        import numpy as np
+
+        payloads = table.column("payload").to_pylist()
+        total = sum(len(p) for p in payloads)
+        checksum = int(
+            sum(int(np.frombuffer(p, dtype=np.uint8).sum()) for p in payloads)
+        )
+        return pa.table(
+            {
+                "media_source": [table.column("media_source")[0].as_py()],
+                "n_docs": pa.array([len(payloads)], pa.int64()),
+                "total_bytes": pa.array([total], pa.int64()),
+                "byte_checksum": pa.array([checksum], pa.int64()),
+                "max_doc_bytes": pa.array(
+                    [max(len(p) for p in payloads)], pa.int64()
+                ),
+            }
+        )
+
+    p = _payloads(spark, sf_dir).select("media_source", "payload")
+    return (
+        p.groupBy("media_source")
+        .applyInArrow(
+            group_stats,
+            schema=(
+                "media_source string, n_docs bigint, total_bytes bigint, "
+                "byte_checksum bigint, max_doc_bytes bigint"
+            ),
+        )
+        .orderBy("media_source")
+    )
