@@ -176,3 +176,138 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# user-defined STREAMING source: offset-managed document feed
+# ---------------------------------------------------------------------------
+
+_DOCSTREAM_SCHEMA = "doc_id bigint, lang string, n_chars bigint"
+_DOCSTREAM_BATCH = 200  # rows per offset-range split
+
+if _HAVE_DSAPI:
+    from pyspark.sql.datasource import DataSourceStreamReader
+
+    class _DocRangePartition(InputPartition):
+        def __init__(self, path: str, lo: int, hi: int):
+            self.path = path
+            self.lo = lo
+            self.hi = hi
+
+    class DocBatchStreamSource(DataSource):
+        """format('docbatches').option('path', parquet_file): serves a
+        parquet table as an offset-managed stream ordered by doc_id —
+        the user-defined STREAMING source surface, the streaming
+        sibling of FixedWidthDataSource."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "docbatches"
+
+        def schema(self) -> str:
+            return _DOCSTREAM_SCHEMA
+
+        def streamReader(self, schema):
+            return DocBatchStreamReader(self.options)
+
+    class DocBatchStreamReader(DataSourceStreamReader):
+        """Offsets are row indexes into the doc_id-sorted table. A
+        batch's offset range is chopped into 200-row InputPartitions,
+        so even one trigger reads as parallel splits; replaying any
+        (start, end) range re-serves identical rows (deterministic
+        sort), which is the recovery contract."""
+
+        def __init__(self, options):
+            self.path = options["path"]
+            self._n = None
+
+        def _count(self) -> int:
+            if self._n is None:
+                import pyarrow.parquet as pq
+
+                self._n = pq.ParquetFile(self.path).metadata.num_rows
+            return self._n
+
+        def initialOffset(self):
+            return {"idx": 0}
+
+        def latestOffset(self):
+            return {"idx": self._count()}
+
+        def partitions(self, start, end):
+            return [
+                _DocRangePartition(
+                    self.path, i, min(i + _DOCSTREAM_BATCH, end["idx"])
+                )
+                for i in range(start["idx"], end["idx"], _DOCSTREAM_BATCH)
+            ]
+
+        def read(self, partition):
+            import pyarrow.parquet as pq
+
+            t = (
+                pq.read_table(
+                    partition.path, columns=["doc_id", "lang", "n_chars"]
+                )
+                .sort_by("doc_id")
+                .slice(partition.lo, partition.hi - partition.lo)
+            )
+            return iter(
+                zip(
+                    t.column("doc_id").to_pylist(),
+                    t.column("lang").to_pylist(),
+                    t.column("n_chars").to_pylist(),
+                )
+            )
+
+        def commit(self, end):
+            pass
+
+
+_DOCSTREAM_ORACLE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("stream_python_source_ingest", oracle=_DOCSTREAM_ORACLE)
+def stream_python_source_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end user-defined STREAMING source: the documents table
+    is served by the registered Python stream reader — offsets are row
+    indexes into the doc_id-sorted table, each offset range is chopped
+    into 200-row InputPartitions (parallel splits within a trigger),
+    and (start, end) replay re-serves identical rows, the recovery
+    contract. Consumed by a streaming aggregation and run to
+    completion (availableNow resolves to one batch spanning
+    initialOffset..latestOffset for Python stream sources; under a
+    processingTime trigger the same reader serves rolling
+    micro-batches). The oracle aggregates the table in batch — a
+    dropped, duplicated, or mis-sliced split diverges the per-language
+    counts or the min/max doc ids."""
+    if not _HAVE_DSAPI:  # pragma: no cover
+        raise RuntimeError("Python Data Source API requires Spark >= 4")
+
+    from hive_service_spark.streaming.events import _run_to_table
+
+    spark.dataSource.register(DocBatchStreamSource)
+    src = (
+        spark.readStream.format("docbatches")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .load()
+    )
+    agg = src.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )
+    out = _run_to_table(agg, "python_source_ingest", "complete")
+    return out.select(
+        "lang", "n_docs", "total_chars", "first_doc", "last_doc"
+    ).orderBy("lang")
