@@ -268,3 +268,108 @@ def tok_bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("chars_per_token"),
     )
+
+
+def _bpe_pack_oracle() -> str:
+    parts = [
+        """
+WITH tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+),
+words AS (
+  SELECT word, COUNT(*) AS c,
+         '|' || array_to_string(regexp_extract_all(word, '.'), '||') || '|'
+           AS seq
+  FROM tok
+  WHERE word <> '' AND word NOT LIKE '%|%'
+  GROUP BY word
+)"""
+    ]
+    src = "words"
+    for r in range(_BPE_MERGES):
+        parts.append(f", pairs{r} AS ({_seq_pairs_sql(src)})")
+        parts.append(f", best{r} AS ({_best_sql(f'pairs{r}')})")
+        parts.append(f", words{r + 1} AS ({_apply_sql(src, f'best{r}')})")
+        src = f"words{r + 1}"
+    parts.append(
+        f"""
+, vocab AS (
+  SELECT word, len(string_split(trim(seq, '|'), '||')) AS n_sym FROM {src}
+),
+doc_words AS (
+  SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents
+),
+doc_tokens AS (
+  SELECT d.doc_id, d.source,
+         CAST(SUM(v.n_sym) AS BIGINT) AS n_tokens
+  FROM doc_words d JOIN vocab v ON d.word = v.word
+  GROUP BY d.doc_id, d.source
+),
+packed AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0)
+              AS BIGINT) AS shard_id
+  FROM doc_tokens
+)
+SELECT source, shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+FROM packed
+GROUP BY source, shard_id
+ORDER BY source, shard_id
+"""
+    )
+    return "".join(parts)
+
+
+@query("tok_bpe_aware_pack", oracle=_bpe_pack_oracle())
+def tok_bpe_aware_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware sequence packing — pipeline_pack_shards packs
+    by whitespace counts; THIS packs by the trained tokenizer's actual
+    token counts, which is what the training batch budget really
+    spends. Composition: the learned vocabulary (word -> symbols after
+    N merges) joins per-doc word counts, per-doc BPE token totals feed
+    the same per-source cumulative-sum shard assignment. At 100 TB the
+    vocabulary is the small side of the join (types, not tokens —
+    broadcast-able), the corpus explodes once, and packing stays
+    partition-parallel per source with reproducible doc_id order."""
+    final, _ = _train_chain(spark, sf_dir)
+    n_sym = F.size(
+        F.split(
+            F.regexp_replace(F.regexp_replace("seq", r"^\|", ""), r"\|$", ""),
+            r"\|\|",
+        )
+    )
+    vocab = final.select("word", n_sym.alias("n_sym"))
+    d = load(spark, sf_dir, "documents")
+    doc_words = d.select(
+        "doc_id", "source", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    doc_tokens = (
+        doc_words.join(vocab, "word")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("n_sym").cast("bigint").alias("n_tokens"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = doc_tokens.withColumn(
+        "shard_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048.0
+        ).cast("bigint"),
+    )
+    return (
+        packed.groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+        )
+        .orderBy("source", "shard_id")
+    )
