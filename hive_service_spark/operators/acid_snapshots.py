@@ -344,11 +344,20 @@ class SnapshotTable:
         compactor folds them in. This is the write path a 100 TB
         table wants for frequent small deletes (GDPR erasure, bad-doc
         takedowns): the COW ``delete`` rewrites whole buckets."""
+        return self._delete_mor(self.read().where(cond).select(self.key))
+
+    def delete_mor_keys(self, keys_df: DataFrame) -> int:
+        """DELETE by KEY FRAME, merge-on-read — the CDC-consumer form:
+        a replication/apply job holds the deleted keys (from an
+        upstream change set), not a predicate. Same delta write path
+        as ``delete_mor``."""
+        return self._delete_mor(keys_df.select(self.key))
+
+    def _delete_mor(self, matched: DataFrame) -> int:
         vs = self._versions()
         base_v = vs[-1]
         cur = self._manifest(base_v)
         v = base_v + 1
-        matched = self.read().where(cond).select(self.key)
         bucket_ids = self._affected_buckets(matched)
         deletes = {
             int(b): list(rels) for b, rels in cur.get("deletes", {}).items()
@@ -803,3 +812,136 @@ def acid_show_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = frame if out is None else out.unionByName(frame)
     return out.orderBy("txn_id")
+
+
+# ---------------------------------------------------------------------------
+# registered query: CDC APPLY — replicate a table from its change set
+# ---------------------------------------------------------------------------
+
+_CDC_APPLY_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus AS status,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey < 2500
+),
+v1 AS (
+  SELECT o_orderkey, status,
+         CASE WHEN status = 'O' AND price > 200000
+              THEN CAST(ROUND(CAST(price AS DECIMAL(18,2))
+                              * CAST(1.05 AS DECIMAL(3,2)), 2) AS DOUBLE)
+              ELSE price END AS price
+  FROM base
+),
+v2 AS (SELECT * FROM v1 WHERE price >= 20000),
+v3 AS (
+  SELECT * FROM v2
+  UNION ALL
+  SELECT * FROM (VALUES (9000001, 'N', 111.0), (9000002, 'N', 222.0))
+              AS t(o_orderkey, status, price)
+)
+SELECT status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(CAST(price AS DECIMAL(18,4))), 2)::DOUBLE AS price_sum,
+       CAST(0 AS BIGINT) AS n_only_primary,
+       CAST(0 AS BIGINT) AS n_only_replica
+FROM v3
+GROUP BY status
+ORDER BY status
+"""
+
+
+@query("acid_cdc_apply_replica", oracle=_CDC_APPLY_ORACLE)
+def acid_cdc_apply_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the CDC loop: a REPLICA table is synchronized from the
+    primary using ONLY the classified change set — upserts applied via
+    MERGE, deletes via the key-frame merge-on-read delete
+    (``delete_mor_keys``, the consumer API a replication job actually
+    has: keys, not predicates). The primary runs UPDATE -> DELETE ->
+    MERGE-insert; the change set is the v0-vs-latest diff (same
+    co-partitioned full-outer join as acid_cdc_changes); the replica
+    starts at v0 and applies the stream. Output: the replica's final
+    per-status state (the oracle recomputes it independently) plus
+    two anti-join counts against the primary that must both be ZERO —
+    a replica that drifted by one row in either direction fails the
+    value hash. At 100 TB this is the replication shape: the replica
+    moves |changes| data, never |table|."""
+    base = load(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2500).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    ppath = os.path.join(_SCRATCH, f"orders_cdcsrc_{os.getpid()}")
+    rpath = os.path.join(_SCRATCH, f"orders_cdcdst_{os.getpid()}")
+    primary = SnapshotTable.create(spark, ppath, base, key_col="o_orderkey")
+    primary.update(
+        (F.col("status") == "O") & (F.col("price") > 200000),
+        {
+            "price": F.round(
+                F.col("price").cast("decimal(18,2)")
+                * F.lit("1.05").cast("decimal(3,2)"),
+                2,
+            ).cast("double")
+        },
+    )
+    primary.delete(F.col("price") < 20000)
+    primary.merge(
+        spark.createDataFrame(
+            [(9000001, "N", 111.0), (9000002, "N", 222.0)],
+            "o_orderkey long, status string, price double",
+        ),
+        update_cols=["status", "price"],
+    )
+
+    old = primary.read(version=0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("status").alias("s_old"),
+        F.col("price").alias("p_old"),
+    )
+    new = primary.read().select(
+        F.col("o_orderkey").alias("k"),
+        F.col("status").alias("s_new"),
+        F.col("price").alias("p_new"),
+    )
+    diff = old.join(new, "k", "full_outer").where(
+        F.col("s_old").isNull()
+        | F.col("s_new").isNull()
+        | (F.col("s_old") != F.col("s_new"))
+        | (F.col("p_old") != F.col("p_new"))
+    )
+    upserts = diff.where(F.col("s_new").isNotNull()).select(
+        F.col("k").alias("o_orderkey"),
+        F.col("s_new").alias("status"),
+        F.col("p_new").alias("price"),
+    )
+    deleted_keys = diff.where(F.col("s_new").isNull()).select(
+        F.col("k").alias("o_orderkey")
+    )
+
+    replica = SnapshotTable.create(
+        spark, rpath, primary.read(version=0), key_col="o_orderkey"
+    )
+    replica.merge(upserts, update_cols=["status", "price"])
+    replica.delete_mor_keys(deleted_keys)
+
+    rep = replica.read()
+    pri = primary.read()
+    only_p = pri.join(rep, "o_orderkey", "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_only_primary")
+    )
+    only_r = rep.join(pri, "o_orderkey", "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_only_replica")
+    )
+    state = rep.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum(F.col("price").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("price_sum"),
+    )
+    return (
+        state.crossJoin(F.broadcast(only_p))
+        .crossJoin(F.broadcast(only_r))
+        .select(
+            "status", "n_rows", "price_sum", "n_only_primary", "n_only_replica"
+        )
+        .orderBy("status")
+    )
