@@ -303,3 +303,84 @@ def temporal_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_ts").isNull().alias("is_current"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# period-over-period: MoM / YoY growth over the month spine
+# ---------------------------------------------------------------------------
+
+_POP_ORACLE = """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)::DOUBLE
+           AS revenue
+  FROM orders
+  GROUP BY 1
+),
+seq AS (
+  SELECT month, n_orders, revenue,
+         LAG(revenue, 1) OVER (ORDER BY month) AS prev_rev,
+         LAG(revenue, 12) OVER (ORDER BY month) AS yoy_rev
+  FROM monthly
+)
+SELECT month, n_orders, revenue,
+       COALESCE(prev_rev, 0.0) + 0.0 AS prev_month_revenue,
+       CASE WHEN prev_rev IS NULL OR prev_rev = 0 THEN 0.0
+            ELSE (revenue - prev_rev) / prev_rev END + 0.0 AS mom_growth,
+       COALESCE(yoy_rev, 0.0) + 0.0 AS year_ago_revenue,
+       CASE WHEN yoy_rev IS NULL OR yoy_rev = 0 THEN 0.0
+            ELSE (revenue - yoy_rev) / yoy_rev END + 0.0 AS yoy_growth
+FROM seq
+ORDER BY month
+"""
+
+
+@query("temporal_period_over_period", oracle=_POP_ORACLE)
+def temporal_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reporting: monthly revenue with
+    month-over-month and year-over-year growth via positional lags
+    over the month spine — the standard finance/ops rollup every BI
+    deployment runs on the warehouse. Revenue sums in DECIMAL
+    (order-independent), growth ratios are UNROUNDED quotients of the
+    same two doubles on both engines (identical IEEE results; a final
+    ROUND would reopen the repr-boundary divergence), and NULL lags at
+    the spine edges pin to 0.0 on both sides.
+
+    Scale: one month-grain aggregate (map-side combined), then
+    windows over the MONTH spine — dozens of rows regardless of fact
+    size, so the single-partition lag window is control-plane work."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("revenue"),
+    )
+    w = Window.orderBy("month")
+    seq = monthly.select(
+        "month",
+        "n_orders",
+        "revenue",
+        F.lag("revenue", 1).over(w).alias("prev_rev"),
+        F.lag("revenue", 12).over(w).alias("yoy_rev"),
+    )
+    growth = lambda cur, prev: (
+        F.when(
+            prev.isNull() | (prev == 0), F.lit(0.0)
+        ).otherwise((cur - prev) / prev)
+        + 0.0
+    )
+    return seq.select(
+        "month",
+        "n_orders",
+        "revenue",
+        (F.coalesce("prev_rev", F.lit(0.0)) + 0.0).alias(
+            "prev_month_revenue"
+        ),
+        growth(F.col("revenue"), F.col("prev_rev")).alias("mom_growth"),
+        (F.coalesce("yoy_rev", F.lit(0.0)) + 0.0).alias("year_ago_revenue"),
+        growth(F.col("revenue"), F.col("yoy_rev")).alias("yoy_growth"),
+    ).orderBy("month")

@@ -360,3 +360,69 @@ def window_range_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(price).over(w_cum).cast("double").alias("cum_price_with_peers"),
         F.count(F.lit(1)).over(w_peers).alias("n_peers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# windowed order statistics: trailing median over a moving frame
+# ---------------------------------------------------------------------------
+
+_TRAILING_MEDIAN_ORACLE = """
+WITH c AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_custkey < 200
+),
+f AS (
+  SELECT o_custkey, o_orderkey,
+         list_sort(list(cents) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderkey
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS arr
+  FROM c
+)
+SELECT o_custkey, o_orderkey,
+       CAST(CASE WHEN len(arr) % 2 = 1
+                 THEN 2 * arr[(len(arr) + 1) // 2]
+                 ELSE arr[len(arr) // 2] + arr[len(arr) // 2 + 1]
+            END AS DOUBLE) / 200.0 AS trailing_median_price,
+       CAST(len(arr) AS BIGINT) AS frame_rows
+FROM f
+"""
+
+
+@query("window_trailing_median", oracle=_TRAILING_MEDIAN_ORACLE)
+def window_trailing_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER STATISTICS over a moving frame: the exact median of each
+    customer's trailing 5 orders — percentile as a WINDOW function
+    (reference: GenericUDAFPercentile is window-capable in Hive's PTF;
+    SURVEY.md §2.3/§2.4), the rolling-median smoothing shape
+    monitoring pipelines use where a mean would chase outliers.
+    Spark's median/percentile aggregates reject window FRAMES
+    (whole-partition only), so the frame's order statistic is computed
+    the way Hive's PTF evaluators do: collect the (bounded, <=5-row)
+    frame into an array, sort it, interpolate — constant per-row work
+    for a constant frame. Engine lockstep: prices become integer
+    CENTS, the doubled median (2*mid or lo+hi) is an exact integer,
+    and the ONLY float op is the same integer/200 division on both
+    engines — no ROUND anywhere, so the half-cent rounding divergence
+    between engines cannot occur."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    d = o.select("o_custkey", "o_orderkey", cents.alias("cents"))
+    arr = F.array_sort(F.collect_list("cents").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, (n / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    cents2 = F.when(
+        n % 2 == 1, 2 * F.element_at(arr, ((n + 1) / 2).cast("int"))
+    ).otherwise(lo + hi)
+    return d.select(
+        "o_custkey",
+        "o_orderkey",
+        (cents2.cast("double") / 200.0).alias("trailing_median_price"),
+        n.cast("bigint").alias("frame_rows"),
+    )
