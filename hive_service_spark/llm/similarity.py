@@ -710,7 +710,14 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 8. distributed Lloyd k-means — unsupervised codebook training
 # ---------------------------------------------------------------------------
 
-_KM_K = 8       # clusters
+# clusters: at 100 TB this knob MUST grow with the corpus (SemDeDup's
+# published regime is k ~ n/cell_size, e.g. 110k cells for 100M docs) —
+# the env override lets a deployment (and tools/scale_probe.py) scale
+# it; the oracle SQL below is built from the same constant, so both
+# engines stay in lockstep under any setting
+import os as _os
+
+_KM_K = int(_os.environ.get("SPARK_GRAFT_KMEANS_K", "8"))
 _KM_ITERS = 2   # centroid updates before the final assignment pass
 
 

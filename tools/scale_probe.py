@@ -1,0 +1,285 @@
+"""Scale probe: replicate the corpus N-fold and measure that the
+extension stack's runtime grows ~linearly — evidence for the "would
+this hold at 100x?" question per-sf correctness gates can't answer.
+
+Replicas are PERTURBED so workload density stays constant instead of
+exploding combinatorially:
+
+- documents: every word is prefixed with a replica tag, so each
+  replica reproduces the base corpus's shingle/near-dup structure
+  without creating cross-replica near-dup pairs (those would grow the
+  TRUE pair count quadratically in N — a data-density change, not an
+  engine-scaling one).
+- embeddings: each replica shifts every dimension by a small constant,
+  preserving cluster geometry without exact cross-replica duplicates.
+- lineitem: key-offset copies (scan/agg probe).
+
+Cell/bucket-scoped operators (SemDeDup, IVF) are parameter-bounded:
+their pair space is sum(cell^2) ~ n^2/k, so the codebook size k MUST
+grow with the corpus (SemDeDup's published regime: k ~ n/cell_size).
+The probe measures them with SPARK_GRAFT_KMEANS_K scaled by the same
+factor as the data — the configuration a real deployment ships — via a
+subprocess, since the knob is bound at import on both the Spark and
+oracle sides.
+
+Non-scaled tables are symlinked so registered queries run unchanged
+against the scaled dir. Writes SCALE.md.
+
+Usage: python tools/scale_probe.py            # orchestrate + report
+       python tools/scale_probe.py --build N_docs N_vecs N_li
+       python tools/scale_probe.py --measure <sf_dir> q1,q2,...
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT_DEFAULT = "/root/repo/.scratch/scale_probe"
+OUT = os.environ.get("SPARK_GRAFT_SCALE_DIR", OUT_DEFAULT)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+N_DOCS, N_VECS, N_LI = 16, 8, 8
+
+# linear probes: candidate generation is equi-join / broadcast / capped
+LINEAR = [
+    ("q1_pricing_summary", "lineitem", N_LI),
+    ("text_quality_scores", "documents", N_DOCS),
+    ("dedup_minhash_lsh", "documents", N_DOCS),
+    ("dedup_ngram_jaccard", "documents", N_DOCS),
+    ("pipeline_dsir_importance", "documents", N_DOCS),
+    ("tok_bpe_train_merges", "documents", N_DOCS),
+    ("ml_bigram_lm_quality", "documents", N_DOCS),
+    ("knn_cosine_bruteforce", "embeddings", N_VECS),
+]
+# cell-scoped probes: run with k scaled by the data factor
+CELL = [
+    ("dedup_semdedup_cells", "embeddings", N_VECS),
+    ("ann_ivf_kmeans", "embeddings", N_VECS),
+]
+
+
+def _build(n_docs: int, n_vecs: int, n_li: int) -> None:
+    import pyspark.sql.functions as F
+
+    from hive_service_spark.session import get_session
+
+    spark = get_session("scale_build")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(OUT, exist_ok=True)
+
+    d = spark.read.parquet(f"{BASE}/documents.parquet")
+    parts = [
+        d.select(
+            (F.col("doc_id") + k * 10_000_000).alias("doc_id"),
+            (
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda w: F.concat(F.lit(f"r{k}"), w),
+                    ),
+                    " ",
+                )
+                if k
+                else F.col("text")
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for k in range(n_docs)
+    ]
+    out = parts[0]
+    for r in parts[1:]:
+        out = out.unionByName(r)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{OUT}/documents.parquet"
+    )
+
+    e = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    parts = [
+        e.select(
+            (F.col("vec_id") + k * 10_000_000).alias("vec_id"),
+            "label",
+            (
+                F.transform("embedding", lambda x: x + F.lit(float(k) * 1e-4))
+                if k
+                else F.col("embedding")
+            ).alias("embedding"),
+        )
+        for k in range(n_vecs)
+    ]
+    out = parts[0]
+    for r in parts[1:]:
+        out = out.unionByName(r)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{OUT}/embeddings.parquet"
+    )
+
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    parts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * 100_000_000))
+        for k in range(n_li)
+    ]
+    out = parts[0]
+    for r in parts[1:]:
+        out = out.unionByName(r)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{OUT}/lineitem.parquet"
+    )
+
+    for t in TABLES:
+        link = f"{OUT}/{t}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{BASE}/{t}.parquet", link)
+    spark.stop()
+
+
+def _measure(sf_dir: str, names: list[str]) -> None:
+    from hive_service_spark.registry import load_all
+    from hive_service_spark.session import get_session
+
+    specs = load_all()
+    spark = get_session("scale_measure")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    for name in names:
+        best = None
+        for measured in (False, True, True):
+            t0 = time.perf_counter()
+            df = specs[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            if measured and (best is None or dt < best):
+                best = dt
+            spark.catalog.clearCache()
+        print(json.dumps({"query": name, "sf": sf_dir, "t": round(best, 3)}))
+    spark.stop()
+
+
+def _run_measure(sf_dir: str, names: list[str], extra_env=None) -> dict[str, float]:
+    env = dict(os.environ)
+    env.update(extra_env or {})
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--measure",
+            sf_dir,
+            ",".join(names),
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=3000,
+    )
+    times = {}
+    for line in out.stdout.splitlines():
+        try:
+            rec = json.loads(line)
+            times[rec["query"]] = rec["t"]
+        except (json.JSONDecodeError, KeyError):
+            pass
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-3000:])
+        raise SystemExit(f"measure subprocess failed for {sf_dir}")
+    return times
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--build":
+        _build(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--measure":
+        _measure(sys.argv[2], sys.argv[3].split(","))
+        return
+
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--build",
+            str(N_DOCS),
+            str(N_VECS),
+            str(N_LI),
+        ],
+        check=True,
+        cwd=REPO,
+        timeout=1200,
+    )
+
+    lin_names = [n for n, _, _ in LINEAR]
+    cell_names = [n for n, _, _ in CELL]
+    base_lin = _run_measure(BASE, lin_names)
+    base_cell = _run_measure(BASE, cell_names)  # default k=8
+    big_lin = _run_measure(OUT, lin_names)
+    big_cell = _run_measure(
+        OUT, cell_names, {"SPARK_GRAFT_KMEANS_K": str(8 * N_VECS)}
+    )
+
+    rows = []
+    for group, base_t, big_t, note in (
+        (LINEAR, base_lin, big_lin, "equi-join / broadcast / capped"),
+        (CELL, base_cell, big_cell, f"k scaled 8 -> {8 * N_VECS} with data"),
+    ):
+        for name, table, fac in group:
+            tb, tg = base_t[name], big_t[name]
+            rows.append(
+                {
+                    "query": name,
+                    "table": table,
+                    "data_x": fac,
+                    "t_base_s": round(tb, 2),
+                    "t_scaled_s": round(tg, 2),
+                    "time_x": round(tg / tb, 2),
+                    "efficiency": round(fac / (tg / tb), 2),
+                    "note": note,
+                }
+            )
+            print(json.dumps(rows[-1]))
+
+    lines = [
+        "# SCALE — N-fold replica probe\n",
+        f"Base: `{BASE}`; scaled: documents x{N_DOCS}, embeddings "
+        f"x{N_VECS}, lineitem x{N_LI}. Replicas are perturbed so "
+        "duplicate/near-dup density per replica matches the base "
+        "corpus (see tools/scale_probe.py). `time_x` = scaled/base "
+        "wall time (min of 2 warm runs, one JVM per measurement set); "
+        "`efficiency` = data_x / time_x — >= ~1 means at-or-below-"
+        "linear growth (fixed overheads amortize), << 1 flags a "
+        "superlinear hazard.\n",
+        "Cell-scoped operators (SemDeDup, k-means IVF) have pair space "
+        "sum(cell^2) ~ n^2/k, so their codebook size is scaled with "
+        "the data (SPARK_GRAFT_KMEANS_K, the SemDeDup paper's "
+        "k ~ n/cell_size regime) — holding k fixed while data grows "
+        "8x is a misconfiguration, not an engine property.\n",
+        "| query | table | data_x | t_base (s) | t_scaled (s) | "
+        "time_x | efficiency | note |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['query']} | {r['table']} | {r['data_x']} | "
+            f"{r['t_base_s']} | {r['t_scaled_s']} | {r['time_x']} | "
+            f"{r['efficiency']} | {r['note']} |"
+        )
+    lines.append("")
+    with open(os.path.join(REPO, "SCALE.md"), "w") as fh:
+        fh.write("\n".join(lines))
+    print("wrote SCALE.md")
+
+
+if __name__ == "__main__":
+    main()
