@@ -91,6 +91,56 @@ SELECT * FROM ranked WHERE rank <= {_DSIR_K}
 """
 
 
+def _dsir_features(docs: DataFrame) -> DataFrame:
+    """Hashed unigram+bigram feature stream (doc_id, source, lang, b)
+    — shared by the batch selector and the streaming scorer (the
+    featurization MUST be identical or the served scores drift from
+    the trained model)."""
+    w = F.split(F.lower("text"), " ")
+    base = docs.select("doc_id", "source", "lang", w.alias("w"))
+    unis = base.select(
+        "doc_id", "source", "lang", F.explode("w").alias("f")
+    )
+    bigs = base.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(
+            F.transform(
+                F.slice("w", 1, F.size("w") - 1),
+                lambda x, i: F.concat_ws(
+                    " ", x, F.element_at("w", (i + 2).cast("int"))
+                ),
+            )
+        ).alias("f"),
+    )
+    return unis.unionByName(bigs).select(
+        "doc_id", "source", "lang", (_h(F.col("f")) % _DSIR_B).alias("b")
+    )
+
+
+def _dsir_model(feats: DataFrame) -> DataFrame:
+    """256-row importance log-ratio model (b, q) from a feature
+    stream; q is the BIGINT-quantized log-ratio."""
+    model = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("ct"),
+    )
+    tot = model.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    return model.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            1024
+            * F.log(
+                ((F.col("ct") + 1.0) * (F.col("nr") + F.lit(_DSIR_B)))
+                / ((F.col("cr") + 1.0) * (F.col("nt") + F.lit(_DSIR_B)))
+            )
+        )
+        .cast("bigint")
+        .alias("q"),
+    )
+
+
 @query("pipeline_dsir_importance", oracle=_DSIR_ORACLE)
 def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR (Xie et al. 2023, arXiv:2302.03169): select raw-crawl
@@ -114,51 +164,8 @@ def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on doc_id); selection is a distributed top-K
     (TakeOrderedAndProject), never a global window — the rank is
     assigned after the K-row cut."""
-    d = load(spark, sf_dir, "documents")
-    w = F.split(F.lower("text"), " ")
-    base = d.select("doc_id", "source", "lang", w.alias("w"))
-    unis = base.select(
-        "doc_id", "source", "lang", F.explode("w").alias("f")
-    )
-    bigs = base.select(
-        "doc_id",
-        "source",
-        "lang",
-        F.explode(
-            F.transform(
-                F.slice("w", 1, F.size("w") - 1),
-                lambda x, i: F.concat_ws(
-                    " ", x, F.element_at("w", (i + 2).cast("int"))
-                ),
-            )
-        ).alias("f"),
-    )
-    feats = (
-        unis.unionByName(bigs)
-        .select(
-            "doc_id", "source", "lang", (_h(F.col("f")) % _DSIR_B).alias("b")
-        )
-        .persist()  # consumed twice: model fit + scoring
-    )
-    model = feats.groupBy("b").agg(
-        F.count(F.lit(1)).alias("cr"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("ct"),
-    )
-    tot = model.agg(
-        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
-    )
-    logratio = model.crossJoin(F.broadcast(tot)).select(
-        "b",
-        F.round(
-            1024
-            * F.log(
-                ((F.col("ct") + 1.0) * (F.col("nr") + F.lit(_DSIR_B)))
-                / ((F.col("cr") + 1.0) * (F.col("nt") + F.lit(_DSIR_B)))
-            )
-        )
-        .cast("bigint")
-        .alias("q"),
-    )
+    feats = _dsir_features(load(spark, sf_dir, "documents")).persist()
+    logratio = _dsir_model(feats)
     scored = (
         feats.join(F.broadcast(logratio), "b")
         .groupBy("doc_id", "source", "lang")

@@ -227,3 +227,76 @@ def stream_cms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_table(cells, "cms_cells", "complete")
     return out.select("j", "b", "cell")
+
+
+# ---------------------------------------------------------------------------
+# streaming DSIR scoring: train batch, serve streaming
+# ---------------------------------------------------------------------------
+
+_STREAM_DSIR_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source, lang, string_split(lower(text), ' ') AS w
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, source, lang,
+         (('0x' || substr(md5(f), 1, 8))::BIGINT % 256) AS b
+  FROM (
+    SELECT doc_id, source, lang, unnest(w) AS f FROM d
+    UNION ALL
+    SELECT doc_id, source, lang, w[i] || ' ' || w[i + 1] AS f
+    FROM d, unnest(generate_series(1, len(w) - 1)) AS t(i)
+  )
+),
+model AS (
+  SELECT b, COUNT(*) AS cr,
+         COUNT(*) FILTER (WHERE lang = 'en') AS ct
+  FROM feats GROUP BY b
+),
+tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM model),
+logratio AS (
+  SELECT m.b,
+         CAST(ROUND(1024 * ln(((m.ct + 1.0) * (t.nr + 256))
+                              / ((m.cr + 1.0) * (t.nt + 256))))
+              AS BIGINT) AS q
+  FROM model m, tot t
+)
+SELECT f.doc_id, f.source,
+       CAST(SUM(l.q) AS BIGINT) AS score_q,
+       CAST(COUNT(*) AS BIGINT) AS n_feats
+FROM feats f JOIN logratio l ON f.b = l.b
+WHERE f.doc_id % 5 = 0
+GROUP BY f.doc_id, f.source
+"""
+
+
+@query("stream_dsir_scoring", oracle=_STREAM_DSIR_ORACLE)
+def stream_dsir_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train batch, serve streaming — the DSIR deployment shape: the
+    256-bucket importance model is fitted ONCE on the stored corpus
+    (static side), then the ingest stream (doc_id % 5 = 0, the same
+    incoming partition as the LSH ingest screens) is featurized per
+    micro-batch, joined to the BROADCAST static model, and scored with
+    one update-mode aggregation per document. Scores are the same
+    BIGINT-quantized integers as the batch selector — the oracle
+    computes them batch-side, so a drifting featurization or a stale
+    model join cannot pass. State is one row per streamed doc; the
+    model never re-fits mid-stream (exactly the paper's
+    train-once/apply-everywhere contract)."""
+    from hive_service_spark.llm.selection import _dsir_features, _dsir_model
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = _dsir_model(_dsir_features(corpus)).localCheckpoint(eager=True)
+
+    stream = _doc_stream(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+    feats = _dsir_features(stream)
+    scored = (
+        feats.join(F.broadcast(model), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("q").cast("bigint").alias("score_q"),
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+        )
+    )
+    out = _run_to_table(scored, "dsir_scores", "complete")
+    return out.select("doc_id", "source", "score_q", "n_feats")
