@@ -165,3 +165,121 @@ def graph_pagerank_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rank", 6).alias("pagerank"),
         F.col("pos").cast("bigint").alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting + local clustering coefficient
+# ---------------------------------------------------------------------------
+
+_TRI_ORACLE = f"""
+WITH edges AS ({_EDGES_SQL}),
+canon AS (  -- each undirected edge once, ordered endpoints
+  SELECT src AS a, dst AS b FROM edges WHERE src < dst
+),
+tri AS (     -- a<b<c with all three edges present
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM canon e1
+  JOIN canon e2 ON e2.a = e1.b
+  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+per_node AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+  FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  )
+  GROUP BY node
+),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src)
+SELECT d.node,
+       CAST(d.deg AS BIGINT) AS degree,
+       COALESCE(p.n_tri, 0) AS n_triangles,
+       CASE WHEN d.deg < 2 THEN 0.0
+            ELSE ROUND(2.0 * COALESCE(p.n_tri, 0)
+                       / (d.deg * (d.deg - 1)), 6) + 0.0
+       END AS clustering_coef
+FROM deg d LEFT JOIN per_node p ON p.node = d.node
+ORDER BY n_triangles DESC, d.node
+LIMIT 25
+"""
+
+
+@query("graph_triangle_count", oracle=_TRI_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the
+    co-supply graph — the second classic graph kernel next to
+    PageRank (community density / spam-farm signals in link-based
+    corpus filtering). The standard distributed formulation: orient
+    every edge low-id -> high-id (kills duplicate counting AND bounds
+    the join fan-out by out-degree), then two equi-joins close the
+    wedge a<b<c; per-node counts come from exploding each triangle's
+    three corners. Clustering coefficient = 2*tri / (deg*(deg-1)) —
+    a ratio of exact integers, identical on both engines.
+
+    Scale: the canonical edge list shuffles once on the wedge pivot;
+    triangle closure is a second equi-join on the (a, c) pair — the
+    textbook 2-round MapReduce triangle algorithm, no node ever sees
+    more than its neighborhood."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .distinct()
+        .persist()  # consumed by canon (x3 aliases) and deg
+    )
+    canon = edges.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    e1, e2, e3 = canon.alias("e1"), canon.alias("e2"), canon.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    per_node = corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tri")
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    coef = F.when(F.col("deg") < 2, F.lit(0.0)).otherwise(
+        F.round(
+            2.0 * F.coalesce(F.col("n_tri"), F.lit(0))
+            / (F.col("deg") * (F.col("deg") - 1)),
+            6,
+        )
+        + 0.0
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            F.col("deg").cast("bigint").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_triangles"),
+            coef.alias("clustering_coef"),
+        )
+        .orderBy(F.desc("n_triangles"), F.asc("node"))
+        .limit(25)
+    )

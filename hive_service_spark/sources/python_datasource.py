@@ -311,3 +311,139 @@ def stream_python_source_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "lang", "n_docs", "total_chars", "first_doc", "last_doc"
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# user-defined SINK: fixed-width writer with a two-phase commit
+# ---------------------------------------------------------------------------
+
+if _HAVE_DSAPI:
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    @dataclass
+    class _FWCommit(WriterCommitMessage):
+        path: str
+        rows: int
+
+    class FixedWidthWriter(DataSourceWriter):
+        """Per-task write to a temp file, commit = atomic rename of
+        every task file into the target dir — the two-phase OutputCommitter
+        contract (speculative/failed tasks leave only .tmp orphans;
+        abort removes them), user-implemented in Python."""
+
+        def __init__(self, options, overwrite: bool):
+            self.path = options["path"]
+            self.overwrite = overwrite
+
+        def write(self, rows):
+            import os
+            import threading
+            import uuid
+
+            w0, w1, w2, w3 = _WIDTHS
+            os.makedirs(self.path, exist_ok=True)
+            tmp = os.path.join(
+                self.path,
+                f".task-{os.getpid()}-{threading.get_ident()}-"
+                f"{uuid.uuid4().hex}.tmp",
+            )
+            n = 0
+            with open(tmp, "w", encoding="utf-8") as fh:
+                for r in rows:
+                    fh.write(
+                        f"{r[0]:0{w0}d}"
+                        f"{r[1]:.{w1}s}"
+                        f"{float(r[2]):0{w2}.2f}"
+                        f"{r[3]:<{w3}.{w3}s}\n"
+                    )
+                    n += 1
+            return _FWCommit(path=tmp, rows=n)
+
+        def commit(self, messages):
+            import os
+
+            for i, m in enumerate(messages):
+                os.replace(
+                    m.path, os.path.join(self.path, f"part-{i:05d}.txt")
+                )
+
+        def abort(self, messages):
+            import os
+
+            for m in messages:
+                try:
+                    os.remove(m.path)
+                except FileNotFoundError:
+                    pass
+
+    class FixedWidthSinkSource(FixedWidthDataSource):
+        """Same format name family, write-capable: 'fixedwidthsink'."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "fixedwidthsink"
+
+        def writer(self, schema, overwrite: bool):
+            return FixedWidthWriter(self.options, overwrite)
+
+        def reader(self, schema):
+            return FixedWidthReader(self.options)
+
+
+_PYSINK_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,4))), 2)::DOUBLE
+         AS revenue
+FROM orders
+WHERE o_orderkey < 5000
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query("sink_python_datasource", oracle=_PYSINK_ORACLE)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE side of the extension surface: orders flow through the
+    user-defined Python sink (per-task temp files + driver-side atomic
+    commit — the OutputCommitter two-phase contract, so failed or
+    speculative tasks can never publish partial files), then the same
+    format's reader loads the committed files back and aggregates. The
+    oracle recomputes from the original table, so a formatting slip,
+    a lost task file, or a double-committed task fails the value hash.
+    Together with source_python_datasource this closes the
+    user-pluggable format loop: custom record layouts are readable AND
+    writable without touching the JVM."""
+    if not _HAVE_DSAPI:  # pragma: no cover
+        raise RuntimeError("Python Data Source API requires Spark >= 4")
+
+    import shutil
+
+    path = f"{pid_dir('pyds')}/orders_fw_sink"
+    shutil.rmtree(path, ignore_errors=True)
+    spark.dataSource.register(FixedWidthSinkSource)
+    # the read-back reader implements pushFilters, which requires the
+    # pushdown flag on a plain (driver-default) session
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") < 5000)
+    (
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .repartition(4)
+        .write.format("fixedwidthsink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    back = spark.read.format("fixedwidthsink").option("path", path).load()
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_price_str").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
