@@ -513,3 +513,72 @@ def agg_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O_total").alias("o_total"),
         F.col("P_total").alias("p_total"),
     ).orderBy("o_orderpriority")
+
+
+_SKETCH_SET_ORACLE = """
+WITH a AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'A'),
+r AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+SELECT
+  CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS exact_a,
+  CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS exact_r,
+  CAST((SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM r))
+       AS BIGINT) AS exact_union,
+  CAST((SELECT COUNT(*) FROM a WHERE l_partkey IN (SELECT * FROM r))
+       AS BIGINT) AS exact_inter,
+  TRUE AS a_ok, TRUE AS r_ok, TRUE AS union_ok, TRUE AS inter_ok
+"""
+
+
+@query("agg_sketch_set_algebra", oracle=_SKETCH_SET_ORACLE)
+def agg_sketch_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count SET ALGEBRA on sketches: HLL handles |A|, |B|,
+    and |A∪B| natively (sketches union losslessly — the property that
+    lets 1000 shards' sketches merge into one), and |A∩B| falls out of
+    inclusion-exclusion (estA + estB − estU). The warehouse question
+    this answers at 100 TB: "how many part keys do the A-returns and
+    R-returns share?" without ever materializing either distinct set.
+    Same tolerance-boolean oracle discipline as agg_sketches: Spark
+    computes sketch AND exact in one query and emits |est − exact|
+    bounds (±5% at rsd 0.01; ±10% for the intersection, where the
+    three sketches' errors compound), the oracle emits the exact
+    values + literal TRUEs."""
+    li = load(spark, sf_dir, "lineitem")
+    est = li.agg(
+        F.approx_count_distinct(
+            F.when(F.col("l_returnflag") == "A", F.col("l_partkey")), rsd=0.01
+        ).alias("est_a"),
+        F.approx_count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_partkey")), rsd=0.01
+        ).alias("est_r"),
+        F.approx_count_distinct(
+            F.when(
+                F.col("l_returnflag").isin("A", "R"), F.col("l_partkey")
+            ),
+            rsd=0.01,
+        ).alias("est_u"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "A", F.col("l_partkey"))
+        ).alias("exact_a"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_partkey"))
+        ).alias("exact_r"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag").isin("A", "R"), F.col("l_partkey"))
+        ).alias("exact_union"),
+    )
+    est_i = F.col("est_a") + F.col("est_r") - F.col("est_u")
+    exact_i = F.col("exact_a") + F.col("exact_r") - F.col("exact_union")
+
+    def ok(e, x, tol):
+        return F.abs(e - x) <= tol * x
+
+    return est.select(
+        F.col("exact_a").cast("bigint").alias("exact_a"),
+        F.col("exact_r").cast("bigint").alias("exact_r"),
+        F.col("exact_union").cast("bigint").alias("exact_union"),
+        exact_i.cast("bigint").alias("exact_inter"),
+        ok(F.col("est_a"), F.col("exact_a"), 0.05).alias("a_ok"),
+        ok(F.col("est_r"), F.col("exact_r"), 0.05).alias("r_ok"),
+        ok(F.col("est_u"), F.col("exact_union"), 0.05).alias("union_ok"),
+        ok(est_i, exact_i, 0.10).alias("inter_ok"),
+    )
