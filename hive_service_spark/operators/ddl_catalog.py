@@ -565,3 +565,80 @@ def ddl_constraints_informational(spark: SparkSession, sf_dir: str) -> DataFrame
         "fk string, n_child_rows bigint, n_orphans bigint, "
         "n_pk_violations bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# row-level security + column masking via policy views
+# ---------------------------------------------------------------------------
+
+_RLS_ORACLE = """
+WITH masked AS (
+  SELECT c_custkey,
+         regexp_replace(regexp_replace(regexp_replace(c_name,
+           '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+           AS name_masked,
+         c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN 'NEGATIVE' ELSE 'OK' END
+           AS balance_band
+  FROM customer
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')  -- row filter policy
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_visible,
+       CAST(COUNT(*) FILTER (WHERE balance_band = 'NEGATIVE') AS BIGINT)
+         AS n_negative,
+       MIN(name_masked) AS sample_masked,
+       CAST(COUNT(*) FILTER (WHERE name_masked ~ '^[Xxn#, ]+$') AS BIGINT)
+         AS n_fully_masked
+FROM masked
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("ddl_policy_masked_view", oracle=_RLS_ORACLE)
+def ddl_policy_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level security + column masking enforced THROUGH A VIEW —
+    the reference deployment pattern (Hive's Ranger integration
+    compiles row-filter and column-mask policies into exactly this
+    query rewrite; the masking itself is the GenericUDFMask* family
+    the shim layer already provides). The policy view exposes only
+    allowed segments (row filter), masks the PII column with Hive's
+    X/x/n defaults, and coarsens the balance to a band (data
+    minimization). Consumers query the VIEW name — the base table
+    never appears in their SQL — and the oracle recomputes the policy
+    algebra from the raw table, proving the view leaks nothing beyond
+    the policy. The n_fully_masked count asserts every surfaced name
+    is mask-alphabet-only; a mask slip (one raw letter) breaks it. At
+    100 TB the view adds a map-side filter + projection — policies
+    cost nothing beyond the scan they restrict."""
+    from hive_service_spark.functions import hive_compat as hc
+
+    register_views(spark, sf_dir)
+    c = load(spark, sf_dir, "customer")
+    policy = (
+        c.where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            "c_custkey",
+            hc.mask(F.col("c_name")).alias("name_masked"),
+            "c_mktsegment",
+            F.when(F.col("c_acctbal") < 0, "NEGATIVE")
+            .otherwise("OK")
+            .alias("balance_band"),
+        )
+    )
+    policy.createOrReplaceTempView("customer_policy_view")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_visible,
+               CAST(COUNT(IF(balance_band = 'NEGATIVE', 1, NULL)) AS BIGINT)
+                 AS n_negative,
+               MIN(name_masked) AS sample_masked,
+               CAST(COUNT(IF(name_masked RLIKE '^[Xxn#, ]+$', 1, NULL))
+                    AS BIGINT) AS n_fully_masked
+        FROM customer_policy_view
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )
