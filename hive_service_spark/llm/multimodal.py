@@ -699,3 +699,91 @@ def mm_arrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_source")
     )
+
+
+# ---------------------------------------------------------------------------
+# scene-cut detection over the frame stream
+# ---------------------------------------------------------------------------
+
+_CUT_JUMP = 512  # mean-luminance jump (per 64-byte frame) marking a cut
+
+_SCENE_ORACLE = f"""
+WITH frames AS (
+  SELECT doc_id, i AS frame_idx,
+         list_sum(list_transform(
+           string_split_regex(substr(text, i * 64 + 1, 64), ''),
+           c -> ascii(c))) AS fsum
+  FROM documents,
+       unnest(generate_series(0, (length(text) // 64) - 1)) AS t(i)
+  WHERE length(text) >= 256
+),
+jumps AS (
+  SELECT doc_id, frame_idx, fsum,
+         abs(fsum - LAG(fsum) OVER (PARTITION BY doc_id
+                                    ORDER BY frame_idx)) AS jump
+  FROM frames
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(COUNT(*) FILTER (WHERE jump > {_CUT_JUMP}) AS BIGINT) AS n_cuts,
+       CAST(COALESCE(MIN(frame_idx) FILTER (WHERE jump > {_CUT_JUMP}), -1)
+            AS BIGINT) AS first_cut_idx,
+       CAST(COALESCE(MAX(jump), 0) AS BIGINT) AS max_jump
+FROM jumps
+GROUP BY doc_id
+"""
+
+
+@query("mm_scene_cut_detect", oracle=_SCENE_ORACLE)
+def mm_scene_cut_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the frame stream — the shot-boundary
+    pass a video pipeline runs before sampling frames for captioning:
+    per-frame mean-luminance proxy (exact integer byte sum over each
+    64-byte frame), consecutive-frame jump via a lag window, cut
+    where the jump exceeds the threshold. Everything is JVM
+    expressions (frame slicing, char-code sums, windows) — the Python
+    decode seam is only needed when a real codec enters; the temporal
+    logic is engine-native and exactly replayable. Scale: frames
+    explode map-side (posexplode over a sequence), the only shuffle
+    is the per-document window partition — a clip's frames sort
+    locally, never globally."""
+    d = load(spark, sf_dir, "documents").where(F.length("text") >= 256)
+    frames = d.select(
+        "doc_id",
+        F.posexplode(
+            F.sequence(F.lit(0), F.floor(F.length("text") / 64) - 1)
+        ).alias("pos", "frame_idx"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "frame_idx",
+        F.aggregate(
+            F.transform(
+                F.split(
+                    F.expr("substr(text, frame_idx * 64 + 1, 64)"), ""
+                ),
+                lambda c: F.ascii(c),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("fsum"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    jumps = frames.withColumn(
+        "jump", F.abs(F.col("fsum") - F.lag("fsum").over(w))
+    )
+    return jumps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.count(F.when(F.col("jump") > _CUT_JUMP, 1))
+        .cast("bigint")
+        .alias("n_cuts"),
+        F.coalesce(
+            F.min(F.when(F.col("jump") > _CUT_JUMP, F.col("frame_idx"))),
+            F.lit(-1),
+        )
+        .cast("bigint")
+        .alias("first_cut_idx"),
+        F.coalesce(F.max("jump"), F.lit(0)).cast("bigint").alias("max_jump"),
+    )
