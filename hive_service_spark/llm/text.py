@@ -589,3 +589,80 @@ def text_hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", "neighbor_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# character-entropy filter (gibberish / low-information detection)
+# ---------------------------------------------------------------------------
+
+_ENTROPY_MIN = 3.0  # bits/char below which text reads as degenerate
+
+_ENTROPY_ORACLE = f"""
+WITH chars AS (
+  SELECT doc_id, c, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '')) AS c
+        FROM documents)
+  GROUP BY doc_id, c
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_chars_counted,
+         CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+         CAST(SUM(cnt * CAST(ROUND(log2(CAST(cnt AS DOUBLE)) * 1000000)
+                             AS BIGINT)) AS BIGINT) AS s_q
+  FROM chars GROUP BY doc_id
+)
+SELECT doc_id, n_chars_counted, distinct_chars,
+       ROUND(log2(CAST(n_chars_counted AS DOUBLE))
+             - CAST(s_q AS DOUBLE) / n_chars_counted / 1000000.0, 4) + 0.0
+         AS entropy_bits,
+       (log2(CAST(n_chars_counted AS DOUBLE))
+        - CAST(s_q AS DOUBLE) / n_chars_counted / 1000000.0)
+         >= {_ENTROPY_MIN} AS keep_flag
+FROM per_doc
+"""
+
+
+@query("text_entropy_filter", oracle=_ENTROPY_ORACLE)
+def text_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy filter — the gibberish/low-information gate
+    (key-mash, repeated-char padding, binary-in-text) that sits next
+    to the length/stopword rules in crawl cleaning. Shannon entropy is
+    computed from exact integer counts via
+    H = log2(n) − (Σ c·log2(c)) / n, with the per-character
+    c·log2(c) terms BIGINT-quantized (round(1e6·log2 c)) so the sum is
+    order-independent and both engines derive H from the SAME two
+    integers with identical float steps. Scale: one map-side-combined
+    (doc, char) count — alphabet-bounded per doc — and one per-doc
+    aggregate; no Python, no shuffle beyond the two groupBys."""
+    d = load(spark, sf_dir, "documents")
+    chars = (
+        d.select(
+            "doc_id", F.explode(F.split(F.lower("text"), "")).alias("c")
+        )
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_doc = chars.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_chars_counted"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_chars"),
+        F.sum(
+            F.col("cnt")
+            * F.round(F.log2(F.col("cnt").cast("double")) * 1000000).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("s_q"),
+    )
+    h = (
+        F.log2(F.col("n_chars_counted").cast("double"))
+        - F.col("s_q").cast("double") / F.col("n_chars_counted") / 1000000.0
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chars_counted",
+        "distinct_chars",
+        (F.round(h, 4) + 0.0).alias("entropy_bits"),
+        (h >= _ENTROPY_MIN).alias("keep_flag"),
+    )
