@@ -582,3 +582,48 @@ def agg_sketch_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok(F.col("est_u"), F.col("exact_union"), 0.05).alias("union_ok"),
         ok(est_i, exact_i, 0.10).alias("inter_ok"),
     )
+
+
+_MODE_ORACLE = """
+WITH counts AS (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS c
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+),
+best AS (
+  SELECT l_returnflag, l_quantity, c,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY c DESC, l_quantity) AS rn
+  FROM counts
+)
+SELECT l_returnflag,
+       ROUND(l_quantity, 2) AS mode_qty,
+       CAST(c AS BIGINT) AS mode_count
+FROM best WHERE rn = 1
+ORDER BY l_returnflag
+"""
+
+
+@query("agg_mode_exact", oracle=_MODE_ORACLE)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group MODE with a DETERMINISTIC tie-break (highest
+    count, then lowest value) — engine-native mode() functions leave
+    ties unspecified, so the portable form is count + argmax via
+    max(struct(count, -value)): the lexicographic struct-max IS the
+    tie-break, reduced map-side like any hash aggregate (the same
+    argmin trick the k-means assignment uses). Two shuffles: value
+    counts, then one row per group."""
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # max over (c, -value): ties on c resolve to the LOWEST value
+    m = counts.groupBy("l_returnflag").agg(
+        F.max(
+            F.struct(F.col("c"), (-F.col("l_quantity")).alias("neg_q"))
+        ).alias("m")
+    )
+    return m.select(
+        "l_returnflag",
+        F.round(-F.col("m.neg_q"), 2).alias("mode_qty"),
+        F.col("m.c").cast("bigint").alias("mode_count"),
+    ).orderBy("l_returnflag")

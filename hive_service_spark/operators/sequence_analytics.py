@@ -330,3 +330,61 @@ def seq_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# gaps and islands: contiguous id runs per user
+# ---------------------------------------------------------------------------
+
+_ISLANDS_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, event_id,
+         event_id - ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY event_id) AS grp
+  FROM events
+),
+islands AS (
+  SELECT user_id, grp,
+         CAST(MIN(event_id) AS BIGINT) AS island_start,
+         CAST(MAX(event_id) AS BIGINT) AS island_end,
+         CAST(COUNT(*) AS BIGINT) AS island_len
+  FROM tagged GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(MAX(island_len) AS BIGINT) AS longest_island,
+       CAST(SUM(island_len) AS BIGINT) AS n_events,
+       CAST(MIN(island_start) AS BIGINT) AS first_event,
+       CAST(MAX(island_end) AS BIGINT) AS last_event
+FROM islands
+GROUP BY user_id
+"""
+
+
+@query("seq_gaps_islands", oracle=_ISLANDS_ORACLE)
+def seq_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: contiguous event_id runs per user via the
+    classic id-minus-row_number grouping key (consecutive ids share
+    the difference; any gap starts a new island) — the
+    continuity/completeness audit shape (missed deliveries, sequence
+    holes, retention streaks) that complements the time-gap
+    sessionizer. Pure integer arithmetic end to end; the window
+    partitions by user, so each history sorts locally within its hash
+    partition — no global sort at any scale."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    tagged = e.withColumn(
+        "grp", F.col("event_id") - F.row_number().over(w)
+    )
+    islands = tagged.groupBy("user_id", "grp").agg(
+        F.min("event_id").cast("bigint").alias("island_start"),
+        F.max("event_id").cast("bigint").alias("island_end"),
+        F.count(F.lit(1)).cast("bigint").alias("island_len"),
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.max("island_len").cast("bigint").alias("longest_island"),
+        F.sum("island_len").cast("bigint").alias("n_events"),
+        F.min("island_start").cast("bigint").alias("first_event"),
+        F.max("island_end").cast("bigint").alias("last_event"),
+    )
