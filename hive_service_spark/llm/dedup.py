@@ -112,9 +112,19 @@ WITH sh AS (
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
   WHERE len(w) >= 3
 ),
-inv AS (
+inv0 AS (
   SELECT doc_id, ('0x'||substr(md5(unnest(s)),1,15))::BIGINT AS shingle
   FROM sh
+),
+-- mirrors the Spark side's hot-shingle df cap (_HOT_SHINGLE_DF_CAP):
+-- both engines drop shingles with df > cap from the POSTINGS list so
+-- the definitions stay identical on corpora dense enough to trip it
+inv AS (
+  SELECT doc_id, shingle FROM inv0
+  WHERE shingle NOT IN (
+    SELECT shingle FROM inv0 GROUP BY shingle
+    HAVING COUNT(*) > {_HOT_SHINGLE_DF_CAP}
+  )
 ),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
@@ -211,11 +221,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     jac = F.col("n_shared") / (F.col("sa.n") + F.col("sb.n") - F.col("n_shared"))
+    # NO broadcast hint on `sizes`: it has one row per document, so at
+    # 100 TB it is billions of rows — a forced broadcast would pin the
+    # whole frame on every executor. Left unhinted, AQE broadcasts it
+    # only while it actually fits and otherwise shuffles on the pair
+    # keys, which is the correct plan at every scale.
     return (
-        shared.join(
-            F.broadcast(sizes.alias("sa")), F.col("sa.doc_id") == F.col("doc_a")
-        )
-        .join(F.broadcast(sizes.alias("sb")), F.col("sb.doc_id") == F.col("doc_b"))
+        shared.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
         .where(jac >= 0.8)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
@@ -1156,9 +1169,17 @@ WITH sh AS (
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
   WHERE len(w) >= 3
 ),
-inv AS (
+inv0 AS (
   SELECT doc_id, ('0x'||substr(md5(unnest(s)),1,15))::BIGINT AS shingle
   FROM sh
+),
+-- mirrors the Spark side's hot-shingle df cap (_HOT_SHINGLE_DF_CAP)
+inv AS (
+  SELECT doc_id, shingle FROM inv0
+  WHERE shingle NOT IN (
+    SELECT shingle FROM inv0 GROUP BY shingle
+    HAVING COUNT(*) > {_HOT_SHINGLE_DF_CAP}
+  )
 ),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
@@ -1251,11 +1272,11 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_shared") / (na + nb - F.col("n_shared"))
     containment = F.col("n_shared") / F.least(na, nb)
     a_contained = (na < nb) | ((na == nb) & (F.col("doc_a") < F.col("doc_b")))
+    # `sizes` is per-document (O(corpus) rows): never force-broadcast it;
+    # AQE picks broadcast only when the frame genuinely fits.
     return (
-        shared.join(
-            F.broadcast(sizes.alias("sa")), F.col("sa.doc_id") == F.col("doc_a")
-        )
-        .join(F.broadcast(sizes.alias("sb")), F.col("sb.doc_id") == F.col("doc_b"))
+        shared.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
         .where(containment >= _CONTAIN_TAU)
         .select(
             F.when(a_contained, F.col("doc_a"))

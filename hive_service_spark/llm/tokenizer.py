@@ -333,8 +333,10 @@ def tok_bpe_aware_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     N merges) joins per-doc word counts, per-doc BPE token totals feed
     the same per-source cumulative-sum shard assignment. At 100 TB the
     vocabulary is the small side of the join (types, not tokens —
-    broadcast-able), the corpus explodes once, and packing stays
-    partition-parallel per source with reproducible doc_id order."""
+    broadcast-able), the corpus explodes once, and the shard cumsum is
+    the two-level bucketed prefix sum (pipeline.two_level_cumsum) —
+    bucket-parallel, output-identical to a per-source window, with
+    reproducible doc_id order."""
     final, _ = _train_chain(spark, sf_dir)
     n_sym = F.size(
         F.split(
@@ -352,18 +354,13 @@ def tok_bpe_aware_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "source")
         .agg(F.sum("n_sym").cast("bigint").alias("n_tokens"))
     )
-    from pyspark.sql import Window
+    from hive_service_spark.llm.pipeline import two_level_cumsum
 
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    packed = doc_tokens.withColumn(
+    packed = two_level_cumsum(
+        doc_tokens, "source", "doc_id", "n_tokens", out_col="_cum"
+    ).withColumn(
         "shard_id",
-        F.floor(
-            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048.0
-        ).cast("bigint"),
+        F.floor((F.col("_cum") - F.col("n_tokens")) / 2048.0).cast("bigint"),
     )
     return (
         packed.groupBy("source", "shard_id")

@@ -48,18 +48,23 @@ _IN_LIKE_ORACLE = """
 SELECT p_partkey, p_name, p_brand, p_type
 FROM part
 WHERE p_brand IN ('Brand#1', 'Brand#3')
-  AND p_name LIKE '%el%'
+  AND p_name LIKE '%e%'
   AND p_type NOT LIKE 'SMALL%'
 """
 
 
 @query("predicate_in_like", oracle=_IN_LIKE_ORACLE)
 def predicate_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN-list + LIKE / NOT LIKE (reference PointLookupOptimizer → Catalyst InSet)."""
+    """IN-list + LIKE / NOT LIKE (reference PointLookupOptimizer → Catalyst InSet).
+
+    Literals are tuned to the generated testdata (two-word "color widget"
+    p_names, ECONOMY/LARGE/... p_types) so the result set is non-empty at
+    every scale factor — a 0-row green verifies nothing.
+    """
     p = load(spark, sf_dir, "part")
     return p.filter(
         F.col("p_brand").isin("Brand#1", "Brand#3")
-        & F.col("p_name").like("%el%")
+        & F.col("p_name").like("%e%")
         & ~F.col("p_type").like("SMALL%")
     ).select("p_partkey", "p_name", "p_brand", "p_type")
 
@@ -67,15 +72,19 @@ def predicate_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RLIKE_ORACLE = """
 SELECT p_partkey, p_name
 FROM part
-WHERE regexp_matches(p_name, '(red|blue).*(steel|brass)')
+WHERE regexp_matches(p_name, '(red|blue) (bolt|widget)')
 """
 
 
 @query("predicate_rlike", oracle=_RLIKE_ORACLE)
 def predicate_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RLIKE regex predicate (reference `rlike`/`regexp` UDFs)."""
+    """RLIKE regex predicate (reference `rlike`/`regexp` UDFs).
+
+    Pattern matches the generated "color widget" p_name vocabulary so the
+    predicate actually observes rows at every scale factor.
+    """
     p = load(spark, sf_dir, "part")
-    return p.filter(F.col("p_name").rlike("(red|blue).*(steel|brass)")).select(
+    return p.filter(F.col("p_name").rlike("(red|blue) (bolt|widget)")).select(
         "p_partkey", "p_name"
     )
 

@@ -77,15 +77,25 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EXCEPT_ORACLE = """
 SELECT c_nationkey AS nkey FROM customer
 EXCEPT
-SELECT s_nationkey AS nkey FROM supplier
+SELECT s_nationkey AS nkey FROM supplier WHERE s_acctbal > 9000
 """
 
 
 @query("setop_except", oracle=_EXCEPT_ORACLE)
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT DISTINCT (HiveExceptRewriteRule ≙ native)."""
+    """EXCEPT DISTINCT (HiveExceptRewriteRule ≙ native).
+
+    Subtracts the nations of *high-balance* suppliers: every nation has
+    at least one supplier in the generated data, so the unfiltered
+    subtraction is structurally empty and verifies nothing. The filter
+    leaves a non-empty difference at every scale factor.
+    """
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nkey"))
-    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nkey"))
+    )
     return c.subtract(s)
 
 

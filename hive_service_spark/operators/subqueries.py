@@ -177,7 +177,8 @@ WHERE c_acctbal > (
     SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
   )
   AND NOT EXISTS (
-    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
   )
 GROUP BY c_nationkey
 ORDER BY c_nationkey
@@ -187,5 +188,10 @@ ORDER BY c_nationkey
 @query("subq_q22_global_filter_anti", oracle=_Q22_SQL)
 def subq_q22_global_filter_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22: uncorrelated scalar (computed once, broadcast as a
-    literal-like single-row join) + NOT EXISTS anti join in one query."""
+    literal-like single-row join) + NOT EXISTS anti join in one query.
+
+    The anti side is the *urgent* orders subset: every generated
+    customer has at least one order, so the classic "no orders at all"
+    predicate is structurally empty here — "no urgent orders" keeps the
+    decorrelated anti-join shape and observes rows at every sf."""
     return _sql(spark, sf_dir, _Q22_SQL)

@@ -74,8 +74,8 @@ FROM (
   JOIN customer ON c_custkey = o_custkey
   JOIN nation n1 ON s_nationkey = n1.n_nationkey
   JOIN nation n2 ON c_nationkey = n2.n_nationkey
-  WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-      OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
     AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
 )
 GROUP BY supp_nation, cust_nation, l_year
@@ -88,7 +88,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7: double nation join (two broadcast copies of the same
     25-row dim under different aliases) with a disjunctive cross-nation
     predicate applied after both joins — the reference plans this as
-    residual filter on CommonJoinOperator (SURVEY.md §2.5)."""
+    residual filter on CommonJoinOperator (SURVEY.md §2.5).
+
+    Nation pair is taken from the generated NATION_0..24 vocabulary
+    (TPC-H's FRANCE/GERMANY never match) so the query observes rows at
+    every scale factor."""
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").between(_ts("1995-01-01"), _ts("1996-12-31"))
     )
@@ -108,8 +112,14 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
-            ((F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY"))
-            | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7")
+                & (F.col("cust_nation") == "NATION_3")
+            )
         )
     )
     return (
@@ -139,7 +149,7 @@ FROM (
   JOIN supplier ON s_suppkey = l_suppkey
   JOIN orders   ON o_orderkey = l_orderkey
   JOIN nation   ON s_nationkey = n_nationkey
-  WHERE p_name LIKE '%green%'
+  WHERE p_name LIKE '%red%'
 )
 GROUP BY nation, o_year
 ORDER BY nation, o_year DESC
@@ -150,8 +160,12 @@ ORDER BY nation, o_year DESC
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 adapted: the driver schema has no partsupp, so supply
     cost is proxied as 60% of p_retailprice. Exercises the 5-way join
-    with a LIKE-filtered part side and per-nation-year aggregation."""
-    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%green%"))
+    with a LIKE-filtered part side and per-nation-year aggregation.
+
+    Filter literal '%red%' matches the generated color vocabulary
+    ('%green%' never does) so the part side is non-empty at every
+    scale factor."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     li = load(spark, sf_dir, "lineitem")
     supp = load(spark, sf_dir, "supplier")
     orders = load(spark, sf_dir, "orders")

@@ -251,7 +251,7 @@ WITH stock AS (
 )
 SELECT l_partkey AS p_partkey, ROUND(value, 2) AS value
 FROM stock
-WHERE value > (SELECT SUM(value) * 0.005 FROM stock)
+WHERE value > (SELECT SUM(value) * 0.002 FROM stock)
 ORDER BY value DESC, p_partkey
 """
 
@@ -263,7 +263,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     The derived `stock` frame is computed once and reused for both the
     per-part values and the global threshold via a broadcast
     cross-join of the 1-row total — at 100 TB the alternative
-    (recompute in a scalar subquery) doubles the fact scan."""
+    (recompute in a scalar subquery) doubles the fact scan.
+
+    Threshold fraction 0.002 is tuned so the filter passes rows at
+    sf0.01 (TPC-H's 0.005 leaves it empty against this data's flatter
+    per-part value distribution)."""
     li = load(spark, sf_dir, "lineitem")
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
@@ -273,7 +277,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
     ).persist()
-    total = stock.agg((F.sum("value") * 0.005).alias("threshold"))
+    total = stock.agg((F.sum("value") * 0.002).alias("threshold"))
     return (
         stock.crossJoin(F.broadcast(total))
         .where(F.col("value") > F.col("threshold"))

@@ -407,3 +407,34 @@ def test_hash_embed_probe_set_is_bounded(spark):
     df = _df(spark, "text_hash_embed_knn")
     n_probes = df.select("doc_id").distinct().count()
     assert n_probes <= 200, n_probes
+
+
+@pytest.mark.parametrize(
+    "qname", ["dedup_ngram_jaccard", "dedup_containment_pairs"]
+)
+def test_per_doc_sizes_frame_never_forced_broadcast(spark, qname):
+    """The per-document `sizes` frame (one row per doc — billions at
+    100 TB) must NOT carry a broadcast hint: with the auto-broadcast
+    threshold disabled, the only BroadcastHashJoin left in the plan is
+    the tiny hot-shingle anti-join (an explicit, bounded hint). The
+    sizes joins are Inner — so no INNER broadcast join may survive;
+    a surviving one means someone re-added F.broadcast(sizes), which
+    pins the whole corpus on every executor at scale."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = _df(spark, qname)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        inner_bhj = [
+            m
+            for m in re.findall(r"BroadcastHashJoin [^\n]*", plan)
+            if "Inner" in m
+        ]
+        assert not inner_bhj, (
+            "per-doc frame forced onto a broadcast build side:\n"
+            + "\n".join(inner_bhj)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -97,7 +97,8 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
     qs, oracles = e.queries(), e.oracle_sql()
-    n_pass = n_fail = n_rowsonly = 0
+    n_pass = n_fail = n_rowsonly = n_empty = 0
+    empty_names = []
     for name, fn in sorted(qs.items()):
         if ONLY is not None and name not in ONLY:
             continue
@@ -105,6 +106,13 @@ def main():
         sdf = fn(spark, SF)
         srows = [tuple(r) for r in sdf.collect()]
         scols = sdf.columns
+        if not srows:
+            # vacuity lint: a 0-row result trivially satisfies
+            # rows+schema+hash, so an "OK n=0" verifies nothing about the
+            # operator under test. Enforced at the sf0.01 gate (smaller
+            # smoke sfs may legitimately run dry).
+            n_empty += 1
+            empty_names.append(name)
         if name not in oracles:
             # even rows-only outputs go through the real driver's pandas
             # canon — an unhashable cell is an ERR there, so it is here
@@ -141,9 +149,12 @@ def main():
             print(f"    duck  cols={sorted(dcols)} n={len(drows)}")
             print(f"    repr={canon(scols, srows) == canon(dcols, drows)} "
                   f"pandas={ph_s == ph_d} perr_s={perr_s} perr_d={perr_d}")
-    print(f"PASS={n_pass} FAIL={n_fail} ROWS_ONLY={n_rowsonly}")
+    enforce_nonempty = "0.01" in SF
+    print(f"PASS={n_pass} FAIL={n_fail} ROWS_ONLY={n_rowsonly} EMPTY={n_empty}")
+    if empty_names:
+        print(f"  zero-row queries: {', '.join(empty_names)}")
     spark.stop()
-    sys.exit(1 if n_fail else 0)
+    sys.exit(1 if n_fail or (enforce_nonempty and n_empty) else 0)
 
 
 if __name__ == "__main__":
