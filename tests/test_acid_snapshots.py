@@ -301,3 +301,75 @@ def test_same_bucket_race_never_corrupts_winner(spark, table):
             r for rels in m.get("deletes", {}).values() for r in rels
         ]:
             assert os.path.isdir(os.path.join(table.path, rel)), rel
+
+
+def _process_commit(path, tag, barrier, q):
+    """Child-process writer: races _commit for the v1 slot.
+
+    Runs in a FRESH OS process (spawn) with no JVM — _commit is pure
+    os/json, so this exercises exactly the cross-process atomicity the
+    os.link CAS claims. spark=None is safe: _commit never touches it.
+    """
+    from hive_service_spark.operators.acid_snapshots import (
+        ConcurrentWriteConflict,
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(None, path, key_col="k", n_buckets=4)
+    barrier.wait(timeout=60)
+    try:
+        v = t._commit(f"proc-{tag}", {}, base_version=0)
+        q.put((tag, v))
+    except ConcurrentWriteConflict:
+        q.put((tag, "conflict"))
+
+
+def test_cross_process_commit_race_one_aborts(spark, table):
+    """TWO OS PROCESSES racing one version slot — the boundary the
+    os.link CAS exists for (hard links are atomic-exclusive across
+    processes at the filesystem level, unlike any in-process lock).
+    Both children read base v0, a cross-process barrier releases them
+    into _commit together; exactly one claims v1, the other must see
+    ConcurrentWriteConflict, and the winner's published manifest is
+    intact (parseable, correct version, the WINNER's op)."""
+    import json as _json
+    import multiprocessing as mp
+    import os as _os
+
+    ctx = mp.get_context("spawn")
+    barrier = ctx.Barrier(2, timeout=60)
+    q = ctx.Queue()
+    ps = [
+        ctx.Process(target=_process_commit, args=(table.path, tag, barrier, q))
+        for tag in ("a", "b")
+    ]
+    for p in ps:
+        p.start()
+    results = dict(q.get(timeout=120) for _ in ps)
+    for p in ps:
+        p.join(60)
+        assert p.exitcode == 0
+
+    vals = sorted(str(v) for v in results.values())
+    assert vals == ["1", "conflict"], results
+    winner = next(tag for tag, v in results.items() if v == 1)
+
+    # winner's manifest is byte-intact and attributed to the winner;
+    # no stray tmp files survive either writer's cleanup
+    log_dir = _os.path.join(table.path, "_log")
+    with open(_os.path.join(log_dir, "00000001.json")) as fh:
+        m = _json.load(fh)
+    assert m["version"] == 1 and m["op"] == f"proc-{winner}"
+    assert not [f for f in _os.listdir(log_dir) if f.endswith(".tmp")]
+
+    # the parent's table object, based on stale v0, must also conflict,
+    # then succeed after re-reading the latest snapshot
+    import pytest as _pytest
+
+    from hive_service_spark.operators.acid_snapshots import (
+        ConcurrentWriteConflict,
+    )
+
+    with _pytest.raises(ConcurrentWriteConflict):
+        table._commit("late", {}, base_version=0)
+    assert table._commit("late", {}, base_version=1) == 2
