@@ -945,3 +945,86 @@ def acid_cdc_apply_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# registered query: NOTIFICATION LOG analog — poll change events from offset
+# ---------------------------------------------------------------------------
+
+_EVENT_LOG_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 4000
+),
+v2 AS (SELECT k FROM base WHERE k % 7 <> 0),
+v3 AS (SELECT k FROM v2 WHERE k % 5 <> 0)
+SELECT CAST(event_id AS BIGINT) AS event_id, event_type, op,
+       has_delete_deltas, CAST(n_rows_visible AS BIGINT) AS n_rows_visible
+FROM (
+  SELECT 2 AS event_id, 'COMMIT_TXN' AS event_type, 'delete' AS op,
+         FALSE AS has_delete_deltas, (SELECT COUNT(*) FROM v2) AS n_rows_visible
+  UNION ALL
+  SELECT 3, 'COMMIT_TXN', 'delete.mor', TRUE, (SELECT COUNT(*) FROM v3)
+  UNION ALL
+  SELECT 4, 'COMMIT_TXN', 'compact', FALSE, (SELECT COUNT(*) FROM v3)
+)
+ORDER BY event_id
+"""
+
+
+@query("acid_event_log", oracle=_EVENT_LOG_ORACLE)
+def acid_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metastore NOTIFICATION-LOG analog — the consumer-side polling
+    contract of the reference's replication event stream
+    (hive-metastore ``get_next_notification(last_event_id)`` /
+    ``get_current_notificationEventId``; SURVEY.md §3.3, the last
+    metastore API group without an analog). The commit log IS the
+    event log: every published manifest is one totally-ordered event
+    (event_id = snapshot version), so a replication consumer polls
+    "events after N" exactly as Hive's NotificationLog consumers do.
+    This query runs the known DML sequence (create -> update -> COW
+    delete -> MOR delete -> compact), then serves the poll
+    ``last_event_id = 1``: events 2..4 with Hive-style event types
+    (v0 would be CREATE_TABLE; committed DML is COMMIT_TXN), the op
+    payload, the pending-delta flag (what a downstream compactor or
+    replica keys on), and the row count visible at that event's
+    snapshot — the oracle recomputes every count from the same
+    predicate algebra, so the event payloads are value-checked, not
+    shape-checked. Scale: the event list is built from O(versions)
+    manifest JSONs — a pure metadata pass, no data scan; only the
+    per-event visible-count audit reads data, and a production
+    consumer would skip it (documented, test-scale-only audit)."""
+    path = os.path.join(_SCRATCH, f"orders_events_{os.getpid()}")
+    base = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 4000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    t = SnapshotTable.create(spark, path, base, key_col="k")
+    t.update(F.col("k") % 3 == 0, {"status": F.lit("U")})
+    t.delete(F.col("k") % 7 == 0)
+    t.delete_mor(F.col("k") % 5 == 0)
+    t.compact()
+
+    last_event_id = 1  # the consumer's stored offset
+    out = None
+    for m in t.history():
+        v = m["version"]
+        if v <= last_event_id:
+            continue
+        event_type = "CREATE_TABLE" if v == 0 else "COMMIT_TXN"
+        frame = (
+            t.read(version=v)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows_visible"))
+            .select(
+                F.lit(v).cast("bigint").alias("event_id"),
+                F.lit(event_type).alias("event_type"),
+                F.lit(m["op"]).alias("op"),
+                F.lit(bool(m.get("deletes"))).alias("has_delete_deltas"),
+                "n_rows_visible",
+            )
+        )
+        out = frame if out is None else out.unionByName(frame)
+    return out.orderBy("event_id")

@@ -511,10 +511,14 @@ def rewrite_sql(spark: SparkSession, sql: str) -> tuple[DataFrame, bool]:
     # a base-matching MV handles BOTH outcomes: containment -> MV scan,
     # miss -> its base-table fallback (which also computes derived dims
     # like ship_year that plain spark.sql over the base couldn't).
-    # The whole attempt is guarded: a WHERE clause Spark's expression
-    # parser rejects (or any rewrite error) must FALL BACK to the
-    # original SQL, never raise — the docstring's soundness contract
-    # (round-3 advice).
+    # The attempt is guarded for the EXPECTED failure class only: a
+    # WHERE clause Spark's expression parser/analyzer rejects falls
+    # back to the original SQL (the docstring's soundness contract,
+    # round-3 advice). Anything else raising inside MV.rewrite is a
+    # real bug and must surface, not silently degrade every query to
+    # the used=False fallback (round-4 advice).
+    from pyspark.errors import AnalysisException, ParseException
+
     try:
         for mv in _MV_INSTANCES.values():
             if mv.base != base:
@@ -527,7 +531,7 @@ def rewrite_sql(spark: SparkSession, sql: str) -> tuple[DataFrame, bool]:
                 filter_cols=filter_cols,
             )
             return _finish(df), used
-    except Exception:
+    except (ParseException, AnalysisException):
         pass
     return spark.sql(sql), False
 

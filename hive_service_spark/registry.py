@@ -12,6 +12,7 @@ sorts columns by name before value-hashing.
 
 from __future__ import annotations
 
+import functools
 import importlib
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -81,7 +82,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle)
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Queries persist() intermediates they cannot unpersist
+            # (the caller collects the returned frame later), so a
+            # long-lived session running many registered queries would
+            # accumulate executor cache without bound (round-4
+            # advice). Dropping the PREVIOUS query's cached frames
+            # here bounds live cache to one query's persists; evicted
+            # frames recompute if an old handle is ever re-collected,
+            # so this is purely a memory-lifetime decision.
+            spark.catalog.clearCache()
+            return fn(spark, sf_dir)
+
+        _REGISTRY[name] = QuerySpec(name=name, fn=wrapped, oracle=oracle)
         return fn
 
     return deco

@@ -185,6 +185,30 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DOCSTREAM_SCHEMA = "doc_id bigint, lang string, n_chars bigint"
 _DOCSTREAM_BATCH = 200  # rows per offset-range split
 
+# per-Python-worker cache of the doc_id-sorted table: one worker serves
+# many 200-row InputPartitions, and without the cache each read() call
+# re-read and re-sorted the WHOLE parquet file — O((n/batch) * n log n)
+# per stream pass (the round-4 advice item). Keyed on (path, mtime) so
+# a rewritten file invalidates; capped at one entry since a worker only
+# ever serves one stream's table at a time.
+_DOCSTREAM_CACHE: dict = {}
+
+
+def _docstream_sorted_table(path: str):
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    key = (path, _os.path.getmtime(path))
+    t = _DOCSTREAM_CACHE.get(key)
+    if t is None:
+        t = pq.read_table(path, columns=["doc_id", "lang", "n_chars"]).sort_by(
+            "doc_id"
+        )
+        _DOCSTREAM_CACHE.clear()
+        _DOCSTREAM_CACHE[key] = t
+    return t
+
 if _HAVE_DSAPI:
     from pyspark.sql.datasource import DataSourceStreamReader
 
@@ -243,14 +267,8 @@ if _HAVE_DSAPI:
             ]
 
         def read(self, partition):
-            import pyarrow.parquet as pq
-
-            t = (
-                pq.read_table(
-                    partition.path, columns=["doc_id", "lang", "n_chars"]
-                )
-                .sort_by("doc_id")
-                .slice(partition.lo, partition.hi - partition.lo)
+            t = _docstream_sorted_table(partition.path).slice(
+                partition.lo, partition.hi - partition.lo
             )
             return iter(
                 zip(

@@ -141,8 +141,17 @@ def _build(n_docs: int, n_vecs: int, n_li: int) -> None:
 
     for t in TABLES:
         link = f"{OUT}/{t}.parquet"
-        if not os.path.exists(link):
-            os.symlink(f"{BASE}/{t}.parquet", link)
+        # recreate unconditionally: a reused OUT dir with a changed
+        # BASE would otherwise keep stale links to the old base and
+        # silently measure mixed-scale data (round-4 advice)
+        if os.path.islink(link):
+            os.remove(link)
+        elif os.path.exists(link):
+            raise RuntimeError(
+                f"{link} exists and is not a symlink — refusing to mix "
+                "replicated and linked tables in one scale dir"
+            )
+        os.symlink(f"{BASE}/{t}.parquet", link)
     spark.stop()
 
 
