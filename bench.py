@@ -65,6 +65,8 @@ HEADLINE = [
     # round-4 additions: data-selection + tokenizer training
     "pipeline_dsir_importance",
     "tok_bpe_train_merges",
+    # round-6: the de-vacuized double-nation join (round-5 advice #4)
+    "q7_volume_shipping",
 ]
 
 # Pure-CPU sentinel queries (plan-pinned, untouched since round 1) and

@@ -26,7 +26,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from hive_service_spark.catalog import load, par
-from hive_service_spark.registry import query
+from hive_service_spark.registry import persisted, query
 
 # ---------------------------------------------------------------------------
 # portable deterministic hashing: H(s) = first 8 hex chars of md5 as uint32
@@ -169,11 +169,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # core; persist because sizes/inv/verify all reuse this frame. At
     # 100 TB the scan has thousands of splits and the repartition is a
     # no-op to remove — the rest of the plan is scale-ready as-is.
-    sh = (
+    sh = persisted(
         d.repartition(par(spark))
         .where(F.size(F.split("text", " ")) >= 3)
         .select("doc_id", _shingles().alias("s"))
-        .persist()
     )
     sizes = sh.select("doc_id", F.size("s").alias("n"))
     # persist the postings list: BOTH sides of the self-join read it, and
@@ -182,7 +181,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair-space expansion parallel — a numbered repartition is exempt
     # from AQE coalescing, which would otherwise see the tiny input and
     # serialize the blow-up onto one task.
-    inv = (
+    inv = persisted(
         sh.select("doc_id", F.explode("s").alias("t"))
         .select(
             "doc_id",
@@ -191,7 +190,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("shingle"),
         )
         .repartition(par(spark), "shingle")
-        .persist()
     )
     # hot-shingle df cap: the groupBy reuses inv's shingle partitioning
     # (no extra shuffle), the surviving hot set is tiny -> broadcast
@@ -302,29 +300,32 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized array column — the persist is a CollapseProject
     # barrier, so the 16 minhash lambdas below read `hs` instead of
     # re-inlining the md5 16x (measured 112s vs ~4s at sf0.1).
-    sh = (
+    sh = persisted(
         d.repartition(par(spark))
         .where(F.size(F.split("text", " ")) >= 3)
         .select("doc_id", _shingles().alias("s"))
         .withColumn("hs", F.transform("s", _h))
-        .persist()
     )
     # signatures are pure MAP work in the array domain (16 array_min
     # lambdas over hs) — no explode, no groupBy shuffle: at 100 TB the
     # only shuffles in this whole query are the band join and the
     # verify join, and signature computation scales embarrassingly
-    sig = sh.select(
-        "doc_id",
-        "s",
-        F.array(
-            *[
-                F.array_min(
-                    F.transform("hs", lambda h: (F.lit(a) * h + F.lit(b)) % _MH_P)
-                )
-                for a, b in zip(_MH_A, _MH_B)
-            ]
-        ).alias("mh"),
-    ).persist()
+    sig = persisted(
+        sh.select(
+            "doc_id",
+            "s",
+            F.array(
+                *[
+                    F.array_min(
+                        F.transform(
+                            "hs", lambda h: (F.lit(a) * h + F.lit(b)) % _MH_P
+                        )
+                    )
+                    for a, b in zip(_MH_A, _MH_B)
+                ]
+            ).alias("mh"),
+        )
+    )
     return sig
 
 
@@ -458,12 +459,11 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     detected from the monotonically decreasing label sum (labels only
     ever decrease, so an unchanged sum == fixpoint)."""
     pairs = _minhash_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
+    edges = persisted(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
-        .persist()
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
@@ -551,11 +551,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # work), then compute all 32 bit votes as MAP-side array
     # aggregates — no explode, no groupBy shuffle (same scale rationale
     # as the minhash signatures above)
-    hv = (
+    hv = persisted(
         d.repartition(par(spark))
         .where(F.size(F.split("text", " ")) >= 3)
         .select("doc_id", F.transform(_shingles(), _h).alias("hs"))
-        .persist()
     )
     simhash = sum(
         F.when(
@@ -647,9 +646,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist; repartition the streamed side of the nested-loop join so
     # the pair space parallelizes instead of running on the scan's
     # single split
-    nrm = e.select(
-        "vec_id", "e", F.sqrt(_dot(F.col("e"), F.col("e"))).alias("nr")
-    ).persist()
+    nrm = persisted(
+        e.select(
+            "vec_id", "e", F.sqrt(_dot(F.col("e"), F.col("e"))).alias("nr")
+        )
+    )
     a = nrm.repartition(par(spark)).alias("a")
     b = nrm.alias("b")
     cos = F.round(
@@ -730,10 +731,9 @@ def dedup_winnow_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # map-side fingerprinting (one pass, no shuffle), then ONE shuffle
     # on the fingerprint for the inverted-index self-join
-    inv = (
+    inv = persisted(
         hashed.select("doc_id", F.explode(fps).alias("fp"))
         .repartition(par(spark), "fp")
-        .persist()
     )
     a, b = inv.alias("a"), inv.alias("b")
     return (
@@ -796,7 +796,7 @@ def dedup_semantic_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    n = e.withColumn("aa", _dot(F.col("e"), F.col("e"))).persist()
+    n = persisted(e.withColumn("aa", _dot(F.col("e"), F.col("e"))))
     a, b = n.repartition(par(spark)).alias("a"), n.alias("b")
     cos = F.round(
         _dot(F.col("a.e"), F.col("b.e"))
@@ -978,7 +978,7 @@ def dedup_paragraph_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("w")
     )
-    chunks = (
+    chunks = persisted(
         d.select(
             "doc_id",
             F.explode(
@@ -997,7 +997,6 @@ def dedup_paragraph_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ctxt"),
         )
         .withColumn("h", F.md5("ctxt"))
-        .persist()
     )
     freq = chunks.groupBy("h").agg(
         F.count_distinct("doc_id").alias("ndocs")
@@ -1231,14 +1230,13 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join on the hash with the hot-shingle df cap, pair-key
     aggregate, broadcast size lookup; never a cross join."""
     d = load(spark, sf_dir, "documents")
-    sh = (
+    sh = persisted(
         d.repartition(par(spark))
         .where(F.size(F.split("text", " ")) >= 3)
         .select("doc_id", _shingles().alias("s"))
-        .persist()
     )
     sizes = sh.select("doc_id", F.size("s").alias("n"))
-    inv = (
+    inv = persisted(
         sh.select("doc_id", F.explode("s").alias("t"))
         .select(
             "doc_id",
@@ -1247,7 +1245,6 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("shingle"),
         )
         .repartition(par(spark), "shingle")
-        .persist()
     )
     hot = (
         inv.groupBy("shingle")

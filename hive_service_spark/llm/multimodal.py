@@ -29,7 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from hive_service_spark.catalog import load
-from hive_service_spark.registry import query
+from hive_service_spark.registry import persisted, query
 
 
 def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -572,9 +572,11 @@ def mm_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.concat(
         F.lit("P5\n64 "), h.cast("string"), F.lit("\n255\n"), body
     ).cast("binary")
-    bits = d.select("doc_id", payload.alias("payload")).mapInPandas(
-        _ahash_features, schema="doc_id bigint, ahash string"
-    ).persist()  # consumed by both sides of the band join + the summary
+    bits = persisted(
+        d.select("doc_id", payload.alias("payload")).mapInPandas(
+            _ahash_features, schema="doc_id bigint, ahash string"
+        )
+    )  # consumed by both sides of the band join + the summary
     bands = bits.select(
         "doc_id",
         "ahash",

@@ -30,7 +30,7 @@ from pyspark.sql.window import Window
 
 from hive_service_spark.catalog import load, par
 from hive_service_spark.llm.dedup import _h, _shingles
-from hive_service_spark.registry import query
+from hive_service_spark.registry import persisted, query
 
 _EN_RE = r"\b(the|a|and|or|of|to|in|is|for|on|with)\b"
 _ES_RE = r"\b(el|la|los|las|de|en|y|que|un|una|por)\b"
@@ -137,10 +137,10 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep1 = keep1.select("doc_id", "text", "source", "n_chars", "n_words")
     # local parallelism only: one small parquet split would serialize the
     # shingle explode; a cluster scan has thousands of splits (delete there)
-    keep1 = keep1.repartition(par(spark)).persist()
+    keep1 = persisted(keep1.repartition(par(spark)))
     # stage 4: near-dup candidates via the inverted shingle index
-    sh = keep1.select("doc_id", _shingles().alias("s")).persist()
-    inv = (
+    sh = persisted(keep1.select("doc_id", _shingles().alias("s")))
+    inv = persisted(
         sh.select("doc_id", F.explode("s").alias("t"))
         .select(
             "doc_id",
@@ -153,7 +153,6 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         # reads inv TWICE, and without the persist each side re-runs
         # the explode+md5+shuffle (measured ~2.6s vs ~1.4s for the
         # pair stage at sf0.1)
-        .persist()
     )
     sizes = sh.select("doc_id", F.size("s").alias("n"))
     a, b = inv.alias("a"), inv.alias("b")

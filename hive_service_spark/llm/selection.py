@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from hive_service_spark.catalog import load
 from hive_service_spark.llm.dedup import _h
-from hive_service_spark.registry import query
+from hive_service_spark.registry import persisted, query
 
 # ---------------------------------------------------------------------------
 # 1. DSIR importance resampling
@@ -164,7 +164,7 @@ def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on doc_id); selection is a distributed top-K
     (TakeOrderedAndProject), never a global window — the rank is
     assigned after the K-row cut."""
-    feats = _dsir_features(load(spark, sf_dir, "documents")).persist()
+    feats = persisted(_dsir_features(load(spark, sf_dir, "documents")))
     logratio = _dsir_model(feats)
     scored = (
         feats.join(F.broadcast(logratio), "b")
@@ -370,9 +370,9 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins k*d probe rows against the 256-cell sketch (both
     broadcast-size)."""
     d = load(spark, sf_dir, "documents")
-    tok = d.select(
-        F.explode(F.split(F.lower("text"), " ")).alias("t")
-    ).persist()  # two consumers: sketch build + exact top-k
+    tok = persisted(
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+    )  # two consumers: sketch build + exact top-k
 
     def _bucket(j_col, t_col):
         return _h(F.concat(j_col.cast("string"), F.lit(":"), t_col)) % _CMS_W

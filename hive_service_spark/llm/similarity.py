@@ -29,7 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from hive_service_spark.catalog import load, par
-from hive_service_spark.registry import query
+from hive_service_spark.registry import persisted, query
 
 _DIM = 64
 _N_PLANES = 4
@@ -78,10 +78,9 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    return (
+    return persisted(
         e.repartition(par(spark))
         .withColumn("nr", F.sqrt(_dot(F.col("e"), F.col("e"))))
-        .persist()
     )
 
 
@@ -900,10 +899,9 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without the cache the whole assignment pass (broadcast routing +
     # argmin aggregate) is physically duplicated per reference (no
     # ReusedExchange across the filter asymmetry; measured 2x the work)
-    cells = (
+    cells = persisted(
         _km_assign(v, _km_centroids(v))
         .join(v.select("vec_id", "nr"), "vec_id")
-        .persist()
     )
     q = cells.where(F.expr(_IS_QUERY))
     scored = (
@@ -1037,10 +1035,9 @@ def ann_recall_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vecs(spark, sf_dir)
     # persist: referenced FOUR times (gt + ann, q + c sides each) —
     # uncached, the assignment pass runs 4x (no ReusedExchange)
-    cells = (
+    cells = persisted(
         _km_assign(v, _km_centroids(v))
         .join(v.select("vec_id", "nr"), "vec_id")
-        .persist()
     )
     q = cells.where(F.expr(_IS_QUERY))
 
@@ -1156,12 +1153,11 @@ def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the pair join's a/b sides and the member summary all
     # re-derive the routed corpus — uncached that's THREE assignment
     # passes (no ReusedExchange through the self-join aliases)
-    cells = (
+    cells = persisted(
         _km_assign(v, _km_centroids(v))
         .join(v.select("vec_id", "nr"), "vec_id")
-        .persist()
     )
-    pairs = (
+    pairs = persisted(
         cells.alias("a")
         .join(
             cells.alias("b"),
@@ -1175,8 +1171,7 @@ def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.d2").alias("da"),
             F.col("b.vec_id").alias("vb"),
             F.col("b.d2").alias("db"),
-        )
-        .persist()  # consumed twice: dropped set + per-cell pair counts
+        )  # consumed twice: dropped set + per-cell pair counts
     )
     dropped = pairs.select(
         F.when(F.col("da") < F.col("db"), F.col("va"))
@@ -1279,10 +1274,9 @@ def ann_eval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query aggregate and one global aggregate — eval cost is
     O(probes · cell) regardless of corpus size."""
     v = _vecs(spark, sf_dir)
-    cells = (
+    cells = persisted(
         _km_assign(v, _km_centroids(v))
         .join(v.select("vec_id", "nr"), "vec_id")
-        .persist()
     )
     q = cells.where(F.expr(_IS_QUERY))
 

@@ -15,7 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from hive_service_spark.catalog import load
-from hive_service_spark.registry import query
+from hive_service_spark.registry import persisted, query
 
 # deterministic marker lists for the language-ID heuristic
 _EN_MARKERS = "the a and or of to in is for on with".split()
@@ -561,10 +561,9 @@ def text_hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e"),
         )
     )
-    n = (
+    n = persisted(
         vec.repartition(par(spark))
         .withColumn("nr", F.sqrt(_dot(F.col("e"), F.col("e"))))
-        .persist()
     )
     q = n.where(
         (F.col("doc_id") % _HE_QMOD == 0) & (F.col("doc_id") < _HE_QCAP)

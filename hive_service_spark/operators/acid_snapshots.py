@@ -971,6 +971,30 @@ ORDER BY event_id
 """
 
 
+def _event_log_table(
+    spark: SparkSession, sf_dir: str, path: str
+) -> SnapshotTable:
+    """Run the known DML sequence (create -> update -> COW delete ->
+    MOR delete -> compact) that both notification-log consumers poll:
+    the batch ``acid_event_log`` and the streaming
+    ``stream_event_log_consume`` share this builder so their event
+    streams are the same by construction."""
+    base = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 4000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    t = SnapshotTable.create(spark, path, base, key_col="k")
+    t.update(F.col("k") % 3 == 0, {"status": F.lit("U")})
+    t.delete(F.col("k") % 7 == 0)
+    t.delete_mor(F.col("k") % 5 == 0)
+    t.compact()
+    return t
+
+
 @query("acid_event_log", oracle=_EVENT_LOG_ORACLE)
 def acid_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metastore NOTIFICATION-LOG analog — the consumer-side polling
@@ -994,19 +1018,7 @@ def acid_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-event visible-count audit reads data, and a production
     consumer would skip it (documented, test-scale-only audit)."""
     path = os.path.join(_SCRATCH, f"orders_events_{os.getpid()}")
-    base = (
-        load(spark, sf_dir, "orders")
-        .where(F.col("o_orderkey") < 4000)
-        .select(
-            F.col("o_orderkey").alias("k"),
-            F.col("o_orderstatus").alias("status"),
-        )
-    )
-    t = SnapshotTable.create(spark, path, base, key_col="k")
-    t.update(F.col("k") % 3 == 0, {"status": F.lit("U")})
-    t.delete(F.col("k") % 7 == 0)
-    t.delete_mor(F.col("k") % 5 == 0)
-    t.compact()
+    t = _event_log_table(spark, sf_dir, path)
 
     last_event_id = 1  # the consumer's stored offset
     out = None

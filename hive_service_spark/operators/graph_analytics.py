@@ -41,7 +41,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from hive_service_spark.catalog import load
-from hive_service_spark.registry import query
+from hive_service_spark.registry import persisted, query
 
 _DAMP = 0.85
 _ITERS = 3
@@ -106,7 +106,7 @@ def graph_pagerank_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
-    edges = (
+    edges = persisted(
         li.alias("a")
         .join(li.alias("b"), "l_orderkey")
         .where(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
@@ -115,18 +115,17 @@ def graph_pagerank_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_suppkey").alias("dst"),
         )
         .distinct()
-        .persist()  # edge build (pair self-join + distinct) runs ONCE;
-        # deg, the initial rank vector, and edges_deg all read the cache
+        # edge build (pair self-join + distinct) runs ONCE; deg, the
+        # initial rank vector, and edges_deg all read the cache
     )
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("double").alias("deg")
     )
     # degree is loop-INVARIANT: fold it into the edge table once so
     # each iteration joins ranks against ONE frame instead of two
-    edges_deg = (
+    edges_deg = persisted(
         edges.join(deg, edges.src == deg.node)
         .select("src", "dst", "deg")
-        .persist()
     )
     n_nodes = deg.count()  # scalar graph-order statistic, O(1) result
     base = (1.0 - _DAMP) / n_nodes
@@ -222,7 +221,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     textbook 2-round MapReduce triangle algorithm, no node ever sees
     more than its neighborhood."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = (
+    edges = persisted(
         li.alias("a")
         .join(
             li.alias("b"),
@@ -233,8 +232,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_suppkey").alias("src"),
             F.col("b.l_suppkey").alias("dst"),
         )
-        .distinct()
-        .persist()  # consumed by canon (x3 aliases) and deg
+        .distinct()  # consumed by canon (x3 aliases) and deg
     )
     canon = edges.where(F.col("src") < F.col("dst")).select(
         F.col("src").alias("a"), F.col("dst").alias("b")

@@ -18,7 +18,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from hive_service_spark.catalog import load
-from hive_service_spark.registry import query
+from hive_service_spark.registry import persisted, query
 
 _SALTS = 32  # one shard per executor-ish; tune to cluster width at 100 TB
 
@@ -146,10 +146,9 @@ def skew_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     date/time; Spark: date_trunc.)
     """
     ev = load(spark, sf_dir, "events")
-    day = (
+    day = persisted(
         ev.groupBy(F.date_trunc("day", "ts").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
-        .cache()
     )
 
     def _up(grain: str) -> DataFrame:

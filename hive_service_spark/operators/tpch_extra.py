@@ -87,8 +87,18 @@ ORDER BY supp_nation, cust_nation, l_year
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7: double nation join (two broadcast copies of the same
     25-row dim under different aliases) with a disjunctive cross-nation
-    predicate applied after both joins — the reference plans this as
-    residual filter on CommonJoinOperator (SURVEY.md §2.5).
+    predicate — the reference plans the pair condition as a residual
+    filter on CommonJoinOperator (SURVEY.md §2.5).
+
+    The disjunction ((s=A & c=B) | (s=B & c=A)) IMPLIES the per-side
+    constraints s IN (A,B) and c IN (A,B); Catalyst's constraint
+    propagation does not factor OR branches, so the per-side IN is
+    applied by hand onto each nation arm BEFORE the fact joins. At
+    100 TB that cuts supplier and customer to 2/25 nations up front —
+    so the lineitem⋈orders shuffle carries only the pre-filtered rows
+    instead of filtering to the pair after the full 5-way join. The
+    residual disjunction after the joins removes the (A,A)/(B,B)
+    combinations the per-side IN admits.
 
     Nation pair is taken from the generated NATION_0..24 vocabulary
     (TPC-H's FRANCE/GERMANY never match) so the query observes rows at
@@ -96,29 +106,52 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").between(_ts("1995-01-01"), _ts("1996-12-31"))
     )
-    supp = load(spark, sf_dir, "supplier")
-    orders = load(spark, sf_dir, "orders")
-    cust = load(spark, sf_dir, "customer")
-    n1 = load(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    pair = ("NATION_3", "NATION_7")
+    n1 = (
+        load(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(*pair))
+        .select(
+            F.col("n_nationkey").alias("n1_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
     )
-    n2 = load(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    n2 = (
+        load(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(*pair))
+        .select(
+            F.col("n_nationkey").alias("n2_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    # collapse each snowflake arm off the fact path (same discipline as
+    # q8): supplier and customer reduce to pre-filtered key->nation maps
+    supp_n = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    cust_n = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .select("c_custkey", "cust_nation")
+    )
+    # no broadcast hint on the customer arm: 2/25 of customer is still
+    # O(table) at 100 TB — AQE broadcasts it at test scale and shuffles
+    # it when it outgrows the threshold (the round-5 sizes-broadcast rule)
+    orders_n = load(spark, sf_dir, "orders").join(
+        cust_n, F.col("o_custkey") == F.col("c_custkey")
     )
     joined = (
-        supp.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        li.join(supp_n, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders_n, F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(
             (
-                (F.col("supp_nation") == "NATION_3")
-                & (F.col("cust_nation") == "NATION_7")
+                (F.col("supp_nation") == pair[0])
+                & (F.col("cust_nation") == pair[1])
             )
             | (
-                (F.col("supp_nation") == "NATION_7")
-                & (F.col("cust_nation") == "NATION_3")
+                (F.col("supp_nation") == pair[1])
+                & (F.col("cust_nation") == pair[0])
             )
         )
     )

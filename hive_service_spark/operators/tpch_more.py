@@ -34,7 +34,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from hive_service_spark.catalog import load
-from hive_service_spark.registry import query
+from hive_service_spark.registry import persisted, query
 
 
 def _ts(s: str):
@@ -218,13 +218,22 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_nat = supp.join(
         F.broadcast(ns), F.col("s_nationkey") == F.col("ns.n_nationkey")
     ).select("s_suppkey", F.col("ns.n_name").alias("supp_nation"))
+    # reduce ORDERS before the one big shuffle pair, not after: the
+    # AMERICA-customer key set (c_custkey is unique, so the inner join
+    # is a semi-filter that cannot duplicate) cuts the orders side to
+    # region-fraction x date-fraction of the table, and only
+    # (o_orderkey, o_year) survive the projection — the fact⋈orders
+    # shuffle then moves ~6% of the rows the round-5 plan moved
+    # (round-5 advice #8)
+    orders_am = orders.join(
+        F.broadcast(cust_am), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", F.year("o_orderdate").alias("o_year"))
     t = (
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust_am), F.col("o_custkey") == F.col("c_custkey"))
+        .join(orders_am, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
-            F.year("o_orderdate").alias("o_year"),
+            "o_year",
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
             "supp_nation",
         )
@@ -271,12 +280,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
-    stock = (
+    stock = persisted(
         li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
-    ).persist()
+    )
     total = stock.agg((F.sum("value") * 0.002).alias("threshold"))
     return (
         stock.crossJoin(F.broadcast(total))
@@ -361,14 +370,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= _ts("1996-01-01"))
         & (F.col("l_shipdate") < _ts("1996-04-01"))
     )
-    revenue = (
+    revenue = persisted(
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "total_revenue"
             )
         )
-        .persist()
     )
     mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
     supp = load(spark, sf_dir, "supplier")

@@ -15,12 +15,11 @@ for new code, TRANSFORM exists for HiveQL compatibility.
 
 from __future__ import annotations
 
-from pathlib import Path
-
 from pyspark.sql import DataFrame, SparkSession
 
 from hive_service_spark.catalog import register_views
 from hive_service_spark.registry import query
+from hive_service_spark.scratch import stage_text
 
 _SCRIPT = r"""#!/usr/bin/env python3
 import sys
@@ -48,9 +47,7 @@ def transform_script_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (integer-only arithmetic so the text round-trip is exact), then
     aggregate the script output. The oracle recomputes the script's
     transformation in SQL."""
-    script_path = Path("/root/repo/.scratch/transform_upper.py")
-    script_path.parent.mkdir(parents=True, exist_ok=True)
-    script_path.write_text(_SCRIPT)
+    script_path = stage_text(_SCRIPT, "transform_upper.py")
     register_views(spark, sf_dir)
     return spark.sql(
         f"""
@@ -108,9 +105,7 @@ def transform_script_delimited(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL-excluding SUM. Integer-only arithmetic keeps the text
     round-trip exact. Same per-task process fan-out as the default
     protocol variant (transform_script_pipe)."""
-    script_path = Path("/root/repo/.scratch/transform_delim.py")
-    script_path.parent.mkdir(parents=True, exist_ok=True)
-    script_path.write_text(_DELIM_SCRIPT)
+    script_path = stage_text(_DELIM_SCRIPT, "transform_delim.py")
     register_views(spark, sf_dir)
     return spark.sql(
         f"""

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import functools
 import importlib
+import threading
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -30,6 +31,47 @@ class QuerySpec:
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
+
+# Cache-lifetime tracking: handles persisted by registered queries via
+# :func:`persisted`, evicted when the NEXT registered query starts.
+# This scopes eviction to frames the registry itself created — a
+# session-global ``spark.catalog.clearCache()`` here (the round-5
+# shape) would also evict every OTHER user's cached frames and MV
+# caches in a long-lived shared session (the HiveServer2/STS deployment
+# shape this engine mirrors).
+_LIVE_FRAMES: list[DataFrame] = []
+_LIVE_LOCK = threading.Lock()
+
+
+def persisted(df: DataFrame, storage_level=None) -> DataFrame:
+    """``df.persist()`` whose handle the registry tracks for eviction.
+
+    Registered queries persist intermediates they cannot unpersist
+    themselves (the caller collects the returned frame later), so cache
+    lifetime is a registry concern: the wrapper drops the PREVIOUS
+    query's tracked frames before running the next one, bounding live
+    executor cache to one query's persists. Evicted frames recompute if
+    an old handle is ever re-collected — a memory-lifetime decision,
+    never a correctness one. Frames cached outside this helper (user
+    caches, MV caches) are never touched.
+    """
+    df = df.persist(storage_level) if storage_level is not None else df.persist()
+    with _LIVE_LOCK:
+        _LIVE_FRAMES.append(df)
+    return df
+
+
+def _evict_previous() -> None:
+    with _LIVE_LOCK:
+        frames = list(_LIVE_FRAMES)
+        _LIVE_FRAMES.clear()
+    for df in frames:
+        try:
+            df.unpersist()
+        except Exception:
+            # session stopped/restarted since the frame was cached —
+            # nothing left to evict
+            pass
 
 # Modules that register queries on import. Order = SURVEY.md §7 waves.
 _QUERY_MODULES = (
@@ -73,6 +115,7 @@ _QUERY_MODULES = (
     "hive_service_spark.llm.tokenizer",
     "hive_service_spark.streaming.events",
     "hive_service_spark.streaming.ingest",
+    "hive_service_spark.streaming.notifications",
 )
 
 
@@ -85,15 +128,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            # Queries persist() intermediates they cannot unpersist
-            # (the caller collects the returned frame later), so a
-            # long-lived session running many registered queries would
-            # accumulate executor cache without bound (round-4
-            # advice). Dropping the PREVIOUS query's cached frames
-            # here bounds live cache to one query's persists; evicted
-            # frames recompute if an old handle is ever re-collected,
-            # so this is purely a memory-lifetime decision.
-            spark.catalog.clearCache()
+            # Drop the PREVIOUS registered query's tracked persists
+            # (see :func:`persisted`) — bounds live executor cache to
+            # one query's frames without touching caches built outside
+            # the registry (round-5 advice: clearCache() was
+            # session-global). Under concurrent registered queries a
+            # new arrival may evict an in-flight peer's intermediates;
+            # that costs a recompute, never a wrong answer.
+            _evict_previous()
             return fn(spark, sf_dir)
 
         _REGISTRY[name] = QuerySpec(name=name, fn=wrapped, oracle=oracle)

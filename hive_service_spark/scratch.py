@@ -85,6 +85,23 @@ def atomic_copy(src: str | os.PathLike, dst: str | os.PathLike) -> None:
     os.replace(tmp, dst)
 
 
+def stage_text(content: str, name: str, kind: str = "proc") -> Path:
+    """Materialize ``content`` as ``.scratch/<kind>-<pid>/<name>`` and
+    return the path. The write goes through a pid+tid-unique temp name
+    plus ``os.replace`` so a concurrent reader (e.g. a Spark task
+    exec'ing a TRANSFORM script) never sees a torn file — the same
+    discipline as :func:`atomic_copy`. The pid namespace keeps two
+    driver processes staging the same script name from racing each
+    other (round-5 advice: the TRANSFORM queries wrote fixed paths)."""
+    dst = Path(pid_dir(kind)) / name
+    tmp = dst.with_name(
+        f".{dst.name}.{os.getpid()}-{threading.get_ident()}.tmp"
+    )
+    tmp.write_text(content)
+    os.replace(tmp, dst)
+    return dst
+
+
 def stage_source(src: str | os.PathLike, stage_dir: str | os.PathLike) -> Path:
     """Stage ``src`` into ``stage_dir`` (the landing directory a file
     stream monitors), re-copying whenever the SOURCE changed. Staleness

@@ -188,9 +188,13 @@ _DOCSTREAM_BATCH = 200  # rows per offset-range split
 # per-Python-worker cache of the doc_id-sorted table: one worker serves
 # many 200-row InputPartitions, and without the cache each read() call
 # re-read and re-sorted the WHOLE parquet file — O((n/batch) * n log n)
-# per stream pass (the round-4 advice item). Keyed on (path, mtime) so
-# a rewritten file invalidates; capped at one entry since a worker only
-# ever serves one stream's table at a time.
+# per stream pass (the round-4 advice item). Keyed on
+# (path, st_mtime_ns, st_size) so a rewritten file invalidates even on
+# filesystems with coarse mtime granularity where a same-tick in-place
+# rewrite keeps the float mtime (round-5 advice); capped at one entry —
+# the WHOLE sorted table lives in worker memory, which is fine for the
+# test-scale feed this source serves (a production source would read
+# only the row groups covering [lo, hi) instead).
 _DOCSTREAM_CACHE: dict = {}
 
 
@@ -199,7 +203,8 @@ def _docstream_sorted_table(path: str):
 
     import pyarrow.parquet as pq
 
-    key = (path, _os.path.getmtime(path))
+    st = _os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
     t = _DOCSTREAM_CACHE.get(key)
     if t is None:
         t = pq.read_table(path, columns=["doc_id", "lang", "n_chars"]).sort_by(

@@ -37,7 +37,7 @@ from hive_service_spark.llm.dedup import (
     _shingles,
     _signatures,
 )
-from hive_service_spark.registry import query
+from hive_service_spark.registry import persisted, query
 from hive_service_spark.scratch import SCRATCH_ROOT as _SCRATCH
 from hive_service_spark.scratch import stage_source
 from hive_service_spark.streaming.events import _run_to_table
@@ -87,11 +87,10 @@ def stream_dedup_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     same decision function."""
     sig_all = _signatures(spark, sf_dir)
     is_inc = F.col("doc_id") % 5 == 0
-    corp_sig = sig_all.where(~is_inc).select("doc_id", "s").persist()
-    corp_bands = (
+    corp_sig = persisted(sig_all.where(~is_inc).select("doc_id", "s"))
+    corp_bands = persisted(
         _band_frame(sig_all.where(~is_inc))
         .select("b", "bkey", F.col("doc_id").alias("dc"))
-        .persist()
     )
 
     docs = _doc_stream(spark, sf_dir).where(is_inc)

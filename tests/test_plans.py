@@ -108,6 +108,19 @@ def test_q8_broadcasts_dims_and_pushes_filters(spark):
     assert any("o_orderdate" in f for f in P.pushed_filters(df))
 
 
+def test_q7_per_side_nation_filter_reaches_scans(spark):
+    """Q7's pair disjunction is hand-factored into per-side IN filters
+    (Catalyst does not infer constraints across OR branches): both
+    nation scans must carry the In(n_name,..) pushdown and the ship
+    date range must reach the lineitem scan — the 100 TB shape where
+    the big joins see pre-filtered arms, not the full tables."""
+    df = _df(spark, "q7_volume_shipping")
+    assert not P.has_cartesian(df)
+    pushed = P.pushed_filters(df)
+    assert any("n_name" in f and "In" in f for f in pushed), pushed
+    assert any("l_shipdate" in f for f in pushed), pushed
+
+
 def test_q4_exists_becomes_semi_join(spark):
     plan = P.operators(_df(spark, "q4_order_priority"))
     assert "LeftSemi" in plan or "left_semi" in plan.lower()

@@ -10,6 +10,8 @@ one bucket.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql.window import Window
 
 from hive_service_spark.llm.pipeline import two_level_cumsum
@@ -54,3 +56,38 @@ def test_matches_plain_window_width_one(spark):
     # the work (the fully-serial extreme) — still identical
     rows = [("a", i, i % 5 + 1) for i in range(12)] + [("b", 2, 9)]
     _check(spark, rows, width=1)
+
+
+# --- property: random gapped ids / widths / multi-part frames ---------
+# The helper is load-bearing for two registered queries
+# (pipeline_pack_shards, tok_bpe_aware_pack); its bucket-boundary index
+# arithmetic is exactly the class hypothesis catches regressions in.
+# doc_id is unique per part (the packing contract) — duplicate order
+# keys would make BOTH window formulations tie-order-dependent.
+
+_ids_vals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=300),  # gapped, boundary-heavy
+        st.integers(min_value=-50, max_value=100),  # negatives too: cumsum
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(
+    parts=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]), _ids_vals, min_size=1, max_size=3
+    ),
+    width=st.integers(min_value=1, max_value=64),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,  # deterministic corpus: CI-stable, still adversarial
+)
+def test_matches_plain_window_property(spark, parts, width):
+    rows = [(p, i, v) for p, ivs in parts.items() for i, v in ivs]
+    _check(spark, rows, width=width)

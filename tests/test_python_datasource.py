@@ -38,3 +38,52 @@ def test_one_partition_per_file(spark):
         .load()
     )
     assert raw.rdd.getNumPartitions() == 4
+
+
+def test_docstream_cache_invalidates_on_same_tick_rewrite(tmp_path):
+    """The per-worker sorted-table cache must serve the NEW rows after
+    the backing parquet is rewritten in place — even when the rewrite
+    lands within one mtime tick (round-5 advice: a (path, float-mtime)
+    key served stale slices on coarse-granularity filesystems). The
+    key is (path, st_mtime_ns, st_size); pinning the mtime back to the
+    original value makes size the only discriminator, the worst case."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_service_spark.sources.python_datasource import (
+        _docstream_sorted_table,
+    )
+
+    p = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table(
+            {"doc_id": [2, 1], "lang": ["en", "de"], "n_chars": [5, 6]}
+        ),
+        p,
+    )
+    st0 = p.stat()
+    assert _docstream_sorted_table(str(p)).column("doc_id").to_pylist() == [
+        1,
+        2,
+    ]
+    # in-place rewrite, mtime pinned to the pre-rewrite value: the
+    # same-tick scenario a float-mtime key cannot distinguish
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [9, 3, 4],
+                "lang": ["fr", "en", "de"],
+                "n_chars": [1, 2, 3],
+            }
+        ),
+        p,
+    )
+    os.utime(p, ns=(st0.st_atime_ns, st0.st_mtime_ns))
+    assert p.stat().st_size != st0.st_size  # size is the discriminator
+    assert _docstream_sorted_table(str(p)).column("doc_id").to_pylist() == [
+        3,
+        4,
+        9,
+    ]

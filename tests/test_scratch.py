@@ -70,3 +70,19 @@ def test_stage_source_recopies_on_mtime_preserving_regen(tmp_path):
     ino = dst2.stat().st_ino
     stage_source(src, stage)
     assert dst2.stat().st_ino == ino
+
+
+def test_stage_text_lands_in_pid_namespace_atomically():
+    """stage_text (the TRANSFORM script stager) writes into the
+    per-process namespace — two driver processes can stage the same
+    script name without racing — and leaves no temp files behind."""
+    p = scratch.stage_text("print('hi')\n", "stage_text_probe.py")
+    assert p.read_text() == "print('hi')\n"
+    assert f"proc-{os.getpid()}" in str(p), "must live in the pid namespace"
+    leftovers = [q for q in p.parent.iterdir() if ".tmp" in q.name]
+    assert not leftovers, f"temp files left behind: {leftovers}"
+    # restage with new content: reader of the path sees old-or-new,
+    # never torn — os.replace guarantees it; content must update
+    p2 = scratch.stage_text("print('v2')\n", "stage_text_probe.py")
+    assert p2 == p and p.read_text() == "print('v2')\n"
+    p.unlink()

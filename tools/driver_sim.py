@@ -8,6 +8,7 @@ own config. Usage: python tools/driver_sim.py [sf_dir]
 from __future__ import annotations
 
 import hashlib
+import re
 import sys
 import time
 
@@ -149,7 +150,12 @@ def main():
             print(f"    duck  cols={sorted(dcols)} n={len(drows)}")
             print(f"    repr={canon(scols, srows) == canon(dcols, drows)} "
                   f"pandas={ph_s == ph_d} perr_s={perr_s} perr_d={perr_d}")
-    enforce_nonempty = "0.01" in SF
+    # zero-row lint applies at the sf0.01 gate and anything larger;
+    # parse the scale factor from the dir basename instead of a
+    # substring test (round-5 advice: '0.01' matched parent dirs and
+    # missed renamed gates)
+    m = re.search(r"sf([0-9.]+)/*$", SF)
+    enforce_nonempty = bool(m) and float(m.group(1)) >= 0.01
     print(f"PASS={n_pass} FAIL={n_fail} ROWS_ONLY={n_rowsonly} EMPTY={n_empty}")
     if empty_names:
         print(f"  zero-row queries: {', '.join(empty_names)}")

@@ -59,6 +59,12 @@ LINEAR = [
     ("dedup_minhash_lsh", "documents", N_DOCS),
     ("dedup_ngram_jaccard", "documents", N_DOCS),
     ("pipeline_dsir_importance", "documents", N_DOCS),
+    # the two queries whose packing cumsum was rewritten as the
+    # two-level bucketed prefix sum (round-4 advice #3's done-criterion:
+    # prove the parallelism claim at x16, not just output equivalence)
+    ("pipeline_pack_shards", "documents", N_DOCS),
+    ("tok_bpe_aware_pack", "documents", N_DOCS),
+    ("dedup_containment_pairs", "documents", N_DOCS),
     ("tok_bpe_train_merges", "documents", N_DOCS),
     ("ml_bigram_lm_quality", "documents", N_DOCS),
     ("knn_cosine_bruteforce", "embeddings", N_VECS),
