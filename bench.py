@@ -67,6 +67,8 @@ HEADLINE = [
     "tok_bpe_train_merges",
     # round-6: the de-vacuized double-nation join (round-5 advice #4)
     "q7_volume_shipping",
+    # round-6: lexical retrieval (inverted postings index + BM25 top-k)
+    "text_bm25_retrieval",
 ]
 
 # Pure-CPU sentinel queries (plan-pinned, untouched since round 1) and

@@ -166,9 +166,13 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     jac = F.col("n_shared") / (F.col("sa.n") + F.col("sb.n") - F.col("n_shared"))
+    # no broadcast hint on the per-doc sizes frame (one row per doc —
+    # billions at 100 TB): AQE broadcasts it at test scale and shuffles
+    # it when it outgrows the threshold. Same rule as the round-5
+    # dedup.py fix; this site was the last one carrying the hint.
     drops = (
-        shared.join(F.broadcast(sizes.alias("sa")), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(F.broadcast(sizes.alias("sb")), F.col("sb.doc_id") == F.col("doc_b"))
+        shared.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
         .where(jac >= 0.8)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
@@ -619,4 +623,108 @@ def corpus_language_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum("n_chars").cast("bigint").alias("chars_sampled"),
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixture — rates DERIVED from corpus statistics
+# ---------------------------------------------------------------------------
+
+# Multilingual/multi-source temperature sampling (T = 0.7, the mT5 /
+# XLM-R regime): sampling probability q_i ∝ p_i^T where p_i is the
+# source's token share, so the per-doc keep rate is
+#   r_i = (q_i / p_i) / max_j (q_j / p_j) = tokens_i^(T-1) / min-source
+# (the corpus total cancels in the ratio; T < 1 boosts small sources,
+# and the smallest source lands at rate 1.0). Rates are quantized to
+# integer slots-of-10000 with FLOOR before the hash-coin comparison, so
+# the keep decision is an integer compare on both engines — a raw
+# `slot < rate * 10000` double comparison could flip on ulps.
+_MIX_TEMP_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_words
+  FROM documents
+),
+tot AS (
+  SELECT source, CAST(SUM(n_words) AS BIGINT) AS tokens
+  FROM tok GROUP BY source
+),
+rates AS (
+  SELECT source, tokens,
+         CAST(FLOOR(10000 * POW(tokens, -0.3)
+              / (SELECT MAX(POW(tokens, -0.3)) FROM tot)) AS BIGINT)
+           AS rate_slots
+  FROM tot
+)
+SELECT t.source,
+       r.tokens AS tokens_total,
+       r.rate_slots,
+       CAST(COUNT(*) FILTER (WHERE
+         ('0x'||substr(md5('t:'||CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 10000 < r.rate_slots) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(t.n_words) FILTER (WHERE
+         ('0x'||substr(md5('t:'||CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 10000 < r.rate_slots), 0) AS BIGINT) AS tokens_kept
+FROM tok t JOIN rates r USING (source)
+GROUP BY t.source, r.tokens, r.rate_slots
+ORDER BY t.source
+"""
+
+
+@query("pipeline_mixture_temperature", oracle=_MIX_TEMP_ORACLE)
+def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (T = 0.7): per-source keep
+    rates are DERIVED from the corpus's own token distribution
+    (r_i ∝ tokens_i^(T-1), smallest source pinned at rate 1.0 — the
+    standard low-resource up-weighting of multilingual pretraining),
+    then applied with the same content-stable md5 hash coin as
+    pipeline_mixture_sample ('t:'-salted so the two samplers draw
+    independent coins). Two corpus passes, the honest mixer shape:
+    pass 1 aggregates per-source token totals (tiny result — one row
+    per source), rates are computed inside that frame (a max over
+    n_sources rows) and broadcast back onto pass 2's scan for the
+    map-side keep decision; one final per-source rollup. Rates are
+    FLOOR-quantized to integer slots before the comparison so the
+    keep/drop decision is an exact integer compare on both engines."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_words")
+    )
+    tot = d.groupBy("source").agg(
+        F.sum("n_words").cast("bigint").alias("tokens_total")
+    )
+    boost = F.pow(F.col("tokens_total").cast("double"), F.lit(-0.3))
+    w_all = Window.partitionBy()  # n_sources rows — a driver-free max
+    rates = tot.select(
+        "source",
+        "tokens_total",
+        F.floor(F.lit(10000) * boost / F.max(boost).over(w_all))
+        .cast("bigint")
+        .alias("rate_slots"),
+    )
+    slot = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("t:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    kept_flag = slot < F.col("rate_slots")
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source", "tokens_total", "rate_slots")
+        .agg(
+            F.sum(F.when(kept_flag, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(kept_flag, F.col("n_words"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+        .orderBy("source")
     )

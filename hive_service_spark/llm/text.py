@@ -665,3 +665,173 @@ def text_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(h, 4) + 0.0).alias("entropy_bits"),
         (h >= _ENTROPY_MIN).alias("keep_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval — the keyword side of the similarity stack
+# ---------------------------------------------------------------------------
+
+# Okapi BM25 with k1=1.2, b=0.75 (Robertson & Walker 1994), carried out
+# in exact integer arithmetic so both engines rank identically:
+#   idf_q  = floor(1024 * ln((N - df + 0.5)/(df + 0.5) + 1))     [BIGINT]
+#   avgdl  = floor(avg(dl))                                      [BIGINT]
+#   tfpart = tf*(k1+1) / (tf + k1*((1-b) + b*dl/avgdl))
+#          = 22*tf*avgdl / (10*tf*avgdl + 3*avgdl + 9*dl)   (x10 rational
+#            form — numerator and denominator are exact integers)
+#   c      = floor(1000.0 * idf_q * 22*tf*avgdl / den)           [BIGINT]
+#   score  = sum(c)  — an exact integer sum, order-independent.
+# floor (never round) on every quantization: floor of a double is the
+# same bits on both engines, while round-to-int of a shortest-repr
+# double can flip on .5-adjacent values (the half-cent divergence the
+# verify recipe documents).
+_BM25_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+dl AS (SELECT doc_id, len(w) AS dl FROM docs),
+stats AS (
+  SELECT COUNT(*) AS n, CAST(FLOOR(AVG(dl)) AS BIGINT) AS avgdl FROM dl
+),
+post AS (
+  SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(w) AS t FROM docs)
+  GROUP BY doc_id, t
+),
+idf AS (
+  SELECT term,
+         CAST(FLOOR(1024 * LN((n - df + 0.5) / (df + 0.5) + 1)) AS BIGINT)
+           AS idf_q
+  FROM (SELECT term, COUNT(*) AS df FROM post GROUP BY term), stats
+),
+qterms AS (
+  SELECT DISTINCT doc_id AS query_id, t AS term
+  FROM (SELECT doc_id, unnest(w[1:6]) AS t FROM docs WHERE doc_id % 97 = 0)
+),
+cand AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(FLOOR(1000.0 * i.idf_q * 22 * p.tf * s.avgdl /
+              (10 * p.tf * s.avgdl + 3 * s.avgdl + 9 * d.dl)) AS BIGINT) AS c
+  FROM qterms q
+  JOIN idf i ON i.term = q.term
+  JOIN post p ON p.term = q.term
+  JOIN dl d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score
+  FROM cand GROUP BY query_id, doc_id
+)
+SELECT query_id, rnk, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT)
+           AS rnk
+  FROM scored
+)
+WHERE rnk <= 3
+ORDER BY query_id, rnk
+"""
+
+
+@query("text_bm25_retrieval", oracle=_BM25_ORACLE)
+def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-3 lexical retrieval over an inverted term index — the
+    keyword complement of the embedding ANN stack (reference surface:
+    nothing in Hive 2.3; this is the extension's retrieval family next
+    to knn_cosine_bruteforce / ann_lsh_*). Probe queries are derived
+    deterministically from the corpus (every 97th doc's first six
+    words), so the probe set is non-empty at every scale factor and
+    self-retrieval doubles as a sanity gauge.
+
+    Plan shape, 100 TB reading: ONE corpus pass builds the postings
+    list (explode + map-side-combined groupBy — the inverted-index
+    build), one aggregation derives df -> idf; the tiny probe set joins
+    idf first (broadcast, yields <= |queries| x 6 rows) and THEN hits
+    postings as a broadcast map-side filter, so the corpus-sized
+    postings frame is never shuffled for candidate generation.
+    Candidates are bounded by sum(df) over the query's terms; the
+    top-3 cut is a per-query window over only those candidates. A
+    production deployment adds impact-ordered / df-capped postings
+    (WAND-style pruning) to bound hot-term fanout — a ranking-neutral
+    optimization for top-k, omitted here to keep the oracle exact.
+    Scoring is integer-quantized BM25 (see _BM25_ORACLE) so ranks
+    cannot diverge on float ulps."""
+    from pyspark.sql import Window
+
+    d = persisted(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", F.split("text", " ").alias("w")
+        )
+        .withColumn("dl", F.size("w").cast("bigint"))
+        # consumed four times: stats, postings, probe extraction
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.avg("dl")).cast("bigint").alias("avgdl"),
+    )
+    post = (
+        d.select("doc_id", "dl", F.explode("w").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        post.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "avgdl",
+            F.floor(
+                F.lit(1024)
+                * F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+            )
+            .cast("bigint")
+            .alias("idf_q"),
+        )
+    )
+    qterms = (
+        d.where(F.col("doc_id") % 97 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice("w", 1, 6)).alias("term"),
+        )
+        .distinct()
+    )
+    # probe set ⋈ idf first: result is <= |queries| x 6 rows — THAT is
+    # what broadcasts into the corpus-sized postings frame
+    q_idf = qterms.join(idf, "term").select(
+        "query_id", "term", "idf_q", "avgdl"
+    )
+    den = (
+        F.lit(10) * F.col("tf") * F.col("avgdl")
+        + F.lit(3) * F.col("avgdl")
+        + F.lit(9) * F.col("dl")
+    )
+    cand = post.join(F.broadcast(q_idf), "term").select(
+        "query_id",
+        "doc_id",
+        F.floor(
+            F.lit(1000.0)
+            * F.col("idf_q")
+            * 22
+            * F.col("tf")
+            * F.col("avgdl")
+            / den
+        )
+        .cast("bigint")
+        .alias("c"),
+    )
+    scored = cand.groupBy("query_id", "doc_id").agg(
+        F.sum("c").cast("bigint").alias("score")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn(
+            "rnk", F.row_number().over(w_rank).cast("bigint")
+        )
+        .where(F.col("rnk") <= 3)
+        .select("query_id", "rnk", "doc_id", "score")
+        .orderBy("query_id", "rnk")
+    )

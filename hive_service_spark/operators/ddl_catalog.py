@@ -642,3 +642,81 @@ def ddl_policy_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_mktsegment
         """
     )
+
+
+# --- role DAG resolution (SQL-standard authorization) -----------------------
+
+# Hive's SQL-standard authorization (SQLStdHiveAuthorizerFactory; the
+# metastore security API group — grant_role / revoke_role / SHOW ROLE
+# GRANT / SHOW GRANT, SURVEY.md §3.3 security x15) resolves a user's
+# effective privileges by walking the role DAG transitively: a user
+# granted a role inherits every privilege of every ancestor role. The
+# walk is WITH RECURSIVE over the role-edge table (multiple paths to
+# one ancestor collapse under DISTINCT, exactly like Hive's role-set
+# computation), and each effective SELECT/ALL privilege is tied back
+# to the data by the object's live row count — so a wrong closure
+# (missed ancestor, phantom edge) shifts integer counts, not just
+# catalog strings.
+_ROLE_GRANTS_SQL = """
+WITH RECURSIVE
+users(user_name, role) AS (
+  VALUES ('alice', 'admin'), ('bob', 'analyst'),
+         ('carol', 'reader'), ('dave', 'writer')
+),
+role_edges(role, parent) AS (
+  VALUES ('admin', 'analyst'), ('admin', 'writer'),
+         ('analyst', 'reader'), ('writer', 'reader')
+),
+grants(role, object_name, privilege) AS (
+  VALUES ('reader', 'customer', 'SELECT'), ('reader', 'orders', 'SELECT'),
+         ('analyst', 'lineitem', 'SELECT'), ('writer', 'orders', 'INSERT'),
+         ('admin', 'nation', 'ALL')
+),
+closure(user_name, role) AS (
+  SELECT user_name, role FROM users
+  UNION ALL
+  SELECT c.user_name, e.parent
+  FROM closure c JOIN role_edges e ON c.role = e.role
+),
+sizes(object_name, n) AS (
+  SELECT 'customer', COUNT(*) FROM {customer} UNION ALL
+  SELECT 'orders',   COUNT(*) FROM {orders} UNION ALL
+  SELECT 'lineitem', COUNT(*) FROM {lineitem} UNION ALL
+  SELECT 'nation',   COUNT(*) FROM {nation}
+),
+eff AS (
+  SELECT DISTINCT c.user_name, g.object_name, g.privilege
+  FROM closure c JOIN grants g ON g.role = c.role
+)
+SELECT e.user_name, e.object_name, e.privilege,
+       CAST(CASE WHEN e.privilege IN ('SELECT', 'ALL') THEN s.n
+                 ELSE 0 END AS BIGINT) AS n_rows_visible
+FROM eff e JOIN sizes s ON s.object_name = e.object_name
+ORDER BY e.user_name, e.object_name, e.privilege
+"""
+
+
+@query(
+    "ddl_role_grants_resolution",
+    oracle=_ROLE_GRANTS_SQL.format(
+        customer="customer", orders="orders", lineitem="lineitem",
+        nation="nation",
+    ),
+)
+def ddl_role_grants_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-privilege resolution over a role DAG — the
+    SHOW GRANT answer of Hive's SQL-standard authorization (see
+    _ROLE_GRANTS_SQL). admin reaches `reader` via two paths
+    (analyst and writer), proving the closure's DISTINCT collapse;
+    every SELECT/ALL row carries the object's live row count at this
+    scale factor, so the resolution is value-checked against data,
+    not just catalog strings. Scale: the role catalog is metadata
+    (tens of rows — the recursion depth is the DAG height); only the
+    four COUNT(*) probes touch data, each a stats-answerable scan."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _ROLE_GRANTS_SQL.format(
+            customer="customer", orders="orders", lineitem="lineitem",
+            nation="nation",
+        )
+    )

@@ -423,7 +423,12 @@ def test_hash_embed_probe_set_is_bounded(spark):
 
 
 @pytest.mark.parametrize(
-    "qname", ["dedup_ngram_jaccard", "dedup_containment_pairs"]
+    "qname",
+    [
+        "dedup_ngram_jaccard",
+        "dedup_containment_pairs",
+        "pipeline_clean_corpus",
+    ],
 )
 def test_per_doc_sizes_frame_never_forced_broadcast(spark, qname):
     """The per-document `sizes` frame (one row per doc — billions at

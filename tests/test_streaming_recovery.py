@@ -73,3 +73,18 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
         F.col("doubled") != F.col("value") * 2
     )
     assert bad.count() == 0
+
+
+def test_event_log_consumer_replay_is_idempotent(spark):
+    """stream_event_log_consume lands one output dir per event_id and
+    overwrites it on replay, so re-running the whole consumer (fresh
+    checkpoint, same commit log) must produce the IDENTICAL decision
+    table — the exactly-once contract a replication consumer needs when
+    its checkpoint is lost and it re-polls from its stored offset."""
+    from hive_service_spark.registry import load_all
+
+    fn = load_all()["stream_event_log_consume"].fn
+    first = sorted(tuple(r) for r in fn(spark, SF_DIR).collect())
+    second = sorted(tuple(r) for r in fn(spark, SF_DIR).collect())
+    assert first == second
+    assert len(first) == 3  # events 2..4 past the stored offset

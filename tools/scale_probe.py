@@ -145,7 +145,10 @@ def _build(n_docs: int, n_vecs: int, n_li: int) -> None:
         f"{OUT}/lineitem.parquet"
     )
 
+    replicated = {"documents", "embeddings", "lineitem"}
     for t in TABLES:
+        if t in replicated:
+            continue  # just written above as real (overwritten) dirs
         link = f"{OUT}/{t}.parquet"
         # recreate unconditionally: a reused OUT dir with a changed
         # BASE would otherwise keep stale links to the old base and
