@@ -508,6 +508,42 @@ SELECT doc_id, neighbor_id, cosine FROM (
 """
 
 
+def _hash_vec_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 64-dim hash-embedding per document plus its L2 norm —
+    the shared featurizer of text_hash_embed_knn and the hybrid-RRF
+    fusion. Returns (doc_id, e:array<double>, nr:double), persisted
+    (both consumers probe it from two aliases)."""
+    from hive_service_spark.catalog import par
+    from hive_service_spark.llm.dedup import _h
+    from hive_service_spark.llm.similarity import _dot
+
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    tf = (
+        tok.select("doc_id", (_h(F.col("t")) % _HE_DIM).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    vec = (
+        tf.groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("b", "c"))).alias("m"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_HE_DIM - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("m", i.cast("bigint")), F.lit(0.0)
+                ),
+            ).alias("e"),
+        )
+    )
+    return persisted(
+        vec.repartition(par(spark))
+        .withColumn("nr", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    )
+
+
 @query("text_hash_embed_knn", oracle=_HASH_EMBED_ORACLE)
 def text_hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-embeddings (the feature-hashing trick) + exact top-1
@@ -535,36 +571,10 @@ def text_hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded query set, one corpus map pass). A full-corpus ANN over
     these derived vectors reuses the LSH/IVF index paths unchanged
     (same array<double> shape as the embeddings table)."""
-    from hive_service_spark.llm.dedup import _h
     from hive_service_spark.llm.similarity import _dot
-    from hive_service_spark.catalog import par
     from pyspark.sql import Window
 
-    tok = load(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
-    )
-    tf = (
-        tok.select("doc_id", (_h(F.col("t")) % _HE_DIM).alias("b"))
-        .groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).cast("double").alias("c"))
-    )
-    vec = (
-        tf.groupBy("doc_id")
-        .agg(F.map_from_entries(F.collect_list(F.struct("b", "c"))).alias("m"))
-        .select(
-            "doc_id",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_HE_DIM - 1)),
-                lambda i: F.coalesce(
-                    F.element_at("m", i.cast("bigint")), F.lit(0.0)
-                ),
-            ).alias("e"),
-        )
-    )
-    n = persisted(
-        vec.repartition(par(spark))
-        .withColumn("nr", F.sqrt(_dot(F.col("e"), F.col("e"))))
-    )
+    n = _hash_vec_frame(spark, sf_dir)
     q = n.where(
         (F.col("doc_id") % _HE_QMOD == 0) & (F.col("doc_id") < _HE_QCAP)
     )
@@ -684,7 +694,9 @@ def text_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same bits on both engines, while round-to-int of a shortest-repr
 # double can flip on .5-adjacent values (the half-cent divergence the
 # verify recipe documents).
-_BM25_ORACLE = """
+# shared CTE block: everything through the per-(query, doc) integer
+# BM25 scores — reused verbatim by the hybrid-RRF oracle below
+_BM25_CTES = """
 WITH docs AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ),
@@ -721,6 +733,9 @@ scored AS (
   SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score
   FROM cand GROUP BY query_id, doc_id
 )
+"""
+
+_BM25_ORACLE = _BM25_CTES + """
 SELECT query_id, rnk, doc_id, score FROM (
   SELECT query_id, doc_id, score,
          CAST(ROW_NUMBER() OVER (
@@ -733,31 +748,10 @@ ORDER BY query_id, rnk
 """
 
 
-@query("text_bm25_retrieval", oracle=_BM25_ORACLE)
-def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-3 lexical retrieval over an inverted term index — the
-    keyword complement of the embedding ANN stack (reference surface:
-    nothing in Hive 2.3; this is the extension's retrieval family next
-    to knn_cosine_bruteforce / ann_lsh_*). Probe queries are derived
-    deterministically from the corpus (every 97th doc's first six
-    words), so the probe set is non-empty at every scale factor and
-    self-retrieval doubles as a sanity gauge.
-
-    Plan shape, 100 TB reading: ONE corpus pass builds the postings
-    list (explode + map-side-combined groupBy — the inverted-index
-    build), one aggregation derives df -> idf; the tiny probe set joins
-    idf first (broadcast, yields <= |queries| x 6 rows) and THEN hits
-    postings as a broadcast map-side filter, so the corpus-sized
-    postings frame is never shuffled for candidate generation.
-    Candidates are bounded by sum(df) over the query's terms; the
-    top-3 cut is a per-query window over only those candidates. A
-    production deployment adds impact-ordered / df-capped postings
-    (WAND-style pruning) to bound hot-term fanout — a ranking-neutral
-    optimization for top-k, omitted here to keep the oracle exact.
-    Scoring is integer-quantized BM25 (see _BM25_ORACLE) so ranks
-    cannot diverge on float ulps."""
-    from pyspark.sql import Window
-
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized BM25 scores per (query, candidate doc) —
+    the shared core of text_bm25_retrieval and the hybrid-RRF fusion.
+    Returns columns (query_id, doc_id, score:BIGINT)."""
     d = persisted(
         load(spark, sf_dir, "documents").select(
             "doc_id", F.split("text", " ").alias("w")
@@ -821,9 +815,37 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("c"),
     )
-    scored = cand.groupBy("query_id", "doc_id").agg(
+    return cand.groupBy("query_id", "doc_id").agg(
         F.sum("c").cast("bigint").alias("score")
     )
+
+
+@query("text_bm25_retrieval", oracle=_BM25_ORACLE)
+def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-3 lexical retrieval over an inverted term index — the
+    keyword complement of the embedding ANN stack (reference surface:
+    nothing in Hive 2.3; this is the extension's retrieval family next
+    to knn_cosine_bruteforce / ann_lsh_*). Probe queries are derived
+    deterministically from the corpus (every 97th doc's first six
+    words), so the probe set is non-empty at every scale factor and
+    self-retrieval doubles as a sanity gauge.
+
+    Plan shape, 100 TB reading: ONE corpus pass builds the postings
+    list (explode + map-side-combined groupBy — the inverted-index
+    build), one aggregation derives df -> idf; the tiny probe set joins
+    idf first (broadcast, yields <= |queries| x 6 rows) and THEN hits
+    postings as a broadcast map-side filter, so the corpus-sized
+    postings frame is never shuffled for candidate generation.
+    Candidates are bounded by sum(df) over the query's terms; the
+    top-3 cut is a per-query window over only those candidates. A
+    production deployment adds impact-ordered / df-capped postings
+    (WAND-style pruning) to bound hot-term fanout — a ranking-neutral
+    optimization for top-k, omitted here to keep the oracle exact.
+    Scoring is integer-quantized BM25 (see _BM25_CTES) so ranks
+    cannot diverge on float ulps."""
+    from pyspark.sql import Window
+
+    scored = _bm25_scored(spark, sf_dir)
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id")
     )
@@ -833,5 +855,165 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= 3)
         .select("query_id", "rnk", "doc_id", "score")
+        .orderBy("query_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval — reciprocal-rank fusion of BM25 and embedding cosine
+# ---------------------------------------------------------------------------
+
+# Reciprocal-rank fusion (Cormack et al. 2009): rrf(d) = Σ 1/(k + r_d)
+# over the result lists d appears in, k = 60. Each 1/(60+r) term is
+# FLOOR-quantized to integers (x1e9) so fused scores are exact integer
+# sums; both input rankings are already engine-exact (integer BM25
+# scores; 4dp-rounded cosines with doc_id tie-breaks), so the fused
+# top-3 cannot diverge. `self` hits are excluded from both lists —
+# hybrid retrieval is about finding OTHER documents.
+_RRF_ORACLE = _BM25_CTES + f"""
+, tok2 AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+),
+tf2 AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(t), 1, 8))::BIGINT % {_HE_DIM}) AS b,
+         COUNT(*)::DOUBLE AS c
+  FROM tok2 GROUP BY 1, 2
+),
+ids2 AS (SELECT DISTINCT doc_id FROM tf2),
+grid2 AS (
+  SELECT ids2.doc_id, g.i AS b
+  FROM ids2 CROSS JOIN
+       (SELECT unnest(generate_series(0, {_HE_DIM - 1})) AS i) g
+),
+vec2 AS (
+  SELECT grid2.doc_id, list(COALESCE(tf2.c, 0.0) ORDER BY grid2.b) AS e
+  FROM grid2 LEFT JOIN tf2 ON tf2.doc_id = grid2.doc_id AND tf2.b = grid2.b
+  GROUP BY grid2.doc_id
+),
+nv AS (SELECT doc_id, e, sqrt(list_dot_product(e, e)) AS nr FROM vec2),
+qv AS (SELECT * FROM nv WHERE doc_id % 97 = 0),
+dense_scored AS (
+  SELECT qv.doc_id AS query_id, c.doc_id AS doc_id,
+         ROUND(list_dot_product(qv.e, c.e) / (qv.nr * c.nr), 4) + 0.0
+           AS cosine
+  FROM qv JOIN nv c ON qv.doc_id <> c.doc_id
+),
+dense5 AS (
+  SELECT query_id, doc_id, rn AS dr FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, doc_id) AS rn
+    FROM dense_scored
+  ) WHERE rn <= 5
+),
+lex5 AS (
+  SELECT query_id, doc_id, rn AS lr FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS rn
+    FROM scored WHERE doc_id <> query_id
+  ) WHERE rn <= 5
+),
+fused AS (
+  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         CAST(COALESCE(CAST(FLOOR(1000000000.0 / (60 + l.lr)) AS BIGINT), 0)
+            + COALESCE(CAST(FLOOR(1000000000.0 / (60 + d.dr)) AS BIGINT), 0)
+              AS BIGINT) AS rrf_score,
+         CAST(COALESCE(l.lr, -1) AS BIGINT) AS lex_rank,
+         CAST(COALESCE(d.dr, -1) AS BIGINT) AS vec_rank
+  FROM lex5 l FULL OUTER JOIN dense5 d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+)
+SELECT query_id, rnk, doc_id, rrf_score, lex_rank, vec_rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rnk
+  FROM fused
+) WHERE rnk <= 3
+ORDER BY query_id, rnk
+"""
+
+
+@query("text_hybrid_rrf_retrieval", oracle=_RRF_ORACLE)
+def text_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the BM25 lexical list and the hash-embedding
+    cosine list for the SAME probe set (every 97th doc), fused with
+    reciprocal-rank fusion — the standard production hybrid-search
+    topology (sparse + dense retrievers, rank-level fusion, no score
+    calibration needed because RRF only consumes ranks). Each side
+    contributes its top-5 (self excluded); a full-outer join on
+    (query, doc) merges the lists; rrf = Σ floor(1e9/(60+rank)) is an
+    exact integer, and -1 marks a doc one retriever missed — the
+    interesting hybrid cases are visible in the output, not collapsed.
+
+    Scale: the lexical side reuses the inverted-postings discipline of
+    text_bm25_retrieval; the dense side reuses the capped-probe exact
+    search of text_hash_embed_knn (a production corpus swaps in the
+    LSH/IVF index paths for the same (doc_id, e, nr) frame); fusion
+    itself touches <= 10 rows per query."""
+    from pyspark.sql import Window
+
+    from hive_service_spark.llm.similarity import _dot
+
+    lex_scored = _bm25_scored(spark, sf_dir).where(
+        F.col("doc_id") != F.col("query_id")
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    lex5 = (
+        lex_scored.withColumn("lr", F.row_number().over(w_lex))
+        .where(F.col("lr") <= 5)
+        .select("query_id", "doc_id", "lr")
+    )
+
+    n = _hash_vec_frame(spark, sf_dir)
+    q = n.where(F.col("doc_id") % 97 == 0)
+    cos = F.round(
+        _dot(F.col("q.e"), F.col("c.e")) / (F.col("q.nr") * F.col("c.nr")), 4
+    )
+    dense_scored = (
+        F.broadcast(q.alias("q"))
+        .join(n.alias("c"), F.col("q.doc_id") != F.col("c.doc_id"))
+        .select(
+            F.col("q.doc_id").alias("query_id"),
+            F.col("c.doc_id").alias("doc_id"),
+            (cos + 0.0).alias("cosine"),
+        )
+    )
+    w_dense = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id")
+    )
+    dense5 = (
+        dense_scored.withColumn("dr", F.row_number().over(w_dense))
+        .where(F.col("dr") <= 5)
+        .select("query_id", "doc_id", "dr")
+    )
+
+    def _rrf(rank_col):
+        return F.coalesce(
+            F.floor(F.lit(1000000000.0) / (F.lit(60) + rank_col)).cast(
+                "bigint"
+            ),
+            F.lit(0).cast("bigint"),
+        )
+
+    fused = lex5.join(dense5, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (_rrf(F.col("lr")) + _rrf(F.col("dr"))).cast("bigint").alias(
+            "rrf_score"
+        ),
+        F.coalesce(F.col("lr"), F.lit(-1)).cast("bigint").alias("lex_rank"),
+        F.coalesce(F.col("dr"), F.lit(-1)).cast("bigint").alias("vec_rank"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w_f).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .select("query_id", "rnk", "doc_id", "rrf_score", "lex_rank", "vec_rank")
         .orderBy("query_id", "rnk")
     )

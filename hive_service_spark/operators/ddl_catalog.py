@@ -720,3 +720,173 @@ def ddl_role_grants_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             nation="nation",
         )
     )
+
+
+# --- partition retention (ALTER TABLE ... DROP PARTITION) -------------------
+
+_RETENTION_ORACLE = """
+SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)::DOUBLE AS revenue
+FROM orders
+WHERE EXTRACT(year FROM o_orderdate) >= 1997
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("ddl_partition_retention", oracle=_RETENTION_ORACLE)
+def ddl_partition_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention job every partitioned warehouse runs:
+    ``ALTER TABLE … DROP PARTITION`` for every partition older than the
+    retention cut (reference: Hive's drop-partition DDL +
+    ``metastore drop_partition``; Hive accepts a comparator in the
+    partition spec, Spark only equality — so the job enumerates
+    SHOW PARTITIONS and drops each expired one, which is exactly the
+    O(partitions) metadata loop a production retention task performs;
+    no data is scanned to decide). The surviving table's per-year
+    rollup must equal the oracle's recomputation from raw orders with
+    the same cut — one partition dropped too many or too few shifts
+    the integer counts. Scale: drops are metadata ops + O(dropped-partition) file
+    deletes; the verification aggregate scans only surviving
+    partitions (partition pruning on the rebuilt table)."""
+    register_views(spark, sf_dir)
+    _fresh_table(spark, "orders_ret")
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("bigint")
+    )
+    (
+        o.write.mode("overwrite")
+        .partitionBy("o_year")
+        .saveAsTable("hs_scratch.orders_ret", format="parquet")
+    )
+    cut = 1997
+    parts = [
+        r[0] for r in spark.sql("SHOW PARTITIONS hs_scratch.orders_ret").collect()
+    ]
+    for p in parts:  # 'o_year=1995' ... — O(partitions) metadata rows
+        year = int(p.split("=", 1)[1])
+        if year < cut:
+            spark.sql(
+                "ALTER TABLE hs_scratch.orders_ret "
+                f"DROP IF EXISTS PARTITION (o_year={year})"
+            )
+    return spark.sql(
+        """
+        SELECT o_year,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS revenue
+        FROM hs_scratch.orders_ret
+        GROUP BY o_year ORDER BY o_year
+        """
+    )
+
+
+# --- EXCHANGE PARTITION (staging -> main atomic partition move) -------------
+
+_EXCHANGE_ORACLE = """
+WITH restated AS (
+  SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                    * CAST(0.90 AS DECIMAL(3,2)), 2) AS DOUBLE) AS price
+  FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+),
+kept AS (
+  SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE EXTRACT(year FROM o_orderdate) <> 1997
+),
+main_after AS (SELECT * FROM kept UNION ALL SELECT * FROM restated)
+SELECT 'main' AS table_name, o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(CAST(price AS DECIMAL(18,4))), 2)::DOUBLE AS revenue
+FROM main_after GROUP BY o_year
+UNION ALL
+SELECT 'staging', 1997, 0, 0.0
+ORDER BY table_name, o_year
+"""
+
+
+@query("ddl_exchange_partition", oracle=_EXCHANGE_ORACLE)
+def ddl_exchange_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE … EXCHANGE PARTITION — the staging-swap publish
+    pattern (reference: Hive's exchange-partition DDL over
+    ``metastore exchange_partition``: a restated partition is prepared
+    in a STAGING table, then atomically moved into the serving table;
+    the source loses it, and the target must not already hold it).
+    Here: main is built WITHOUT 1997, staging holds 1997 restated at
+    90% prices; the exchange is the Spark-idiomatic pair — dynamic
+    partition overwrite INSERT into main plus DROP PARTITION on
+    staging (Hive's metastore op is a directory rename; the analog
+    moves the partition's data once, which is also what a
+    cross-filesystem exchange does). Precondition enforced like Hive:
+    the query raises if main already has the partition. Output: main's
+    per-year rollup after the exchange (1997 must carry restated
+    prices) plus staging's remaining-row count, which must be ZERO."""
+    register_views(spark, sf_dir)
+    _fresh_table(spark, "orders_xmain")
+    _fresh_table(spark, "orders_xstage")
+    o = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    (
+        o.where(F.col("o_year") != 1997)
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .saveAsTable("hs_scratch.orders_xmain", format="parquet")
+    )
+    restated = o.where(F.col("o_year") == 1997).select(
+        F.round(
+            F.col("price").cast("decimal(18,2)")
+            * F.lit("0.90").cast("decimal(3,2)"),
+            2,
+        )
+        .cast("double")
+        .alias("price"),
+        "o_year",
+    )
+    (
+        restated.write.mode("overwrite")
+        .partitionBy("o_year")
+        .saveAsTable("hs_scratch.orders_xstage", format="parquet")
+    )
+    # Hive precondition: target must not already hold the partition
+    existing = [
+        r[0]
+        for r in spark.sql("SHOW PARTITIONS hs_scratch.orders_xmain").collect()
+    ]
+    if "o_year=1997" in existing:
+        raise RuntimeError("EXCHANGE target already holds o_year=1997")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.sql(
+            """
+            INSERT OVERWRITE TABLE hs_scratch.orders_xmain
+            SELECT price, o_year FROM hs_scratch.orders_xstage
+            WHERE o_year = 1997
+            """
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.sql(
+        "ALTER TABLE hs_scratch.orders_xstage "
+        "DROP IF EXISTS PARTITION (o_year=1997)"
+    )
+    return spark.sql(
+        """
+        SELECT 'main' AS table_name, o_year,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(CAST(price AS DECIMAL(18,4))), 2) AS DOUBLE)
+                 AS revenue
+        FROM hs_scratch.orders_xmain GROUP BY o_year
+        UNION ALL
+        SELECT 'staging', CAST(1997 AS BIGINT),
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM hs_scratch.orders_xstage),
+               CAST(0.0 AS DOUBLE)
+        ORDER BY table_name, o_year
+        """
+    )

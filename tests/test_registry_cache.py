@@ -48,3 +48,30 @@ def test_previous_query_persists_are_evicted(spark):
     assert all(not df.storageLevel.useMemory for df in tracked), (
         "previous query's persists must be unpersisted on the next call"
     )
+
+
+def test_concurrent_registered_queries_stay_correct(spark):
+    """Two registered queries running CONCURRENTLY may evict each
+    other's tracked persists mid-flight (a new arrival drops the
+    previous call's frames). The documented contract is that eviction
+    costs a recompute, never a wrong answer — proven by racing two
+    persisting queries in threads and comparing both results to their
+    serial runs."""
+    import concurrent.futures as cf
+
+    names = ["skew_time_hierarchy_rollup", "dedup_exact"]
+    serial = {
+        n: sorted(tuple(r) for r in _SPECS[n].fn(spark, SF_DIR).collect())
+        for n in names
+    }
+
+    def run(n):
+        return n, sorted(
+            tuple(r) for r in _SPECS[n].fn(spark, SF_DIR).collect()
+        )
+
+    for _ in range(2):  # race twice: interleavings vary run to run
+        with cf.ThreadPoolExecutor(max_workers=2) as ex:
+            got = dict(ex.map(run, names))
+        for n in names:
+            assert got[n] == serial[n], f"{n} diverged under concurrency"

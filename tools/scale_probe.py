@@ -65,6 +65,10 @@ LINEAR = [
     ("pipeline_pack_shards", "documents", N_DOCS),
     ("tok_bpe_aware_pack", "documents", N_DOCS),
     ("dedup_containment_pairs", "documents", N_DOCS),
+    # round-6 retrieval addition: postings build is one corpus pass;
+    # probe count grows with the corpus (doc_id % 97) while per-probe
+    # candidate sets stay replica-local, so expected growth is linear
+    ("text_bm25_retrieval", "documents", N_DOCS),
     ("tok_bpe_train_merges", "documents", N_DOCS),
     ("ml_bigram_lm_quality", "documents", N_DOCS),
     ("knn_cosine_bruteforce", "embeddings", N_VECS),
