@@ -134,11 +134,15 @@ _BPE_SEGMENT_ORACLE = _bpe_segment_oracle()
 
 
 def _train_chain(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, doc_filter=None
 ) -> tuple[DataFrame, list[DataFrame]]:
     """Shared trainer: returns (final vocabulary frame with merged
-    sequences, one 1-row merge frame per round)."""
+    sequences, one 1-row merge frame per round). ``doc_filter``
+    restricts the TRAINING split (None = whole corpus, the original
+    behavior for the three corpus-wide queries)."""
     d = load(spark, sf_dir, "documents")
+    if doc_filter is not None:
+        d = d.where(doc_filter)
     tok = d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
     words = (
         tok.where((F.col("word") != "") & (~F.col("word").contains("|")))
@@ -369,4 +373,158 @@ def tok_bpe_aware_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
         )
         .orderBy("source", "shard_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# held-out vocabulary coverage — the train/test gauge of a tokenizer
+# ---------------------------------------------------------------------------
+
+
+def _vocab_coverage_oracle() -> str:
+    parts = [
+        """
+WITH tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS word
+  FROM documents WHERE doc_id % 10 <> 0
+),
+words AS (
+  SELECT word, COUNT(*) AS c,
+         '|' || array_to_string(regexp_extract_all(word, '.'), '||') || '|'
+           AS seq
+  FROM tok
+  WHERE word <> '' AND word NOT LIKE '%|%'
+  GROUP BY word
+)"""
+    ]
+    src = "words"
+    for r in range(_BPE_MERGES):
+        parts.append(f", pairs{r} AS ({_seq_pairs_sql(src)})")
+        parts.append(f", best{r} AS ({_best_sql(f'pairs{r}')})")
+        parts.append(f", words{r + 1} AS ({_apply_sql(src, f'best{r}')})")
+        src = f"words{r + 1}"
+    parts.append(
+        """
+, ttok AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents WHERE doc_id % 10 = 0
+),
+tw0 AS (
+  SELECT lang, word, COUNT(*) AS c,
+         '|' || array_to_string(regexp_extract_all(word, '.'), '||') || '|'
+           AS seq
+  FROM ttok
+  WHERE word <> '' AND word NOT LIKE '%|%'
+  GROUP BY lang, word
+)"""
+    )
+    src_t = "tw0"
+    for r in range(_BPE_MERGES):
+        parts.append(
+            f""", tw{r + 1} AS (
+  SELECT w.lang, w.word, w.c,
+         replace(w.seq, '|' || b.w1 || '||' || b.w2 || '|',
+                 '|' || b.w1 || b.w2 || '|') AS seq
+  FROM {src_t} w, best{r} b
+)"""
+        )
+        src_t = f"tw{r + 1}"
+    parts.append(
+        f"""
+SELECT lang,
+       CAST(SUM(c) AS BIGINT) AS n_ws_tokens,
+       CAST(SUM(c * len(string_split(trim(seq, '|'), '||'))) AS BIGINT)
+         AS n_bpe_tokens,
+       CAST(SUM(c * len(list_filter(string_split(trim(seq, '|'), '||'),
+                                    s -> length(s) > 1))) AS BIGINT)
+         AS n_merged_tokens,
+       ROUND(CAST(SUM(c * len(string_split(trim(seq, '|'), '||'))) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE), 4) + 0.0 AS tokens_per_word
+FROM {src_t}
+GROUP BY lang ORDER BY lang
+"""
+    )
+    return "".join(parts)
+
+
+@query("tok_vocab_coverage_heldout", oracle=_vocab_coverage_oracle())
+def tok_vocab_coverage_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer generalization: train the merges on 90% of the corpus
+    (doc_id % 10 <> 0), segment the HELD-OUT 10% with those merges, and
+    report per-language fertility (tokens per word) plus how often the
+    learned merges actually fire on unseen text (count of multi-char
+    symbols emitted). This is the train/test discipline every
+    production tokenizer ships with — a vocabulary that compresses its
+    own training set but not held-out text (or one language but not
+    another) shows up directly in these integers.
+
+    Scale: training is the same vocabulary-sized loop as
+    tok_bpe_train_merges (corpus touched once, per the module
+    docstring); held-out segmentation materializes on the held-out
+    WORD-FREQUENCY table (one map-side-combined groupBy of the 10%
+    split), then applies each learned merge as a broadcast map-only
+    string replace — no per-occurrence work, no extra corpus pass."""
+    final, merges = _train_chain(
+        spark, sf_dir, doc_filter=F.col("doc_id") % 10 != 0
+    )
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    tok = d.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    cur = (
+        tok.where((F.col("word") != "") & (~F.col("word").contains("|")))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "lang",
+            "word",
+            "c",
+            F.concat(
+                F.lit("|"),
+                F.array_join(F.regexp_extract_all("word", F.lit("."), 0), "||"),
+                F.lit("|"),
+            ).alias("seq"),
+        )
+    )
+    for m in merges:
+        cur = (
+            cur.crossJoin(F.broadcast(m.select("left_sym", "right_sym")))
+            .select(
+                "lang",
+                "word",
+                "c",
+                F.replace(
+                    F.col("seq"),
+                    F.concat(
+                        F.lit("|"), "left_sym", F.lit("||"), "right_sym",
+                        F.lit("|"),
+                    ),
+                    F.concat(F.lit("|"), "left_sym", "right_sym", F.lit("|")),
+                ).alias("seq"),
+            )
+        )
+    syms = F.split(
+        F.regexp_replace(F.regexp_replace("seq", r"^\|", ""), r"\|$", ""),
+        r"\|\|",
+    )
+    n_sym = F.size(syms)
+    n_merged = F.size(F.filter(syms, lambda s: F.length(s) > 1))
+    return (
+        cur.groupBy("lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_ws_tokens"),
+            F.sum(F.col("c") * n_sym).cast("bigint").alias("n_bpe_tokens"),
+            F.sum(F.col("c") * n_merged)
+            .cast("bigint")
+            .alias("n_merged_tokens"),
+            (
+                F.round(
+                    F.sum(F.col("c") * n_sym).cast("double")
+                    / F.sum("c").cast("double"),
+                    4,
+                )
+                + 0.0
+            ).alias("tokens_per_word"),
+        )
+        .orderBy("lang")
     )
