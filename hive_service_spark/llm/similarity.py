@@ -1350,3 +1350,111 @@ def ann_eval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("ndcg_at_3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF multi-probe (nprobe = 2) — the recall knob of a coarse quantizer
+# ---------------------------------------------------------------------------
+
+_IVF_NPROBE_ORACLE = f"""
+WITH v AS ({_VECS_SQL}),
+c0 AS (SELECT vec_id AS cl, e AS c FROM v WHERE vec_id < {_KM_K}),
+a1 AS ({_km_assign_sql('v', 'c0', keep_d2=False)}),
+c1 AS ({_km_recenter_sql('a1')}),
+a2 AS ({_km_assign_sql('v', 'c1', keep_d2=False)}),
+c2 AS ({_km_recenter_sql('a2')}),
+a3 AS ({_km_assign_sql('v', 'c2', keep_d2=False)}),
+cells AS (
+  SELECT a3.vec_id, a3.e, v.nr, a3.cl FROM a3 JOIN v ON a3.vec_id = v.vec_id
+),
+q AS (SELECT * FROM cells WHERE {_IS_QUERY}),
+routes AS (
+  SELECT vec_id, e, nr, cl, probe_rank FROM (
+    SELECT q.vec_id, q.e, q.nr, cc.cl,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             ROUND(list_dot_product(q.e, q.e)
+                   - 2 * list_dot_product(q.e, cc.c)
+                   + list_dot_product(cc.c, cc.c), 6) ASC, cc.cl ASC)
+             AS probe_rank
+    FROM q CROSS JOIN c2 cc
+  ) WHERE probe_rank <= 2
+),
+scored AS (
+  SELECT r.vec_id AS query_id, c.vec_id AS cand_id,
+         CAST(r.probe_rank AS BIGINT) AS probe_rank,
+         ROUND({_COS_SQL.format(a='r', b='c')}, 4) + 0.0 AS cosine
+  FROM routes r JOIN cells c ON r.cl = c.cl AND r.vec_id <> c.vec_id
+)
+SELECT query_id, cand_id, probe_rank, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+@query("ann_ivf_nprobe2", oracle=_IVF_NPROBE_ORACLE)
+def ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with MULTI-PROBE routing (nprobe = 2): the corpus stays
+    routed to its single nearest cell (the index layout never changes),
+    but each QUERY probes its two nearest centroids' cells — the
+    standard recall knob of a coarse quantizer, recovering neighbors
+    that fell just across a Voronoi boundary from the query (the
+    nprobe=1 blind spot ann_recall_ivf_kmeans measures). Probed cells
+    are disjoint by construction (corpus routing is top-1), so no
+    candidate dedup is needed; `probe_rank` in the output shows when
+    the SECOND cell supplied a top-3 hit — the cases nprobe=1 misses.
+
+    Scale: identical economics to ann_ivf_kmeans plus one more
+    equi-joined cell per query — routing is still a broadcast of the
+    k x d codebook, the probe join is still cell-equi, and cost scales
+    with nprobe x cell size, never the corpus. The oracle replays
+    training, corpus routing, query multi-routing, and ranking end to
+    end."""
+    v = _vecs(spark, sf_dir)
+    cent = _km_centroids(v)
+    # persist: the routed corpus feeds the probe join's corpus side and
+    # the query extraction (same no-ReusedExchange rationale as
+    # ann_ivf_kmeans)
+    cells = persisted(
+        _km_assign(v, cent).join(v.select("vec_id", "nr"), "vec_id")
+    )
+    q0 = cells.where(F.expr(_IS_QUERY)).select("vec_id", "e", "nr")
+    d2q = F.round(
+        F.col("nr") * F.col("nr")
+        - 2 * _dot(F.col("e"), F.col("cent.c"))
+        + _dot(F.col("cent.c"), F.col("cent.c")),
+        6,
+    )
+    w_route = Window.partitionBy("vec_id").orderBy(
+        F.asc("d2"), F.asc("cl")
+    )
+    routes = (
+        q0.crossJoin(F.broadcast(cent.alias("cent")))
+        .select("vec_id", "e", "nr", "cent.cl", d2q.alias("d2"))
+        .withColumn("probe_rank", F.row_number().over(w_route))
+        .where(F.col("probe_rank") <= 2)
+        .select("vec_id", "e", "nr", "cl", "probe_rank")
+    )
+    scored = (
+        F.broadcast(routes.alias("r"))
+        .join(
+            cells.alias("c"),
+            (F.col("r.cl") == F.col("c.cl"))
+            & (F.col("r.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("r.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("cand_id"),
+            F.col("r.probe_rank").cast("bigint").alias("probe_rank"),
+            (F.round(_cos("r", "c"), 4) + 0.0).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "cand_id", "probe_rank", "cosine", "rank")
+    )
