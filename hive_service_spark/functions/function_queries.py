@@ -508,6 +508,60 @@ def func_python_udf_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PANDAS_GROUPED_AGG_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(median(n_chars) AS DOUBLE) AS med_chars,
+       CAST(quantile_cont(n_chars, 0.75) AS DOUBLE) AS p75_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("func_pandas_grouped_agg", oracle=_PANDAS_GROUPED_AGG_ORACLE)
+def func_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined AGGREGATE via Arrow: pandas GROUPED_AGG UDFs
+    (reference: Hive's GenericUDAFResolver2 custom-UDAF extension
+    surface [src: ql/src/java/org/apache/hadoop/hive/ql/udf/generic/
+    GenericUDAFEvaluator.java]). Completes the Python-interop matrix
+    (mapInPandas / applyInPandas / applyInPandasWithState / Python
+    UDTF / Python DataSource / applyInArrow / scalar pandas_udf) with
+    the one missing shape: a pandas Series → scalar aggregate callable
+    directly inside .agg() next to built-in aggregates.
+
+    The functions are numpy median / 75th-percentile over the integer
+    n_chars column — exact-valued (odd groups hit an element, even
+    groups a half, p75 a quarter: all exact in binary doubles on BOTH
+    engines, so no rounding is needed). Scale note: GROUPED_AGG has NO
+    partial aggregation — every row shuffles to its group and the
+    whole group materializes in one Arrow batch, so this surface is
+    for modest group cardinalities x sizes; at 100 TB per-group
+    percentiles belong to the built-in percentile_approx (mergeable
+    sketch, map-side combine — see agg_percentile_approx)."""
+    import numpy as np
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def np_median(v: pd.Series) -> float:
+        return float(np.median(v))
+
+    @F.pandas_udf("double")
+    def np_p75(v: pd.Series) -> float:
+        return float(np.percentile(v, 75))
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            np_median("n_chars").alias("med_chars"),
+            np_p75("n_chars").alias("p75_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 _HIVE_HASH_ORACLE = """
 WITH h AS (
   SELECT c_custkey,

@@ -1458,3 +1458,140 @@ def ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("query_id", "cand_id", "probe_rank", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (64 -> 16 dims)
+# ---------------------------------------------------------------------------
+
+_RP_DIM = 16
+
+
+def _rp_planes() -> list[list[int]]:
+    """16 deterministic ±1 projection rows seeded from md5 (the
+    Achlioptas ±1 JL construction) — reproducible in any engine, no
+    RNG state, same discipline as the LSH hyperplanes."""
+    out = []
+    for r in range(_RP_DIM):
+        row = []
+        for d in range(_DIM):
+            h = int(hashlib.md5(f"rp{r}_{d}".encode()).hexdigest()[:8], 16)
+            row.append(1 if h & 1 else -1)
+        out.append(row)
+    return out
+
+
+_RP = _rp_planes()
+
+_RP_SQL = (
+    "["
+    + ", ".join("[" + ", ".join(str(x) for x in row) + "]" for row in _RP)
+    + "]"
+)
+
+_RP_ORACLE = f"""
+WITH v AS ({_VECS_SQL}),
+pv AS (
+  SELECT vec_id, e, nr,
+         list_transform({_RP_SQL},
+                        r -> ROUND(list_dot_product(e, r) / 4, 6)) AS p
+  FROM v
+),
+pv2 AS (SELECT *, sqrt(list_dot_product(p, p)) AS prn FROM pv),
+q AS (SELECT * FROM pv2 WHERE {_IS_QUERY}),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         ROUND(list_dot_product(q.e, c.e) / (q.nr * c.nr), 4) AS ce,
+         ROUND(list_dot_product(q.p, c.p) / (q.prn * c.prn), 4) AS cp
+  FROM q JOIN pv2 c ON q.vec_id <> c.vec_id
+),
+ex AS (
+  SELECT query_id, cand_id AS nn_exact, ce, cp FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY ce DESC, cand_id) AS rn
+    FROM pairs) WHERE rn = 1
+),
+pr AS (
+  SELECT query_id, cand_id AS nn_proj FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cp DESC, cand_id) AS rn
+    FROM pairs) WHERE rn = 1
+)
+SELECT ex.query_id, nn_exact, nn_proj,
+       CAST(CASE WHEN nn_exact = nn_proj THEN 1 ELSE 0 END AS BIGINT)
+         AS agree,
+       ex.ce + 0.0 AS cos_exact,
+       ROUND(ex.cp - ex.ce, 4) + 0.0 AS proj_err
+FROM ex JOIN pr ON ex.query_id = pr.query_id
+"""
+
+
+@query("ml_random_projection_jl", oracle=_RP_ORACLE)
+def ml_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss embedding compression: project 64-dim
+    vectors onto 16 fixed ±1 rows (scaled 1/sqrt(16)) in ONE map pass,
+    then measure what the compression costs — for each query, the
+    exact top-1 cosine neighbor in the ORIGINAL space vs the top-1 in
+    the PROJECTED space (`agree`), and the signed cosine distortion of
+    the true-neighbor pair (`proj_err`). This is the cheap 4x shrink
+    applied before brute-force rerank or as the input to downstream
+    quantizers (complementing ml_quantize_int8 / ann_pq_adc, which
+    compress per-coordinate rather than by dimension).
+
+    Scale: the projection is a stateless JVM map (zip_with/aggregate
+    over literal rows — no shuffle, no Python); the evaluation joins
+    are the bounded |Q| x n broadcast pattern of knn_cosine_bruteforce
+    with Q capped at 200 at any corpus size. Projected values are
+    quantized to 6dp so both engines rank identical doubles; ranks tie
+    -break on cand_id."""
+    v = _vecs(spark, sf_dir)
+    planes = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in _RP]
+    )
+    p = F.transform(planes, lambda row: F.round(_dot(F.col("e"), row) / 4, 6))
+    pv = persisted(
+        v.select("vec_id", "e", "nr", p.alias("p")).withColumn(
+            "prn", F.sqrt(_dot(F.col("p"), F.col("p")))
+        )
+    )
+    q = pv.where(F.expr(_IS_QUERY))
+    pairs = (
+        F.broadcast(q.alias("q"))
+        .join(pv.alias("c"), F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("cand_id"),
+            F.round(_cos("q", "c"), 4).alias("ce"),
+            F.round(
+                _dot(F.col("q.p"), F.col("c.p"))
+                / (F.col("q.prn") * F.col("c.prn")),
+                4,
+            ).alias("cp"),
+        )
+    )
+    # two argmaxes in ONE hash aggregate: struct-min on (-cos, cand_id)
+    # is "highest cosine, ties to lowest cand" with map-side partial
+    # reduction of the |Q| x n pair space (a window would sort it all)
+    agg = pairs.groupBy("query_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("ce")).alias("nce"),
+                F.col("cand_id").alias("cand"),
+                F.col("ce").alias("ce"),
+                F.col("cp").alias("cp"),
+            )
+        ).alias("ex"),
+        F.min(
+            F.struct((-F.col("cp")).alias("ncp"), F.col("cand_id").alias("cand"))
+        ).alias("pr"),
+    )
+    return agg.select(
+        "query_id",
+        F.col("ex.cand").alias("nn_exact"),
+        F.col("pr.cand").alias("nn_proj"),
+        (F.col("ex.cand") == F.col("pr.cand"))
+        .cast("bigint")
+        .alias("agree"),
+        (F.col("ex.ce") + 0.0).alias("cos_exact"),
+        (F.round(F.col("ex.cp") - F.col("ex.ce"), 4) + 0.0).alias("proj_err"),
+    )
