@@ -69,6 +69,12 @@ HEADLINE = [
     "q7_volume_shipping",
     # round-6: lexical retrieval (inverted postings index + BM25 top-k)
     "text_bm25_retrieval",
+    # round-7: WAND-style df-capped variant (same oracle as BM25 — the
+    # bench pair shows what the bounded candidate generation costs or
+    # saves at the same answer)
+    "text_bm25_wand_retrieval",
+    # round-7: hypertable gap-fill (dense grid + LOCF/interpolate)
+    "ts_gapfill_locf_interpolate",
 ]
 
 # Pure-CPU sentinel queries (plan-pinned, untouched since round 1) and

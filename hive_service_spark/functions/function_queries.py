@@ -539,22 +539,20 @@ def func_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     for modest group cardinalities x sizes; at 100 TB per-group
     percentiles belong to the built-in percentile_approx (mergeable
     sketch, map-side combine — see agg_percentile_approx)."""
-    import numpy as np
-    import pandas as pd
-
-    @F.pandas_udf("double")
-    def np_median(v: pd.Series) -> float:
-        return float(np.median(v))
-
-    @F.pandas_udf("double")
-    def np_p75(v: pd.Series) -> float:
-        return float(np.percentile(v, 75))
+    # The UDAFs live in pandas_udafs.py, a module WITHOUT
+    # `from __future__ import annotations` — GROUPED_AGG inference needs
+    # live (non-stringified) `pd.Series -> float` hints (round-6 crash).
+    from hive_service_spark.functions.pandas_udafs import (
+        np_count,
+        np_median,
+        np_p75,
+    )
 
     docs = load(spark, sf_dir, "documents")
     return (
         docs.groupBy("source")
         .agg(
-            F.count("*").alias("n_docs"),
+            np_count("n_chars").alias("n_docs"),
             np_median("n_chars").alias("med_chars"),
             np_p75("n_chars").alias("p75_chars"),
         )

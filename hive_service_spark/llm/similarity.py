@@ -1595,3 +1595,105 @@ def ml_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ex.ce") + 0.0).alias("cos_exact"),
         (F.round(F.col("ex.cp") - F.col("ex.ce"), 4) + 0.0).alias("proj_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 9. k-NN label voting (neighbor-based classification)
+# ---------------------------------------------------------------------------
+
+_KNN_VOTE_ORACLE = f"""
+WITH v AS ({_VECS_SQL}),
+q AS (SELECT * FROM v WHERE {_IS_QUERY}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.label AS cand_label,
+         ROUND({_COS_SQL.format(a='q', b='c')}, 4) + 0.0 AS cosine
+  FROM q JOIN v c ON q.vec_id <> c.vec_id
+),
+top5 AS (
+  SELECT query_id, cand_id, cand_label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, cand_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= 5
+),
+votes AS (
+  SELECT query_id, cand_label, COUNT(*) AS votes
+  FROM top5 GROUP BY query_id, cand_label
+),
+pred AS (
+  SELECT query_id, cand_label AS predicted_label,
+         CAST(votes AS BIGINT) AS votes
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY votes DESC, cand_label) AS r
+    FROM votes
+  ) WHERE r = 1
+)
+SELECT p.query_id, q.label AS true_label, p.predicted_label, p.votes,
+       (p.predicted_label = q.label) AS is_correct
+FROM pred p JOIN q ON q.vec_id = p.query_id
+"""
+
+
+@query("ml_knn_label_vote", oracle=_KNN_VOTE_ORACLE)
+def ml_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification by neighbor label vote: for each probe
+    vector, the 5 nearest corpus vectors by exact cosine vote on its
+    label (majority, ties to the lexicographically smaller label) —
+    the neighbor-based classifier used for pretraining-data domain
+    tagging and quality bucketing when labels exist for a seed set.
+    Reference surface: nothing in Hive 2.3; this composes the
+    extension's ANN family (knn_cosine_bruteforce's scoring + ranking
+    conventions: 4dp-rounded cosine BEFORE ranking, cand_id
+    tie-breaks, so both engines rank identically).
+
+    100 TB reading: the probe set is capped (vec_id % 50 = 0 AND
+    < 10000 — <= 200 probes at any sf) and broadcasts; the corpus is
+    scanned once map-side; per-probe state after the top-5 cut is 5
+    rows, so the vote/argmax windows touch <= 1000 rows total. A
+    production deployment swaps the exact scan for the LSH/IVF index
+    paths (same frame contract) without touching the vote stage."""
+    v = _vecs(spark, sf_dir)
+    q = v.where(F.expr(_IS_QUERY))
+    scored = (
+        F.broadcast(q.alias("q"))
+        .join(v.alias("c"), F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("cand_id"),
+            F.col("c.label").alias("cand_label"),
+            (F.round(_cos("q", "c"), 4) + 0.0).alias("cosine"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    top5 = (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= 5)
+        .select("query_id", "cand_label")
+    )
+    votes = top5.groupBy("query_id", "cand_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w_vote = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("cand_label")
+    )
+    pred = (
+        votes.withColumn("r", F.row_number().over(w_vote))
+        .where(F.col("r") == 1)
+        .select(
+            "query_id",
+            F.col("cand_label").alias("predicted_label"),
+            F.col("votes").cast("bigint").alias("votes"),
+        )
+    )
+    return pred.join(
+        q.select(F.col("vec_id").alias("query_id"), "label"), "query_id"
+    ).select(
+        "query_id",
+        F.col("label").alias("true_label"),
+        "predicted_label",
+        "votes",
+        (F.col("predicted_label") == F.col("label")).alias("is_correct"),
+    )

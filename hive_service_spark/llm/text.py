@@ -696,7 +696,12 @@ def text_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verify recipe documents).
 # shared CTE block: everything through the per-(query, doc) integer
 # BM25 scores — reused verbatim by the hybrid-RRF oracle below
-_BM25_CTES = """
+_BM25_QMOD = 97  # every 97th doc serves as a query probe ...
+_BM25_QCAP = 9700  # ... capped at doc_id < 9700 (≤100 probes at ANY sf —
+# the _HE_QCAP discipline: without the cap the probe set, the q_idf
+# broadcast, and the probe×postings candidate space all grow linearly
+# with the corpus; with it they are fixed-size at 100 TB)
+_BM25_CTES = f"""
 WITH docs AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ),
@@ -717,7 +722,8 @@ idf AS (
 ),
 qterms AS (
   SELECT DISTINCT doc_id AS query_id, t AS term
-  FROM (SELECT doc_id, unnest(w[1:6]) AS t FROM docs WHERE doc_id % 97 = 0)
+  FROM (SELECT doc_id, unnest(w[1:6]) AS t FROM docs
+        WHERE doc_id % {_BM25_QMOD} = 0 AND doc_id < {_BM25_QCAP})
 ),
 cand AS (
   SELECT q.query_id, p.doc_id,
@@ -748,16 +754,43 @@ ORDER BY query_id, rnk
 """
 
 
-def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Integer-quantized BM25 scores per (query, candidate doc) —
-    the shared core of text_bm25_retrieval and the hybrid-RRF fusion.
-    Returns columns (query_id, doc_id, score:BIGINT)."""
+def _bm25_contrib() -> F.Column:
+    """The per-(posting, query-term) integer BM25 contribution — the
+    exact-rational form of _BM25_CTES' `c` (needs tf, dl, idf_q, avgdl
+    columns in scope)."""
+    den = (
+        F.lit(10) * F.col("tf") * F.col("avgdl")
+        + F.lit(3) * F.col("avgdl")
+        + F.lit(9) * F.col("dl")
+    )
+    return (
+        F.floor(
+            F.lit(1000.0)
+            * F.col("idf_q")
+            * 22
+            * F.col("tf")
+            * F.col("avgdl")
+            / den
+        ).cast("bigint")
+    )
+
+
+def _bm25_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The shared BM25 retrieval index: (post, idf, qterms).
+
+    post   = inverted postings (doc_id, dl, term, tf) — one corpus pass
+    idf    = per-term (term, df, avgdl, idf_q) — df kept so callers can
+             split rare/hot terms (the WAND variant's pruning key)
+    qterms = the capped probe set's distinct (query_id, term) pairs
+    """
     d = persisted(
         load(spark, sf_dir, "documents").select(
             "doc_id", F.split("text", " ").alias("w")
         )
         .withColumn("dl", F.size("w").cast("bigint"))
-        # consumed four times: stats, postings, probe extraction
+        # consumed three times: stats, postings, probe extraction
     )
     stats = d.agg(
         F.count(F.lit(1)).alias("n"),
@@ -774,6 +807,8 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .select(
             "term",
+            "df",
+            "n",
             "avgdl",
             F.floor(
                 F.lit(1024)
@@ -784,36 +819,32 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qterms = (
-        d.where(F.col("doc_id") % 97 == 0)
+        d.where(
+            (F.col("doc_id") % _BM25_QMOD == 0)
+            & (F.col("doc_id") < _BM25_QCAP)
+        )
         .select(
             F.col("doc_id").alias("query_id"),
             F.explode(F.slice("w", 1, 6)).alias("term"),
         )
         .distinct()
     )
+    return post, idf, qterms
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized BM25 scores per (query, candidate doc) —
+    the shared core of text_bm25_retrieval and the hybrid-RRF fusion.
+    Returns columns (query_id, doc_id, score:BIGINT)."""
+    post, idf, qterms = _bm25_index(spark, sf_dir)
     # probe set ⋈ idf first: result is <= |queries| x 6 rows — THAT is
-    # what broadcasts into the corpus-sized postings frame
+    # what broadcasts into the corpus-sized postings frame (bounded by
+    # the _BM25_QCAP probe cap, not sf-scaled)
     q_idf = qterms.join(idf, "term").select(
         "query_id", "term", "idf_q", "avgdl"
     )
-    den = (
-        F.lit(10) * F.col("tf") * F.col("avgdl")
-        + F.lit(3) * F.col("avgdl")
-        + F.lit(9) * F.col("dl")
-    )
     cand = post.join(F.broadcast(q_idf), "term").select(
-        "query_id",
-        "doc_id",
-        F.floor(
-            F.lit(1000.0)
-            * F.col("idf_q")
-            * 22
-            * F.col("tf")
-            * F.col("avgdl")
-            / den
-        )
-        .cast("bigint")
-        .alias("c"),
+        "query_id", "doc_id", _bm25_contrib().alias("c")
     )
     return cand.groupBy("query_id", "doc_id").agg(
         F.sum("c").cast("bigint").alias("score")
@@ -860,6 +891,164 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# WAND-style df-capped retrieval — bounded candidate generation
+# ---------------------------------------------------------------------------
+
+# rare = appears in at most 1/8 of the corpus — a RELATIVE cap, so the
+# rare/hot split is scale-invariant (an absolute df cap silently turns
+# every term hot as the corpus grows, reducing WAND to the fallback)
+_WAND_RARE_FRACTION_DEN = 8
+
+
+@query("text_bm25_wand_retrieval", oracle=_BM25_ORACLE)
+def text_bm25_wand_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-3 with WAND-style df-capped candidate generation —
+    IDENTICAL results to text_bm25_retrieval (same oracle), reached
+    without materializing the hot-term candidate space (round-6
+    stretch #8; the WAND idea: Broder et al., CIKM'03).
+
+    text_bm25_retrieval joins the probe terms against the FULL
+    postings of every query term, so one stop-word-like term with
+    df = millions fans a query out to millions of candidate rows. Here
+    candidates come only from RARE terms (df <= n/8 — a relative cap,
+    scale-invariant where an absolute one silently goes all-hot as the
+    corpus grows); candidates are then rescored against ALL the
+    query's terms via a bounded (doc_id, term) equi-join. Hot terms
+    are handled by an upper bound, never by enumeration:
+
+      ub_t       = max over t's postings of t's integer contribution
+                   (an aggregate scan — map-side-combined max, no
+                   candidate materialization)
+      hot_ub(q)  = sum of ub_t over q's hot terms
+      theta3(q)  = the 3rd-best FULL score among q's rare candidates
+
+    A doc outside the candidate set matches only hot terms, so it
+    scores <= hot_ub; if hot_ub < theta3 STRICTLY, no outside doc can
+    reach the top-3 (strictness also protects the doc_id tie-break) —
+    the cut is provably unreachable, which is what keeps the oracle
+    exact rather than approximate. Queries where the bound does NOT
+    prove safety (all-hot queries, fewer than 3 rare candidates) fall
+    back to full enumeration FOR THOSE QUERIES ONLY — exactness never
+    depends on the cap being right, only speed does. NOTE on the
+    synthetic gate corpus: its vocabulary is 31 words, 30 of which
+    appear in >1/8 of all docs, so here most probes legitimately fall
+    back (the bound correctly refuses to prune a stop-word-only
+    query); tests/test_wand_pruning.py proves the prune ENGAGES — and
+    enumerates nothing outside the rare candidate set — on a Zipf-ish
+    handcrafted corpus.
+
+    100 TB reading: candidate volume is O(probes x terms x df_cap)
+    instead of O(probes x sum(df)); the hot terms' postings are
+    touched only by two aggregate passes (idf build, ub max), both
+    map-side combined. The fallback is per-query, so a pathological
+    probe degrades itself, not the batch."""
+    from pyspark.sql import Window
+
+    full = _wand_frames(spark, sf_dir)["full"]
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        full.withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .select("query_id", "rnk", "doc_id", "score")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def _wand_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The WAND pipeline's intermediate frames, exposed so tests can
+    pin that the bound actually PRUNES (unsafe/extra empty) on a
+    corpus with real rare terms — see text_bm25_wand_retrieval."""
+    from pyspark.sql import Window
+
+    post, idf, qterms = _bm25_index(spark, sf_dir)
+    post = persisted(post)  # consumed by: ub agg, rare cand, rescore
+    q_idf = persisted(
+        qterms.join(idf, "term").select(
+            "query_id", "term", "idf_q", "avgdl", "df", "n"
+        )
+    )
+    is_rare = F.col("df") * _WAND_RARE_FRACTION_DEN <= F.col("n")
+    rare_q = q_idf.where(is_rare)
+    hot_q = q_idf.where(~is_rare)
+
+    # phase 1 — candidates from rare terms only (bounded by df cap)
+    cand_keys = persisted(
+        post.join(rare_q.select("query_id", "term"), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    # full rescore: every (candidate doc, query term) pair looked up in
+    # postings by (doc_id, term) equi-join — missing terms contribute 0
+    def _rescore(keys: DataFrame) -> DataFrame:
+        pairs = keys.join(
+            q_idf.select("query_id", "term", "idf_q", "avgdl"), "query_id"
+        )
+        return (
+            pairs.join(post, ["doc_id", "term"])
+            .select("query_id", "doc_id", _bm25_contrib().alias("c"))
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("c").cast("bigint").alias("score"))
+        )
+
+    scored_cand = persisted(_rescore(cand_keys))
+
+    # phase 2 — the hot-term upper bound vs the candidates' 3rd best
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    theta3 = (
+        scored_cand.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") == 3)
+        .select("query_id", F.col("score").alias("theta3"))
+    )
+    ub = (
+        post.join(
+            hot_q.select("term", "idf_q", "avgdl").distinct(), "term"
+        )
+        .select("term", _bm25_contrib().alias("c"))
+        .groupBy("term")
+        .agg(F.max("c").alias("ub"))
+    )
+    hot_ub = (
+        hot_q.select("query_id", "term")
+        .join(ub, "term")
+        .groupBy("query_id")
+        .agg(F.sum("ub").alias("hot_ub"))
+    )
+    unsafe = (
+        q_idf.select("query_id")
+        .distinct()
+        .join(hot_ub, "query_id", "left")
+        .join(theta3, "query_id", "left")
+        .where(
+            F.col("hot_ub").isNotNull()
+            & (F.col("theta3").isNull() | (F.col("hot_ub") >= F.col("theta3")))
+        )
+        .select("query_id")
+    )
+
+    # phase 3 — full enumeration ONLY for queries the bound can't clear
+    extra_keys = (
+        post.join(
+            hot_q.join(unsafe, "query_id").select("query_id", "term"),
+            "term",
+        )
+        .select("query_id", "doc_id")
+        .join(cand_keys, ["query_id", "doc_id"], "left_anti")
+        .distinct()
+    )
+    full = scored_cand.unionByName(_rescore(extra_keys))
+    return {
+        "cand_keys": cand_keys,
+        "unsafe": unsafe,
+        "extra_keys": extra_keys,
+        "full": full,
+    }
+
+
+# ---------------------------------------------------------------------------
 # hybrid retrieval — reciprocal-rank fusion of BM25 and embedding cosine
 # ---------------------------------------------------------------------------
 
@@ -892,7 +1081,8 @@ vec2 AS (
   GROUP BY grid2.doc_id
 ),
 nv AS (SELECT doc_id, e, sqrt(list_dot_product(e, e)) AS nr FROM vec2),
-qv AS (SELECT * FROM nv WHERE doc_id % 97 = 0),
+qv AS (SELECT * FROM nv
+       WHERE doc_id % {_BM25_QMOD} = 0 AND doc_id < {_BM25_QCAP}),
 dense_scored AS (
   SELECT qv.doc_id AS query_id, c.doc_id AS doc_id,
          ROUND(list_dot_product(qv.e, c.e) / (qv.nr * c.nr), 4) + 0.0
@@ -969,7 +1159,14 @@ def text_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     n = _hash_vec_frame(spark, sf_dir)
-    q = n.where(F.col("doc_id") % 97 == 0)
+    # capped probe set (the _HE_QCAP discipline): <=100 probes at ANY
+    # scale factor, so the broadcast below is a fixed-size frame and the
+    # probe x corpus exact search is O(100 x corpus) map-side work — the
+    # round-6 verdict's "uncapped BNLJ" scale defect. A production
+    # corpus swaps this arm for the persisted LSH/IVF index paths.
+    q = n.where(
+        (F.col("doc_id") % _BM25_QMOD == 0) & (F.col("doc_id") < _BM25_QCAP)
+    )
     cos = F.round(
         _dot(F.col("q.e"), F.col("c.e")) / (F.col("q.nr") * F.col("c.nr")), 4
     )
@@ -1016,4 +1213,66 @@ def text_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("query_id", "rnk", "doc_id", "rrf_score", "lex_rank", "vec_rank")
         .orderBy("query_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# blocklist scrub — token-level redaction (PII/toxicity scrub plumbing)
+# ---------------------------------------------------------------------------
+
+# corpus-calibrated stand-ins for a real deployment's PII / toxicity
+# blocklist (emails, phones, slurs). The synthetic corpus has no
+# digits or punctuation, so the redaction TARGETS are plain words —
+# the pipeline (tokenize -> match -> replace -> count) is the real
+# thing and is exactly what swaps in regex classes on web text.
+_BLOCKLIST = ("customer", "key", "value")
+_BL_SQL = "('customer','key','value')"
+
+_SCRUB_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(list_filter(w, x -> x IN {_BL_SQL})) AS BIGINT)
+         AS n_redactions,
+       (len(list_filter(w, x -> x IN {_BL_SQL})) > 0) AS c4_drop,
+       array_to_string(
+         list_transform(w, x -> CASE WHEN x IN {_BL_SQL}
+                                     THEN '[REDACTED]' ELSE x END),
+         ' ') AS scrubbed
+FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+"""
+
+
+@query("text_blocklist_scrub", oracle=_SCRUB_ORACLE)
+def text_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DICTIONARY-blocklist scrub — the C4-style bad-word gate (C4
+    drops any page containing a word from the LDNOOBW blocklist;
+    Raffel et al. 2020 §2.2), distinct from text_pii_redaction's
+    REGEX-class scrub (emails/phones/SSNs): dictionary matching is an
+    exact token `isin`, not a pattern engine, and the outputs differ —
+    this emits the REWRITTEN text plus the C4 drop decision, where the
+    PII query emits per-class counts and a leak check. Both policies
+    (redact-and-keep vs drop-the-doc) ship from one pass.
+    Reference surface: Hive's data-masking UDFs (`mask`, `mask_hash` —
+    hive-exec!.../udf/generic/GenericUDFMask.java) cover single
+    columns; this is the corpus-scale token-level analog.
+
+    100 TB reading: pure map-only Column expressions (split /
+    transform / filter / array_join) — no shuffle, no UDF, whole-stage
+    codegen end to end; redaction counts and the drop flag ride the
+    same pass as the rewrite. A production blocklist (~400 LDNOOBW
+    entries) stays a literal `isin` list — Catalyst compiles it to a
+    hash-set probe per token, still no join needed."""
+    w = F.split("text", " ")
+    blocked = lambda x: x.isin(*_BLOCKLIST)  # noqa: E731
+    n_red = F.size(F.filter(w, blocked)).cast("bigint")
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_red.alias("n_redactions"),
+        (n_red > 0).alias("c4_drop"),
+        F.array_join(
+            F.transform(
+                w,
+                lambda x: F.when(blocked(x), F.lit("[REDACTED]")).otherwise(x),
+            ),
+            " ",
+        ).alias("scrubbed"),
     )

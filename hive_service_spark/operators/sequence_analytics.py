@@ -388,3 +388,254 @@ def seq_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("island_start").cast("bigint").alias("first_event"),
         F.max("island_end").cast("bigint").alias("last_event"),
     )
+
+
+# ---------------------------------------------------------------------------
+# time-bucket gap-fill: LOCF + linear interpolation (hypertable family)
+# ---------------------------------------------------------------------------
+
+_BKT_SECONDS = 21600  # 6-hour buckets: ~120 per event_type on testdata
+
+_GAPFILL_ORACLE = f"""
+WITH obs0 AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts) / {_BKT_SECONDS}) AS BIGINT) AS bkt,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_c,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+obs AS (
+  SELECT event_type, bkt, n,
+         CAST(FLOOR(sum_c * 1.0 / n) AS BIGINT) AS v
+  FROM obs0
+),
+grid AS (
+  SELECT event_type, unnest(generate_series(mn, mx)) AS bkt
+  FROM (SELECT event_type, MIN(bkt) AS mn, MAX(bkt) AS mx
+        FROM obs GROUP BY event_type)
+),
+dense AS (
+  SELECT g.event_type, g.bkt, o.v, o.n
+  FROM grid g LEFT JOIN obs o USING (event_type, bkt)
+),
+win AS (
+  SELECT event_type, bkt, v, n,
+    LAST_VALUE(v IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bkt
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    LAST_VALUE(CASE WHEN v IS NOT NULL THEN bkt END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bkt
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    FIRST_VALUE(v IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bkt
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN bkt END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bkt
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM dense
+)
+SELECT event_type, bkt,
+  CAST(COALESCE(n, 0) AS BIGINT) AS n_obs,
+  CAST(COALESCE(v, -1) AS BIGINT) AS obs_cents,
+  CAST(pv AS BIGINT) AS locf_cents,
+  CAST(CASE WHEN v IS NOT NULL THEN v * 1000
+       ELSE CAST(FLOOR((pv * (nt - bkt) + nv * (bkt - pt)) * 1000.0
+                       / (nt - pt)) AS BIGINT)
+       END AS BIGINT) AS interp_mcents
+FROM win
+"""
+
+
+@query("ts_gapfill_locf_interpolate", oracle=_GAPFILL_ORACLE)
+def ts_gapfill_locf_interpolate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-bucket gap-fill with LOCF and linear interpolation — the
+    hypertable continuous-aggregate repair trio (TimescaleDB's
+    time_bucket_gapfill + locf() + interpolate(); nothing in Hive 2.3
+    or Spark generates missing buckets natively). Per event_type,
+    6-hour buckets aggregate avg value (exact integer cents, floored);
+    missing buckets are materialized from a per-key bucket span
+    (sequence + explode — the dense grid), then filled two ways:
+    last-observation-carried-forward, and linear interpolation between
+    the surrounding observed buckets. Every gap has both neighbors by
+    construction (the grid spans each key's observed min..max), so the
+    interpolation is total.
+
+    Engine-exactness: per-row cents via ROUND(value*100) (testdata
+    values are 2dp), per-bucket avg floored to integer cents,
+    interpolation as FLOOR of an exact-integer rational x1000 — both
+    engines divide identical <2^53 integers, so the doubles and their
+    floors match bit-for-bit.
+
+    100 TB reading: the fact scan aggregates map-side to one row per
+    (key, bucket) BEFORE any shuffle; the dense grid is |keys| x
+    |buckets| rows generated from a |keys|-row span frame (no scan);
+    the fill windows are per-key sorted passes — the same shape as the
+    engine's other cumulative windows. Buckets per key is bounded by
+    retention (e.g. 4/day x 1y = 1460), so per-key window state is
+    small regardless of corpus size; key count scales out across
+    executors."""
+    ev = load(spark, sf_dir, "events")
+    bkt = F.floor(F.unix_timestamp("ts") / _BKT_SECONDS).cast("bigint")
+    obs = (
+        ev.groupBy("event_type", bkt.alias("bkt"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
+                "sum_c"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            "bkt",
+            "n",
+            F.floor(F.col("sum_c") / F.col("n")).cast("bigint").alias("v"),
+        )
+    )
+    grid = (
+        obs.groupBy("event_type")
+        .agg(F.min("bkt").alias("mn"), F.max("bkt").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("mn", "mx")).alias("bkt"),
+        )
+    )
+    dense = grid.join(obs, ["event_type", "bkt"], "left")
+    w_back = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_bkt = F.when(F.col("v").isNotNull(), F.col("bkt"))
+    pv = F.last("v", ignorenulls=True).over(w_back)
+    pt = F.last(obs_bkt, ignorenulls=True).over(w_back)
+    nv = F.first("v", ignorenulls=True).over(w_fwd)
+    nt = F.first(obs_bkt, ignorenulls=True).over(w_fwd)
+    interp = F.when(
+        F.col("v").isNotNull(), F.col("v") * 1000
+    ).otherwise(
+        F.floor(
+            (pv * (nt - F.col("bkt")) + nv * (F.col("bkt") - pt))
+            * 1000.0
+            / (nt - pt)
+        ).cast("bigint")
+    )
+    return dense.select(
+        "event_type",
+        "bkt",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_obs"),
+        F.coalesce(F.col("v"), F.lit(-1)).cast("bigint").alias("obs_cents"),
+        pv.cast("bigint").alias("locf_cents"),
+        interp.cast("bigint").alias("interp_mcents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average over irregular samples (hypertable family)
+# ---------------------------------------------------------------------------
+
+_TWA_ORACLE = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day_num,
+         epoch_us(ts) AS t_us,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS t_s,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS v_c,
+         event_id
+  FROM events
+),
+stepped AS (
+  SELECT event_type, day_num, t_s, v_c,
+         LEAD(t_s) OVER (PARTITION BY event_type, day_num
+                         ORDER BY t_us, event_id) AS nt_s
+  FROM ev
+),
+agg AS (
+  SELECT event_type, day_num,
+         COUNT(*) AS n_events,
+         CAST(MAX(t_s) - MIN(t_s) AS BIGINT) AS duration_s,
+         CAST(SUM(CASE WHEN nt_s IS NULL THEN 0
+                       ELSE v_c * (nt_s - t_s) END) AS BIGINT) AS integral
+  FROM stepped
+  GROUP BY event_type, day_num
+)
+SELECT event_type, day_num,
+       CAST(n_events AS BIGINT) AS n_events,
+       duration_s,
+       CAST(FLOOR(integral * 1000.0 / duration_s) AS BIGINT) AS twa_mcents
+FROM agg
+WHERE n_events >= 2 AND duration_s > 0
+"""
+
+
+@query("ts_time_weighted_avg", oracle=_TWA_ORACLE)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over irregularly-spaced samples — the
+    hypertable aggregate (TimescaleDB's time_weight('LOCF')) that a
+    plain AVG gets WRONG on irregular series (it overweights bursts:
+    ten readings in a busy minute count 10x a reading that held for an
+    hour). Per (event_type, day): each value holds until the next
+    observation (LOCF step function), the integral is the exact sum of
+    value x holding-time over the observed span, twa = integral /
+    (last - first). The final observation of each day carries zero
+    weight — the integral covers [t_first, t_last], TimescaleDB's
+    observed-span semantics. Single-observation / zero-duration days
+    are excluded (undefined twa) on BOTH engines.
+
+    Engine-exactness: cents x whole-second holding times are exact
+    BIGINTs with day-level sums < 2^53, so FLOOR(integral * 1000 /
+    duration) divides identical doubles on both engines; ordering ties
+    are broken by (microsecond ts, event_id) BEFORE the second-level
+    truncation so the LEAD pairing is total and identical.
+
+    100 TB reading: one fact scan; the step pairing is a per-(key,
+    day) sorted window (state bounded by events-per-day) and the
+    integral aggregates map-side on the same partitioning the window
+    just produced — no second shuffle. The day grain bounds partition
+    skew; a hot key salts by day automatically."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias(
+            "day_num"
+        ),
+        F.unix_micros("ts").alias("t_us"),
+        F.unix_timestamp("ts").cast("bigint").alias("t_s"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_c"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "day_num").orderBy(
+        "t_us", "event_id"
+    )
+    stepped = ev.withColumn("nt_s", F.lead("t_s").over(w))
+    agg = (
+        stepped.groupBy("event_type", "day_num")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("t_s") - F.min("t_s")).cast("bigint").alias("duration_s"),
+            F.sum(
+                F.when(F.col("nt_s").isNull(), F.lit(0)).otherwise(
+                    F.col("v_c") * (F.col("nt_s") - F.col("t_s"))
+                )
+            )
+            .cast("bigint")
+            .alias("integral"),
+        )
+    )
+    return (
+        agg.where((F.col("n_events") >= 2) & (F.col("duration_s") > 0))
+        .select(
+            "event_type",
+            "day_num",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "duration_s",
+            F.floor(F.col("integral") * 1000.0 / F.col("duration_s"))
+            .cast("bigint")
+            .alias("twa_mcents"),
+        )
+    )

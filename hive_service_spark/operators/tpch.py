@@ -147,7 +147,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join chain with broadcast small dims.
 
     Reference parity: MapJoinOperator for the small sides (SURVEY.md
-    §2.1) ≙ explicit `F.broadcast` on nation/region/supplier; the big
+    §2.1) ≙ explicit `F.broadcast` on the FIXED-cardinality dims only
+    (nation=25, region=5). supplier is sf-scaled, so its hint is left
+    to AQE + autoBroadcastJoinThreshold — at sf0.1 the threshold still
+    picks broadcast (plan-pinned), while at 100x a forced hint would
+    be a multi-GB executor-OOM broadcast (round-6 advice #4). The big
     customer⋈orders⋈lineitem chain shuffles on its keys.
     """
     cust = load(spark, sf_dir, "customer")
@@ -163,7 +167,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

@@ -74,7 +74,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     adapted to min observed unit price per (part, supplier) from
     lineitem. Expressed as a window-min over the EU association — the
     decorrelated form Catalyst/HiveRelDecorrelator would produce —
-    so the part only shuffles once on l_partkey. Dims broadcast."""
+    so the part only shuffles once on l_partkey. Fixed-size dims
+    (nation/region) broadcast by hint; sf-scaled frames (part,
+    supplier) are left to AQE + the broadcast threshold, which still
+    picks broadcast at test sfs but degrades safely to shuffle join at
+    100 TB instead of OOMing executors (round-6 advice #4)."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").where(
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
@@ -96,7 +100,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("unit_cost") == F.col("min_cost")
     )
     return (
-        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        best.join(part, best.l_partkey == part.p_partkey)
         # no ROUND here: both engines derive unit_cost from the same
         # IEEE doubles (min of identical divisions → identical bits);
         # ROUND(x, 4) flaps on half-ulp ties (26.24125 → .2412 vs
@@ -226,11 +230,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle then moves ~6% of the rows the round-5 plan moved
     # (round-5 advice #8)
     orders_am = orders.join(
-        F.broadcast(cust_am), F.col("o_custkey") == F.col("c_custkey")
+        cust_am, F.col("o_custkey") == F.col("c_custkey")
     ).select("o_orderkey", F.year("o_orderdate").alias("o_year"))
     t = (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp_nat, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders_am, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             "o_year",
@@ -281,7 +285,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
     stock = persisted(
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
@@ -383,7 +387,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(mx))
         .where(F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(supp, F.col("s_suppkey") == F.col("supplier_no"))
         .select(
             "s_suppkey",
             "s_name",
@@ -415,9 +419,10 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: NOT IN (→ left-anti join; negative-balance
     suppliers stand in for the original's complaint-comment filter) +
-    COUNT(DISTINCT) per group. The anti join broadcasts the tiny
-    excluded-supplier set; distinct-agg plans as Catalyst's two-phase
-    distinct expansion (≙ HiveExpandDistinctAggregatesRule)."""
+    COUNT(DISTINCT) per group. The excluded-supplier set and filtered
+    part are sf-scaled, so broadcast is AQE's call (it still chooses
+    BHJ at test sfs — plan-pinned); distinct-agg plans as Catalyst's
+    two-phase distinct expansion (≙ HiveExpandDistinctAggregatesRule)."""
     part = load(spark, sf_dir, "part").where(
         (F.col("p_brand") != "Brand#5")
         & (~F.col("p_type").like("PROMO%"))
@@ -427,11 +432,11 @@ def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_supp = load(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0)
     return (
         li.join(
-            F.broadcast(bad_supp.select("s_suppkey")),
+            bad_supp.select("s_suppkey"),
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -457,15 +462,16 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: correlated scalar AVG per part, decorrelated to an
     aggregate-then-join (the exact plan HiveRelDecorrelator /
     Catalyst's RewriteCorrelatedScalarSubquery emit): per-part averages
-    computed once over the full lineitem, broadcast-joined back, then
+    computed once over the full lineitem, joined back (strategy left
+    to AQE — the per-part frame is O(part), not fixed-size), then
     the quantity filter. Note the avg is over ALL lineitem for the
     part, not just Brand#3 rows — matching the subquery's scope."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
-    brand_li = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    brand_li = li.join(part, F.col("p_partkey") == F.col("l_partkey"))
     avgs = (
         li.join(
-            F.broadcast(part.select("p_partkey")),
+            part.select("p_partkey"),
             F.col("p_partkey") == F.col("l_partkey"),
             "left_semi",
         )
@@ -474,7 +480,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         brand_li.join(
-            F.broadcast(avgs), F.col("l_partkey") == F.col("avg_partkey")
+            avgs, F.col("l_partkey") == F.col("avg_partkey")
         )
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -507,15 +513,16 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Suppliers who moved >50 units of some PROMO part in 1996 (the
     schema's analog of ps_availqty > half the year's shipments),
     restricted to two nations. The inner aggregate runs on the pruned
-    lineitem scan; its distinct supplier set is small → broadcast
-    semi-join into supplier."""
+    lineitem scan; its distinct supplier set is data-dependent
+    (O(supplier) worst case), so the semi-join strategy is AQE's call
+    rather than a forced broadcast."""
     li = load(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= _ts("1996-01-01"))
         & (F.col("l_shipdate") < _ts("1997-01-01"))
     )
     part = load(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
     heavy = (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .where(F.col("qty") > 50)
@@ -529,7 +536,7 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(
-            F.broadcast(heavy),
+            heavy,
             F.col("s_suppkey") == F.col("l_suppkey"),
             "left_semi",
         )
@@ -609,12 +616,10 @@ def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         waiting.join(
-            F.broadcast(
-                supp.join(
-                    F.broadcast(nation),
-                    F.col("s_nationkey") == F.col("n_nationkey"),
-                ).select("s_suppkey", "s_name")
-            ),
+            supp.join(
+                F.broadcast(nation),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            ).select("s_suppkey", "s_name"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .groupBy("s_name")

@@ -97,6 +97,40 @@ def has_cartesian(df: DataFrame) -> bool:
     return "CartesianProduct" in formatted_plan(df)
 
 
+def hinted_subtrees(df: DataFrame) -> list[str]:
+    """The analyzed-plan subtree under every explicit join-strategy
+    hint (`ResolvedHint`), one string each.
+
+    Forced `F.broadcast(...)` hints bypass AQE's size check, so a hint
+    wrapping an sf-scaled frame (part/supplier/customer-derived) is a
+    latent executor-OOM at 100 TB even though it "works" at test scale
+    (round-6 advice #4). Tests grep these subtrees for big-table
+    column signatures: hints must cover only fixed-cardinality frames
+    (nation=25, region=5, 1-row scalar aggregates).
+
+    Parsed from the analyzed logical plan's indentation: a hint's
+    subtree is every following line indented deeper than the hint node.
+    """
+    text = df._jdf.queryExecution().analyzed().toString()
+    lines = text.splitlines()
+
+    def indent(ln: str) -> int:
+        return len(ln) - len(ln.lstrip(" :+-"))
+
+    out: list[str] = []
+    for i, ln in enumerate(lines):
+        if "ResolvedHint" not in ln:
+            continue
+        d = indent(ln)
+        sub = []
+        for nxt in lines[i + 1 :]:
+            if indent(nxt) <= d:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of WholeStageCodegen subtrees — fused JVM loops covering
     the operators (the analog of the reference's 730 vectorized kernels,

@@ -33,13 +33,20 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 
 # Cache-lifetime tracking: handles persisted by registered queries via
-# :func:`persisted`, evicted when the NEXT registered query starts.
-# This scopes eviction to frames the registry itself created — a
-# session-global ``spark.catalog.clearCache()`` here (the round-5
-# shape) would also evict every OTHER user's cached frames and MV
-# caches in a long-lived shared session (the HiveServer2/STS deployment
-# shape this engine mirrors).
-_LIVE_FRAMES: list[DataFrame] = []
+# :func:`persisted`, evicted when the NEXT registered query starts ON
+# THE SAME THREAD. This scopes eviction twice over: (a) to frames the
+# registry itself created — a session-global
+# ``spark.catalog.clearCache()`` here (the round-5 shape) would also
+# evict every OTHER user's cached frames and MV caches in a long-lived
+# shared session (the HiveServer2/STS deployment shape this engine
+# mirrors) — and (b) to the invoking thread, so concurrent registered
+# queries can no longer evict an in-flight peer's persists and force
+# iterative consumers (the PageRank loop, the BPE merge chain) to
+# silently recompute their whole lineage per iteration (round-6
+# advice). Keyed by thread id; a reused id simply inherits eviction
+# duty for its predecessor's frames, which bounds the leak from
+# threads that die between queries.
+_LIVE_FRAMES: dict[int, list[DataFrame]] = {}
 _LIVE_LOCK = threading.Lock()
 
 
@@ -57,14 +64,18 @@ def persisted(df: DataFrame, storage_level=None) -> DataFrame:
     """
     df = df.persist(storage_level) if storage_level is not None else df.persist()
     with _LIVE_LOCK:
-        _LIVE_FRAMES.append(df)
+        _LIVE_FRAMES.setdefault(threading.get_ident(), []).append(df)
     return df
 
 
 def _evict_previous() -> None:
+    """Unpersist the CURRENT thread's previous query's tracked frames.
+
+    Other threads' lists are untouched — a concurrently-running peer
+    keeps its persisted intermediates for its whole invocation
+    (test_registry_cache.py pins this)."""
     with _LIVE_LOCK:
-        frames = list(_LIVE_FRAMES)
-        _LIVE_FRAMES.clear()
+        frames = _LIVE_FRAMES.pop(threading.get_ident(), [])
     for df in frames:
         try:
             df.unpersist()
@@ -128,13 +139,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            # Drop the PREVIOUS registered query's tracked persists
-            # (see :func:`persisted`) — bounds live executor cache to
-            # one query's frames without touching caches built outside
-            # the registry (round-5 advice: clearCache() was
-            # session-global). Under concurrent registered queries a
-            # new arrival may evict an in-flight peer's intermediates;
-            # that costs a recompute, never a wrong answer.
+            # Drop the PREVIOUS registered query's tracked persists on
+            # THIS thread (see :func:`persisted`) — bounds live
+            # executor cache to one query's frames per thread without
+            # touching caches built outside the registry (round-5
+            # advice: clearCache() was session-global) and without
+            # evicting a concurrent peer's in-flight intermediates
+            # (round-6 advice: the global list made new arrivals
+            # thrash iterative peers' caches).
             _evict_previous()
             return fn(spark, sf_dir)
 

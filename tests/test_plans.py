@@ -456,3 +456,46 @@ def test_per_doc_sizes_frame_never_forced_broadcast(spark, qname):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+_TPCH_ALL = [
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q11_important_stock", "q12_priority_shipping",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_parts_supplier", "q17_small_quantity", "q18_large_volume_customer",
+    "q19_discounted_revenue", "q20_promotion_suppliers",
+    "q21_suppliers_waiting", "q22_global_sales_opportunity",
+]
+
+# column signatures whose presence marks an sf-scaled table's lineage
+_BIG_TABLE_COLS = ("p_partkey", "s_suppkey", "c_custkey", "o_orderkey",
+                   "l_orderkey", "l_partkey")
+
+
+@pytest.mark.parametrize("qname", _TPCH_ALL)
+def test_tpch_no_forced_broadcast_of_sf_scaled_frames(spark, qname):
+    """Round-6 advice #4: a forced `F.broadcast` hint bypasses AQE's
+    size check, so a hint wrapping part/supplier/customer/orders/
+    lineitem-derived frames is a latent multi-GB executor-OOM at 100x
+    even though it "works" at sf0.1. Across the whole TPC-H family,
+    every explicit hint subtree must be either (a) free of big-table
+    column lineage — i.e. nation/region, fixed 25/5 rows — or (b) a
+    scalar (ungrouped) Aggregate, which is 1 row by construction
+    (q11's threshold, q15's max, q22's cutoff). Broadcast still
+    HAPPENS for the small filtered dims at test scale — AQE + the
+    autoBroadcastJoinThreshold choose it (test_q5_broadcasts_dims,
+    test_q8_broadcasts_dims_and_pushes_filters pin that) — the point
+    is that the CHOICE is size-based, not forced."""
+    df = _df(spark, qname)
+    for sub in P.hinted_subtrees(df):
+        lines = [ln for ln in sub.splitlines() if ln.strip(" :+-")]
+        top = lines[0].strip(" :+-") if lines else ""
+        if top.startswith("Aggregate [") and "], [" not in top:
+            continue  # scalar aggregate: 1 row regardless of sf
+        offending = [c for c in _BIG_TABLE_COLS if c in sub]
+        assert not offending, (
+            f"{qname}: forced broadcast hint covers an sf-scaled frame "
+            f"(cols {offending}):\n{sub[:800]}"
+        )

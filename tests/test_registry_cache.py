@@ -39,9 +39,13 @@ def test_external_cache_survives_registered_queries(spark):
 def test_previous_query_persists_are_evicted(spark):
     """The wrapper must drop the PREVIOUS query's tracked persists when
     the next one starts — the memory bound that replaced clearCache()."""
+    import threading
+
     _SPECS["skew_time_hierarchy_rollup"].fn(spark, SF_DIR).collect()
     with registry._LIVE_LOCK:
-        tracked = list(registry._LIVE_FRAMES)
+        tracked = list(
+            registry._LIVE_FRAMES.get(threading.get_ident(), [])
+        )
     assert tracked, "the rollup query should persist via registry.persisted"
     assert all(df.storageLevel.useMemory for df in tracked)
     _SPECS["scan_project_filter"].fn(spark, SF_DIR).collect()
@@ -51,12 +55,13 @@ def test_previous_query_persists_are_evicted(spark):
 
 
 def test_concurrent_registered_queries_stay_correct(spark):
-    """Two registered queries running CONCURRENTLY may evict each
-    other's tracked persists mid-flight (a new arrival drops the
-    previous call's frames). The documented contract is that eviction
-    costs a recompute, never a wrong answer — proven by racing two
-    persisting queries in threads and comparing both results to their
-    serial runs."""
+    """Two registered queries running CONCURRENTLY must (a) both
+    return their serial answers and (b) never evict each other's
+    in-flight persists — round-6 advice: the old session-global
+    tracked list made every new arrival unpersist the peer's frames,
+    silently recomputing iterative consumers' whole lineage per
+    iteration. Eviction is now per-thread, so the peer's tracked
+    frames must still be cached when both calls finish."""
     import concurrent.futures as cf
 
     names = ["skew_time_hierarchy_rollup", "dedup_exact"]
@@ -66,12 +71,74 @@ def test_concurrent_registered_queries_stay_correct(spark):
     }
 
     def run(n):
-        return n, sorted(
+        import threading
+
+        rows = sorted(
             tuple(r) for r in _SPECS[n].fn(spark, SF_DIR).collect()
         )
+        with registry._LIVE_LOCK:
+            mine = list(
+                registry._LIVE_FRAMES.get(threading.get_ident(), [])
+            )
+        # (b): whatever THIS thread persisted during its run is still
+        # cached at completion — a concurrent peer did not evict it.
+        still_cached = all(df.storageLevel.useMemory for df in mine)
+        return n, rows, still_cached
 
     for _ in range(2):  # race twice: interleavings vary run to run
         with cf.ThreadPoolExecutor(max_workers=2) as ex:
-            got = dict(ex.map(run, names))
+            got = {n: (rows, ok) for n, rows, ok in ex.map(run, names)}
         for n in names:
-            assert got[n] == serial[n], f"{n} diverged under concurrency"
+            rows, ok = got[n]
+            assert rows == serial[n], f"{n} diverged under concurrency"
+            assert ok, (
+                f"{n}: a concurrent peer evicted this query's "
+                "in-flight persists (per-thread scoping regressed)"
+            )
+
+
+def test_peer_thread_persists_survive_other_threads_queries(spark):
+    """Direct pin of the per-thread eviction contract: frames a
+    worker thread persisted stay cached while ANOTHER thread runs
+    registered queries back-to-back (each run evicts only its own
+    thread's previous frames)."""
+    import threading
+
+    holder = {}
+
+    def persist_on_worker():
+        _SPECS["skew_time_hierarchy_rollup"].fn(spark, SF_DIR).collect()
+        with registry._LIVE_LOCK:
+            holder["frames"] = list(
+                registry._LIVE_FRAMES.get(threading.get_ident(), [])
+            )
+
+    t = threading.Thread(target=persist_on_worker)
+    t.start()
+    t.join()
+    assert holder["frames"], "worker query should have persisted frames"
+    # main thread runs two registered queries — its evictions must not
+    # touch the (now-idle) worker thread's tracked frames
+    _SPECS["scan_project_filter"].fn(spark, SF_DIR).collect()
+    _SPECS["dedup_exact"].fn(spark, SF_DIR).collect()
+    try:
+        assert all(
+            df.storageLevel.useMemory for df in holder["frames"]
+        ), "another thread's queries evicted the worker's persists"
+    finally:
+        for df in holder["frames"]:
+            df.unpersist()
+        with registry._LIVE_LOCK:
+            # drop the dead worker's entry so later tests/suites don't
+            # inherit its eviction duty via thread-id reuse
+            registry._LIVE_FRAMES.pop(
+                next(
+                    (
+                        k
+                        for k, v in registry._LIVE_FRAMES.items()
+                        if v and v[0] is holder["frames"][0]
+                    ),
+                    -1,
+                ),
+                None,
+            )

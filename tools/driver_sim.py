@@ -98,15 +98,33 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if "--inject-crash" in sys.argv:
+        # self-test for the per-query crash-proofing: a deliberately
+        # raising query must be recorded as ERR, the sweep must continue
+        # past it, and the exit code must still be non-zero.
+        def _boom(_spark, _sf):
+            raise RuntimeError("injected crash (driver_sim self-test)")
+
+        qs = dict(qs)
+        qs["aaa_injected_crash"] = _boom  # sorts FIRST: proves continuation
     n_pass = n_fail = n_rowsonly = n_empty = 0
     empty_names = []
     for name, fn in sorted(qs.items()):
         if ONLY is not None and name not in ONLY:
             continue
         t0 = time.time()
-        sdf = fn(spark, SF)
-        srows = [tuple(r) for r in sdf.collect()]
-        scols = sdf.columns
+        # crash-proof per query (round-6 advice): one raising query must
+        # not abort the sweep and hide every query sorted after it —
+        # record it as ERR/FAIL and continue.
+        try:
+            sdf = fn(spark, SF)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as ex:
+            print(f"  {name}: ERR {type(ex).__name__}: {str(ex)[:200]} "
+                  f"({time.time()-t0:.1f}s)")
+            n_fail += 1
+            continue
         if not srows:
             # vacuity lint: a 0-row result trivially satisfies
             # rows+schema+hash, so an "OK n=0" verifies nothing about the
@@ -125,14 +143,20 @@ def main():
                 print(f"  {name}: rows-only n={len(srows)} ({time.time()-t0:.1f}s)")
                 n_rowsonly += 1
             continue
-        rel = con.execute(oracles[name])
-        dcols = [c[0] for c in rel.description]
-        drows = rel.fetchall()
-        ph_s, perr_s = pandas_canon(scols, srows)
-        # the real driver's oracle side goes through duckdb's pandas
-        # conversion (DECIMAL -> float64, DATE -> midnight Timestamp) —
-        # re-execute and take .df() to reproduce that rendering
-        ph_d, perr_d = pandas_canon(con.execute(oracles[name]).df(), None)
+        try:
+            rel = con.execute(oracles[name])
+            dcols = [c[0] for c in rel.description]
+            drows = rel.fetchall()
+            ph_s, perr_s = pandas_canon(scols, srows)
+            # the real driver's oracle side goes through duckdb's pandas
+            # conversion (DECIMAL -> float64, DATE -> midnight Timestamp)
+            # — re-execute and take .df() to reproduce that rendering
+            ph_d, perr_d = pandas_canon(con.execute(oracles[name]).df(), None)
+        except Exception as ex:
+            print(f"  {name}: ORACLE-ERR {type(ex).__name__}: "
+                  f"{str(ex)[:200]} ({time.time()-t0:.1f}s)")
+            n_fail += 1
+            continue
         ok = (
             len(srows) == len(drows)
             and sorted(scols) == sorted(dcols)
@@ -154,8 +178,15 @@ def main():
     # parse the scale factor from the dir basename instead of a
     # substring test (round-5 advice: '0.01' matched parent dirs and
     # missed renamed gates)
-    m = re.search(r"sf([0-9.]+)/*$", SF)
-    enforce_nonempty = bool(m) and float(m.group(1)) >= 0.01
+    m = re.search(r"sf(\d+(?:\.\d+)?)/*$", SF)
+    if m:
+        enforce_nonempty = float(m.group(1)) >= 0.01
+    else:
+        # an unparseable gate dir must not SILENTLY disable the
+        # vacuity lint (round-6 advice) — warn loudly and enforce.
+        print(f"WARN: cannot parse scale factor from {SF!r}; "
+              "enforcing zero-row lint defensively")
+        enforce_nonempty = True
     print(f"PASS={n_pass} FAIL={n_fail} ROWS_ONLY={n_rowsonly} EMPTY={n_empty}")
     if empty_names:
         print(f"  zero-row queries: {', '.join(empty_names)}")

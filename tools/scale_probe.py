@@ -12,7 +12,10 @@ exploding combinatorially:
   engine-scaling one).
 - embeddings: each replica shifts every dimension by a small constant,
   preserving cluster geometry without exact cross-replica duplicates.
-- lineitem: key-offset copies (scan/agg probe).
+- lineitem + orders: key-offset copies with MATCHING l_orderkey /
+  o_orderkey offsets per replica, so fact⋈orders joins scale with the
+  data instead of degenerating to replica-0 matches (scan/agg/join
+  probe — q1, q8).
 
 Cell/bucket-scoped operators (SemDeDup, IVF) are parameter-bounded:
 their pair space is sum(cell^2) ~ n^2/k, so the codebook size k MUST
@@ -55,6 +58,11 @@ N_DOCS, N_VECS, N_LI = 16, 8, 8
 # linear probes: candidate generation is equi-join / broadcast / capped
 LINEAR = [
     ("q1_pricing_summary", "lineitem", N_LI),
+    # round-6 advice #5: q8's orders-side pre-reduction costs ~1.25x
+    # locally (measured, see PLANS.md NOTE) with the payoff claimed at
+    # scale — this probe IS that claim's evidence (orders+lineitem x8
+    # with matching keys, so the fact⋈orders shuffle pair scales)
+    ("q8_market_share", "lineitem+orders", N_LI),
     ("text_quality_scores", "documents", N_DOCS),
     ("dedup_minhash_lsh", "documents", N_DOCS),
     ("dedup_ngram_jaccard", "documents", N_DOCS),
@@ -69,6 +77,10 @@ LINEAR = [
     # probe count grows with the corpus (doc_id % 97) while per-probe
     # candidate sets stay replica-local, so expected growth is linear
     ("text_bm25_retrieval", "documents", N_DOCS),
+    # round-6 advice #3: the hybrid fusion's dense side is now a
+    # CAPPED probe set (<=100 probes at any sf, the _HE_QCAP
+    # discipline) — this probe is the done-criterion evidence
+    ("text_hybrid_rrf_retrieval", "documents", N_DOCS),
     ("tok_bpe_train_merges", "documents", N_DOCS),
     ("ml_bigram_lm_quality", "documents", N_DOCS),
     ("knn_cosine_bruteforce", "embeddings", N_VECS),
@@ -88,6 +100,15 @@ def _build(n_docs: int, n_vecs: int, n_li: int) -> None:
     spark = get_session("scale_build")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(OUT, exist_ok=True)
+
+    # a reused OUT dir from an earlier probe version may hold a
+    # SYMLINK where this version writes a replicated table (orders
+    # was linked before round 7): Spark's overwrite would recurse
+    # through the link into the read-only base dir — unlink first.
+    for t in ("documents", "embeddings", "lineitem", "orders"):
+        p = f"{OUT}/{t}.parquet"
+        if os.path.islink(p):
+            os.remove(p)
 
     d = spark.read.parquet(f"{BASE}/documents.parquet")
     parts = [
@@ -149,7 +170,25 @@ def _build(n_docs: int, n_vecs: int, n_li: int) -> None:
         f"{OUT}/lineitem.parquet"
     )
 
-    replicated = {"documents", "embeddings", "lineitem"}
+    # orders replicates with the SAME key offsets as lineitem so the
+    # fact⋈orders join matches within every replica — without this the
+    # scaled q8 would only join replica 0 and the probe would measure
+    # an 8x scan against a 1x join (not the claim under test)
+    orders = spark.read.parquet(f"{BASE}/orders.parquet")
+    parts = [
+        orders.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(k * 100_000_000)
+        )
+        for k in range(n_li)
+    ]
+    out = parts[0]
+    for r in parts[1:]:
+        out = out.unionByName(r)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{OUT}/orders.parquet"
+    )
+
+    replicated = {"documents", "embeddings", "lineitem", "orders"}
     for t in TABLES:
         if t in replicated:
             continue  # just written above as real (overwritten) dirs
@@ -275,7 +314,9 @@ def main() -> None:
     lines = [
         "# SCALE — N-fold replica probe\n",
         f"Base: `{BASE}`; scaled: documents x{N_DOCS}, embeddings "
-        f"x{N_VECS}, lineitem x{N_LI}. Replicas are perturbed so "
+        f"x{N_VECS}, lineitem+orders x{N_LI} (matching key offsets, "
+        "so fact⋈orders joins scale with the data). Replicas are "
+        "perturbed so "
         "duplicate/near-dup density per replica matches the base "
         "corpus (see tools/scale_probe.py). `time_x` = scaled/base "
         "wall time (min of 2 warm runs, one JVM per measurement set); "
