@@ -789,3 +789,168 @@ def mm_scene_cut_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("first_cut_idx"),
         F.coalesce(F.max("jump"), F.lit(0)).cast("bigint").alias("max_jump"),
     )
+
+
+# ---------------------------------------------------------------------------
+# audio: energy-based voice-activity detection over decoded PCM frames
+# ---------------------------------------------------------------------------
+
+_VAD_FRAME = 32  # samples per VAD frame (64 bytes of int16 PCM)
+
+_VAD_ORACLE = f"""
+WITH samp AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, CAST(least(length(text), 512) // 2 AS INTEGER)),
+           i -> ascii(substr(text, 2*i - 1, 1))
+                + 256 * ascii(substr(text, 2*i, 1))) AS s
+  FROM documents
+),
+fr AS (
+  SELECT doc_id,
+         CAST(len(s) // {_VAD_FRAME} AS INTEGER) AS n_frames,
+         f,
+         CAST(list_sum(list_transform(
+              s[{_VAD_FRAME}*f + 1 : {_VAD_FRAME}*f + {_VAD_FRAME}],
+              x -> x * x)) AS BIGINT) AS e
+  FROM samp,
+       unnest(generate_series(0,
+              CAST(len(s) // {_VAD_FRAME} AS INTEGER) - 1)) AS t(f)
+  WHERE len(s) >= {_VAD_FRAME}
+),
+tot AS (
+  SELECT doc_id, n_frames,
+         CAST(SUM(e) AS BIGINT) AS total_e,
+         CAST(MAX(e) AS BIGINT) AS peak_e
+  FROM fr GROUP BY doc_id, n_frames
+),
+act AS (
+  SELECT f.doc_id, f.f
+  FROM fr f JOIN tot t ON f.doc_id = t.doc_id
+  WHERE f.e * t.n_frames > t.total_e
+),
+isl AS (
+  SELECT doc_id, f,
+         f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+  FROM act
+),
+seg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_active,
+         COUNT(DISTINCT grp) AS n_segments,
+         MIN(f) AS first_active
+  FROM isl GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_frames AS INTEGER) AS n_frames,
+       CAST(COALESCE(s.n_active, 0) AS BIGINT) AS n_active,
+       CAST(COALESCE(s.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(COALESCE(s.first_active, -1) AS BIGINT) AS first_active,
+       t.total_e AS total_energy,
+       t.peak_e AS peak_energy,
+       ROUND(COALESCE(s.n_active, 0) * 1.0 / t.n_frames, 4) AS speech_ratio
+FROM tot t LEFT JOIN seg s ON t.doc_id = s.doc_id
+"""
+
+
+@query("mm_audio_vad_energy", oracle=_VAD_ORACLE)
+def mm_audio_vad_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based voice-activity detection — the classic first pass
+    of every speech-data pipeline (segment before transcribe/filter):
+    the clip's PCM samples are framed (32 samples/frame), per-frame
+    energy = exact integer sum of squares, a frame is speech-active
+    when its energy is strictly above the clip mean (adaptive
+    threshold, no tuned constant), and consecutive active frames merge
+    into segments via the gaps-and-islands grouping key. Extends
+    mm_audio_pcm_stats (clip-level loudness) to frame-level
+    SEGMENTATION — n_segments/first_active are what a trim/split step
+    consumes downstream.
+
+    Like pcm_stats, this is a REAL decode: int16 little-endian PCM via
+    numpy.frombuffer inside Arrow-batched mapInPandas; the payload is
+    sliced to the 512-byte analysis window JVM-side FIRST so only 512
+    bytes/row cross into Python, and the Python hop emits per-frame
+    ENERGIES (8 ints/clip), never samples. ASCII payloads keep the
+    high byte < 128, so signed/unsigned int16 coincide and DuckDB can
+    rebuild identical samples from character codes.
+
+    Engine-exactness: energies are exact BIGINTs (sample^2 < 2^30,
+    x32 < 2^35); the threshold compare is integer cross-multiplication
+    (e * n_frames > total), so no division happens before the flag;
+    speech_ratio divides two small exact ints identically on both
+    sides (round 4).
+
+    100 TB reading: one payload scan, fixed 512-byte Arrow transfer
+    per clip, then every aggregate/window keys on doc_id with <= 8
+    frames of state per clip — scan-bound and embarrassingly parallel;
+    a full-clip deployment streams frames from the same mapInPandas
+    with identical downstream shape (state stays bounded by clip
+    length / frame size)."""
+    import numpy as np
+
+    src = _payloads(spark, sf_dir).select(
+        "doc_id", F.expr("substring(payload, 1, 512)").alias("win")
+    )
+
+    def frame_energies(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["win"]):
+                n = len(buf) // 2
+                a = np.frombuffer(buf[: 2 * n], dtype="<i2").astype(
+                    np.int64
+                )
+                n_frames = n // _VAD_FRAME
+                for f in range(n_frames):
+                    seg = a[f * _VAD_FRAME : (f + 1) * _VAD_FRAME]
+                    rows.append(
+                        (int(doc_id), n_frames, f, int((seg * seg).sum()))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "f", "e"]
+            )
+
+    fr = src.mapInPandas(
+        frame_energies,
+        schema="doc_id long, n_frames int, f int, e long",
+    )
+    tot = fr.groupBy("doc_id", "n_frames").agg(
+        F.sum("e").cast("bigint").alias("total_e"),
+        F.max("e").cast("bigint").alias("peak_e"),
+    )
+    act = (
+        fr.join(tot.select("doc_id", "total_e"), "doc_id")
+        .where(F.col("e") * F.col("n_frames") > F.col("total_e"))
+        .select("doc_id", "f")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("f")
+    isl = act.withColumn("grp", F.col("f") - F.row_number().over(w))
+    seg = isl.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.count_distinct("grp").alias("n_segments"),
+        F.min("f").alias("first_active"),
+    )
+    return tot.join(seg, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_frames").cast("int").alias("n_frames"),
+        F.coalesce(F.col("n_active"), F.lit(0))
+        .cast("bigint")
+        .alias("n_active"),
+        F.coalesce(F.col("n_segments"), F.lit(0))
+        .cast("bigint")
+        .alias("n_segments"),
+        F.coalesce(F.col("first_active"), F.lit(-1))
+        .cast("bigint")
+        .alias("first_active"),
+        F.col("total_e").alias("total_energy"),
+        F.col("peak_e").alias("peak_energy"),
+        F.round(
+            F.coalesce(F.col("n_active"), F.lit(0)) * 1.0
+            / F.col("n_frames"),
+            4,
+        ).alias("speech_ratio"),
+    )

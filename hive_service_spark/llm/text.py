@@ -1276,3 +1276,85 @@ def text_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("scrubbed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining for retrieval training (contrastive pairs)
+# ---------------------------------------------------------------------------
+
+_HARDNEG_ORACLE = _BM25_CTES + """
+, pos AS (
+  SELECT query_id, score AS pos_score FROM scored WHERE query_id = doc_id
+),
+negs AS (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+  FROM scored WHERE query_id <> doc_id
+)
+SELECT n.query_id, n.rnk,
+       n.doc_id AS neg_doc_id,
+       n.score AS neg_score,
+       CAST(p.pos_score - n.score AS BIGINT) AS margin
+FROM negs n JOIN pos p ON n.query_id = p.query_id
+WHERE n.rnk <= 3
+ORDER BY n.query_id, n.rnk
+"""
+
+
+@query("text_hard_negative_mining", oracle=_HARDNEG_ORACLE)
+def text_hard_negative_mining(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hard-negative mining for retrieval-model training (the
+    DPR/sentence-transformers data-prep step, Karpukhin et al. 2020):
+    for each probe query the positive is the query's own source
+    document (self-retrieval), and the hard negatives are the top
+    OTHER documents under BM25 — lexically close enough to be
+    confusable, which is exactly what contrastive training needs
+    (random negatives are too easy; BM25-mined ones carry the
+    gradient). Emits (query, rank, negative, score, margin); a
+    non-positive margin flags queries whose own document is outranked
+    — the label-noise audit a training pipeline runs before export.
+
+    Composes the SAME persisted BM25 index/scorer as
+    text_bm25_retrieval (one postings build serves retrieval, WAND,
+    hybrid fusion AND mining — the index-reuse discipline); the
+    positive frame is one row per probe (capped <= 100 by _BM25_QCAP at
+    any scale), so its join back to the ranked negatives broadcasts.
+    Integer BM25 scores make rank and margin exact — no float ulp can
+    flip a negative into the export set.
+
+    100 TB reading: identical candidate-generation shape to
+    text_bm25_retrieval (probe ⋈ idf first, then one broadcast probe
+    pass over postings); ranking windows partition per query over
+    df-bounded candidate sets. Mining for N training queries instead
+    of 100 probes batches the probe frame — the corpus-side cost is
+    one postings build regardless of N."""
+    scored = _bm25_scored(spark, sf_dir)
+    pos = scored.where(F.col("query_id") == F.col("doc_id")).select(
+        "query_id", F.col("score").alias("pos_score")
+    )
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    negs = (
+        scored.where(F.col("query_id") != F.col("doc_id"))
+        .withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+    )
+    return (
+        negs.join(F.broadcast(pos), "query_id")
+        .select(
+            "query_id",
+            "rnk",
+            F.col("doc_id").alias("neg_doc_id"),
+            F.col("score").alias("neg_score"),
+            (F.col("pos_score") - F.col("score"))
+            .cast("bigint")
+            .alias("margin"),
+        )
+        .orderBy("query_id", "rnk")
+    )

@@ -627,3 +627,172 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.col("m.neg_q"), 2).alias("mode_qty"),
         F.col("m.c").cast("bigint").alias("mode_count"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# multi-feature OLS via one-pass normal equations (MADlib-family)
+# ---------------------------------------------------------------------------
+
+_OLS_ORACLE = """
+WITH obs AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_quantity, 0) AS BIGINT)        AS x1,
+         CAST(ROUND(l_discount * 100, 0) AS BIGINT)  AS x2,
+         CAST(ROUND(l_extendedprice, 0) AS BIGINT)   AS y
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE)      AS n,
+         CAST(SUM(x1) AS DOUBLE)       AS sx1,
+         CAST(SUM(x2) AS DOUBLE)       AS sx2,
+         CAST(SUM(y) AS DOUBLE)        AS sy,
+         CAST(SUM(x1 * x1) AS DOUBLE)  AS s11,
+         CAST(SUM(x1 * x2) AS DOUBLE)  AS s12,
+         CAST(SUM(x2 * x2) AS DOUBLE)  AS s22,
+         CAST(SUM(x1 * y) AS DOUBLE)   AS s1y,
+         CAST(SUM(x2 * y) AS DOUBLE)   AS s2y,
+         CAST(SUM(y * y) AS DOUBLE)    AS syy,
+         CAST(COUNT(*) AS BIGINT)      AS n_rows
+  FROM obs GROUP BY l_returnflag
+),
+solved AS (
+  SELECT l_returnflag, n_rows, n, sy, s1y, s2y, syy,
+    (n * (s11 * s22 - s12 * s12)
+     - sx1 * (sx1 * s22 - s12 * sx2)
+     + sx2 * (sx1 * s12 - s11 * sx2)) AS det,
+    (sy * (s11 * s22 - s12 * s12)
+     - sx1 * (s1y * s22 - s12 * s2y)
+     + sx2 * (s1y * s12 - s11 * s2y)) AS det0,
+    (n * (s1y * s22 - s12 * s2y)
+     - sy * (sx1 * s22 - s12 * sx2)
+     + sx2 * (sx1 * s2y - s1y * sx2)) AS det1,
+    (n * (s11 * s2y - s1y * s12)
+     - sx1 * (sx1 * s2y - s1y * sx2)
+     + sy * (sx1 * s12 - s11 * sx2)) AS det2
+  FROM m
+)
+SELECT l_returnflag, n_rows,
+       ROUND(det0 / det, 6) AS b0,
+       ROUND(det1 / det, 6) AS b1,
+       ROUND(det2 / det, 6) AS b2,
+       ROUND(1.0 - (syy - (det0 / det) * sy - (det1 / det) * s1y
+                    - (det2 / det) * s2y)
+                   / (syy - sy * sy / n), 6) AS r2
+FROM solved
+ORDER BY l_returnflag
+"""
+
+
+@query("agg_ols_normal_equations", oracle=_OLS_ORACLE)
+def agg_ols_normal_equations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-feature linear regression by closed-form normal equations
+    — the MADlib `linregr` / Spark-MLlib "normal" solver pattern,
+    expressed as ONE aggregation: per l_returnflag, fit
+    y(price) = b0 + b1*quantity + b2*discount_pct plus R^2. Extends
+    the reference's regr_* UDAF family (hive-exec!…/udf/generic/
+    GenericUDAFBinarySetFunctions — slope/intercept are single-feature
+    only) to the multi-feature case no SQL builtin covers.
+
+    The distributed pattern IS the point: a single map-side-combined
+    groupBy accumulates the ten Gram-matrix moments (n, Σx, Σxx', Σxy,
+    Σyy) — the sufficient statistics of OLS — and the 3x3 solve is a
+    closed-form Cramer expansion on those ten scalars, still inside
+    the same SQL projection (no driver round-trip, no iteration). At
+    100 TB this is exactly one corpus pass ending in a 3-row frame;
+    adding features grows the moment count O(d^2) but never adds a
+    pass. This one-pass-moments shape is also the textbook
+    featurization-stats pass of a training pipeline.
+
+    Engine-exactness: inputs quantize to BIGINT (whole-dollar y,
+    integer qty, discount in whole percent), so every moment is an
+    EXACT int64 whose double image is exact at test scale
+    (syy ~ 2e15 < 2^53); the Cramer/R^2 arithmetic is written with
+    identical association on both engines, so the doubles match
+    bit-for-bit before the final ROUND(…, 6). At 1000x scale the
+    moments outgrow 2^53 — the deployment note is to keep the sums in
+    DECIMAL(38,0) (both engines) or accept last-ulp slack; the plan
+    shape is unchanged."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round("l_quantity", 0).cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("x2"),
+        F.round("l_extendedprice", 0).cast("bigint").alias("y"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("sx1"),
+        F.sum("x2").cast("double").alias("sx2"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    n, sx1, sx2 = F.col("n"), F.col("sx1"), F.col("sx2")
+    sy, s1y, s2y = F.col("sy"), F.col("s1y"), F.col("s2y")
+    s11, s12, s22, syy = (
+        F.col("s11"),
+        F.col("s12"),
+        F.col("s22"),
+        F.col("syy"),
+    )
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - sx1 * (sx1 * s22 - s12 * sx2)
+        + sx2 * (sx1 * s12 - s11 * sx2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - sx1 * (s1y * s22 - s12 * s2y)
+        + sx2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (sx1 * s22 - s12 * sx2)
+        + sx2 * (sx1 * s2y - s1y * sx2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - sx1 * (sx1 * s2y - s1y * sx2)
+        + sy * (sx1 * s12 - s11 * sx2)
+    )
+    solved = m.select(
+        "l_returnflag",
+        "n_rows",
+        "n",
+        "sy",
+        "s1y",
+        "s2y",
+        "syy",
+        det.alias("det"),
+        det0.alias("det0"),
+        det1.alias("det1"),
+        det2.alias("det2"),
+    )
+    b0 = F.col("det0") / F.col("det")
+    b1 = F.col("det1") / F.col("det")
+    b2 = F.col("det2") / F.col("det")
+    return solved.select(
+        "l_returnflag",
+        "n_rows",
+        F.round(b0, 6).alias("b0"),
+        F.round(b1, 6).alias("b1"),
+        F.round(b2, 6).alias("b2"),
+        F.round(
+            1.0
+            - (
+                F.col("syy")
+                - b0 * F.col("sy")
+                - b1 * F.col("s1y")
+                - b2 * F.col("s2y")
+            )
+            / (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")),
+            6,
+        ).alias("r2"),
+    ).orderBy("l_returnflag")

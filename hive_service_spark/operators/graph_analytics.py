@@ -281,3 +281,118 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), F.asc("node"))
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities (synchronous, fixed iterations)
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+
+_LPA_STEP_SQL = """
+  SELECT node, lbl FROM (
+    SELECT e.dst AS node, l.lbl,
+           ROW_NUMBER() OVER (PARTITION BY e.dst
+                              ORDER BY COUNT(*) DESC, l.lbl) AS rn
+    FROM edges e JOIN {prev} l ON l.node = e.src
+    GROUP BY e.dst, l.lbl
+  ) WHERE rn = 1
+"""
+
+
+def _lpa_oracle() -> str:
+    steps = []
+    prev = "l0"
+    for i in range(1, _LPA_ITERS + 1):
+        steps.append(f"l{i} AS ({_LPA_STEP_SQL.format(prev=prev)})")
+        prev = f"l{i}"
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH edges AS ({_EDGES_SQL}),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+{steps_sql},
+size AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
+         FROM {prev} GROUP BY lbl)
+SELECT CAST(f.node AS BIGINT) AS node,
+       CAST(f.lbl AS BIGINT) AS community,
+       s.community_size
+FROM {prev} f JOIN size s ON s.lbl = f.lbl
+ORDER BY node
+"""
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (Raghavan et al. 2007)
+    over the co-supply graph — the third classic graph kernel next to
+    PageRank (global centrality) and triangle counting (local
+    density); in a corpus pipeline the same kernel clusters the
+    duplicate graph / domain link graph into groups. Synchronous
+    variant with a fully deterministic update: every node
+    simultaneously adopts the most frequent label among its neighbors,
+    ties broken by smallest label, for a fixed 3 rounds (async LPA's
+    visit-order dependence cannot be reproduced engine-to-engine;
+    synchronous + fixed rounds + total-order tie-break makes the
+    entire trajectory exact — no floats anywhere, so no rounding is
+    needed at all, unlike PageRank).
+
+    Per round: one equi-join fans labels along edges (the same
+    edges-partition-stable shape as the PageRank step — bucket edges
+    by src once at cluster scale), one (dst, label) count aggregation,
+    and a per-node argmax window over each node's neighbor-label
+    histogram (bounded by degree). The label frame is one row per
+    node — broadcast-sized here; at web scale drop the hint and both
+    sides co-partition on the join key. localCheckpoint per round
+    keeps the plan flat exactly as the PageRank loop does (measured
+    there: lazy chaining re-executes every earlier round per step)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    edges = persisted(
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .where(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .distinct()
+        # consumed 1 + _LPA_ITERS times: l0 + every propagation round
+    )
+    from pyspark.sql import Window
+
+    labels = edges.select(
+        F.col("src").alias("node"), F.col("src").alias("lbl")
+    ).distinct()
+    for _ in range(_LPA_ITERS):
+        counts = (
+            edges.join(
+                F.broadcast(labels.alias("l")),
+                edges.src == F.col("l.node"),
+            )
+            .groupBy(F.col("dst"), F.col("l.lbl"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("dst").orderBy(
+            F.col("c").desc(), F.col("lbl")
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), "lbl")
+            .localCheckpoint(eager=True)
+        )
+    size = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size")
+    )
+    return (
+        labels.join(size, "lbl")
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            F.col("lbl").cast("bigint").alias("community"),
+            "community_size",
+        )
+        .orderBy("node")
+    )

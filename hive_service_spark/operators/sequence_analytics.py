@@ -639,3 +639,313 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("twa_mcents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LTTB downsampling — largest-triangle-three-buckets (hypertable family)
+# ---------------------------------------------------------------------------
+
+_LTTB_ORACLE = """
+WITH pts AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day_num,
+         epoch_us(ts) AS t_us,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS v_c,
+         event_id
+  FROM events
+),
+rnk AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day_num
+                            ORDER BY t_us, event_id) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day_num
+                            ORDER BY t_us DESC, event_id DESC) AS rd,
+         COUNT(*) OVER (PARTITION BY event_type, day_num) AS nb
+  FROM pts
+),
+bkt AS (
+  SELECT event_type, day_num,
+         MAX(CASE WHEN ra = 1 THEN t_us END) AS first_t,
+         MAX(CASE WHEN ra = 1 THEN v_c END) AS first_v,
+         MAX(CASE WHEN rd = 1 THEN t_us END) AS last_t,
+         MAX(CASE WHEN rd = 1 THEN v_c END) AS last_v
+  FROM rnk GROUP BY event_type, day_num
+),
+anch AS (
+  SELECT event_type, day_num,
+         LAG(last_t)   OVER w AS x0, LAG(last_v)   OVER w AS y0,
+         LEAD(first_t) OVER w AS x2, LEAD(first_v) OVER w AS y2
+  FROM bkt
+  WINDOW w AS (PARTITION BY event_type ORDER BY day_num)
+),
+cand AS (
+  SELECT r.event_type, r.day_num, r.t_us, r.v_c, r.event_id, r.nb,
+         a.x0, a.y0, a.x2, a.y2,
+         CASE WHEN a.x0 IS NOT NULL AND a.x2 IS NOT NULL THEN
+           abs((a.x0 - a.x2) * (r.v_c - a.y0)
+               - (a.x0 - r.t_us) * (a.y2 - a.y0))
+         END AS area2
+  FROM rnk r JOIN anch a
+    ON r.event_type = a.event_type AND r.day_num = a.day_num
+),
+sel AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day_num ORDER BY
+           CASE WHEN x0 IS NOT NULL AND x2 IS NOT NULL
+                THEN -area2 ELSE 0 END,
+           CASE WHEN x0 IS NOT NULL AND x2 IS NULL
+                THEN -t_us ELSE t_us END,
+           CASE WHEN x0 IS NOT NULL AND x2 IS NULL
+                THEN -event_id ELSE event_id END) AS pick
+  FROM cand
+)
+SELECT event_type, day_num,
+       CAST(nb AS BIGINT) AS n_in_bucket,
+       t_us AS sel_t_us,
+       v_c AS sel_cents,
+       CAST(COALESCE(area2, -1) AS BIGINT) AS area2
+FROM sel WHERE pick = 1
+ORDER BY event_type, day_num
+"""
+
+
+@query("ts_lttb_downsample", oracle=_LTTB_ORACLE)
+def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013;
+    the hypertable/Grafana `lttb()` visual-fidelity reducer) — one
+    representative point per (series, day bucket), chosen to maximize
+    the triangle area against the neighboring buckets, so extremes and
+    inflections survive where bucket-AVG flattens them. Nothing in
+    Hive 2.3 or Spark has a downsampler; this closes the hypertable
+    trio next to ts_gapfill_locf_interpolate / ts_time_weighted_avg.
+
+    Deterministic parallel variant: classic LTTB anchors each bucket's
+    triangle on the PREVIOUSLY SELECTED point — an inherently
+    sequential chain. This implementation anchors on the previous
+    bucket's LAST observed point and the next bucket's FIRST observed
+    point (fixed, data-defined anchors), which decouples every bucket:
+    selection becomes one window pass, embarrassingly parallel across
+    buckets, at the cost of a bounded anchor offset from the
+    sequential algorithm. First/last buckets keep the series'
+    first/last point (the LTTB endpoint rule).
+
+    Engine-exactness: timestamps in exact epoch micros, values in
+    exact cents, so twice-the-triangle-area is a pure BIGINT cross
+    product (|dt| < 3 days in us ~ 2.6e11 x |dv| <= 5e4 cents ~ 1.3e16
+    < 2^63 — no float enters the pipeline at all); argmax ties break
+    on (t_us, event_id), a total order.
+
+    100 TB reading: the per-point pass shuffles once on (series,
+    bucket) — per-bucket state is bounded by points-per-day; the
+    bucket-anchor frame is one row per (series, bucket), its lag/lead
+    window is a per-series pass over bucket counts (~365/series/year),
+    and the anchor join re-uses the (series, bucket) partitioning the
+    candidates already have. Output is |buckets| rows — the whole
+    point: a 100 TB series renders from a downsample that never
+    re-scans."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias(
+            "day_num"
+        ),
+        F.unix_micros("ts").alias("t_us"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_c"),
+        "event_id",
+    )
+    w_a = Window.partitionBy("event_type", "day_num").orderBy(
+        "t_us", "event_id"
+    )
+    w_d = Window.partitionBy("event_type", "day_num").orderBy(
+        F.col("t_us").desc(), F.col("event_id").desc()
+    )
+    w_n = Window.partitionBy("event_type", "day_num")
+    rnk = ev.select(
+        "*",
+        F.row_number().over(w_a).alias("ra"),
+        F.row_number().over(w_d).alias("rd"),
+        F.count(F.lit(1)).over(w_n).alias("nb"),
+    )
+    bkt = rnk.groupBy("event_type", "day_num").agg(
+        F.max(F.when(F.col("ra") == 1, F.col("t_us"))).alias("first_t"),
+        F.max(F.when(F.col("ra") == 1, F.col("v_c"))).alias("first_v"),
+        F.max(F.when(F.col("rd") == 1, F.col("t_us"))).alias("last_t"),
+        F.max(F.when(F.col("rd") == 1, F.col("v_c"))).alias("last_v"),
+    )
+    w_b = Window.partitionBy("event_type").orderBy("day_num")
+    anch = bkt.select(
+        "event_type",
+        "day_num",
+        F.lag("last_t").over(w_b).alias("x0"),
+        F.lag("last_v").over(w_b).alias("y0"),
+        F.lead("first_t").over(w_b).alias("x2"),
+        F.lead("first_v").over(w_b).alias("y2"),
+    )
+    cand = rnk.join(anch, ["event_type", "day_num"])
+    interior = F.col("x0").isNotNull() & F.col("x2").isNotNull()
+    last_edge = F.col("x0").isNotNull() & F.col("x2").isNull()
+    area2 = F.when(
+        interior,
+        F.abs(
+            (F.col("x0") - F.col("x2")) * (F.col("v_c") - F.col("y0"))
+            - (F.col("x0") - F.col("t_us")) * (F.col("y2") - F.col("y0"))
+        ),
+    )
+    scored = cand.select(
+        "event_type",
+        "day_num",
+        "t_us",
+        "v_c",
+        "event_id",
+        "nb",
+        area2.alias("area2"),
+        F.when(interior, -area2).otherwise(F.lit(0)).alias("k1"),
+        F.when(last_edge, -F.col("t_us")).otherwise(F.col("t_us")).alias(
+            "k2"
+        ),
+        F.when(last_edge, -F.col("event_id"))
+        .otherwise(F.col("event_id"))
+        .alias("k3"),
+    )
+    w_pick = Window.partitionBy("event_type", "day_num").orderBy(
+        "k1", "k2", "k3"
+    )
+    return (
+        scored.withColumn("pick", F.row_number().over(w_pick))
+        .where(F.col("pick") == 1)
+        .select(
+            "event_type",
+            "day_num",
+            F.col("nb").cast("bigint").alias("n_in_bucket"),
+            F.col("t_us").alias("sel_t_us"),
+            F.col("v_c").alias("sel_cents"),
+            F.coalesce(F.col("area2"), F.lit(-1))
+            .cast("bigint")
+            .alias("area2"),
+        )
+        .orderBy("event_type", "day_num")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ordered window funnel: signup -> click -> purchase
+# ---------------------------------------------------------------------------
+
+_FUNNEL_WINDOW_US = 7 * 86400 * 1000000  # conversion window: 7 days
+
+_FUNNEL_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t
+  FROM events
+),
+s1 AS (
+  SELECT user_id, MIN(t) AS t1 FROM ev
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.t) AS t2
+  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.t > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.t) AS t3
+  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.t > s2.t2
+  GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CAST(CASE WHEN t1 IS NULL THEN 0
+                 WHEN t2 IS NULL THEN 1
+                 WHEN t3 IS NULL THEN 2
+                 ELSE 3 END AS BIGINT) AS depth,
+       COALESCE(t1, -1) AS t1_us,
+       COALESCE(t2, -1) AS t2_us,
+       COALESCE(t3, -1) AS t3_us,
+       CAST(CASE WHEN t3 IS NOT NULL
+                  AND t3 - t1 <= {_FUNNEL_WINDOW_US}
+                 THEN 1 ELSE 0 END AS BIGINT) AS converted_7d
+FROM (SELECT DISTINCT user_id FROM ev) u
+LEFT JOIN s1 ON u.user_id = s1.user_id
+LEFT JOIN s2 ON u.user_id = s2.user_id
+LEFT JOIN s3 ON u.user_id = s3.user_id
+"""
+
+
+@query("seq_window_funnel", oracle=_FUNNEL_ORACLE)
+def seq_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (ClickHouse windowFunnel / Snowplow
+    funnel-analysis shape — neither Hive 2.3 nor Spark has a funnel
+    primitive): per user, the deepest strictly-ordered chain
+    signup -> click -> purchase, where each step's timestamp is the
+    EARLIEST occurrence strictly after the previous step (the greedy
+    matching windowFunnel('strict_increase') computes), plus a 7-day
+    conversion flag on the full chain.
+
+    Each step is a filtered min-aggregate joined to the frontier of
+    the previous step — step frames are one row per user, so the three
+    chained joins all hash on user_id and every shuffle after the
+    first carries |users| rows, not |events|. Greedy earliest-match is
+    provably equivalent to "exists an ordered chain" (if any chain
+    exists, the earliest-next-step chain exists), so this IS the
+    funnel semantics, not an approximation. Timestamps compare in
+    exact epoch micros; -1 sentinels keep the output null-free for
+    the hash compare.
+
+    100 TB reading: events shuffle once per step on user_id but the
+    step filter (event_type = ...) prunes each pass to one type's
+    rows map-side before the shuffle — with a type-partitioned or
+    clustered layout each step scan prunes at the source. Funnel depth
+    k costs k joins on the SAME key: a co-partitioned layout (or one
+    repartition(user_id) reused via AQE) collapses them into local
+    joins. Per-user state is four timestamps — no per-user event
+    array is ever materialized (the collect_list-per-user alternative
+    OOMs on power users; this shape cannot)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("t") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("t") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t3"))
+    )
+    users = ev.select("user_id").distinct()
+    joined = (
+        users.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+    )
+    depth = (
+        F.when(F.col("t1").isNull(), 0)
+        .when(F.col("t2").isNull(), 1)
+        .when(F.col("t3").isNull(), 2)
+        .otherwise(3)
+    )
+    return joined.select(
+        "user_id",
+        depth.cast("bigint").alias("depth"),
+        F.coalesce(F.col("t1"), F.lit(-1)).alias("t1_us"),
+        F.coalesce(F.col("t2"), F.lit(-1)).alias("t2_us"),
+        F.coalesce(F.col("t3"), F.lit(-1)).alias("t3_us"),
+        F.when(
+            F.col("t3").isNotNull()
+            & (F.col("t3") - F.col("t1") <= _FUNNEL_WINDOW_US),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("converted_7d"),
+    )

@@ -426,3 +426,86 @@ def window_trailing_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cents2.cast("double") / 200.0).alias("trailing_median_price"),
         n.cast("bigint").alias("frame_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# skyline / Pareto frontier via windows (sort-based, not quadratic)
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH pts AS (
+  SELECT p_partkey, p_brand,
+         CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+)
+SELECT q.p_brand, q.p_partkey, q.price_c, q.size
+FROM pts q
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts p
+  WHERE p.p_brand = q.p_brand
+    AND p.price_c <= q.price_c AND p.size >= q.size
+    AND (p.price_c < q.price_c OR p.size > q.size)
+)
+ORDER BY q.p_brand, q.price_c, q.size, q.p_partkey
+"""
+
+
+@query("window_skyline_pareto", oracle=_SKYLINE_ORACLE)
+def window_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) query — Borzsony/Kossmann/Stocker's
+    SKYLINE OF operator (ICDE'01), absent from Hive and Spark alike:
+    per brand, the parts no other part dominates on (price MIN, size
+    MAX). The classic formulation is a quadratic NOT EXISTS self-join
+    (exactly what the DuckDB oracle runs, making the oracle genuinely
+    INDEPENDENT of the implementation); this implementation is the
+    sort-based O(n log n) rewrite: ordered by price, a point survives
+    iff its size strictly exceeds the running max size of every
+    STRICTLY cheaper point (RANGE frame to 1 PRECEDING — ties must not
+    see each other) and it carries the max size within its own price
+    tie-group (same-price domination), which together are exactly the
+    dominance test. Duplicate (price, size) pairs all survive —
+    dominance requires one strict inequality — and both sides agree.
+
+    Engine-exactness: price quantizes to exact cents, size is an int —
+    the dominance test never touches a float.
+
+    100 TB reading: the quadratic self-join is the scale-killer
+    (n^2/brand); this shape is ONE range-partitioned sort per brand +
+    two window passes — the same cost class as any ranking query, and
+    the partition key keeps every window local. An unpartitioned
+    global skyline distributes the same way via the standard
+    local-skyline-then-merge decomposition (skyline(S) =
+    skyline(union of per-partition skylines) — each partition's
+    frontier is tiny, so the merge input collapses before the final
+    pass)."""
+    pts = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100, 0)
+        .cast("bigint")
+        .alias("price_c"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    w_cheaper = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_tie = Window.partitionBy("p_brand", "price_c")
+    scored = pts.select(
+        "p_brand",
+        "p_partkey",
+        "price_c",
+        "size",
+        F.max("size").over(w_cheaper).alias("m_cheaper"),
+        F.max("size").over(w_tie).alias("m_tie"),
+    )
+    return (
+        scored.where(
+            (F.col("m_cheaper").isNull() | (F.col("size") > F.col("m_cheaper")))
+            & (F.col("size") == F.col("m_tie"))
+        )
+        .select("p_brand", "p_partkey", "price_c", "size")
+        .orderBy("p_brand", "price_c", "size", "p_partkey")
+    )

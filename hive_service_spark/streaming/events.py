@@ -829,3 +829,93 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("window_start") <= F.col("mx") - F.expr("INTERVAL 9 HOUR"))
         .select("window_start", "segment", "n_events", "n_users", "total_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# stateful streaming funnel (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+from hive_service_spark.operators.sequence_analytics import (  # noqa: E402
+    _FUNNEL_ORACLE,
+    _FUNNEL_WINDOW_US,
+)
+
+# the streaming run shares the batch funnel's value oracle verbatim —
+# the fold is prefix-composable, so the availableNow replay must land
+# on exactly the batch answer
+_STREAM_FUNNEL_ORACLE = _FUNNEL_ORACLE
+
+
+def _funnel_step(key, pdfs, state: GroupState):
+    """Per-user funnel frontier held in GroupState: the three earliest
+    strictly-ordered step timestamps (-1 = not reached). Events fold in
+    (t, event_id) order, so one greedy pass computes exactly the batch
+    earliest-chain semantics — and the fold is prefix-composable, so
+    state carries correctly across micro-batches (a click arriving in
+    batch N+1 still checks against the signup frontier from batch N)."""
+    t1, t2, t3 = state.get if state.exists else (-1, -1, -1)
+    rows = []
+    for pdf in pdfs:
+        rows.append(pdf[["event_type", "t", "event_id"]])
+    if rows:
+        allr = pd.concat(rows).sort_values(["t", "event_id"])
+        for et, t in zip(allr["event_type"], allr["t"]):
+            t = int(t)
+            if et == "signup" and t1 < 0:
+                t1 = t
+            elif et == "click" and t1 >= 0 and t > t1 and t2 < 0:
+                t2 = t
+            elif et == "purchase" and t2 >= 0 and t > t2 and t3 < 0:
+                t3 = t
+    state.update((t1, t2, t3))
+    depth = 0 if t1 < 0 else 1 if t2 < 0 else 2 if t3 < 0 else 3
+    converted = 1 if t3 >= 0 and t3 - t1 <= _FUNNEL_WINDOW_US else 0
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "depth": [depth],
+            "t1_us": [t1],
+            "t2_us": [t2],
+            "t3_us": [t3],
+            "converted_7d": [converted],
+        }
+    )
+
+
+@query("stream_window_funnel", oracle=_STREAM_FUNNEL_ORACLE)
+def stream_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered funnel (seq_window_funnel) as a LIVE stateful
+    streaming operator: per-user (t1, t2, t3) frontier in GroupState,
+    updated by a greedy time-ordered fold inside applyInPandasWithState
+    — the real-time conversion tracker whose batch twin is three
+    chained min-aggregates. Because the greedy fold is prefix-
+    composable (each step only ever moves from unset to its earliest
+    valid timestamp), replaying the same events through ANY micro-batch
+    partitioning yields the identical frontier — which is what lets the
+    streaming run share the batch query's value oracle verbatim.
+
+    Scale notes: state is three BIGINTs per user (no event buffering —
+    the fold consumes and discards), partitioned by user_id across
+    state stores; a production deployment adds a state TTL
+    (GroupStateTimeout) to retire users past the attribution horizon.
+    Update mode emits each user's frontier once per micro-batch that
+    touches them — the availableNow replay here produces exactly the
+    batch answer."""
+    src = _stream(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+    )
+    out_schema = (
+        "user_id bigint, depth bigint, t1_us bigint, t2_us bigint, "
+        "t3_us bigint, converted_7d bigint"
+    )
+    result = src.groupBy("user_id").applyInPandasWithState(
+        _funnel_step,
+        outputStructType=out_schema,
+        stateStructType="t1 bigint, t2 bigint, t3 bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_table(result, "hs_stream_funnel", "update")
