@@ -912,9 +912,14 @@ def mm_audio_vad_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "n_frames", "f", "e"]
             )
 
-    fr = src.mapInPandas(
-        frame_energies,
-        schema="doc_id long, n_frames int, f int, e long",
+    fr = persisted(
+        src.mapInPandas(
+            frame_energies,
+            schema="doc_id long, n_frames int, f int, e long",
+        )
+        # consumed three times (clip totals, threshold pass, final
+        # join lineage) — uncached, the Python PCM decode would
+        # physically re-execute per consumer
     )
     tot = fr.groupBy("doc_id", "n_frames").agg(
         F.sum("e").cast("bigint").alias("total_e"),

@@ -949,3 +949,129 @@ def seq_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("converted_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# classical seasonal decomposition: trend + hour-of-day seasonal + residual
+# ---------------------------------------------------------------------------
+
+_DECOMP_ORACLE = """
+WITH obs AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hr,
+         CAST(FLOOR(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) * 1.0
+                    / COUNT(*)) AS BIGINT) AS v_c,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+trend AS (
+  SELECT event_type, hr, v_c, n,
+         CAST(FLOOR(SUM(v_c) OVER w * 1000.0
+                    / COUNT(*) OVER w) AS BIGINT) AS trend_mc
+  FROM obs
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+detr AS (
+  SELECT *, v_c * 1000 - trend_mc AS detr_mc,
+         hr % 24 AS hour_of_day
+  FROM trend
+),
+seas AS (
+  SELECT event_type, hour_of_day,
+         CAST(FLOOR(SUM(detr_mc) * 1.0 / COUNT(*)) AS BIGINT)
+           AS seasonal_mc
+  FROM detr GROUP BY event_type, hour_of_day
+)
+SELECT d.event_type, d.hr, d.n, d.v_c AS obs_cents,
+       d.trend_mc, s.seasonal_mc,
+       d.detr_mc - s.seasonal_mc AS residual_mc
+FROM detr d JOIN seas s
+  ON d.event_type = s.event_type AND d.hour_of_day = s.hour_of_day
+ORDER BY d.event_type, d.hr
+"""
+
+
+@query("ts_seasonal_decompose", oracle=_DECOMP_ORACLE)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (the statsmodels
+    `seasonal_decompose` / Holt-Winters preprocessing shape): per
+    series, observed = trend + seasonal + residual, with trend = a
+    centered 25-hour moving average over hourly buckets, seasonal =
+    the per-hour-of-day mean of the detrended series, residual = the
+    exact remainder. The anomaly-detection baseline every metrics
+    pipeline runs — nothing in Hive 2.3 or Spark decomposes a series.
+
+    Engine-exactness: hourly buckets reduce to floored integer cents;
+    trend is FLOOR of an exact-integer rational x1000 (sum and count
+    over a ROWS frame); the detrended values are integer milli-cents,
+    so the seasonal means and residuals stay exact BIGINTs — like
+    ts_lttb_downsample, no float survives into any output column.
+
+    100 TB reading: the fact scan pre-aggregates map-side to one row
+    per (series, hour); the trend window is a per-series sorted pass
+    with a 25-row frame; the seasonal aggregate keys on (series,
+    hour-of-day) — 24 rows per series — and joins back by the same
+    key. Every stage's state is bounded by buckets-per-series
+    (retention-bounded), never by event count; series count scales
+    out. Residual spikes stream straight into the z-score gate
+    (seq_zscore_anomalies) downstream."""
+    ev = load(spark, sf_dir, "events")
+    obs = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600)
+            .cast("bigint")
+            .alias("hr"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("bigint")
+            ).alias("sum_c"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .select(
+            "event_type",
+            "hr",
+            F.floor(F.col("sum_c") * 1.0 / F.col("n"))
+            .cast("bigint")
+            .alias("v_c"),
+            "n",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-12, 12)
+    )
+    trend = obs.select(
+        "*",
+        F.floor(
+            F.sum("v_c").over(w) * 1000.0 / F.count(F.lit(1)).over(w)
+        )
+        .cast("bigint")
+        .alias("trend_mc"),
+    )
+    detr = trend.select(
+        "*",
+        (F.col("v_c") * 1000 - F.col("trend_mc")).alias("detr_mc"),
+        (F.col("hr") % 24).alias("hour_of_day"),
+    )
+    seas = detr.groupBy("event_type", "hour_of_day").agg(
+        F.floor(F.sum("detr_mc") * 1.0 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("seasonal_mc")
+    )
+    return (
+        detr.join(seas, ["event_type", "hour_of_day"])
+        .select(
+            "event_type",
+            "hr",
+            "n",
+            F.col("v_c").alias("obs_cents"),
+            "trend_mc",
+            "seasonal_mc",
+            (F.col("detr_mc") - F.col("seasonal_mc")).alias("residual_mc"),
+        )
+        .orderBy("event_type", "hr")
+    )

@@ -499,3 +499,85 @@ def test_tpch_no_forced_broadcast_of_sf_scaled_frames(spark, qname):
             f"{qname}: forced broadcast hint covers an sf-scaled frame "
             f"(cols {offending}):\n{sub[:800]}"
         )
+
+
+# ---------------------------------------------------------------------------
+# round-7 operators: plan shapes behind the new families
+# ---------------------------------------------------------------------------
+
+
+def test_skyline_window_rewrite_has_no_join(spark):
+    """window_skyline_pareto's whole claim is the O(n log n) rewrite:
+    the classic skyline is a quadratic NOT-EXISTS self-join (exactly
+    what the oracle runs), so the Spark plan must contain NO join
+    operator of any kind — dominance is decided purely by the two
+    window passes."""
+    ops = P.operators(_df(spark, "window_skyline_pareto"))
+    assert "Join" not in ops and "CartesianProduct" not in ops
+    assert "Window" in ops
+
+
+def test_lttb_prunes_columns_no_cartesian(spark):
+    """ts_lttb_downsample touches 4 of events' 6 columns — the scan
+    must prune props/user_id — and the anchor join must stay an
+    equi-join."""
+    df = _df(spark, "ts_lttb_downsample")
+    assert not P.has_cartesian(df)
+    s = " ".join(P.read_schemas(df))
+    assert "value" in s and "event_id" in s
+    assert "props" not in s and "user_id" not in s
+
+
+def test_funnel_step_filters_reach_scan(spark):
+    """seq_window_funnel prunes each step's pass to one event type
+    map-side BEFORE any shuffle: the type equality predicates must be
+    pushed into the parquet scans."""
+    df = _df(spark, "seq_window_funnel")
+    assert not P.has_cartesian(df)
+    assert any("event_type" in f for f in P.pushed_filters(df))
+
+
+def test_ols_is_one_aggregation_pass(spark):
+    """agg_ols_normal_equations claims 'one corpus pass ending in a
+    3-row frame': no join anywhere, and the only exchanges are the
+    single aggregation shuffle plus the final 3-row sort."""
+    ops = P.operators(_df(spark, "agg_ols_normal_equations"))
+    assert "Join" not in ops
+    # formatted plans print each node twice (tree + detail block):
+    # one aggregation exchange + the final 3-row sort exchange
+    assert ops.count(") Exchange") <= 4
+
+
+def test_vad_single_python_stage(spark):
+    """mm_audio_vad_energy crosses into Python exactly once (the PCM
+    frame-energy decode); segmentation/thresholding stay JVM-side, and
+    the frame-total join is an equi-join."""
+    import re
+
+    df = _df(spark, "mm_audio_vad_energy")
+    ops = P.operators(df)
+    # the decode frame is persisted: every consumer reads the SAME
+    # cached MapInPandas node (one distinct plan id), so the Python
+    # PCM decode executes once; without the persist the plan carried
+    # three distinct MapInPandas nodes — three decodes of the corpus
+    ids = set(re.findall(r"MapInPandas \((\d+)\)", ops))
+    assert len(ids) == 1, f"expected one shared decode node, got {ids}"
+    assert "InMemoryTableScan" in ops
+    assert not P.has_cartesian(df)
+
+
+def test_seasonal_decompose_no_cartesian_prunes_columns(spark):
+    """ts_seasonal_decompose: seasonal join back on (series,
+    hour-of-day) stays an equi-join; the scan never reads props."""
+    df = _df(spark, "ts_seasonal_decompose")
+    assert not P.has_cartesian(df)
+    assert "props" not in " ".join(P.read_schemas(df))
+
+
+def test_hard_negative_mining_broadcasts_positives(spark):
+    """text_hard_negative_mining joins the <=100-row positive frame
+    back to the ranked negatives — that join must be a broadcast, and
+    candidate generation must stay cartesian-free like the BM25 base."""
+    df = _df(spark, "text_hard_negative_mining")
+    assert not P.has_cartesian(df)
+    assert P.has_broadcast_join(df)
