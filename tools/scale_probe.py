@@ -77,6 +77,11 @@ LINEAR = [
     # probe count grows with the corpus (doc_id % 97) while per-probe
     # candidate sets stay replica-local, so expected growth is linear
     ("text_bm25_retrieval", "documents", N_DOCS),
+    # round-7 WAND variant: at sf0.1 its fallback machinery costs ~3x
+    # plain BM25 (the gate corpus's 31-word vocabulary is ~all hot, so
+    # probes legitimately fall back — measured in BENCH_r7); the claim
+    # is the SCALING shape, so the probe measures it
+    ("text_bm25_wand_retrieval", "documents", N_DOCS),
     # round-6 advice #3: the hybrid fusion's dense side is now a
     # CAPPED probe set (<=100 probes at any sf, the _HE_QCAP
     # discipline) — this probe is the done-criterion evidence
