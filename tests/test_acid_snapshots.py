@@ -373,3 +373,53 @@ def test_cross_process_commit_race_one_aborts(spark, table):
     with _pytest.raises(ConcurrentWriteConflict):
         table._commit("late", {}, base_version=0)
     assert table._commit("late", {}, base_version=1) == 2
+
+
+def test_restore_rollback_and_continue(spark, table):
+    """RESTORE republishes an old manifest as a new version: content
+    must be bit-identical to the target version, the damaged versions
+    stay time-travelable, and normal DML continues on top."""
+    table.delete(F.col("k") <= 10)  # v1
+    table.update(F.col("status") == "A", {"status": F.lit("Z")})  # v2
+    v = table.restore(0)  # v3
+    assert v == 3
+    v0 = table.read(version=0)
+    now = table.read()
+    assert now.exceptAll(v0).count() == 0
+    assert v0.exceptAll(now).count() == 0
+    # history intact: the bad delete is still visible at v1
+    assert table.read(version=1).count() == 10
+    # restore of a restore and further DML both work
+    assert table.restore(2) == 4
+    assert table.read().where(F.col("status") == "Z").count() == 5
+    table.delete(F.col("k") > 15)  # v5 on top of the restored state
+    assert table.read().count() == 5  # k in 11..15 survive
+
+
+def test_restore_loses_to_concurrent_writer(spark, table):
+    """restore goes through the same optimistic commit as any writer:
+    if another writer claims the next version slot first, the restore
+    must abort, not interleave."""
+    from hive_service_spark.operators.acid_snapshots import (
+        ConcurrentWriteConflict,
+        SnapshotTable,
+    )
+
+    table.delete(F.col("k") <= 5)  # v1
+    orig = SnapshotTable._commit
+
+    def racing_commit(self, op, buckets, deletes=None, base_version=None):
+        # disarm FIRST: the racing writer's own delete commits through
+        # SnapshotTable._commit too, and must not re-enter this hook
+        SnapshotTable._commit = orig
+        # a concurrent writer publishes v2 just before our restore does
+        b = SnapshotTable(spark, self.path, key_col="k", n_buckets=4)
+        b.delete(F.col("k") == 20)
+        return orig(self, op, buckets, deletes=deletes, base_version=base_version)
+
+    SnapshotTable._commit = racing_commit
+    try:
+        with pytest.raises(ConcurrentWriteConflict):
+            table.restore(0)
+    finally:
+        SnapshotTable._commit = orig
