@@ -75,6 +75,12 @@ HEADLINE = [
     "text_bm25_wand_retrieval",
     # round-7: hypertable gap-fill (dense grid + LOCF/interpolate)
     "ts_gapfill_locf_interpolate",
+    # round-7 continued: LTTB downsampling (window-decoupled variant),
+    # the ordered funnel (chained per-user min-aggregates), and the
+    # sort-based skyline (the O(n log n) rewrite of a quadratic op)
+    "ts_lttb_downsample",
+    "seq_window_funnel",
+    "window_skyline_pareto",
 ]
 
 # Pure-CPU sentinel queries (plan-pinned, untouched since round 1) and

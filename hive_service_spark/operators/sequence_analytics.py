@@ -1075,3 +1075,134 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hr")
     )
+
+
+# ---------------------------------------------------------------------------
+# markov transition matrix + power-iteration stationary distribution
+# ---------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id)
+           AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type AS from_type, event_type AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+  FROM trans GROUP BY from_type
+),
+p AS (
+  SELECT t.from_type, t.to_type, t.n_trans,
+         CAST(FLOOR(1000000.0 * t.n_trans / tt.n_from) AS BIGINT)
+           AS prob_q
+  FROM trans t JOIN totals tt ON t.from_type = tt.from_type
+),
+states AS (SELECT DISTINCT from_type AS s FROM trans),
+pi0 AS (
+  SELECT s, CAST(FLOOR(1000000.0 / (SELECT COUNT(*) FROM states))
+                 AS BIGINT) AS v
+  FROM states
+),
+pi1 AS (
+  SELECT p.to_type AS s,
+         CAST(FLOOR(SUM(pi0.v * p.prob_q) / 1000000.0) AS BIGINT) AS v
+  FROM pi0 JOIN p ON p.from_type = pi0.s
+  GROUP BY p.to_type
+),
+pi2 AS (
+  SELECT p.to_type AS s,
+         CAST(FLOOR(SUM(pi1.v * p.prob_q) / 1000000.0) AS BIGINT) AS v
+  FROM pi1 JOIN p ON p.from_type = pi1.s
+  GROUP BY p.to_type
+)
+SELECT p.from_type, p.to_type, p.n_trans, p.prob_q,
+       pi2.v AS from_stationary_q
+FROM p JOIN pi2 ON pi2.s = p.from_type
+ORDER BY p.from_type, p.to_type
+"""
+
+
+@query("seq_markov_transitions", oracle=_MARKOV_ORACLE)
+def seq_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov model of user behavior: the event-type
+    transition matrix (per-user LAG pairing, global counts) plus the
+    chain's stationary distribution by two power iterations — the
+    behavioral-modeling shape behind next-event prediction, journey
+    analysis, and PageRank itself (same iteration, row-stochastic
+    matrix). Neither Hive 2.3 nor Spark has a sequence-model surface.
+
+    Engine-exactness: transition probabilities are FLOOR-quantized to
+    parts-per-million (exact integer rationals), the power iterations
+    multiply and floor exact integers, and integer sums are
+    order-independent — the whole trajectory is bit-stable on both
+    engines (the PageRank lesson: quantize BEFORE iterating, not
+    after).
+
+    100 TB reading: the LAG pairing is the standard per-user sorted
+    window (state = one previous row); transition counting is a
+    map-side-combined groupBy on a (|states|^2)-bounded key space, so
+    the matrix frame is TINY regardless of corpus size — the power
+    iterations run on |states|-row frames and cost nothing. One
+    shuffle for the window, one for the counts; everything after is
+    broadcast-sized."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    ordered = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        ordered.where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
+    )
+    totals = trans.groupBy("from_type").agg(
+        F.sum("n_trans").cast("bigint").alias("n_from")
+    )
+    p = trans.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.floor(F.lit(1000000.0) * F.col("n_trans") / F.col("n_from"))
+        .cast("bigint")
+        .alias("prob_q"),
+    )
+    states = trans.select(F.col("from_type").alias("s")).distinct()
+    n_states = states.count()  # |event types| — a tiny scalar
+    pi = states.select(
+        "s", F.lit(int(1000000.0 // n_states)).cast("bigint").alias("v")
+    )
+    for _ in range(2):
+        pi = (
+            pi.join(p, pi.s == p.from_type)
+            .groupBy(F.col("to_type").alias("s2"))
+            .agg(
+                F.floor(F.sum(F.col("v") * F.col("prob_q")) / 1000000.0)
+                .cast("bigint")
+                .alias("v")
+            )
+            .select(F.col("s2").alias("s"), "v")
+        )
+    return (
+        p.join(pi, pi.s == p.from_type)
+        .select(
+            "from_type",
+            "to_type",
+            "n_trans",
+            "prob_q",
+            F.col("v").alias("from_stationary_q"),
+        )
+        .orderBy("from_type", "to_type")
+    )
