@@ -246,3 +246,101 @@ def opt_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# constraint-informed FK join elimination (RELY semantics)
+# ---------------------------------------------------------------------------
+
+
+def eliminate_fk_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fk_col: str,
+    pk_col: str,
+    constraints: dict[str, str],
+    used_dim_cols: set[str],
+) -> DataFrame:
+    """Join elimination from INFORMATIONAL constraints — the optimizer
+    capability declared constraints exist FOR (Calcite's
+    RelOptUtil-style PK/FK elimination; the reference stores the
+    metadata via add_primary_key/add_foreign_key but 2.3's planner
+    never exploits it — this closes that loop the way a modern CBO
+    does). An inner equi-join fact ⋈ dim on fk = pk is a no-op iff:
+      (1) pk is a declared PRIMARY KEY of dim  -> no row duplication,
+      (2) fk is declared REFERENCES dim.pk with RELY  -> no row loss
+          (every fk value finds a match; RELY = "trust, don't verify",
+          exactly Hive/Oracle's RELY NOVALIDATE semantics),
+      (3) the query reads no dim columns       -> nothing else needed.
+    When all three hold the join is removed, leaving only a
+    residual fk IS NOT NULL filter (a NULL fk would have been dropped
+    by the inner join). Otherwise the join is returned untouched —
+    the rewrite is advisory, never required for correctness."""
+    pk_declared = constraints.get("constraint.pk") == pk_col
+    fk_spec = constraints.get(f"constraint.fk.{fk_col}", "")
+    # RELY is a token, not a suffix — Hive writes "RELY NOVALIDATE"
+    # (the plan pin caught endswith("RELY") silently keeping the join)
+    fk_rely = "RELY" in fk_spec.split() and pk_col in fk_spec
+    if pk_declared and fk_rely and not used_dim_cols:
+        return fact.where(F.col(fk_col).isNotNull())
+    return fact.join(dim, fact[fk_col] == dim[pk_col], "inner").select(
+        *[fact[c] for c in fact.columns]
+    )
+
+
+_FK_ELIM_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+            AS BIGINT) AS revenue_c
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@query("opt_fk_join_elimination", oracle=_FK_ELIM_ORACLE)
+def opt_fk_join_elimination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-bucket revenue 'through' the orders ⋈ customer join —
+    except the join never runs: customer.c_custkey is declared PRIMARY
+    KEY and orders.o_custkey REFERENCES it with RELY (the
+    informational-constraint metadata ddl_constraints_informational
+    stores), no customer column is read, so eliminate_fk_join removes
+    the join entirely. THE ORACLE RUNS THE REAL JOIN — the value hash
+    is the proof that elimination preserved semantics on
+    referential-integrity-holding data, while the plan pin
+    (tests/test_plans.py) proves the join is actually gone.
+
+    100 TB reading: this deletes the single biggest cost in the naive
+    plan — the fact-side shuffle (or dim broadcast) of a
+    billions-of-rows join — for free, from metadata alone. It is why
+    warehouses carry RELY constraints on tables the engine never
+    validates: star-schema BI tools emit the dim join unconditionally
+    and the optimizer is expected to drop it."""
+    constraints = {
+        "constraint.pk": "c_custkey",
+        "constraint.fk.o_custkey": "customer.c_custkey RELY NOVALIDATE",
+    }
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    pruned = eliminate_fk_join(
+        orders,
+        customer,
+        fk_col="o_custkey",
+        pk_col="c_custkey",
+        constraints=constraints,
+        used_dim_cols=set(),
+    )
+    return (
+        pruned.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_c"),
+        )
+        .orderBy("o_orderpriority")
+    )

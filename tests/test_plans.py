@@ -581,3 +581,56 @@ def test_hard_negative_mining_broadcasts_positives(spark):
     df = _df(spark, "text_hard_negative_mining")
     assert not P.has_cartesian(df)
     assert P.has_broadcast_join(df)
+
+
+def test_fk_join_elimination_plan_has_no_join(spark):
+    """opt_fk_join_elimination's oracle runs the REAL customer join;
+    the Spark plan must contain no join at all — only the residual
+    fk-not-null filter over the orders scan."""
+    ops = P.operators(_df(spark, "opt_fk_join_elimination"))
+    assert "Join" not in ops
+    assert "o_custkey" in " ".join(
+        P.pushed_filters(_df(spark, "opt_fk_join_elimination"))
+    ) or "isnotnull" in ops.lower()
+
+
+def test_fk_join_elimination_refusal_paths(spark):
+    """The rewrite must keep the join when any precondition fails:
+    no RELY on the FK, a different PK declared, or a dim column in
+    use."""
+    from hive_service_spark.operators.optimizer_features import (
+        eliminate_fk_join,
+    )
+    from tests.conftest import SF_DIR
+    from hive_service_spark.catalog import load as _load
+
+    orders = _load(spark, SF_DIR, "orders")
+    customer = _load(spark, SF_DIR, "customer")
+    good = {
+        "constraint.pk": "c_custkey",
+        "constraint.fk.o_custkey": "customer.c_custkey RELY NOVALIDATE",
+    }
+    kw = dict(fk_col="o_custkey", pk_col="c_custkey")
+
+    def has_join(df):
+        return "Join" in P.operators(df)
+
+    assert not has_join(
+        eliminate_fk_join(orders, customer, constraints=good,
+                          used_dim_cols=set(), **kw)
+    )
+    no_rely = dict(good, **{
+        "constraint.fk.o_custkey": "customer.c_custkey NOVALIDATE"
+    })
+    assert has_join(
+        eliminate_fk_join(orders, customer, constraints=no_rely,
+                          used_dim_cols=set(), **kw)
+    )
+    assert has_join(
+        eliminate_fk_join(orders, customer, constraints={},
+                          used_dim_cols=set(), **kw)
+    )
+    assert has_join(
+        eliminate_fk_join(orders, customer, constraints=good,
+                          used_dim_cols={"c_name"}, **kw)
+    )
