@@ -601,3 +601,90 @@ def source_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("record_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# JDBC federation: operational RDBMS dim ⋈ parquet fact
+# ---------------------------------------------------------------------------
+
+_JDBC_ORACLE = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+            AS BIGINT) AS revenue_c,
+       CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_acctbal > 1000
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+def _jdbc_opts(reader_or_writer, url: str):
+    return (
+        reader_or_writer.format("jdbc")
+        .option("url", url)
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    )
+
+
+@query("source_jdbc_federated", oracle=_JDBC_ORACLE)
+def source_jdbc_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC federation — the operational-RDBMS dimension living in a
+    real SQL database (embedded Derby, the same engine the Hive
+    metastore runs on) joined against the parquet fact table. The
+    customer dim is first LOADED into Derby over JDBC (the nightly
+    replication a warehouse runs), then read back federated:
+    the `c_acctbal > 1000` predicate is PUSHED INTO THE DATABASE
+    (JDBCRelation PushedFilters — the DB scans, Spark never sees the
+    filtered rows) and the read is SPLIT into 4 range partitions on
+    c_custkey, so the extract parallelizes like any other source
+    instead of single-streaming through one connection. Reference
+    surface: Hive federates via later-version JdbcStorageHandler;
+    Spark's JDBC source is the native analog.
+
+    100 TB reading: the fact side never moves — only the (already
+    DB-filtered) dim crosses, partitioned; at real scale the dim read
+    parallelism is sized by numPartitions/bounds exactly as here, and
+    the pushed predicate is what keeps an operational DB join viable
+    at all. Per-process Derby path: embedded Derby is single-process,
+    so concurrent gate runs must not share a database directory."""
+    url = f"jdbc:derby:{_PID_SCRATCH}/jdbc_dim_db;create=true"
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("double")
+    )
+    (
+        _jdbc_opts(cust.write, url)
+        .option("dbtable", "customer_dim")
+        .mode("overwrite")
+        .save()
+    )
+    hi, lo = cust.agg(F.max("c_custkey"), F.min("c_custkey")).first()
+    dim = (
+        _jdbc_opts(spark.read, url)
+        .option("dbtable", "customer_dim")
+        .option("partitionColumn", "c_custkey")
+        .option("lowerBound", str(lo))
+        .option("upperBound", str(hi + 1))
+        .option("numPartitions", "4")
+        .load()
+        .where(F.col("c_acctbal") > 1000)
+    )
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return (
+        orders.join(dim, orders.o_custkey == dim.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_c"),
+            F.count_distinct("c_custkey").cast("bigint").alias(
+                "n_customers"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )

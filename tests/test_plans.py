@@ -634,3 +634,14 @@ def test_fk_join_elimination_refusal_paths(spark):
         eliminate_fk_join(orders, customer, constraints=good,
                           used_dim_cols={"c_name"}, **kw)
     )
+
+
+def test_jdbc_federated_pushdown_and_partitioned_read(spark):
+    """source_jdbc_federated's scale claims: the acctbal predicate is
+    pushed INTO the database (JDBCRelation PushedFilters), and the dim
+    extract is split into 4 range partitions — never one connection
+    streaming the whole table."""
+    plan = P.formatted_plan(_df(spark, "source_jdbc_federated"))
+    assert "JDBCRelation" in plan
+    assert "numPartitions=4" in plan
+    assert "c_acctbal" in plan and "GreaterThan" in plan
