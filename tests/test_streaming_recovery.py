@@ -88,3 +88,88 @@ def test_event_log_consumer_replay_is_idempotent(spark):
     second = sorted(tuple(r) for r in fn(spark, SF_DIR).collect())
     assert first == second
     assert len(first) == 3  # events 2..4 past the stored offset
+
+
+def test_funnel_state_survives_restart(spark, tmp_path):
+    """The stateful funnel's GroupState must survive a query restart:
+    half the events stream in run 1, the rest in run 2 with the SAME
+    checkpoint — the recovered per-user frontiers must land exactly on
+    the batch funnel over all events. This is the docstring's
+    prefix-composability claim tested under an actual restart, not
+    just a single availableNow replay. Frontier state is MONOTONE
+    (each step only moves from unset to its earliest valid timestamp),
+    so the final state per user is the struct-max over every emission
+    across both runs — users untouched by run 2 keep their run-1
+    frontier."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from hive_service_spark.registry import load_all
+    from hive_service_spark.streaming.events import _funnel_step
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "emissions")
+
+    ev = load(spark, SF_DIR, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t"), "event_id"
+    )
+    cut = ev.agg(F.percentile_approx("t", 0.5)).first()[0]
+    part_a = ev.where(F.col("t") <= cut)
+    part_b = ev.where(F.col("t") > cut)
+    part_a.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    out_schema = (
+        "user_id bigint, depth bigint, t1_us bigint, t2_us bigint, "
+        "t3_us bigint, converted_7d bigint"
+    )
+
+    def run():
+        # memory sink cannot recover from a checkpoint; foreachBatch
+        # appending to parquet is the fault-tolerant emission log
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _funnel_step,
+                outputStructType=out_schema,
+                stateStructType="t1 bigint, t2 bigint, t3 bigint",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    part_b.coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    emissions = spark.read.parquet(sink)
+    final = (
+        emissions.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("depth", "t3_us", "t2_us", "t1_us", "converted_7d")
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            F.col("s.depth").alias("depth"),
+            F.col("s.t1_us").alias("t1_us"),
+            F.col("s.t2_us").alias("t2_us"),
+            F.col("s.t3_us").alias("t3_us"),
+            F.col("s.converted_7d").alias("converted_7d"),
+        )
+    )
+    batch = load_all()["seq_window_funnel"].fn(spark, SF_DIR)
+    got = {r["user_id"]: r.asDict() for r in final.collect()}
+    want = {r["user_id"]: r.asDict() for r in batch.collect()}
+    assert got == want
