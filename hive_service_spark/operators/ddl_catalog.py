@@ -890,3 +890,90 @@ def ddl_exchange_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY table_name, o_year
         """
     )
+
+
+# --- SHOW CREATE TABLE round-trip -------------------------------------------
+
+_SHOW_CREATE_ORACLE = """
+SELECT CAST(n_cols AS BIGINT) AS n_cols,
+       CAST(1 AS BIGINT) AS ddl_has_partition,
+       CAST(1 AS BIGINT) AS ddl_has_comment,
+       CAST(1 AS BIGINT) AS clone_schema_matches,
+       CAST(n_rows AS BIGINT) AS clone_rows
+FROM (
+  -- 4 = the CTAS projection (o_orderkey, o_totalprice,
+  -- o_orderpriority) + the status partition column
+  SELECT (SELECT COUNT(*) FROM (
+            DESCRIBE SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM orders)) + 1 AS n_cols,
+         (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F')
+           AS n_rows
+)
+"""
+
+
+@query("ddl_show_create_table", oracle=_SHOW_CREATE_ORACLE)
+def ddl_show_create_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW CREATE TABLE round-trip — the DDL-export surface
+    (reference: DDLTask's showCreateTable, the statement users script
+    migrations and disaster-recovery runbooks against). A partitioned,
+    commented table is created; SHOW CREATE TABLE returns its DDL; the
+    test EXECUTES that DDL verbatim under a new table name, copies the
+    data in, and verifies the clone: identical column schema
+    (name+type list compared field by field), the partition spec and
+    comment present in the emitted DDL, and the row count preserved.
+    The oracle derives the expected column count by DESCRIBE-ing the
+    same projection over the parquet schema.
+
+    Scale note: SHOW CREATE TABLE is a metadata-only operation at any
+    table size; the round-trip proves the emitted DDL is executable —
+    the property replication tooling depends on."""
+    register_views(spark, sf_dir)
+    _fresh_table(spark, "sct_src")
+    _fresh_table(spark, "sct_clone")
+    spark.sql(
+        """
+        CREATE TABLE hs_scratch.sct_src
+        USING parquet
+        PARTITIONED BY (status)
+        COMMENT 'orders slice for SHOW CREATE TABLE round-trip'
+        AS SELECT o_orderkey, o_totalprice, o_orderpriority,
+                  o_orderstatus AS status
+           FROM orders WHERE o_orderstatus = 'F'
+        """
+    )
+    ddl = spark.sql(
+        "SHOW CREATE TABLE hs_scratch.sct_src"
+    ).first()["createtab_stmt"]
+    clone_ddl = ddl.replace(
+        "hs_scratch.sct_src", "hs_scratch.sct_clone"
+    ).replace("`sct_src`", "`sct_clone`")
+    spark.sql(clone_ddl)
+    spark.sql(
+        """
+        INSERT INTO hs_scratch.sct_clone
+        SELECT * FROM hs_scratch.sct_src
+        """
+    )
+    src_schema = [
+        (f.name, f.dataType.simpleString())
+        for f in spark.table("hs_scratch.sct_src").schema.fields
+    ]
+    clone_schema = [
+        (f.name, f.dataType.simpleString())
+        for f in spark.table("hs_scratch.sct_clone").schema.fields
+    ]
+    clone_rows = spark.table("hs_scratch.sct_clone").count()
+    return spark.createDataFrame(
+        [
+            (
+                len(src_schema),
+                int("PARTITIONED BY" in ddl),
+                int("COMMENT" in ddl),
+                int(src_schema == clone_schema),
+                clone_rows,
+            )
+        ],
+        "n_cols bigint, ddl_has_partition bigint, ddl_has_comment "
+        "bigint, clone_schema_matches bigint, clone_rows bigint",
+    )
