@@ -728,3 +728,67 @@ def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset card: the per-source statistics sheet, one corpus pass
+# ---------------------------------------------------------------------------
+
+_CARD_ORACLE = """
+SELECT COALESCE(source, 'ALL') AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(*) FILTER (WHERE len(string_split(text, ' ')) >= 20)
+            AS BIGINT) AS n_len_ok,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY GROUPING SETS ((source), ())
+ORDER BY source
+"""
+
+
+@query("pipeline_dataset_card", oracle=_CARD_ORACLE)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card — the per-source statistics sheet every corpus
+    release ships (docs/chars/tokens, language coverage, length-gate
+    pass counts, size envelope) plus the corpus-wide rollup row, all
+    from ONE scan via GROUPING SETS (the reference's grouping-sets
+    GroupByOperator surface applied to the extension's corpus tables;
+    Catalyst expands the two grouping sets inside a single aggregate,
+    so the corpus is NOT read twice). COALESCE names the rollup row
+    'ALL' so the output is null-free for the hash compare.
+
+    100 TB reading: identical to any partial-aggregated groupBy — the
+    expand doubles only the map-side aggregation rows, never the scan;
+    per-group state is eight counters. This is deliberately the CHEAP
+    card; the expensive signals (dup rates, quality quantiles,
+    contamination) have their own queries and a production card joins
+    those small outputs to this frame."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    return (
+        d.groupingSets([["source"], []], "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.sum(toks).cast("bigint").alias("total_tokens"),
+            F.count_distinct("lang").cast("bigint").alias("n_langs"),
+            F.count(F.when(toks >= 20, 1)).cast("bigint").alias("n_len_ok"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            "n_langs",
+            "n_len_ok",
+            "min_chars",
+            "max_chars",
+        )
+        .orderBy("source")
+    )

@@ -1206,3 +1206,77 @@ def seq_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# top user-journey paths: 3-step event trigrams
+# ---------------------------------------------------------------------------
+
+_PATHS_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type AS s3,
+         LAG(event_type, 1) OVER w AS s2,
+         LAG(event_type, 2) OVER w AS s1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+paths AS (
+  SELECT s1 || '>' || s2 || '>' || s3 AS path,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM ordered WHERE s1 IS NOT NULL
+  GROUP BY 1
+)
+SELECT path, n_occurrences, n_users,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, path)
+            AS BIGINT) AS rnk
+FROM paths
+ORDER BY rnk LIMIT 20
+"""
+
+
+@query("seq_top_journey_paths", oracle=_PATHS_ORACLE)
+def seq_top_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey paths: the 3-step event-type trigrams users
+    actually walk, ranked by occurrence (the Sankey/flow view product
+    analytics builds; the multi-step complement of
+    seq_markov_transitions' one-step matrix — a path count is a
+    higher-order Markov cell, revealing sequences the first-order
+    matrix factorizes away). Two LAGs in one per-user sorted window
+    pass produce every sliding trigram; counts aggregate on the path
+    key, whose cardinality is bounded by |types|^3 regardless of
+    corpus size. Exact integers end to end; ties rank by path string
+    for a total order.
+
+    100 TB reading: one window shuffle (per-user sort, 2-row state),
+    one bounded-key aggregation, and a top-20 TakeOrderedAndProject —
+    the per-user window is the same pass sessionization already pays,
+    so in a real pipeline both derive from one sorted scan."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    ordered = ev.select(
+        "user_id",
+        F.col("event_type").alias("s3"),
+        F.lag("event_type", 1).over(w).alias("s2"),
+        F.lag("event_type", 2).over(w).alias("s1"),
+    )
+    paths = (
+        ordered.where(F.col("s1").isNotNull())
+        .select(
+            F.concat_ws(">", "s1", "s2", "s3").alias("path"), "user_id"
+        )
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+    top = paths.orderBy(
+        F.col("n_occurrences").desc(), F.col("path")
+    ).limit(20)
+    w_rank = Window.orderBy(F.col("n_occurrences").desc(), F.col("path"))
+    return top.withColumn(
+        "rnk", F.row_number().over(w_rank).cast("bigint")
+    ).orderBy("rnk")
