@@ -1280,3 +1280,229 @@ def seq_top_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rnk", F.row_number().over(w_rank).cast("bigint")
     ).orderBy("rnk")
+
+
+# ---------------------------------------------------------------------------
+# M4 downsampling: min/max/first/last per bucket (the other visual reducer)
+# ---------------------------------------------------------------------------
+
+_M4_ORACLE = """
+WITH pts AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day_num,
+         epoch_us(ts) AS t_us,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS v_c,
+         event_id
+  FROM events
+),
+rnk AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day_num
+                            ORDER BY t_us, event_id) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day_num
+                            ORDER BY t_us DESC, event_id DESC) AS rd
+  FROM pts
+)
+SELECT event_type, day_num,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MIN(v_c) AS BIGINT) AS min_cents,
+       CAST(MAX(v_c) AS BIGINT) AS max_cents,
+       CAST(MAX(CASE WHEN ra = 1 THEN v_c END) AS BIGINT) AS first_cents,
+       CAST(MAX(CASE WHEN rd = 1 THEN v_c END) AS BIGINT) AS last_cents,
+       CAST(MAX(CASE WHEN ra = 1 THEN t_us END) AS BIGINT) AS first_t_us,
+       CAST(MAX(CASE WHEN rd = 1 THEN t_us END) AS BIGINT) AS last_t_us
+FROM rnk
+GROUP BY event_type, day_num
+ORDER BY event_type, day_num
+"""
+
+
+@query("ts_m4_downsample", oracle=_M4_ORACLE)
+def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per (series, day
+    bucket) keep min, max, first and last — the four points that make
+    a line chart pixel-exact at the target width, and the reducer
+    time-series databases default to (LTTB's shape-preserving
+    complement; ts_lttb_downsample picks ONE point per bucket by
+    triangle area, M4 guarantees the rendered envelope). First/last
+    resolve by (t_us, event_id) row numbers — a total order, so ties
+    cannot flap engines — and everything is exact integer cents/
+    micros.
+
+    100 TB reading: one window pass per (series, bucket) for the
+    first/last row numbers and one grouped aggregation on the same
+    key — both map-side-combinable after the single sort-shuffle;
+    output is 4 values x |buckets| regardless of input density. In a
+    rollup hierarchy (raw -> day -> month) each level's M4 derives
+    from the previous level's, so the raw scan happens once ever."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias(
+            "day_num"
+        ),
+        F.unix_micros("ts").alias("t_us"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_c"),
+        "event_id",
+    )
+    w_a = Window.partitionBy("event_type", "day_num").orderBy(
+        "t_us", "event_id"
+    )
+    w_d = Window.partitionBy("event_type", "day_num").orderBy(
+        F.col("t_us").desc(), F.col("event_id").desc()
+    )
+    rnk = ev.select(
+        "*",
+        F.row_number().over(w_a).alias("ra"),
+        F.row_number().over(w_d).alias("rd"),
+    )
+    return (
+        rnk.groupBy("event_type", "day_num")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.min("v_c").cast("bigint").alias("min_cents"),
+            F.max("v_c").cast("bigint").alias("max_cents"),
+            F.max(F.when(F.col("ra") == 1, F.col("v_c")))
+            .cast("bigint")
+            .alias("first_cents"),
+            F.max(F.when(F.col("rd") == 1, F.col("v_c")))
+            .cast("bigint")
+            .alias("last_cents"),
+            F.max(F.when(F.col("ra") == 1, F.col("t_us")))
+            .cast("bigint")
+            .alias("first_t_us"),
+            F.max(F.when(F.col("rd") == 1, F.col("t_us")))
+            .cast("bigint")
+            .alias("last_t_us"),
+        )
+        .orderBy("event_type", "day_num")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD-based robust anomaly flags (the z-score gate's robust sibling)
+# ---------------------------------------------------------------------------
+
+# Hampel convention: flag |v - med| > 3.5 * MAD. With adev2x = 2|v-med|
+# and mad4x = 4*MAD, that is exactly 4*adev2x > _MAD_K2X*mad4x (K2X = 7
+# = 2*3.5) — a pure integer cross-multiplication.
+_MAD_K2X = 7
+
+_MAD_ORACLE = """
+WITH pts AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS v_c,
+         event_id
+  FROM events
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY v_c, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM pts
+),
+med AS (  -- median x2 = sum of the two middle order statistics
+  SELECT event_type,
+         CAST(SUM(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                       THEN v_c END) AS BIGINT) AS med2x
+  FROM ranked GROUP BY event_type
+),
+dev AS (
+  SELECT p.event_type, p.v_c, p.event_id,
+         abs(2 * p.v_c - m.med2x) AS adev2x
+  FROM pts p JOIN med m ON p.event_type = m.event_type
+),
+dranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY adev2x, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (  -- MAD x4 = sum of the two middle absolute deviations (x2)
+  SELECT event_type,
+         CAST(SUM(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                       THEN adev2x END) AS BIGINT) AS mad4x
+  FROM dranked GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(m.med2x) AS BIGINT) AS med2x,
+       CAST(MAX(m2.mad4x) AS BIGINT) AS mad4x,
+       CAST(COUNT(*) FILTER (WHERE 4 * d.adev2x > {k} * m2.mad4x)
+            AS BIGINT) AS n_anomalies
+FROM dev d
+JOIN med m ON d.event_type = m.event_type
+JOIN mad m2 ON d.event_type = m2.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+""".format(k=_MAD_K2X)
+
+
+@query("ts_mad_robust_anomalies", oracle=_MAD_ORACLE)
+def ts_mad_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection by median absolute deviation — the
+    outlier gate that does NOT move when the outliers do (mean/stddev
+    z-scores (seq_zscore_anomalies) are themselves dragged by the
+    anomalies they hunt; median/MAD have a 50% breakdown point — the
+    Hampel-filter family). Flags |v - median| > 3.5 * MAD, expressed
+    entirely in integers: median x2 = the sum of the two middle order
+    statistics (exact for even AND odd counts, no .5 ever
+    materializes), MAD x4 likewise over doubled deviations, and the
+    flag is the cross-multiplied compare 4*adev2x > 7*mad4x — no
+    division or float appears anywhere in the pipeline.
+
+    100 TB reading: two rank passes per series (value order, then
+    deviation order) — each one sort-shuffle on the series key, the
+    same cost class as any per-key window — plus bounded-key joins of
+    the 1-row-per-series median/MAD frames, which broadcast. The
+    rank-based exact median avoids both collect_list-per-group (OOM
+    on hot series) and approximate sketches (engine-divergent)."""
+    pts = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_c"),
+        "event_id",
+    )
+
+    def _med2x(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col, "event_id")
+        wn = Window.partitionBy("event_type")
+        ranked = df.select(
+            "event_type",
+            F.col(col),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        mid = (F.col("rn") == F.floor((F.col("n") + 1) / 2)) | (
+            F.col("rn") == F.floor((F.col("n") + 2) / 2)
+        )
+        return ranked.groupBy("event_type").agg(
+            F.sum(F.when(mid, F.col(col))).cast("bigint").alias(out)
+        )
+
+    med = _med2x(pts, "v_c", "med2x")
+    dev = pts.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "v_c",
+        "event_id",
+        F.abs(2 * F.col("v_c") - F.col("med2x")).alias("adev2x"),
+    )
+    mad = _med2x(dev, "adev2x", "mad4x")
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return (
+        flagged.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max("med2x").cast("bigint").alias("med2x"),
+            F.max("mad4x").cast("bigint").alias("mad4x"),
+            F.count(
+                F.when(
+                    4 * F.col("adev2x") > _MAD_K2X * F.col("mad4x"), 1
+                )
+            )
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )
