@@ -1401,10 +1401,13 @@ ranked AS (
          COUNT(*) OVER (PARTITION BY event_type) AS n
   FROM pts
 ),
-med AS (  -- median x2 = sum of the two middle order statistics
+med AS (  -- median x2 = lower-middle + upper-middle order statistic;
+          -- TWO separate terms so an odd count doubles its single
+          -- middle row instead of counting it once
   SELECT event_type,
-         CAST(SUM(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
-                       THEN v_c END) AS BIGINT) AS med2x
+         CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN v_c END)
+              + SUM(CASE WHEN rn = (n + 2) // 2 THEN v_c END)
+              AS BIGINT) AS med2x
   FROM ranked GROUP BY event_type
 ),
 dev AS (
@@ -1419,10 +1422,11 @@ dranked AS (
          COUNT(*) OVER (PARTITION BY event_type) AS n
   FROM dev
 ),
-mad AS (  -- MAD x4 = sum of the two middle absolute deviations (x2)
+mad AS (  -- MAD x4 = lower-middle + upper-middle doubled deviation
   SELECT event_type,
-         CAST(SUM(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
-                       THEN adev2x END) AS BIGINT) AS mad4x
+         CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN adev2x END)
+              + SUM(CASE WHEN rn = (n + 2) // 2 THEN adev2x END)
+              AS BIGINT) AS mad4x
   FROM dranked GROUP BY event_type
 )
 SELECT d.event_type,
@@ -1473,11 +1477,19 @@ def ts_mad_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("rn"),
             F.count(F.lit(1)).over(wn).alias("n"),
         )
-        mid = (F.col("rn") == F.floor((F.col("n") + 1) / 2)) | (
-            F.col("rn") == F.floor((F.col("n") + 2) / 2)
-        )
+        lo = F.col("rn") == F.floor((F.col("n") + 1) / 2)
+        hi = F.col("rn") == F.floor((F.col("n") + 2) / 2)
+        # two separate terms: an odd count's single middle row must
+        # count TWICE (a combined OR-term counted it once, silently
+        # halving med2x for odd-sized series — caught by the
+        # hypothesis property test)
         return ranked.groupBy("event_type").agg(
-            F.sum(F.when(mid, F.col(col))).cast("bigint").alias(out)
+            (
+                F.sum(F.when(lo, F.col(col)))
+                + F.sum(F.when(hi, F.col(col)))
+            )
+            .cast("bigint")
+            .alias(out)
         )
 
     med = _med2x(pts, "v_c", "med2x")

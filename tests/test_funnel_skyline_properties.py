@@ -125,3 +125,26 @@ def _skyline_window(pts: list[tuple[int, int]]) -> list[tuple[int, int]]:
 )
 def test_skyline_window_rewrite_equals_dominance(pts):
     assert _skyline_window(pts) == _skyline_quadratic(pts)
+
+
+# ---------------------------------------------------------------------------
+# MAD: the doubled-integer order-statistic median formula
+# ---------------------------------------------------------------------------
+
+
+def _med2x_formula(vals: list[int]) -> int:
+    """Mirror of ts_mad_robust_anomalies' rank formula: the sum of the
+    order statistics at ranks (n+1)//2 and (n+2)//2 (the same row
+    twice when n is odd)."""
+    s = sorted(vals)
+    n = len(s)
+    return s[(n + 1) // 2 - 1] + s[(n + 2) // 2 - 1]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1))
+def test_med2x_is_twice_the_median(vals):
+    import statistics
+
+    med = statistics.median(vals)
+    assert _med2x_formula(vals) == int(2 * med)
