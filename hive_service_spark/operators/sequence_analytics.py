@@ -672,9 +672,19 @@ bkt AS (
   FROM rnk GROUP BY event_type, day_num
 ),
 anch AS (
+  -- anchors only from DAY-ADJACENT buckets: a gap-preceded/followed
+  -- bucket is treated as an edge bucket, which also bounds
+  -- |x0 - x2| < 3 days so the BIGINT cross product cannot overflow
+  -- on sparse long-retention series
   SELECT event_type, day_num,
-         LAG(last_t)   OVER w AS x0, LAG(last_v)   OVER w AS y0,
-         LEAD(first_t) OVER w AS x2, LEAD(first_v) OVER w AS y2
+         CASE WHEN LAG(day_num) OVER w = day_num - 1
+              THEN LAG(last_t) OVER w END AS x0,
+         CASE WHEN LAG(day_num) OVER w = day_num - 1
+              THEN LAG(last_v) OVER w END AS y0,
+         CASE WHEN LEAD(day_num) OVER w = day_num + 1
+              THEN LEAD(first_t) OVER w END AS x2,
+         CASE WHEN LEAD(day_num) OVER w = day_num + 1
+              THEN LEAD(first_v) OVER w END AS y2
   FROM bkt
   WINDOW w AS (PARTITION BY event_type ORDER BY day_num)
 ),
@@ -727,13 +737,17 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection becomes one window pass, embarrassingly parallel across
     buckets, at the cost of a bounded anchor offset from the
     sequential algorithm. First/last buckets keep the series'
-    first/last point (the LTTB endpoint rule).
+    first/last point (the LTTB endpoint rule), and a bucket adjoining
+    a GAP in the day grid is treated as an edge bucket too: anchors
+    are taken only from day-adjacent buckets, never across a gap.
 
     Engine-exactness: timestamps in exact epoch micros, values in
     exact cents, so twice-the-triangle-area is a pure BIGINT cross
-    product (|dt| < 3 days in us ~ 2.6e11 x |dv| <= 5e4 cents ~ 1.3e16
-    < 2^63 — no float enters the pipeline at all); argmax ties break
-    on (t_us, event_id), a total order.
+    product; the day-adjacent anchor rule makes |dt| < 3 days in us
+    ~ 2.6e11 UNCONDITIONALLY (even on sparse series with year-long
+    gaps), so with |dv| <= 5e4 cents the product is ~1.3e16 < 2^63 —
+    no float enters the pipeline and no overflow is reachable; argmax
+    ties break on (t_us, event_id), a total order.
 
     100 TB reading: the per-point pass shuffles once on (series,
     bucket) — per-bucket state is bounded by points-per-day; the
@@ -772,13 +786,21 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rd") == 1, F.col("v_c"))).alias("last_v"),
     )
     w_b = Window.partitionBy("event_type").orderBy("day_num")
+    # anchors only from DAY-ADJACENT buckets (mirrors the oracle): a
+    # bucket after a gap gets x0=NULL (first-point edge rule), one
+    # before a gap gets x2=NULL (last-point edge rule) — and the
+    # adjacency bound is what makes the no-overflow argument true on
+    # sparse series (|x0 - x2| < 3 days ALWAYS, not just when every
+    # day is observed; round-8 ADVICE fix)
+    prev_adj = F.lag("day_num").over(w_b) == F.col("day_num") - 1
+    next_adj = F.lead("day_num").over(w_b) == F.col("day_num") + 1
     anch = bkt.select(
         "event_type",
         "day_num",
-        F.lag("last_t").over(w_b).alias("x0"),
-        F.lag("last_v").over(w_b).alias("y0"),
-        F.lead("first_t").over(w_b).alias("x2"),
-        F.lead("first_v").over(w_b).alias("y2"),
+        F.when(prev_adj, F.lag("last_t").over(w_b)).alias("x0"),
+        F.when(prev_adj, F.lag("last_v").over(w_b)).alias("y0"),
+        F.when(next_adj, F.lead("first_t").over(w_b)).alias("x2"),
+        F.when(next_adj, F.lead("first_v").over(w_b)).alias("y2"),
     )
     cand = rnk.join(anch, ["event_type", "day_num"])
     interior = F.col("x0").isNotNull() & F.col("x2").isNotNull()

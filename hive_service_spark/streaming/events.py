@@ -846,28 +846,63 @@ from hive_service_spark.operators.sequence_analytics import (  # noqa: E402
 _STREAM_FUNNEL_ORACLE = _FUNNEL_ORACLE
 
 
+# state layout for the stateful funnel: the min signup plus the
+# candidate click/purchase timestamp sets (see _funnel_step)
+FUNNEL_STATE_SCHEMA = (
+    "t1 bigint, clicks array<bigint>, purchases array<bigint>"
+)
+
+
 def _funnel_step(key, pdfs, state: GroupState):
-    """Per-user funnel frontier held in GroupState: the three earliest
-    strictly-ordered step timestamps (-1 = not reached). Events fold in
-    (t, event_id) order, so one greedy pass computes exactly the batch
-    earliest-chain semantics — and the fold is prefix-composable, so
-    state carries correctly across micro-batches (a click arriving in
-    batch N+1 still checks against the signup frontier from batch N)."""
-    t1, t2, t3 = state.get if state.exists else (-1, -1, -1)
-    rows = []
+    """Per-user funnel state: min signup time + the candidate
+    click/purchase timestamp SETS the earliest-chain answer could
+    still need. The frontier is DERIVED from the sets each batch:
+
+        t1 = min(signups)
+        t2 = min(click c    : c > t1)
+        t3 = min(purchase p : p > t2)
+
+    Because each is a min over a set union, the fold is a commutative
+    monoid — genuinely ORDER-INSENSITIVE across any micro-batch
+    partitioning, including out-of-order arrival (a click/purchase
+    landing in an earlier micro-batch than its signup is buffered as a
+    candidate, not dropped; round-8 ADVICE fixed exactly that drop).
+
+    State boundedness: the chain thresholds t1/t2 only ever DECREASE
+    as earlier events arrive, so the qualifying minimum only
+    decreases — any candidate strictly above the current pick is
+    dominated forever and pruned. Under event-time-ordered arrival the
+    sets collapse to a single element each (the O(1) frontier of the
+    naive fold); under disorder they hold only the candidates below
+    the current pick, bounded by the stream's disorder horizon (a
+    production deployment adds a state TTL to cap it)."""
+    if state.exists:
+        t1, clicks, purchases = state.get
+        clicks = list(clicks or [])
+        purchases = list(purchases or [])
+    else:
+        t1, clicks, purchases = -1, [], []
     for pdf in pdfs:
-        rows.append(pdf[["event_type", "t", "event_id"]])
-    if rows:
-        allr = pd.concat(rows).sort_values(["t", "event_id"])
-        for et, t in zip(allr["event_type"], allr["t"]):
+        for et, t in zip(pdf["event_type"], pdf["t"]):
             t = int(t)
-            if et == "signup" and t1 < 0:
-                t1 = t
-            elif et == "click" and t1 >= 0 and t > t1 and t2 < 0:
-                t2 = t
-            elif et == "purchase" and t2 >= 0 and t > t2 and t3 < 0:
-                t3 = t
-    state.update((t1, t2, t3))
+            if et == "signup":
+                t1 = t if t1 < 0 else min(t1, t)
+            elif et == "click":
+                clicks.append(t)
+            elif et == "purchase":
+                purchases.append(t)
+    t2 = min((c for c in clicks if c > t1), default=-1) if t1 >= 0 else -1
+    t3 = (
+        min((p for p in purchases if p > t2), default=-1)
+        if t2 >= 0
+        else -1
+    )
+    # prune dominated candidates (> the current pick); keep everything
+    # at or below it — a still-earlier signup/click arriving later can
+    # requalify those
+    clicks = sorted(c for c in set(clicks) if t2 < 0 or c <= t2)
+    purchases = sorted(p for p in set(purchases) if t3 < 0 or p <= t3)
+    state.update((t1, clicks, purchases))
     depth = 0 if t1 < 0 else 1 if t2 < 0 else 2 if t3 < 0 else 3
     converted = 1 if t3 >= 0 and t3 - t1 <= _FUNNEL_WINDOW_US else 0
     yield pd.DataFrame(
@@ -885,22 +920,26 @@ def _funnel_step(key, pdfs, state: GroupState):
 @query("stream_window_funnel", oracle=_STREAM_FUNNEL_ORACLE)
 def stream_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ordered funnel (seq_window_funnel) as a LIVE stateful
-    streaming operator: per-user (t1, t2, t3) frontier in GroupState,
-    updated by a greedy time-ordered fold inside applyInPandasWithState
-    — the real-time conversion tracker whose batch twin is three
-    chained min-aggregates. Because the greedy fold is prefix-
-    composable (each step only ever moves from unset to its earliest
-    valid timestamp), replaying the same events through ANY micro-batch
-    partitioning yields the identical frontier — which is what lets the
-    streaming run share the batch query's value oracle verbatim.
+    streaming operator: per-user candidate sets in GroupState, the
+    frontier derived per batch inside applyInPandasWithState — the
+    real-time conversion tracker whose batch twin is three chained
+    min-aggregates. Because the state fold is a commutative monoid
+    (min signup + candidate-set unions; see _funnel_step), replaying
+    the same events through ANY micro-batch partitioning — including
+    out-of-order arrival, where a click/purchase lands in an earlier
+    batch than its signup — converges on the identical final frontier,
+    which is what lets the streaming run share the batch query's value
+    oracle verbatim.
 
-    Scale notes: state is three BIGINTs per user (no event buffering —
-    the fold consumes and discards), partitioned by user_id across
+    Scale notes: state per user is the min signup plus the pruned
+    candidate sets — O(1) under event-time-ordered arrival, bounded by
+    the disorder horizon otherwise — partitioned by user_id across
     state stores; a production deployment adds a state TTL
     (GroupStateTimeout) to retire users past the attribution horizon.
     Update mode emits each user's frontier once per micro-batch that
-    touches them — the availableNow replay here produces exactly the
-    batch answer."""
+    touches them; the LAST emission per user is the answer (the
+    availableNow replay here is one batch, so it equals the batch
+    answer directly)."""
     src = _stream(spark, sf_dir).select(
         "user_id",
         "event_type",
@@ -914,7 +953,7 @@ def stream_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = src.groupBy("user_id").applyInPandasWithState(
         _funnel_step,
         outputStructType=out_schema,
-        stateStructType="t1 bigint, t2 bigint, t3 bigint",
+        stateStructType=FUNNEL_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

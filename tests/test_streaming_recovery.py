@@ -95,16 +95,19 @@ def test_funnel_state_survives_restart(spark, tmp_path):
     half the events stream in run 1, the rest in run 2 with the SAME
     checkpoint — the recovered per-user frontiers must land exactly on
     the batch funnel over all events. This is the docstring's
-    prefix-composability claim tested under an actual restart, not
-    just a single availableNow replay. Frontier state is MONOTONE
-    (each step only moves from unset to its earliest valid timestamp),
-    so the final state per user is the struct-max over every emission
-    across both runs — users untouched by run 2 keep their run-1
-    frontier."""
+    order-insensitive-fold claim tested under an actual restart, not
+    just a single availableNow replay. The answer per user is the
+    LAST emission (highest batch id) — a late-arriving earlier event
+    may lawfully move a frontier timestamp DOWN, so max-over-emissions
+    is not the right reduction; users untouched by run 2 keep their
+    run-1 emission."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from hive_service_spark.registry import load_all
-    from hive_service_spark.streaming.events import _funnel_step
+    from hive_service_spark.streaming.events import (
+        FUNNEL_STATE_SCHEMA,
+        _funnel_step,
+    )
 
     src = str(tmp_path / "src")
     ckpt = str(tmp_path / "ckpt")
@@ -134,12 +137,14 @@ def test_funnel_state_survives_restart(spark, tmp_path):
             .applyInPandasWithState(
                 _funnel_step,
                 outputStructType=out_schema,
-                stateStructType="t1 bigint, t2 bigint, t3 bigint",
+                stateStructType=FUNNEL_STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             )
             .writeStream.foreachBatch(
-                lambda df, _id: df.write.mode("append").parquet(sink)
+                lambda df, _id: df.withColumn(
+                    "batch_id", F.lit(_id)
+                ).write.mode("append").parquet(sink)
             )
             .outputMode("update")
             .option("checkpointLocation", ckpt)
@@ -156,8 +161,15 @@ def test_funnel_state_survives_restart(spark, tmp_path):
     final = (
         emissions.groupBy("user_id")
         .agg(
+            # last emission wins: the checkpoint carries batch ids
+            # across the restart, so max(batch_id) is run-2's
+            # emission when the user was touched there, run-1's
+            # otherwise
             F.max(
-                F.struct("depth", "t3_us", "t2_us", "t1_us", "converted_7d")
+                F.struct(
+                    "batch_id", "depth", "t3_us", "t2_us", "t1_us",
+                    "converted_7d",
+                )
             ).alias("s")
         )
         .select(
@@ -173,3 +185,82 @@ def test_funnel_state_survives_restart(spark, tmp_path):
     got = {r["user_id"]: r.asDict() for r in final.collect()}
     want = {r["user_id"]: r.asDict() for r in batch.collect()}
     assert got == want
+
+
+def test_funnel_out_of_order_across_batches(spark, tmp_path):
+    """Round-8 ADVICE (medium): a click/purchase whose EVENT time is
+    later than the signup's but which ARRIVES in an earlier micro-batch
+    must not be dropped. Run 1 delivers only the click+purchase, run 2
+    (same checkpoint) delivers the signup with the earliest event time
+    — the final frontier must be the full depth-3 chain, exactly what
+    the batch fold over all three events gives. The pre-fix greedy
+    fold permanently discarded the run-1 events (no signup frontier
+    yet) and converged on depth 1."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from hive_service_spark.streaming.events import (
+        FUNNEL_STATE_SCHEMA,
+        _funnel_step,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "emissions")
+
+    def _events(rows):
+        return spark.createDataFrame(
+            rows, "user_id bigint, event_type string, t bigint, event_id bigint"
+        )
+
+    out_schema = (
+        "user_id bigint, depth bigint, t1_us bigint, t2_us bigint, "
+        "t3_us bigint, converted_7d bigint"
+    )
+
+    def run():
+        q = (
+            spark.readStream.schema(
+                "user_id bigint, event_type string, t bigint, event_id bigint"
+            )
+            .parquet(src)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _funnel_step,
+                outputStructType=out_schema,
+                stateStructType=FUNNEL_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.foreachBatch(
+                lambda df, _id: df.withColumn(
+                    "batch_id", F.lit(_id)
+                ).write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: the LATER steps arrive first (out of order)
+    _events(
+        [(7, "click", 200, 11), (7, "purchase", 300, 12)]
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    # batch 2: the signup with the EARLIEST event time arrives last
+    _events([(7, "signup", 100, 13)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+
+    last = (
+        spark.read.parquet(sink)
+        .orderBy(F.col("batch_id").desc())
+        .first()
+        .asDict()
+    )
+    assert (last["depth"], last["t1_us"], last["t2_us"], last["t3_us"]) == (
+        3, 100, 200, 300,
+    )
+    assert last["converted_7d"] == 1
