@@ -54,6 +54,11 @@ TABLES = (
 ).split()
 
 N_DOCS, N_VECS, N_LI = 16, 8, 8
+N_EV, N_PART = 8, 8
+# the aux dir replicates events / a graph-growing lineitem / part —
+# kept separate from OUT because the graph probe offsets l_suppkey,
+# which would break OUT's q8 joins against non-replicated supplier
+OUT_AUX = OUT + "_aux"
 
 # linear probes: candidate generation is equi-join / broadcast / capped
 LINEAR = [
@@ -94,6 +99,24 @@ LINEAR = [
 CELL = [
     ("dedup_semdedup_cells", "embeddings", N_VECS),
     ("ann_ivf_kmeans", "embeddings", N_VECS),
+]
+# aux probes (round-7 advice #2): the sequence/time-series wave over a
+# replicated events table (users xN with per-user sequence density
+# constant), label propagation over a lineitem whose GRAPH grows
+# (suppkey-offset replicas: nodes xN, edges xN), and the skyline over
+# a part table with per-replica price perturbation
+AUX = [
+    ("seq_window_funnel", "events", N_EV),
+    ("seq_markov_transitions", "events", N_EV),
+    ("seq_top_journey_paths", "events", N_EV),
+    ("ts_gapfill_locf_interpolate", "events", N_EV),
+    ("ts_time_weighted_avg", "events", N_EV),
+    ("ts_seasonal_decompose", "events", N_EV),
+    ("ts_mad_robust_anomalies", "events", N_EV),
+    ("ts_m4_downsample", "events", N_EV),
+    ("ts_lttb_downsample", "events", N_EV),
+    ("graph_label_propagation", "lineitem(graph)", N_LI),
+    ("window_skyline_pareto", "part", N_PART),
 ]
 
 
@@ -209,6 +232,92 @@ def _build(n_docs: int, n_vecs: int, n_li: int) -> None:
                 "replicated and linked tables in one scale dir"
             )
         os.symlink(f"{BASE}/{t}.parquet", link)
+
+    # ---- aux dir: events / graph-growing lineitem / part ----------
+    from hive_service_spark.catalog import load as _cat_load
+
+    os.makedirs(OUT_AUX, exist_ok=True)
+    aux_replicated = {"events", "lineitem", "part"}
+    for t in aux_replicated:
+        p = f"{OUT_AUX}/{t}.parquet"
+        if os.path.islink(p):
+            os.remove(p)
+
+    # events: users xN with per-user sequence density constant (both
+    # ids offset per replica), timestamps untouched — the funnel /
+    # journey / time-series shapes see N x the users and N x the
+    # points per series bucket, the way production growth looks
+    ev = _cat_load(spark, BASE, "events")
+    parts = [
+        ev.select(
+            (F.col("event_id") + k * 100_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + k * 10_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for k in range(N_EV)
+    ]
+    out = parts[0]
+    for r in parts[1:]:
+        out = out.unionByName(r)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{OUT_AUX}/events.parquet"
+    )
+
+    # lineitem for the GRAPH probes: l_suppkey offset per replica so
+    # the co-supply graph genuinely grows (nodes xN, edges xN, degree
+    # distribution preserved) — this is why the aux dir exists: the
+    # suppkey offset would break OUT's q8 join against the
+    # non-replicated supplier table
+    li_g = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    parts = [
+        li_g.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(k * 100_000_000)
+        ).withColumn(
+            "l_suppkey", F.col("l_suppkey") + F.lit(k * 10_000_000)
+        )
+        for k in range(N_LI)
+    ]
+    out = parts[0]
+    for r in parts[1:]:
+        out = out.unionByName(r)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{OUT_AUX}/lineitem.parquet"
+    )
+
+    # part for the skyline probe: keys offset, price perturbed by a
+    # distinct cent per replica so replicated points interleave
+    # instead of stacking into exact ties
+    pt = spark.read.parquet(f"{BASE}/part.parquet")
+    parts = [
+        pt.withColumn(
+            "p_partkey", F.col("p_partkey") + F.lit(k * 10_000_000)
+        ).withColumn(
+            "p_retailprice", F.col("p_retailprice") + F.lit(k * 0.01)
+        )
+        for k in range(N_PART)
+    ]
+    out = parts[0]
+    for r in parts[1:]:
+        out = out.unionByName(r)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{OUT_AUX}/part.parquet"
+    )
+
+    for t in TABLES:
+        if t in aux_replicated:
+            continue
+        link = f"{OUT_AUX}/{t}.parquet"
+        if os.path.islink(link):
+            os.remove(link)
+        elif os.path.exists(link):
+            raise RuntimeError(
+                f"{link} exists and is not a symlink — refusing to mix "
+                "replicated and linked tables in one scale dir"
+            )
+        os.symlink(f"{BASE}/{t}.parquet", link)
     spark.stop()
 
 
@@ -231,6 +340,92 @@ def _measure(sf_dir: str, names: list[str]) -> None:
                 best = dt
             spark.catalog.clearCache()
         print(json.dumps({"query": name, "sf": sf_dir, "t": round(best, 3)}))
+    spark.stop()
+
+
+def _wand_mix() -> None:
+    """Measure WAND's pruned-vs-fallback probe mix on a corpus with a
+    REALISTIC Zipf vocabulary (round-7 advice #5). The sf0.1 gate
+    corpus has a 31-word vocabulary where ~every term is hot
+    (df > n/8), so the graded bench's WAND entry is ~all fallback —
+    the honest local price of the prune machinery. This probe builds a
+    2000-word Zipf corpus with the SAME document count and records how
+    many probes the upper bound actually clears (pruned) vs falls back,
+    plus wall times for WAND vs plain BM25 on that corpus, so the
+    bench number carries its context in measured evidence."""
+    import random
+
+    from hive_service_spark.llm.text import (
+        _BM25_QCAP,
+        _BM25_QMOD,
+        _wand_frames,
+    )
+    from hive_service_spark.registry import load_all
+    from hive_service_spark.session import get_session
+
+    spark = get_session("wand_mix")
+    spark.sparkContext.setLogLevel("ERROR")
+    zdir = OUT + "_zipf"
+    os.makedirs(zdir, exist_ok=True)
+    n_docs = spark.read.parquet(f"{BASE}/documents.parquet").count()
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(2000)]
+    weights = [1.0 / (i + 1) for i in range(2000)]
+    rows = [
+        (i, " ".join(rng.choices(vocab, weights=weights, k=60)), "en", "zipf", 60)
+        for i in range(n_docs)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id: long, text: string, lang: string, source: string, "
+        "n_chars: long",
+    ).repartition(8).write.mode("overwrite").parquet(
+        f"{zdir}/documents.parquet"
+    )
+    for t in TABLES:
+        if t == "documents":
+            continue
+        link = f"{zdir}/{t}.parquet"
+        if os.path.islink(link):
+            os.remove(link)
+        if not os.path.exists(link):
+            os.symlink(f"{BASE}/{t}.parquet", link)
+
+    n_probes = sum(
+        1 for i in range(n_docs) if i % _BM25_QMOD == 0 and i < _BM25_QCAP
+    )
+    n_fallback = _wand_frames(spark, zdir)["unsafe"].count()
+    spark.catalog.clearCache()
+
+    specs = load_all()
+    times = {}
+    for name in ("text_bm25_wand_retrieval", "text_bm25_retrieval"):
+        best = None
+        for measured in (False, True, True):
+            t0 = time.perf_counter()
+            specs[name].fn(spark, zdir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            if measured and (best is None or dt < best):
+                best = dt
+            spark.catalog.clearCache()
+        times[name] = round(best, 3)
+    print(
+        json.dumps(
+            {
+                "wand_mix": {
+                    "n_docs": n_docs,
+                    "vocab": len(vocab),
+                    "n_probes": n_probes,
+                    "n_fallback": n_fallback,
+                    "n_pruned": n_probes - n_fallback,
+                    "t_wand_s": times["text_bm25_wand_retrieval"],
+                    "t_bm25_s": times["text_bm25_retrieval"],
+                }
+            }
+        )
+    )
     spark.stop()
 
 
@@ -271,6 +466,9 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--measure":
         _measure(sys.argv[2], sys.argv[3].split(","))
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--wand-mix":
+        _wand_mix()
+        return
 
     subprocess.run(
         [
@@ -288,17 +486,40 @@ def main() -> None:
 
     lin_names = [n for n, _, _ in LINEAR]
     cell_names = [n for n, _, _ in CELL]
+    aux_names = [n for n, _, _ in AUX]
     base_lin = _run_measure(BASE, lin_names)
     base_cell = _run_measure(BASE, cell_names)  # default k=8
+    base_aux = _run_measure(BASE, aux_names)
     big_lin = _run_measure(OUT, lin_names)
     big_cell = _run_measure(
         OUT, cell_names, {"SPARK_GRAFT_KMEANS_K": str(8 * N_VECS)}
     )
+    big_aux = _run_measure(OUT_AUX, aux_names)
+
+    wand_mix = None
+    mix_out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--wand-mix"],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=1800,
+    )
+    for line in mix_out.stdout.splitlines():
+        try:
+            rec = json.loads(line)
+            if "wand_mix" in rec:
+                wand_mix = rec["wand_mix"]
+        except json.JSONDecodeError:
+            pass
+    if mix_out.returncode != 0 or wand_mix is None:
+        sys.stderr.write(mix_out.stderr[-3000:])
+        raise SystemExit("wand-mix subprocess failed")
 
     rows = []
     for group, base_t, big_t, note in (
         (LINEAR, base_lin, big_lin, "equi-join / broadcast / capped"),
         (CELL, base_cell, big_cell, f"k scaled 8 -> {8 * N_VECS} with data"),
+        (AUX, base_aux, big_aux, "users / graph nodes / points xN"),
     ):
         for name, table, fac in group:
             tb, tg = base_t[name], big_t[name]
@@ -333,6 +554,14 @@ def main() -> None:
         "the data (SPARK_GRAFT_KMEANS_K, the SemDeDup paper's "
         "k ~ n/cell_size regime) — holding k fixed while data grows "
         "8x is a misconfiguration, not an engine property.\n",
+        f"Aux probes (separate `{OUT_AUX}` dir): events x{N_EV} with "
+        "users offset per replica (per-user sequence density constant "
+        "— the funnel/journey/time-series wave), lineitem with "
+        "l_suppkey offset per replica so the co-supply GRAPH grows "
+        f"(nodes x{N_LI}, edges x{N_LI} — kept out of the main dir "
+        "because the suppkey offset would break q8's supplier join), "
+        f"and part x{N_PART} with per-replica price perturbation for "
+        "the skyline.\n",
         "| query | table | data_x | t_base (s) | t_scaled (s) | "
         "time_x | efficiency | note |",
         "|---|---|---|---|---|---|---|---|",
@@ -344,6 +573,22 @@ def main() -> None:
             f"{r['efficiency']} | {r['note']} |"
         )
     lines.append("")
+    lines.append(
+        "## WAND pruned-vs-fallback mix on a realistic vocabulary\n"
+    )
+    lines.append(
+        f"The sf0.1 gate corpus has a ~31-word vocabulary where almost "
+        "every term is hot (df > n/8), so the graded bench's WAND "
+        "entry runs ~all probes through the exact per-query fallback — "
+        "the honest local price of the prune machinery. On a "
+        f"{wand_mix['vocab']}-word Zipf corpus with the same document "
+        f"count ({wand_mix['n_docs']} docs, 60 words/doc): "
+        f"**{wand_mix['n_pruned']}/{wand_mix['n_probes']} probes "
+        "pruned** (upper bound proves the hot-term cut safe), "
+        f"{wand_mix['n_fallback']} fell back; wall "
+        f"{wand_mix['t_wand_s']} s (WAND) vs {wand_mix['t_bm25_s']} s "
+        "(plain BM25) on that corpus.\n"
+    )
     with open(os.path.join(REPO, "SCALE.md"), "w") as fh:
         fh.write("\n".join(lines))
     print("wrote SCALE.md")
