@@ -81,6 +81,104 @@ def compile_pattern(pattern: str, symbol_order: Iterable[str]) -> tuple[dict[str
     return chars, "".join(out)
 
 
+def _parse_chain(pattern: str) -> tuple[str, str, str] | None:
+    """Detect the JVM-compilable chain class ``X.Y*.Z`` (symbol names
+    returned as (x, y, z)), the quantified-funnel shape. Routed to the
+    pure-window plan only when z != y: with z == y the greedy regex
+    backtracks one element out of the maximal Y-run (``^xy*y`` on
+    'xyy' matches by shrinking y*), which the maximal-island rewrite
+    cannot express — those patterns keep the Python automaton."""
+    toks = _TOKEN_RE.findall(pattern.replace(".", " "))
+    if (
+        len(toks) == 4
+        and toks[2] == "*"
+        and all(t not in "*+?()|" for t in (toks[0], toks[1], toks[3]))
+        and toks[3] != toks[1]
+    ):
+        return toks[0], toks[1], toks[3]
+    return None
+
+
+def _matchpath_jvm_chain(
+    slim: DataFrame,
+    order_cols: list[str],
+    partition_by: str,
+    cx: str,
+    cy: str,
+    cz: str,
+) -> DataFrame:
+    """The ``X.Y*.Z`` chain compiled to pure window expressions — no
+    Python stage anywhere (the analog of keeping the reference's
+    MatchPath inside the PTFOperator instead of shelling out). Shape:
+
+    - runs of equal symbol chars become islands (rn − per-char rn),
+    - each island learns its end row and the char/ts AFTER it (lead at
+      the island's last row, propagated island-wide by max),
+    - a match starts at every X row whose following Y-run (possibly
+      empty, possibly the X row's own island when X == Y) terminates
+      in Z; greedy length = run end − start + 2.
+
+    Same one-shuffle-per-partition-key plan as the automaton, but the
+    walk stays in JVM window exec / whole-stage codegen — no Arrow
+    hop, no per-group string materialization."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pk").orderBy(*order_cols)
+    wc = Window.partitionBy("pk", "_ch").orderBy(*order_cols)
+    base = slim.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        (F.row_number().over(w) - F.row_number().over(wc)).alias("isl"),
+        F.lead("_ch").over(w).alias("next_ch"),
+        F.lead("_ts").over(w).alias("next_ts"),
+    )
+    wi = Window.partitionBy("pk", "_ch", "isl")
+    base = base.select("*", F.max("rn").over(wi).alias("isl_end"))
+    base = base.select(
+        "*",
+        F.max(
+            F.when(F.col("rn") == F.col("isl_end"), F.col("next_ch"))
+        ).over(wi).alias("after_ch"),
+        F.max(
+            F.when(F.col("rn") == F.col("isl_end"), F.col("next_ts"))
+        ).over(wi).alias("after_ts"),
+    )
+    if cx == cy:
+        # the start row sits inside the Y-run itself
+        cond = (F.col("_ch") == cx) & (F.col("after_ch") == cz)
+        m_len = F.col("isl_end") - F.col("rn") + 2
+        end_ts = F.col("after_ts")
+        picked = base.where(cond).select(
+            F.col("pk").alias(partition_by),
+            F.col("rn").cast("int").alias("start_rn"),
+            m_len.cast("int").alias("match_len"),
+            F.col("_ts").alias("path_start"),
+            end_ts.alias("path_end"),
+        )
+        return picked
+    ld = base.select(
+        "*",
+        F.lead("isl_end").over(w).alias("ld_isl_end"),
+        F.lead("after_ch").over(w).alias("ld_after_ch"),
+        F.lead("after_ts").over(w).alias("ld_after_ts"),
+    )
+    case_a = F.col("next_ch") == cz  # zero-length Y run
+    case_b = (F.col("next_ch") == cy) & (F.col("ld_after_ch") == cz)
+    picked = ld.where((F.col("_ch") == cx) & (case_a | case_b)).select(
+        F.col("pk").alias(partition_by),
+        F.col("rn").cast("int").alias("start_rn"),
+        F.when(case_a, F.lit(2))
+        .otherwise(F.col("ld_isl_end") - F.col("rn") + 2)
+        .cast("int")
+        .alias("match_len"),
+        F.col("_ts").alias("path_start"),
+        F.when(case_a, F.col("next_ts"))
+        .otherwise(F.col("ld_after_ts"))
+        .alias("path_end"),
+    )
+    return picked
+
+
 def matchpath(
     df: DataFrame,
     partition_by: str,
@@ -94,7 +192,11 @@ def matchpath(
     ``symbols`` maps symbol name -> boolean Column (first match wins,
     like the reference's symbol-arg ordering). Emits one row per match
     start: (partition key, start_rn, match_len, path_start, path_end).
-    """
+
+    Patterns in the ``X.Y*.Z`` chain class (z != y) compile to a pure
+    JVM window plan (_matchpath_jvm_chain) — no Python stage; every
+    other pattern runs the Arrow-batched Python automaton below, the
+    documented fallback for genuinely irregular patterns."""
     chars, rx_src = compile_pattern(pattern, symbols.keys())
     rx = re.compile(rx_src)
 
@@ -110,6 +212,17 @@ def matchpath(
         ch.alias("_ch"),
     )
     order_cols = [f"_o{i}" for i in range(len(order_by))]
+
+    chain = _parse_chain(pattern)
+    if chain is not None:
+        return _matchpath_jvm_chain(
+            slim,
+            order_cols,
+            partition_by,
+            chars[chain[0]],
+            chars[chain[1]],
+            chars[chain[2]],
+        )
 
     out_schema = (
         f"{partition_by} long, start_rn int, match_len int, "
