@@ -21,10 +21,19 @@ import __spark_entry__ as e  # noqa: E402
 _args = [a for a in sys.argv[1:] if not a.startswith("--")]
 SF = _args[0] if _args else "/root/testdata/sf0.01"
 # --only=name1,name2 restricts the oracle sweep (full gate still the default)
+# --sample=N picks a deterministic pseudo-random N-query subset; add
+#   --seed=S to rotate it (different seeds exercise different families
+#   — proposed so graded rounds can sweep beyond the fixed core sample)
 ONLY = None
+SAMPLE = None
+SEED = 0
 for _a in sys.argv[1:]:
     if _a.startswith("--only="):
         ONLY = set(_a.split("=", 1)[1].split(","))
+    elif _a.startswith("--sample="):
+        SAMPLE = int(_a.split("=", 1)[1])
+    elif _a.startswith("--seed="):
+        SEED = int(_a.split("=", 1)[1])
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -107,10 +116,24 @@ def main():
 
         qs = dict(qs)
         qs["aaa_injected_crash"] = _boom  # sorts FIRST: proves continuation
+    sampled = None
+    if SAMPLE is not None:
+        # seed-keyed rotation: rank every query by sha256(seed:name)
+        # and take the first N — deterministic for a given seed, and a
+        # different seed rotates the subset across ALL families
+        # (LLM/streaming included), unlike a fixed head-of-list sample
+        ranked = sorted(
+            qs,
+            key=lambda n: hashlib.sha256(f"{SEED}:{n}".encode()).hexdigest(),
+        )
+        sampled = set(ranked[:SAMPLE])
+        print(f"sample: {len(sampled)}/{len(qs)} queries (seed={SEED})")
     n_pass = n_fail = n_rowsonly = n_empty = 0
     empty_names = []
     for name, fn in sorted(qs.items()):
         if ONLY is not None and name not in ONLY:
+            continue
+        if sampled is not None and name not in sampled:
             continue
         t0 = time.time()
         # crash-proof per query (round-6 advice): one raising query must
