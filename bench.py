@@ -81,6 +81,9 @@ HEADLINE = [
     "ts_lttb_downsample",
     "seq_window_funnel",
     "window_skyline_pareto",
+    # round-8: the general MatchPath pattern, now compiled to a pure
+    # JVM window plan for the X.Y*.Z chain class (was applyInPandas)
+    "seq_matchpath_general",
 ]
 
 # Pure-CPU sentinel queries (plan-pinned, untouched since round 1) and

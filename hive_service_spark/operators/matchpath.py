@@ -81,21 +81,22 @@ def compile_pattern(pattern: str, symbol_order: Iterable[str]) -> tuple[dict[str
     return chars, "".join(out)
 
 
-def _parse_chain(pattern: str) -> tuple[str, str, str] | None:
-    """Detect the JVM-compilable chain class ``X.Y*.Z`` (symbol names
-    returned as (x, y, z)), the quantified-funnel shape. Routed to the
-    pure-window plan only when z != y: with z == y the greedy regex
-    backtracks one element out of the maximal Y-run (``^xy*y`` on
-    'xyy' matches by shrinking y*), which the maximal-island rewrite
-    cannot express — those patterns keep the Python automaton."""
+def _parse_chain(pattern: str) -> tuple[str, str, str, str] | None:
+    """Detect the JVM-compilable chain class ``X.Y<q>.Z`` with
+    quantifier q in {*, +, ?} (symbol names returned as (x, y, z, q)),
+    the quantified-funnel shapes. Routed to the pure-window plan only
+    when z != y: with z == y the greedy regex backtracks one element
+    out of the maximal Y-run (``^xy*y`` on 'xyy' matches by shrinking
+    y*), which the maximal-island rewrite cannot express — those
+    patterns keep the Python automaton."""
     toks = _TOKEN_RE.findall(pattern.replace(".", " "))
     if (
         len(toks) == 4
-        and toks[2] == "*"
+        and toks[2] in ("*", "+", "?")
         and all(t not in "*+?()|" for t in (toks[0], toks[1], toks[3]))
         and toks[3] != toks[1]
     ):
-        return toks[0], toks[1], toks[3]
+        return toks[0], toks[1], toks[3], toks[2]
     return None
 
 
@@ -106,17 +107,24 @@ def _matchpath_jvm_chain(
     cx: str,
     cy: str,
     cz: str,
+    quant: str,
 ) -> DataFrame:
-    """The ``X.Y*.Z`` chain compiled to pure window expressions — no
-    Python stage anywhere (the analog of keeping the reference's
-    MatchPath inside the PTFOperator instead of shelling out). Shape:
+    """The ``X.Y<q>.Z`` chain (q in {*, +, ?}) compiled to pure window
+    expressions — no Python stage anywhere (the analog of keeping the
+    reference's MatchPath inside the PTFOperator instead of shelling
+    out). Shape:
 
     - runs of equal symbol chars become islands (rn − per-char rn),
     - each island learns its end row and the char/ts AFTER it (lead at
       the island's last row, propagated island-wide by max),
-    - a match starts at every X row whose following Y-run (possibly
-      empty, possibly the X row's own island when X == Y) terminates
-      in Z; greedy length = run end − start + 2.
+    - a match starts at every X row whose following Y-run of length r
+      (possibly 0, possibly the X row's own island when X == Y)
+      terminates in Z, with the quantifier constraining r
+      (*: any, +: r >= 1, ?: r <= 1); greedy length = r + 2.
+
+    The ``?`` case needs no backtracking despite the regex shape
+    ``^xy?z``: with z != y, a run of 2+ Ys can never satisfy it (the
+    char after one Y is another Y), so r <= 1 is exact.
 
     Same one-shuffle-per-partition-key plan as the automaton, but the
     walk stays in JVM window exec / whole-stage codegen — no Arrow
@@ -143,40 +151,45 @@ def _matchpath_jvm_chain(
             F.when(F.col("rn") == F.col("isl_end"), F.col("next_ts"))
         ).over(wi).alias("after_ts"),
     )
+
+    def _q_ok(r):
+        if quant == "+":
+            return r >= 1
+        if quant == "?":
+            return r <= 1
+        return F.lit(True)
+
     if cx == cy:
-        # the start row sits inside the Y-run itself
-        cond = (F.col("_ch") == cx) & (F.col("after_ch") == cz)
-        m_len = F.col("isl_end") - F.col("rn") + 2
-        end_ts = F.col("after_ts")
-        picked = base.where(cond).select(
-            F.col("pk").alias(partition_by),
-            F.col("rn").cast("int").alias("start_rn"),
-            m_len.cast("int").alias("match_len"),
-            F.col("_ts").alias("path_start"),
-            end_ts.alias("path_end"),
+        # the start row sits inside the Y-run itself: r = rows left in
+        # its own island, terminator = the char after the island
+        r = F.col("isl_end") - F.col("rn")
+        term_ch, term_ts = F.col("after_ch"), F.col("after_ts")
+    else:
+        ld = base.select(
+            "*",
+            F.lead("isl_end").over(w).alias("ld_isl_end"),
+            F.lead("after_ch").over(w).alias("ld_after_ch"),
+            F.lead("after_ts").over(w).alias("ld_after_ts"),
         )
-        return picked
-    ld = base.select(
-        "*",
-        F.lead("isl_end").over(w).alias("ld_isl_end"),
-        F.lead("after_ch").over(w).alias("ld_after_ch"),
-        F.lead("after_ts").over(w).alias("ld_after_ts"),
-    )
-    case_a = F.col("next_ch") == cz  # zero-length Y run
-    case_b = (F.col("next_ch") == cy) & (F.col("ld_after_ch") == cz)
-    picked = ld.where((F.col("_ch") == cx) & (case_a | case_b)).select(
+        base = ld
+        nxt_is_y = F.col("next_ch") == cy
+        r = F.when(nxt_is_y, F.col("ld_isl_end") - F.col("rn")).otherwise(
+            F.lit(0)
+        )
+        term_ch = F.when(nxt_is_y, F.col("ld_after_ch")).otherwise(
+            F.col("next_ch")
+        )
+        term_ts = F.when(nxt_is_y, F.col("ld_after_ts")).otherwise(
+            F.col("next_ts")
+        )
+    cond = (F.col("_ch") == cx) & (term_ch == cz) & _q_ok(r)
+    return base.where(cond).select(
         F.col("pk").alias(partition_by),
         F.col("rn").cast("int").alias("start_rn"),
-        F.when(case_a, F.lit(2))
-        .otherwise(F.col("ld_isl_end") - F.col("rn") + 2)
-        .cast("int")
-        .alias("match_len"),
+        (r + 2).cast("int").alias("match_len"),
         F.col("_ts").alias("path_start"),
-        F.when(case_a, F.col("next_ts"))
-        .otherwise(F.col("ld_after_ts"))
-        .alias("path_end"),
+        term_ts.alias("path_end"),
     )
-    return picked
 
 
 def matchpath(
@@ -193,10 +206,11 @@ def matchpath(
     like the reference's symbol-arg ordering). Emits one row per match
     start: (partition key, start_rn, match_len, path_start, path_end).
 
-    Patterns in the ``X.Y*.Z`` chain class (z != y) compile to a pure
-    JVM window plan (_matchpath_jvm_chain) — no Python stage; every
-    other pattern runs the Arrow-batched Python automaton below, the
-    documented fallback for genuinely irregular patterns."""
+    Patterns in the ``X.Y*.Z`` / ``X.Y+.Z`` / ``X.Y?.Z`` chain class
+    (z != y) compile to a pure JVM window plan (_matchpath_jvm_chain)
+    — no Python stage; every other pattern runs the Arrow-batched
+    Python automaton below, the documented fallback for genuinely
+    irregular patterns."""
     chars, rx_src = compile_pattern(pattern, symbols.keys())
     rx = re.compile(rx_src)
 
@@ -222,6 +236,7 @@ def matchpath(
             chars[chain[0]],
             chars[chain[1]],
             chars[chain[2]],
+            chain[3],
         )
 
     out_schema = (

@@ -110,13 +110,17 @@ def test_jvm_chain_matches_automaton_semantics(spark):
     def classify(x):
         return {"A": "a", "B": "b", "C": "c"}.get(x, "x")
 
-    got = _mp(spark, rows, "a.b*.c", _CHAIN_SYMS)
-    want = _pysim(rows, "ab*c", classify)
-    assert got == want
-
-    got2 = _mp(spark, rows, "a.a*.b", _CHAIN_SYMS)
-    want2 = _pysim(rows, "aa*b", classify)
-    assert got2 == want2
+    for pattern, rx in (
+        ("a.b*.c", "ab*c"),
+        ("a.a*.b", "aa*b"),
+        ("a.b+.c", "ab+c"),
+        ("a.a+.b", "aa+b"),
+        ("a.b?.c", "ab?c"),
+        ("a.a?.b", "aa?b"),
+    ):
+        got = _mp(spark, rows, pattern, _CHAIN_SYMS)
+        want = _pysim(rows, rx, classify)
+        assert got == want, f"pattern {pattern} diverges from {rx}"
 
 
 def test_chain_detection_and_fallback_scope():
@@ -125,13 +129,15 @@ def test_chain_detection_and_fallback_scope():
     from hive_service_spark.operators.matchpath import _parse_chain
 
     assert _parse_chain("view.view*.purchase") == (
-        "view", "view", "purchase",
+        "view", "view", "purchase", "*",
     )
-    assert _parse_chain("a.b*.c") == ("a", "b", "c")
+    assert _parse_chain("a.b*.c") == ("a", "b", "c", "*")
+    assert _parse_chain("a.b+.c") == ("a", "b", "c", "+")
+    assert _parse_chain("a.b?.c") == ("a", "b", "c", "?")
     assert _parse_chain("a.b*.b") is None  # z == y: regex backtracks
+    assert _parse_chain("a.b+.b") is None
     assert _parse_chain("a.(b|c)*.d") is None
     assert _parse_chain("a.b.c") is None
-    assert _parse_chain("a.b+.c") is None
 
 
 def test_z_equals_y_pattern_still_exact_via_python_path(spark):
