@@ -1540,3 +1540,250 @@ def ts_mad_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection (Page 1954) — exact-integer two-sided CUSUM
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day_num,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS x_c
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT *,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(x_c) OVER w AS BIGINT) AS tot
+  FROM daily WINDOW w AS (PARTITION BY event_type)
+),
+dv AS (
+  SELECT *, n * x_c - tot AS dev FROM st
+),
+ad AS (
+  SELECT *, CAST(SUM(ABS(dev)) OVER (PARTITION BY event_type) AS BIGINT) AS a
+  FROM dv
+),
+cs AS (
+  SELECT *,
+         CAST(SUM(2 * n * dev - a) OVER w AS BIGINT) AS cp,
+         CAST(SUM(2 * n * dev + a) OVER w AS BIGINT) AS cn
+  FROM ad
+  WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+run AS (
+  SELECT *,
+         LEAST(CAST(0 AS BIGINT), CAST(MIN(cp) OVER w AS BIGINT)) AS mn,
+         GREATEST(CAST(0 AS BIGINT), CAST(MAX(cn) OVER w AS BIGINT)) AS mx
+  FROM cs
+  WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day_num, x_c,
+       CAST(cp - mn AS BIGINT) AS s_pos,
+       CAST(mx - cn AS BIGINT) AS s_neg,
+       CAST(CASE WHEN cp - mn > 8 * a THEN 1 ELSE 0 END AS INT) AS flag_up,
+       CAST(CASE WHEN mx - cn > 8 * a THEN 1 ELSE 0 END AS INT) AS flag_down
+FROM run
+ORDER BY event_type, day_num
+"""
+
+
+@query("ts_cusum_changepoint", oracle=_CUSUM_ORACLE)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point detection (Page, Biometrika 1954)
+    over the per-type daily revenue series — the sequential level-shift
+    detector that complements the pointwise outlier gates (z-score,
+    MAD): a CUSUM accumulates small sustained drifts that no single
+    point would flag.
+
+    The textbook recursion S+_t = max(0, S+_{t-1} + (x_t - mu - k)) is
+    not a plain window aggregate, but it unrolls exactly to
+    ``C_t - min(0, min_{j<=t} C_j)`` with C the running cumsum of the
+    slack-adjusted deviations — two stock window functions (SUM and MIN
+    over UNBOUNDED PRECEDING), no recursion and no Python. Everything
+    stays in integers via the house cross-multiplication discipline:
+    dev = n*x - total (units n*cents, no mean division), slack
+    k = half the mean absolute deviation folds in as 2n*dev -/+ A with
+    A = sum(|dev|), and the alarm threshold h = 4 MAD-means compares
+    S against 8*A — no float anywhere, so Spark and DuckDB agree to
+    the last bit. Magnitude bound: |cumsum| <= 2*days*A <=
+    2*days^2*n*max_daily_cents; at days=365, n=365 and $10M/day that
+    is ~5e17 < 2^63 (a multi-decade hypertable would bucket per series
+    epoch before this, as the reference's windowing spec sections
+    partitions).
+
+    100 TB reading: billions of raw events reduce to |types| x |days|
+    rows in ONE map-side-combined aggregate before any window; the
+    per-series windows then shuffle only that bounded frame. The same
+    shape as the reference's PTFOperator over a pre-reduced input
+    (SURVEY §2.4) — the scan dominates, the analytics are free."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400)
+            .cast("bigint")
+            .alias("day_num"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("v_c"),
+        )
+        .groupBy("event_type", "day_num")
+        .agg(F.sum("v_c").cast("bigint").alias("x_c"))
+    )
+    wt = Window.partitionBy("event_type")
+    st = daily.select(
+        "*",
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("n"),
+        F.sum("x_c").over(wt).cast("bigint").alias("tot"),
+    )
+    dv = st.select("*", (F.col("n") * F.col("x_c") - F.col("tot")).alias("dev"))
+    ad = dv.select(
+        "*", F.sum(F.abs("dev")).over(wt).cast("bigint").alias("a")
+    )
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cs = ad.select(
+        "*",
+        F.sum(2 * F.col("n") * F.col("dev") - F.col("a"))
+        .over(wo)
+        .cast("bigint")
+        .alias("cp"),
+        F.sum(2 * F.col("n") * F.col("dev") + F.col("a"))
+        .over(wo)
+        .cast("bigint")
+        .alias("cn"),
+    )
+    run = cs.select(
+        "*",
+        F.least(F.lit(0).cast("bigint"), F.min("cp").over(wo)).alias("mn"),
+        F.greatest(F.lit(0).cast("bigint"), F.max("cn").over(wo)).alias("mx"),
+    )
+    s_pos = F.col("cp") - F.col("mn")
+    s_neg = F.col("mx") - F.col("cn")
+    return run.select(
+        "event_type",
+        "day_num",
+        "x_c",
+        s_pos.cast("bigint").alias("s_pos"),
+        s_neg.cast("bigint").alias("s_neg"),
+        F.when(s_pos > 8 * F.col("a"), 1).otherwise(0).cast("int").alias(
+            "flag_up"
+        ),
+        F.when(s_neg > 8 * F.col("a"), 1).otherwise(0).cast("int").alias(
+            "flag_down"
+        ),
+    ).orderBy("event_type", "day_num")
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution: clicks credited to the next purchase
+# ---------------------------------------------------------------------------
+
+_ATTRIB_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, ts,
+         epoch_us(ts) AS t_us,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS v_c,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS pcnt
+  FROM events
+),
+clicks AS (
+  SELECT user_id, pcnt + 1 AS idx, ts, t_us
+  FROM ev WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, pcnt AS idx, event_id, t_us, v_c
+  FROM ev WHERE event_type = 'purchase'
+)
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       CAST(MAX(p.v_c) AS BIGINT) AS purchase_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_clicks,
+       CAST((100 * MAX(p.v_c)) // COUNT(*) AS BIGINT) AS linear_credit_cc,
+       MIN(c.ts) AS first_click_ts,
+       MAX(c.ts) AS last_click_ts
+FROM purchases p
+JOIN clicks c ON p.user_id = c.user_id AND p.idx = c.idx
+WHERE p.t_us - c.t_us <= 604800000000
+GROUP BY p.user_id, p.event_id
+ORDER BY p.user_id, purchase_id
+"""
+
+
+@query("seq_attribution_credit", oracle=_ATTRIB_ORACLE)
+def seq_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch purchase attribution: every click is credited to the
+    NEXT purchase of the same user (within a 7-day lookback), and each
+    purchase reports its attributed click count, the first-touch and
+    last-touch click timestamps, and the exact linear credit share in
+    centi-cents (integer floor division — no float). The standard
+    marketing-analytics companion to the funnel/journey family
+    (seq_window_funnel, seq_top_journey_paths).
+
+    The sequence logic is ONE running-count window: pcnt = purchases
+    seen so far in (ts, event_id) order. A click's target purchase is
+    pcnt + 1 (purchases strictly before it); a purchase's own index is
+    its inclusive pcnt. Attribution then becomes a plain EQUI-join on
+    (user_id, idx) — never a range join, never a per-user explode; the
+    7-day lookback is a residual predicate on exact microsecond
+    deltas (unix_micros both engines, no fractional-second drift).
+
+    100 TB reading: one sort-shuffle on user_id for the window, one
+    shuffle on the (user, idx) join key; per-key fan-in is bounded by
+    clicks-per-purchase-cycle, so no key is hotter than one user's
+    inter-purchase click burst. Same partition discipline as the
+    reference's PTFOperator + MapJoin pipeline (SURVEY §2.4/§2.5)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.unix_micros("ts").alias("t_us"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_c"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(w)
+        .cast("bigint")
+        .alias("pcnt"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        (F.col("pcnt") + 1).alias("idx"),
+        F.col("ts").alias("c_ts"),
+        F.col("t_us").alias("c_us"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("pcnt").alias("idx"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("t_us").alias("p_us"),
+        F.col("v_c").alias("p_c"),
+    )
+    return (
+        purchases.join(clicks, ["user_id", "idx"])
+        .where(F.col("p_us") - F.col("c_us") <= 604800000000)
+        .groupBy("user_id", "purchase_id")
+        .agg(
+            F.max("p_c").cast("bigint").alias("purchase_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_clicks"),
+            F.expr("CAST((100 * MAX(p_c)) DIV COUNT(*) AS BIGINT)").alias(
+                "linear_credit_cc"
+            ),
+            F.min("c_ts").alias("first_click_ts"),
+            F.max("c_ts").alias("last_click_ts"),
+        )
+        .orderBy("user_id", "purchase_id")
+    )
