@@ -115,6 +115,8 @@ AUX = [
     ("ts_mad_robust_anomalies", "events", N_EV),
     ("ts_m4_downsample", "events", N_EV),
     ("ts_lttb_downsample", "events", N_EV),
+    ("ts_cusum_changepoint", "events", N_EV),
+    ("seq_attribution_credit", "events", N_EV),
     ("graph_label_propagation", "lineitem(graph)", N_LI),
     ("window_skyline_pareto", "part", N_PART),
 ]
