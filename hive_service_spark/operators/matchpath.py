@@ -81,114 +81,209 @@ def compile_pattern(pattern: str, symbol_order: Iterable[str]) -> tuple[dict[str
     return chars, "".join(out)
 
 
-def _parse_chain(pattern: str) -> tuple[str, str, str, str] | None:
-    """Detect the JVM-compilable chain class ``X.Y<q>.Z`` with
-    quantifier q in {*, +, ?} (symbol names returned as (x, y, z, q)),
-    the quantified-funnel shapes. Routed to the pure-window plan only
-    when z != y: with z == y the greedy regex backtracks one element
-    out of the maximal Y-run (``^xy*y`` on 'xyy' matches by shrinking
-    y*), which the maximal-island rewrite cannot express — those
-    patterns keep the Python automaton."""
+_INF = 10**9  # "unbounded" sentinel for segment max-counts
+
+
+def _parse_chain(pattern: str) -> list[tuple[str, str]] | None:
+    """Detect the JVM-compilable chain class: a ``.``-chain of literal
+    symbols, each optionally quantified by one of ``* + ?`` — no
+    grouping, no alternation — whose FIRST and LAST symbols are
+    unquantified. Returns the token list [(symbol, quant)] with quant
+    in {'1','*','+','?'}, or None (route to the Python automaton)."""
     toks = _TOKEN_RE.findall(pattern.replace(".", " "))
-    if (
-        len(toks) == 4
-        and toks[2] in ("*", "+", "?")
-        and all(t not in "*+?()|" for t in (toks[0], toks[1], toks[3]))
-        and toks[3] != toks[1]
-    ):
-        return toks[0], toks[1], toks[3], toks[2]
-    return None
+    if not toks or any(t in "()|" for t in toks):
+        return None
+    out: list[tuple[str, str]] = []
+    for t in toks:
+        if t in "*+?":
+            if not out or out[-1][1] != "1":
+                return None  # dangling or double quantifier
+            out[-1] = (out[-1][0], t)
+        else:
+            out.append((t, "1"))
+    if len(out) < 1 or out[0][1] != "1" or out[-1][1] != "1":
+        return None
+    # every '*'/'?' token doubles the variant space; keep it bounded
+    if sum(1 for _, q in out if q in "*?") > 6:
+        return None
+    return out
+
+
+def _chain_variants(
+    tokens: list[tuple[str, str]],
+) -> list[list[tuple[str, int, int]]] | None:
+    """Expand a token chain into its concrete island-segment variants,
+    in greedy (regex-backtracking) preference order.
+
+    Each '*' / '?' token is either PRESENT (consuming >= 1 row; '?'
+    exactly 1) or ABSENT — ``a*`` is exactly ``epsilon | a+``.  For a
+    given presence choice, adjacent same-char tokens merge into one
+    SEGMENT with summed (min, max) row counts: a maximal run of equal
+    chars in the row stream is one island, and a segment consumes only
+    within one island because its neighbors' chars differ.  Merging is
+    also what makes the backtracking cases exact — ``a.b*.b``'s
+    b*-present variant becomes segment b:(2, inf), whose greedy
+    consumption of the whole island length IS the regex's "maximal b*
+    then give one back" (the b*-absent variant is b:(1, 1)).
+
+    Preference order: itertools.product with present > absent and the
+    LEFTMOST optional as the most significant choice — the same order
+    a backtracking regex engine explores (latest choice point flipped
+    first).  First matching variant per start row wins.
+
+    Returns None when some variant's FINAL segment has a finite max
+    count > 1 (consumption could end mid-island at a row whose
+    timestamp the island frame does not carry) — those patterns keep
+    the Python automaton."""
+    from itertools import product
+
+    opt = [i for i, (_, q) in enumerate(tokens) if q in "*?"]
+    variants: list[list[tuple[str, int, int]]] = []
+    seen: set[tuple] = set()
+    for mask in product([True, False], repeat=len(opt)):
+        present = dict(zip(opt, mask))
+        segs: list[tuple[str, int, int]] = []
+        for i, (ch, q) in enumerate(tokens):
+            if q in "*?" and not present[i]:
+                continue
+            lo, hi = {
+                "1": (1, 1),
+                "?": (1, 1),  # present-'?' is exactly one row
+                "+": (1, _INF),
+                "*": (1, _INF),  # present-'*' is '+'
+            }[q]
+            if segs and segs[-1][0] == ch:
+                plo, phi = segs[-1][1], segs[-1][2]
+                segs[-1] = (ch, plo + lo, min(phi + hi, _INF))
+            else:
+                segs.append((ch, lo, hi))
+        key = tuple(segs)
+        if not segs or key in seen:
+            continue
+        seen.add(key)
+        last_hi = segs[-1][2]
+        if last_hi != _INF and last_hi > 1:
+            return None
+        variants.append(segs)
+    return variants or None
 
 
 def _matchpath_jvm_chain(
     slim: DataFrame,
     order_cols: list[str],
     partition_by: str,
-    cx: str,
-    cy: str,
-    cz: str,
-    quant: str,
+    variants: list[list[tuple[str, int, int]]],
 ) -> DataFrame:
-    """The ``X.Y<q>.Z`` chain (q in {*, +, ?}) compiled to pure window
-    expressions — no Python stage anywhere (the analog of keeping the
-    reference's MatchPath inside the PTFOperator instead of shelling
-    out). Shape:
+    """A literal symbol chain compiled to pure window expressions plus
+    one equi-join — no Python stage anywhere (the analog of keeping
+    the reference's MatchPath inside the PTFOperator instead of
+    shelling out; hive-exec!ql/udf/ptf/MatchPath.class is the
+    capability being matched). Shape:
 
     - runs of equal symbol chars become islands (rn − per-char rn),
-    - each island learns its end row and the char/ts AFTER it (lead at
-      the island's last row, propagated island-wide by max),
-    - a match starts at every X row whose following Y-run of length r
-      (possibly 0, possibly the X row's own island when X == Y)
-      terminates in Z, with the quantifier constraining r
-      (*: any, +: r >= 1, ?: r <= 1); greedy length = r + 2.
+    - the island frame (one row per island: char, length, first/last
+      row number and timestamp) learns its K successors via lead(),
+      K = longest variant − 1,
+    - every row of the chain's first symbol is a candidate start; its
+      remainder rem = rows left in its own island is segment 1's
+      forced consumption, successor island j must carry segment j+1's
+      char with length inside that segment's (min, max), and the FINAL
+      segment consumes min(max, island length) — greedy, exact,
+      because a segment's neighbors differ so it can never stop short
+      of its island's end except at the very end of the match,
+    - variants are tried in regex-backtracking preference order via
+      one coalesce(when(...)) chain per output column.
 
-    The ``?`` case needs no backtracking despite the regex shape
-    ``^xy?z``: with z != y, a run of 2+ Ys can never satisfy it (the
-    char after one Y is another Y), so r <= 1 is exact.
-
-    Same one-shuffle-per-partition-key plan as the automaton, but the
-    walk stays in JVM window exec / whole-stage codegen — no Arrow
-    hop, no per-group string materialization."""
+    One sort-shuffle on the partition key for the row windows, a
+    groupBy onto the same key family for the island frame, and a
+    (pk, char, island) equi-join back to the candidate rows — every
+    stage JVM-side, Arrow never touched."""
     from pyspark.sql import Window
+
+    first_ch = variants[0][0][0]
+    k_lead = max(len(v) for v in variants) - 1
 
     w = Window.partitionBy("pk").orderBy(*order_cols)
     wc = Window.partitionBy("pk", "_ch").orderBy(*order_cols)
-    base = slim.select(
+    rows = slim.select(
         "*",
         F.row_number().over(w).alias("rn"),
         (F.row_number().over(w) - F.row_number().over(wc)).alias("isl"),
-        F.lead("_ch").over(w).alias("next_ch"),
-        F.lead("_ts").over(w).alias("next_ts"),
     )
-    wi = Window.partitionBy("pk", "_ch", "isl")
-    base = base.select("*", F.max("rn").over(wi).alias("isl_end"))
-    base = base.select(
-        "*",
-        F.max(
-            F.when(F.col("rn") == F.col("isl_end"), F.col("next_ch"))
-        ).over(wi).alias("after_ch"),
-        F.max(
-            F.when(F.col("rn") == F.col("isl_end"), F.col("next_ts"))
-        ).over(wi).alias("after_ts"),
+    isl = rows.groupBy("pk", "_ch", "isl").agg(
+        F.count(F.lit(1)).alias("i_n"),
+        F.min("rn").alias("i_start"),
+        F.max("rn").alias("i_end"),
+        F.min_by("_ts", "rn").alias("i_first_ts"),
+        F.max_by("_ts", "rn").alias("i_last_ts"),
     )
+    wi = Window.partitionBy("pk").orderBy("i_start")
+    lead_cols = []
+    for k in range(1, k_lead + 1):
+        lead_cols += [
+            F.lead("_ch", k).over(wi).alias(f"ch_{k}"),
+            F.lead("i_n", k).over(wi).alias(f"n_{k}"),
+            F.lead("i_first_ts", k).over(wi).alias(f"fts_{k}"),
+            F.lead("i_last_ts", k).over(wi).alias(f"lts_{k}"),
+        ]
+    isl = isl.select("*", *lead_cols)
+    cand = rows.where(F.col("_ch") == first_ch).join(
+        isl.drop("i_start"), ["pk", "_ch", "isl"]
+    )
+    rem = F.col("i_end") - F.col("rn") + 1
 
-    def _q_ok(r):
-        if quant == "+":
-            return r >= 1
-        if quant == "?":
-            return r <= 1
-        return F.lit(True)
+    def _variant(segs):
+        ch0, lo0, hi0 = segs[0]
+        m = len(segs)
+        if m == 1:
+            # nothing follows, so segment 1 is NOT forced to eat its
+            # whole island: consumption = min(max, rem) needs only
+            # rem >= min (hi0 is 1 or INF by _chain_variants' gate)
+            cond = rem >= lo0
+            length = rem if hi0 == _INF else F.lit(1)
+            end_ts = (
+                F.col("i_last_ts") if hi0 == _INF else F.col("_ts")
+            )
+            return cond, length.cast("long"), end_ts
+        # segment 2's char differs, so segment 1 must consume the whole
+        # island remainder: rem itself must sit inside (min, max)
+        cond = (rem >= lo0) if hi0 == _INF else rem.between(lo0, hi0)
+        length = rem
+        for j in range(1, m - 1):  # middle segments: whole islands
+            chj, loj, hij = segs[j]
+            cj = (F.col(f"ch_{j}") == chj) & (F.col(f"n_{j}") >= loj)
+            if hij != _INF:
+                cj = cj & (F.col(f"n_{j}") <= hij)
+            cond = cond & cj
+            length = length + F.col(f"n_{j}")
+        chm, lom, him = segs[-1]
+        k = m - 1
+        cond = cond & (F.col(f"ch_{k}") == chm) & (F.col(f"n_{k}") >= lom)
+        if him == _INF:  # greedy: eat the whole final island
+            length = length + F.col(f"n_{k}")
+            end_ts = F.col(f"lts_{k}")
+        else:  # him == 1 by _chain_variants' gate
+            length = length + F.lit(1)
+            end_ts = F.col(f"fts_{k}")
+        return cond, length.cast("long"), end_ts
 
-    if cx == cy:
-        # the start row sits inside the Y-run itself: r = rows left in
-        # its own island, terminator = the char after the island
-        r = F.col("isl_end") - F.col("rn")
-        term_ch, term_ts = F.col("after_ch"), F.col("after_ts")
-    else:
-        ld = base.select(
-            "*",
-            F.lead("isl_end").over(w).alias("ld_isl_end"),
-            F.lead("after_ch").over(w).alias("ld_after_ch"),
-            F.lead("after_ts").over(w).alias("ld_after_ts"),
+    parts = [_variant(v) for v in variants]
+    pick = F.coalesce(
+        *[
+            F.when(c, F.struct(ln.alias("l"), e.alias("e")))
+            for c, ln, e in parts
+        ]
+    )
+    return (
+        cand.select("pk", "rn", "_ts", pick.alias("m"))
+        .where(F.col("m").isNotNull())
+        .select(
+            F.col("pk").alias(partition_by),
+            F.col("rn").cast("int").alias("start_rn"),
+            F.col("m.l").cast("int").alias("match_len"),
+            F.col("_ts").alias("path_start"),
+            F.col("m.e").alias("path_end"),
         )
-        base = ld
-        nxt_is_y = F.col("next_ch") == cy
-        r = F.when(nxt_is_y, F.col("ld_isl_end") - F.col("rn")).otherwise(
-            F.lit(0)
-        )
-        term_ch = F.when(nxt_is_y, F.col("ld_after_ch")).otherwise(
-            F.col("next_ch")
-        )
-        term_ts = F.when(nxt_is_y, F.col("ld_after_ts")).otherwise(
-            F.col("next_ts")
-        )
-    cond = (F.col("_ch") == cx) & (term_ch == cz) & _q_ok(r)
-    return base.where(cond).select(
-        F.col("pk").alias(partition_by),
-        F.col("rn").cast("int").alias("start_rn"),
-        (r + 2).cast("int").alias("match_len"),
-        F.col("_ts").alias("path_start"),
-        term_ts.alias("path_end"),
     )
 
 
@@ -206,11 +301,12 @@ def matchpath(
     like the reference's symbol-arg ordering). Emits one row per match
     start: (partition key, start_rn, match_len, path_start, path_end).
 
-    Patterns in the ``X.Y*.Z`` / ``X.Y+.Z`` / ``X.Y?.Z`` chain class
-    (z != y) compile to a pure JVM window plan (_matchpath_jvm_chain)
-    — no Python stage; every other pattern runs the Arrow-batched
-    Python automaton below, the documented fallback for genuinely
-    irregular patterns."""
+    Any literal ``.``-chain with per-symbol ``* + ?`` quantifiers
+    (unquantified first/last symbol, no grouping/alternation, <= 6
+    optional symbols) compiles to a pure JVM island-walk plan
+    (_matchpath_jvm_chain) — no Python stage; every other pattern
+    runs the Arrow-batched Python automaton below, the documented
+    fallback for genuinely irregular patterns."""
     chars, rx_src = compile_pattern(pattern, symbols.keys())
     rx = re.compile(rx_src)
 
@@ -229,15 +325,13 @@ def matchpath(
 
     chain = _parse_chain(pattern)
     if chain is not None:
-        return _matchpath_jvm_chain(
-            slim,
-            order_cols,
-            partition_by,
-            chars[chain[0]],
-            chars[chain[1]],
-            chars[chain[2]],
-            chain[3],
+        variants = _chain_variants(
+            [(chars[name], q) for name, q in chain]
         )
+        if variants is not None:
+            return _matchpath_jvm_chain(
+                slim, order_cols, partition_by, variants
+            )
 
     out_schema = (
         f"{partition_by} long, start_rn int, match_len int, "
@@ -315,5 +409,71 @@ def seq_matchpath_general(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase": F.col("event_type") == "purchase",
         },
         pattern="view.view*.purchase",
+    )
+    return out.orderBy("user_id", "start_rn")
+
+
+# ---------------------------------------------------------------------------
+# registered query: a 4-symbol quantified chain — exercises the round-8
+# general chain compiler (multi-island lookahead), still zero Python
+# ---------------------------------------------------------------------------
+
+_CHAIN4_ORACLE = """
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'signup' THEN 'a'
+              WHEN event_type = 'view' THEN 'b'
+              WHEN event_type = 'click' THEN 'c'
+              WHEN event_type = 'purchase' THEN 'd'
+              ELSE 'x' END AS ch,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+s AS (
+  SELECT user_id, string_agg(ch, '' ORDER BY rn) AS str
+  FROM c GROUP BY user_id
+),
+m AS (
+  SELECT c.user_id, c.rn AS start_rn, c.ts AS path_start,
+         length(regexp_extract(substr(s.str, CAST(c.rn AS INT)),
+                               '^ab*c+d'))
+           AS match_len
+  FROM c JOIN s USING (user_id)
+)
+SELECT m.user_id, CAST(m.start_rn AS INT) AS start_rn,
+       CAST(m.match_len AS INT) AS match_len,
+       CAST(m.path_start AS TIMESTAMP) AS path_start,
+       CAST(e.ts AS TIMESTAMP) AS path_end
+FROM m
+JOIN c e ON e.user_id = m.user_id AND e.rn = m.start_rn + m.match_len - 1
+WHERE m.match_len > 0
+ORDER BY m.user_id, start_rn
+"""
+
+
+@query("seq_matchpath_chain4", oracle=_CHAIN4_ORACLE)
+def seq_matchpath_chain4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MatchPath over a 4-symbol quantified chain:
+    ``signup.view*.click+.purchase`` — a signup, any number of
+    consecutive views, one-or-more clicks, then a purchase. The
+    round-8 general chain compiler routes this to the pure JVM
+    island-walk plan (islands frame + 3-deep lead chain + variant
+    coalesce); the reference automaton (hive-exec!ql/udf/ptf/
+    MatchPath.class) walks the same NFA row-by-row in Java. The DuckDB
+    oracle anchors the identical greedy regex at every row, so the
+    value hash verifies match starts, greedy lengths, AND end
+    timestamps."""
+    ev = load(spark, sf_dir, "events")
+    out = matchpath(
+        ev,
+        partition_by="user_id",
+        order_by=["ts", "event_id"],
+        symbols={
+            "signup": F.col("event_type") == "signup",
+            "view": F.col("event_type") == "view",
+            "click": F.col("event_type") == "click",
+            "purchase": F.col("event_type") == "purchase",
+        },
+        pattern="signup.view*.click+.purchase",
     )
     return out.orderBy("user_id", "start_rn")

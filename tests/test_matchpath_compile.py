@@ -1,12 +1,26 @@
 """compile_pattern unit tests — the round-2 verdict's latent
 wrong-answer bug: with >=25 symbols the old 'x'-skip assigned the same
-char to two symbols, silently cross-matching their pattern elements."""
+char to two symbols, silently cross-matching their pattern elements.
+
+Plus the round-8 chain compiler: any literal dot-chain with per-symbol
+* + ? quantifiers compiles to a pure JVM island-walk plan. Every
+routed pattern is differentially tested against the anchored-regex
+reference model (the Python automaton's exact semantics), including
+the backtracking shapes (a.b*.b) the round-7 3-symbol rewrite had to
+exclude — segment merging turns the regex's give-back into island
+arithmetic.
+"""
 
 from __future__ import annotations
 
 import pytest
 
-from hive_service_spark.operators.matchpath import compile_pattern
+from hive_service_spark.operators.matchpath import (
+    _INF,
+    _chain_variants,
+    _parse_chain,
+    compile_pattern,
+)
 
 
 def test_symbol_chars_unique_at_26_symbols():
@@ -35,7 +49,7 @@ def test_unknown_symbol_raises():
 
 
 # ---------------------------------------------------------------------------
-# round 8: the X.Y*.Z chain class compiles to a pure JVM window plan
+# round 8: literal quantified chains compile to a pure JVM plan
 # ---------------------------------------------------------------------------
 
 
@@ -92,12 +106,15 @@ _CHAIN_SYMS = lambda F: {  # noqa: E731
 }
 
 
+def _classify(x):
+    return {"A": "a", "B": "b", "C": "c"}.get(x, "x")
+
+
 def test_jvm_chain_matches_automaton_semantics(spark):
-    """Exhaustive-ish equivalence: every 6-symbol sequence over
-    {A, B, C, other} is run through the routed (JVM) path for both the
-    x != y chain a.b*.c and the x == y chain a.a*.b, and compared to
-    the anchored-regex reference model — the exact semantics the
-    Python automaton implements."""
+    """Exhaustive equivalence over every 6-symbol sequence on
+    {A, B, C, other} for the routed chain shapes — quantifier sweep,
+    self-island starts (x == y), AND the give-back shapes (z == y)
+    that the 3-symbol rewrite had to exclude."""
     import itertools
 
     rows = [
@@ -107,9 +124,6 @@ def test_jvm_chain_matches_automaton_semantics(spark):
         )
     ]
 
-    def classify(x):
-        return {"A": "a", "B": "b", "C": "c"}.get(x, "x")
-
     for pattern, rx in (
         ("a.b*.c", "ab*c"),
         ("a.a*.b", "aa*b"),
@@ -117,57 +131,117 @@ def test_jvm_chain_matches_automaton_semantics(spark):
         ("a.a+.b", "aa+b"),
         ("a.b?.c", "ab?c"),
         ("a.a?.b", "aa?b"),
+        ("a.b*.b", "ab*b"),  # give-back: segment-merged, now JVM
+        ("a.b+.b", "ab+b"),
+        ("a.a*.a", "aa*a"),  # single-segment chain
+        ("a.b.c", "abc"),  # plain chain (island lengths must be 1)
+        ("a.b*.c.b.a", "ab*cba"),  # repeated non-adjacent symbol
+        ("a.b*.c?.b.a", "ab*c?ba"),  # co-consumption via ? skip
+        ("a.b?.c*.b+.a", "ab?c*b+a"),  # mixed quantifier chain
     ):
         got = _mp(spark, rows, pattern, _CHAIN_SYMS)
-        want = _pysim(rows, rx, classify)
+        want = _pysim(rows, rx, _classify)
         assert got == want, f"pattern {pattern} diverges from {rx}"
 
 
+def test_jvm_chain_fuzz_random_sequences(spark):
+    """Deterministic fuzz: 60 random (pattern, corpus) draws over
+    longer sequences than the exhaustive sweep can afford. Patterns
+    are random routed chains; sequences are length-12 strings skewed
+    toward repeated runs (the island-arithmetic stress case)."""
+    import random
+
+    rnd = random.Random(8)
+    pats = []
+    while len(pats) < 12:
+        n = rnd.randint(2, 5)
+        toks = [rnd.choice("abc")]
+        for _ in range(n - 1):
+            toks.append(rnd.choice("abc"))
+        quants = ["1"] + [rnd.choice("1*+?") for _ in range(n - 2)] + ["1"]
+        pat = ".".join(
+            t + {"1": ""}.get(q, q) for t, q in zip(toks, quants)
+        )
+        if _parse_chain(pat) and _chain_variants(
+            [(t, q) for t, q in zip(toks, quants)]
+        ):
+            pats.append((pat, "".join(
+                t + {"1": ""}.get(q, q) for t, q in zip(toks, quants)
+            )))
+    for pi, (pattern, rx) in enumerate(pats):
+        rows = [
+            (u, [rnd.choice("AABBBCX") for _ in range(12)])
+            for u in range(200)
+        ]
+        got = _mp(spark, rows, pattern, _CHAIN_SYMS)
+        want = _pysim(rows, rx, _classify)
+        assert got == want, f"fuzz {pi}: pattern {pattern} diverges"
+
+
 def test_chain_detection_and_fallback_scope():
-    """z == y backtracks in the regex but not in the island rewrite —
-    must NOT route to the JVM plan; alternation/grouping likewise."""
-    from hive_service_spark.operators.matchpath import _parse_chain
-
-    assert _parse_chain("view.view*.purchase") == (
-        "view", "view", "purchase", "*",
-    )
-    assert _parse_chain("a.b*.c") == ("a", "b", "c", "*")
-    assert _parse_chain("a.b+.c") == ("a", "b", "c", "+")
-    assert _parse_chain("a.b?.c") == ("a", "b", "c", "?")
-    assert _parse_chain("a.b*.b") is None  # z == y: regex backtracks
-    assert _parse_chain("a.b+.b") is None
+    """Alternation/grouping, quantified first/last symbols, and
+    finite-max>1 final segments fall back to the Python automaton."""
+    assert _parse_chain("view.view*.purchase") == [
+        ("view", "1"), ("view", "*"), ("purchase", "1"),
+    ]
+    assert _parse_chain("a.b*.c") == [("a", "1"), ("b", "*"), ("c", "1")]
     assert _parse_chain("a.(b|c)*.d") is None
-    assert _parse_chain("a.b.c") is None
+    assert _parse_chain("a*.b") is None  # quantified first symbol
+    assert _parse_chain("a.b+") is None  # quantified last symbol
+    assert _parse_chain("a." + ".".join("b?" for _ in range(7)) + ".c") is None
+
+    # give-back shapes now expand to clean variants
+    v = _chain_variants([("a", "1"), ("b", "*"), ("b", "1")])
+    assert v == [
+        [("a", 1, 1), ("b", 2, _INF)],
+        [("a", 1, 1), ("b", 1, 1)],
+    ]
+    # a final segment with finite max > 1 cannot place its end
+    # timestamp from the island frame -> whole pattern falls back
+    assert _chain_variants([("a", "1"), ("b", "?"), ("b", "1")]) is None
 
 
-def test_z_equals_y_pattern_still_exact_via_python_path(spark):
-    """The excluded z == y shape must still be answered (by the Python
-    automaton) and match the regex model, proving the fallback isn't
-    dead code."""
-    import itertools
-
-    rows = [
-        (i, list(seq))
-        for i, seq in enumerate(itertools.product("ABX", repeat=5))
+def test_variant_preference_is_regex_backtracking_order():
+    v = _chain_variants(
+        [("a", "1"), ("b", "*"), ("c", "?"), ("d", "1")]
+    )
+    # all-present first, then the RIGHTMOST optional flips absent first
+    assert [tuple(ch for ch, _, _ in segs) for segs in v] == [
+        ("a", "b", "c", "d"),
+        ("a", "b", "d"),
+        ("a", "c", "d"),
+        ("a", "d"),
     ]
 
-    def classify(x):
-        return {"A": "a", "B": "b"}.get(x, "x")
 
-    got = _mp(spark, rows, "a.b*.b", _CHAIN_SYMS)
-    want = _pysim(rows, "ab*b", classify)
-    assert got == want
-
-
-def test_registered_matchpath_plan_has_no_python_stage(spark):
-    """seq_matchpath_general's pattern (view.view*.purchase) is in the
-    chain class, so its physical plan must contain NO Python/Arrow
-    stage — the walk stays in JVM window exec (round-7 advice #4)."""
+def test_registered_matchpath_plans_have_no_python_stage(spark):
+    """Both registered matchpath chain queries compile — their
+    physical plans must contain NO Python/Arrow stage (round-7 advice
+    #4, extended round 8 to the general chain class)."""
     from hive_service_spark.plans import inspect as P
     from hive_service_spark.registry import load_all
     from tests.conftest import SF_DIR
 
-    df = load_all()["seq_matchpath_general"].fn(spark, SF_DIR)
-    plan = P.formatted_plan(df)
-    for marker in ("Python", "Arrow", "Pandas"):
-        assert marker not in plan, f"{marker} stage in plan:\n{plan[:600]}"
+    for name in ("seq_matchpath_general", "seq_matchpath_chain4"):
+        df = load_all()[name].fn(spark, SF_DIR)
+        plan = P.formatted_plan(df)
+        for marker in ("Python", "Arrow", "Pandas"):
+            assert marker not in plan, (
+                f"{name}: {marker} stage in plan:\n{plan[:600]}"
+            )
+
+
+def test_irregular_pattern_still_exact_via_python_path(spark):
+    """An alternation pattern must still be answered (by the Python
+    automaton) and match the regex model, proving the fallback isn't
+    dead code now that the chain class covers the old exclusions."""
+    import itertools
+
+    rows = [
+        (i, list(seq))
+        for i, seq in enumerate(itertools.product("ABCX", repeat=5))
+    ]
+
+    got = _mp(spark, rows, "a.(b|c)*.c", _CHAIN_SYMS)
+    want = _pysim(rows, "a(b|c)*c", _classify)
+    assert got == want
