@@ -1358,3 +1358,116 @@ def text_hard_negative_mining(
         )
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty scoring: eval docs vs a held-out reference split
+# ---------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, len(w) - 2),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+    FROM w
+  )
+),
+split AS (
+  SELECT *,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2
+           AS b
+  FROM g
+),
+ref AS (SELECT DISTINCT gh FROM split WHERE b = 0),
+ev AS (SELECT doc_id, gh FROM split WHERE b = 1)
+SELECT ev.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) FILTER (WHERE ref.gh IS NULL) AS BIGINT) AS n_novel,
+       CAST((1000000 * COUNT(*) FILTER (WHERE ref.gh IS NULL))
+            // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM ev LEFT JOIN ref ON ev.gh = ref.gh
+GROUP BY ev.doc_id
+ORDER BY ev.doc_id
+"""
+
+
+@query("text_ngram_novelty", oracle=_NOVELTY_ORACLE)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY against a held-out reference split
+    — the memorization/duplication profile a training-data pipeline
+    runs to audit dedup quality and estimate how much of a candidate
+    batch is genuinely new text (the inverse of
+    pipeline_contamination_check, which hunts benchmark OVERLAP; here
+    low novelty = redundant data, not leakage). Docs are split 50/50
+    by an md5-derived bucket of doc_id (deterministic on both
+    engines); each eval doc reports its distinct word-3-gram count,
+    how many of those grams never occur in the reference half, and the
+    exact integer novelty rate in ppm.
+
+    100 TB reading: grams are hashed to 60-bit integers before any
+    shuffle (8-byte keys), the reference gram set is deduped by one
+    hash aggregate, and the membership probe is a plain LEFT equi-join
+    on the gram hash — shuffle-partitioned, no broadcast hint (the
+    reference set scales with the corpus; AQE may still broadcast it
+    while it fits). Per-doc counts then reduce on doc_id. The same
+    inverted-index discipline as dedup_ngram_jaccard, minus the
+    pair-space expansion — novelty needs membership, not joins between
+    documents."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i),
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+        ),
+    )
+    from hive_service_spark.catalog import par
+
+    g = (
+        d.where(F.size(words) >= 3)
+        .repartition(par(spark))
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("gh"),
+        )
+        .distinct()
+    )
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 2
+    )
+    g = persisted(g.withColumn("b", b))
+    ref = g.where(F.col("b") == 0).select("gh").distinct()
+    ev = g.where(F.col("b") == 1).select("doc_id", "gh")
+    hit = ref.withColumn("hit", F.lit(1))
+    return (
+        ev.join(hit, "gh", "left_outer")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.count(F.when(F.col("hit").isNull(), 1))
+            .cast("bigint")
+            .alias("n_novel"),
+            F.expr(
+                "CAST((1000000 * COUNT(CASE WHEN hit IS NULL THEN 1 END))"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )
