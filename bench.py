@@ -84,6 +84,11 @@ HEADLINE = [
     # round-8: the general MatchPath pattern, now compiled to a pure
     # JVM window plan for the X.Y*.Z chain class (was applyInPandas)
     "seq_matchpath_general",
+    # round-8 continued: exact-integer two-sided CUSUM, attribution via
+    # running-count-index equi-join, and n-gram novelty membership
+    "ts_cusum_changepoint",
+    "seq_attribution_credit",
+    "text_ngram_novelty",
 ]
 
 # Pure-CPU sentinel queries (plan-pinned, untouched since round 1) and
