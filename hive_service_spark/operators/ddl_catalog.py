@@ -327,9 +327,13 @@ def ddl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ACID MERGE (SURVEY.md §3.2: MERGE compiles to a join + rewrite;
     plain Spark has no ACID MERGE — that is Delta/Iceberg territory —
     but the REWRITE is pure DataFrame algebra): left-join the target to
-    the change set, coalesce updated columns, write back. At 100 TB the
-    change set is usually small → broadcast left join, and the write
-    touches only affected partitions (dynamic partition overwrite)."""
+    the change set, coalesce updated columns, write back. The change
+    set is UNHINTED: a real MERGE batch is bounded by the feed that
+    produced it and AQE broadcasts it while it fits, but this demo
+    derives it as a fixed fraction of orders — sf-scaled — so a forced
+    hint would be the executor-OOM class the round-7 purge removed.
+    The write touches only affected partitions (dynamic partition
+    overwrite)."""
     o = load(spark, sf_dir, "orders")
     changes = o.where(F.col("o_orderstatus") == "P").select(
         F.col("o_orderkey").alias("c_orderkey"),
@@ -341,7 +345,7 @@ def ddl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = (
         o.join(
-            F.broadcast(changes),
+            changes,
             F.col("o_orderkey") == F.col("c_orderkey"),
             "left_outer",
         )

@@ -348,10 +348,14 @@ def mv_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     c_old = cust.where(F.col("c_custkey") % 10 != 0)
     c_new = cust.where(F.col("c_custkey") % 10 == 0)
 
-    def agg_join(o: DataFrame, c: DataFrame, broadcast_c: bool) -> DataFrame:
-        right = F.broadcast(c) if broadcast_c else c
+    # join strategy is left to AQE on every term: a real maintenance
+    # delta is batch-bounded and broadcasts on size, but THIS demo's
+    # deltas are fixed fractions of orders/customer (sf-scaled), so a
+    # forced hint would be the executor-OOM class the round-7 purge
+    # removed
+    def agg_join(o: DataFrame, c: DataFrame) -> DataFrame:
         return (
-            o.join(right, o.o_custkey == c.c_custkey)
+            o.join(c, o.o_custkey == c.c_custkey)
             .groupBy(
                 "c_mktsegment",
                 F.year("o_orderdate").cast("int").alias("o_year"),
@@ -370,13 +374,13 @@ def mv_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
 
     path = f"{_SCRATCH}/join_mv_base_{os.getpid()}"  # per-process: no .scratch race
     shutil.rmtree(path, ignore_errors=True)
-    agg_join(o_old, c_old, broadcast_c=False).write.parquet(path)
+    agg_join(o_old, c_old).write.parquet(path)
     mv_base = spark.read.parquet(path)
 
     delta_terms = [
-        agg_join(o_new, c_old, broadcast_c=False),  # ΔA ⋈ B_old (ΔA small side)
-        agg_join(o_old, c_new, broadcast_c=True),   # A_old ⋈ ΔB (ΔB broadcasts)
-        agg_join(o_new, c_new, broadcast_c=True),   # ΔA ⋈ ΔB
+        agg_join(o_new, c_old),  # ΔA ⋈ B_old (ΔA small side)
+        agg_join(o_old, c_new),  # A_old ⋈ ΔB
+        agg_join(o_new, c_new),  # ΔA ⋈ ΔB
     ]
     combined = mv_base
     for t in delta_terms:

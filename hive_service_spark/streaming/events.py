@@ -775,13 +775,17 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static dimension enrichment — THE most common streaming
     topology: the event stream joins a slowly-changing dimension table
     (here customer, keyed by user id) and aggregates per dimension
-    attribute. Spark plans the static side as a broadcast into every
-    micro-batch; the join itself keeps NO state (unlike stream-stream
-    joins) — only the windowed aggregate downstream does. At 100 TB/day
-    the pattern is identical: the dimension is re-read and broadcast
-    per batch, picking up dimension updates between batches — the
-    lookup-join semantics Hive users approximate with periodic map-join
-    batch jobs.
+    attribute. The static side is left UNHINTED: Spark re-plans the
+    stream-static join every micro-batch with its normal size-based
+    strategy choice, so a cache-sized dimension broadcasts and a
+    billion-row one shuffle-joins — a forced F.broadcast here would be
+    the same sf-scaled-frame OOM hazard the round-7 TPC-H purge
+    removed (the dimension is customer, which grows with the corpus).
+    The join itself keeps NO state (unlike stream-stream joins) — only
+    the windowed aggregate downstream does; the per-batch re-read
+    still picks up dimension updates between batches — the lookup-join
+    semantics Hive users approximate with periodic map-join batch
+    jobs.
 
     COUNT(DISTINCT user) is not incrementally plannable in streaming
     (it needs full per-window value state), so the standard two-level
@@ -798,7 +802,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = (
         _stream(spark, sf_dir)
         .withWatermark("ts", "2 hours")
-        .join(F.broadcast(cust), "user_id")
+        .join(cust, "user_id")
         .groupBy(F.window("ts", "6 hours"), "segment", "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_ev_u"),
