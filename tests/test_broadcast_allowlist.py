@@ -245,3 +245,103 @@ def test_allowlist_total_matches_inventory():
     """Belt and braces: the aggregate count can't silently drift."""
     inv = _inventory()
     assert sum(inv.values()) == sum(c for c, _ in ALLOWLIST.values())
+
+
+# ---------------------------------------------------------------------------
+# the same discipline for driver-side materialization: every .collect()
+# / .toPandas() in product code must be bounded by contract (.first()/
+# .head() are 1-row by construction and exempt). An operator that
+# iterates a .collect() is not distributed — round-1 design rule.
+# ---------------------------------------------------------------------------
+
+COLLECT_ALLOWLIST = {
+    ("functions/hive_compat.py", "in_file"):
+        (1, "reads a driver-local lookup FILE (the Hive in_file UDF "
+            "contract), never a table"),
+    ("llm/similarity.py", "_pq_codebooks"):
+        (1, "16-vector training sample by design (documented: PQ "
+            "codebooks train on a bounded driver sample)"),
+    ("operators/acid_snapshots.py", "_affected_buckets"):
+        (1, "manifest metadata: bucket ids touched by one txn"),
+    ("operators/acid_snapshots.py", "acid_mor_compaction"):
+        (1, "manifest metadata: delta-file relations of one version"),
+    ("operators/ddl_catalog.py", "ddl_constraints_informational"):
+        (1, "catalog metadata: declared constraint specs"),
+    ("operators/ddl_catalog.py", "ddl_exchange_partition"):
+        (1, "catalog metadata: partition specs"),
+    ("operators/ddl_catalog.py", "ddl_explain_plan"):
+        (1, "EXPLAIN text: one plan per statement"),
+    ("operators/ddl_catalog.py", "ddl_partition_retention"):
+        (1, "catalog metadata: partition list of one table"),
+    ("operators/ddl_catalog.py", "ddl_show_describe_analyze"):
+        (2, "SHOW/DESCRIBE output: schema-sized"),
+    ("operators/ddl_catalog.py", "ddl_stats_only_answering"):
+        (2, "ANALYZE statistics: one row per stat"),
+    ("streaming/notifications.py", "_apply"):
+        (2, "notification-log batch: bounded by the poll window "
+            "(the metastore event-log contract)"),
+}
+
+
+def _collect_inventory():
+    inv: dict[tuple[str, str], int] = {}
+    for dirpath, _, files in os.walk(ROOT):
+        for f in sorted(files):
+            if not f.endswith(".py"):
+                continue
+            p = os.path.join(dirpath, f)
+            rel = os.path.relpath(p, ROOT).replace(os.sep, "/")
+            with open(p) as fh:
+                tree = ast.parse(fh.read())
+
+            class V(ast.NodeVisitor):
+                def __init__(self):
+                    self.stack: list[str] = []
+
+                def visit_FunctionDef(self, node):
+                    self.stack.append(node.name)
+                    self.generic_visit(node)
+                    self.stack.pop()
+
+                visit_AsyncFunctionDef = visit_FunctionDef
+
+                def visit_Call(self, node):
+                    fn = node.func
+                    if isinstance(fn, ast.Attribute) and fn.attr in (
+                        "collect",
+                        "toPandas",
+                        "collectAsList",
+                    ):
+                        key = (
+                            rel,
+                            self.stack[-1] if self.stack else "<module>",
+                        )
+                        inv[key] = inv.get(key, 0) + 1
+                    self.generic_visit(node)
+
+            V().visit(tree)
+    return inv
+
+
+def test_every_collect_is_allowlisted_and_justified():
+    inv = _collect_inventory()
+    errors = []
+    for key, count in sorted(inv.items()):
+        if key not in COLLECT_ALLOWLIST:
+            errors.append(
+                f"NEW driver-side collect in {key[0]}::{key[1]} — "
+                "justify its bounded-by-contract size in "
+                "tests/test_broadcast_allowlist.py or restructure the "
+                "operator to stay distributed"
+            )
+        elif COLLECT_ALLOWLIST[key][0] != count:
+            errors.append(
+                f"{key[0]}::{key[1]}: {count} collects, allowlist "
+                f"says {COLLECT_ALLOWLIST[key][0]} — re-justify"
+            )
+    for key in COLLECT_ALLOWLIST:
+        if key not in inv:
+            errors.append(
+                f"stale collect allowlist entry {key[0]}::{key[1]}"
+            )
+    assert not errors, "\n".join(errors)
