@@ -323,6 +323,89 @@ def _collect_inventory():
     return inv
 
 
+# ---------------------------------------------------------------------------
+# row-at-a-time Python UDFs: the slow path (per-row pickling, no Arrow
+# batching, 10-100x slower than JVM expressions or Pandas UDFs). The
+# approved Python escapes are the Arrow-batched APIs (applyInPandas /
+# mapInPandas / applyInArrow / applyInPandasWithState); plain F.udf /
+# spark.udf.register exists only in the deliberate registration demo.
+# ---------------------------------------------------------------------------
+
+UDF_ALLOWLIST = {
+    ("functions/function_queries.py", "func_python_udf_registered"):
+        (2, "the documented UDF-registration SURFACE demo (reference "
+            "CREATE FUNCTION parity) — runs on exactly 5 rows"),
+}
+
+
+def _udf_inventory():
+    inv: dict[tuple[str, str], int] = {}
+    for dirpath, _, files in os.walk(ROOT):
+        for f in sorted(files):
+            if not f.endswith(".py"):
+                continue
+            p = os.path.join(dirpath, f)
+            rel = os.path.relpath(p, ROOT).replace(os.sep, "/")
+            with open(p) as fh:
+                tree = ast.parse(fh.read())
+
+            class V(ast.NodeVisitor):
+                def __init__(self):
+                    self.stack: list[str] = []
+
+                def visit_FunctionDef(self, node):
+                    self.stack.append(node.name)
+                    self.generic_visit(node)
+                    self.stack.pop()
+
+                visit_AsyncFunctionDef = visit_FunctionDef
+
+                def visit_Call(self, node):
+                    fn = node.func
+                    hit = (
+                        isinstance(fn, ast.Attribute)
+                        and fn.attr == "udf"
+                        and isinstance(fn.value, ast.Name)
+                        and fn.value.id == "F"
+                    ) or (
+                        isinstance(fn, ast.Attribute)
+                        and fn.attr == "register"
+                        and isinstance(fn.value, ast.Attribute)
+                        and fn.value.attr == "udf"
+                    )
+                    if hit:
+                        key = (
+                            rel,
+                            self.stack[-1] if self.stack else "<module>",
+                        )
+                        inv[key] = inv.get(key, 0) + 1
+                    self.generic_visit(node)
+
+            V().visit(tree)
+    return inv
+
+
+def test_no_row_at_a_time_python_udfs_outside_the_demo():
+    inv = _udf_inventory()
+    errors = []
+    for key, count in sorted(inv.items()):
+        if key not in UDF_ALLOWLIST:
+            errors.append(
+                f"row-at-a-time Python UDF in {key[0]}::{key[1]} — "
+                "use built-in functions or an Arrow-batched API "
+                "(applyInPandas / mapInPandas), or justify it here"
+            )
+        elif UDF_ALLOWLIST[key][0] != count:
+            errors.append(
+                f"{key[0]}::{key[1]}: {count} UDF registrations, "
+                f"allowlist says {UDF_ALLOWLIST[key][0]}"
+            )
+    for key in UDF_ALLOWLIST:
+        if key not in inv:
+            errors.append(f"stale UDF allowlist entry {key[0]}::{key[1]}")
+    assert not errors, "\n".join(errors)
+
+
 def test_every_collect_is_allowlisted_and_justified():
     inv = _collect_inventory()
     errors = []
