@@ -87,9 +87,12 @@ _INF = 10**9  # "unbounded" sentinel for segment max-counts
 def _parse_chain(pattern: str) -> list[tuple[str, str]] | None:
     """Detect the JVM-compilable chain class: a ``.``-chain of literal
     symbols, each optionally quantified by one of ``* + ?`` — no
-    grouping, no alternation — whose FIRST and LAST symbols are
-    unquantified. Returns the token list [(symbol, quant)] with quant
-    in {'1','*','+','?'}, or None (route to the Python automaton)."""
+    grouping, no alternation — whose FIRST symbol is unquantified
+    (optional first symbols would shift the start anchor per variant).
+    Trailing quantifiers are fine: _chain_variants' final-segment gate
+    enforces the one real engine constraint (merged final max count in
+    {1, unbounded}). Returns the token list [(symbol, quant)] with
+    quant in {'1','*','+','?'}, or None (route to the automaton)."""
     toks = _TOKEN_RE.findall(pattern.replace(".", " "))
     if not toks or any(t in "()|" for t in toks):
         return None
@@ -101,7 +104,7 @@ def _parse_chain(pattern: str) -> list[tuple[str, str]] | None:
             out[-1] = (out[-1][0], t)
         else:
             out.append((t, "1"))
-    if len(out) < 1 or out[0][1] != "1" or out[-1][1] != "1":
+    if len(out) < 1 or out[0][1] != "1":
         return None
     # every '*'/'?' token doubles the variant space; keep it bounded
     if sum(1 for _, q in out if q in "*?") > 6:

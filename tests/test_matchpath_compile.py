@@ -138,6 +138,11 @@ def test_jvm_chain_matches_automaton_semantics(spark):
         ("a.b*.c.b.a", "ab*cba"),  # repeated non-adjacent symbol
         ("a.b*.c?.b.a", "ab*c?ba"),  # co-consumption via ? skip
         ("a.b?.c*.b+.a", "ab?c*b+a"),  # mixed quantifier chain
+        ("a.b+", "ab+"),  # trailing quantifier (round-8 relaxation)
+        ("a.b*", "ab*"),
+        ("a.b?", "ab?"),
+        ("a.a*", "aa*"),  # trailing quantifier merging into the start
+        ("a.b*.c+", "ab*c+"),
     ):
         got = _mp(spark, rows, pattern, _CHAIN_SYMS)
         want = _pysim(rows, rx, _classify)
@@ -158,7 +163,8 @@ def test_jvm_chain_fuzz_random_sequences(spark):
         toks = [rnd.choice("abc")]
         for _ in range(n - 1):
             toks.append(rnd.choice("abc"))
-        quants = ["1"] + [rnd.choice("1*+?") for _ in range(n - 2)] + ["1"]
+        # quantifiers anywhere except the first token (trailing included)
+        quants = ["1"] + [rnd.choice("1*+?") for _ in range(n - 1)]
         pat = ".".join(
             t + {"1": ""}.get(q, q) for t, q in zip(toks, quants)
         )
@@ -187,7 +193,9 @@ def test_chain_detection_and_fallback_scope():
     assert _parse_chain("a.b*.c") == [("a", "1"), ("b", "*"), ("c", "1")]
     assert _parse_chain("a.(b|c)*.d") is None
     assert _parse_chain("a*.b") is None  # quantified first symbol
-    assert _parse_chain("a.b+") is None  # quantified last symbol
+    # trailing quantifiers parse (round-8 relaxation): the engine gate
+    # lives in _chain_variants, not the parser
+    assert _parse_chain("a.b+") == [("a", "1"), ("b", "+")]
     assert _parse_chain("a." + ".".join("b?" for _ in range(7)) + ".c") is None
 
     # give-back shapes now expand to clean variants
@@ -199,6 +207,8 @@ def test_chain_detection_and_fallback_scope():
     # a final segment with finite max > 1 cannot place its end
     # timestamp from the island frame -> whole pattern falls back
     assert _chain_variants([("a", "1"), ("b", "?"), ("b", "1")]) is None
+    # same gate for a trailing quantifier merging to finite max 2
+    assert _chain_variants([("a", "1"), ("a", "?")]) is None
 
 
 def test_variant_preference_is_regex_backtracking_order():
