@@ -117,6 +117,8 @@ AUX = [
     ("ts_lttb_downsample", "events", N_EV),
     ("ts_cusum_changepoint", "events", N_EV),
     ("seq_attribution_credit", "events", N_EV),
+    ("seq_matchpath_general", "events", N_EV),
+    ("seq_matchpath_chain4", "events", N_EV),
     ("graph_label_propagation", "lineitem(graph)", N_LI),
     ("window_skyline_pareto", "part", N_PART),
 ]
