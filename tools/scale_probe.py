@@ -93,6 +93,7 @@ LINEAR = [
     ("text_hybrid_rrf_retrieval", "documents", N_DOCS),
     ("tok_bpe_train_merges", "documents", N_DOCS),
     ("ml_bigram_lm_quality", "documents", N_DOCS),
+    ("text_ngram_novelty", "documents", N_DOCS),
     ("knn_cosine_bruteforce", "embeddings", N_VECS),
 ]
 # cell-scoped probes: run with k scaled by the data factor
