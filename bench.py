@@ -82,7 +82,8 @@ HEADLINE = [
     "seq_window_funnel",
     "window_skyline_pareto",
     # round-8: the general MatchPath pattern, now compiled to a pure
-    # JVM window plan for the X.Y*.Z chain class (was applyInPandas)
+    # JVM island-walk plan (any quantified literal chain; was
+    # applyInPandas)
     "seq_matchpath_general",
     # round-8 continued: exact-integer two-sided CUSUM, attribution via
     # running-count-index equi-join, and n-gram novelty membership

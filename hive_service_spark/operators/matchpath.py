@@ -305,11 +305,11 @@ def matchpath(
     start: (partition key, start_rn, match_len, path_start, path_end).
 
     Any literal ``.``-chain with per-symbol ``* + ?`` quantifiers
-    (unquantified first/last symbol, no grouping/alternation, <= 6
-    optional symbols) compiles to a pure JVM island-walk plan
-    (_matchpath_jvm_chain) — no Python stage; every other pattern
-    runs the Arrow-batched Python automaton below, the documented
-    fallback for genuinely irregular patterns."""
+    (unquantified first symbol, no grouping/alternation, <= 6 optional
+    symbols, merged final segment's max count 1 or unbounded) compiles
+    to a pure JVM island-walk plan (_matchpath_jvm_chain) — no Python
+    stage; every other pattern runs the Arrow-batched Python automaton
+    below, the documented fallback for genuinely irregular patterns."""
     chars, rx_src = compile_pattern(pattern, symbols.keys())
     rx = re.compile(rx_src)
 
