@@ -857,6 +857,29 @@ FUNNEL_STATE_SCHEMA = (
 )
 
 
+def _wm_us(state: GroupState) -> int:
+    """Event-time watermark in MICROseconds, or 0 when the harness runs
+    without one (the unit-test replays drive _funnel_step under
+    NoTimeout with no watermark, where PySpark's GroupState raises on
+    the accessor; the registered query always has a watermark and
+    EventTimeTimeout, so eviction is live there)."""
+    try:
+        return state.getCurrentWatermarkMs() * 1000
+    except Exception:
+        return 0
+
+
+def _arm_event_timeout(state: GroupState, ts_ms: int) -> None:
+    """Best-effort GroupStateTimeout arm: a no-op under the NoTimeout
+    unit harness (where PySpark raises), required under the registered
+    query's EventTimeTimeout so signup-less users are garbage-collected
+    once the watermark proves their candidates dead."""
+    try:
+        state.setTimeoutTimestamp(ts_ms)
+    except Exception:
+        pass
+
+
 def _funnel_step(key, pdfs, state: GroupState):
     """Per-user funnel state: min signup time + the candidate
     click/purchase timestamp SETS the earliest-chain answer could
@@ -872,14 +895,39 @@ def _funnel_step(key, pdfs, state: GroupState):
     landing in an earlier micro-batch than its signup is buffered as a
     candidate, not dropped; round-8 ADVICE fixed exactly that drop).
 
-    State boundedness: the chain thresholds t1/t2 only ever DECREASE
-    as earlier events arrive, so the qualifying minimum only
-    decreases — any candidate strictly above the current pick is
-    dominated forever and pruned. Under event-time-ordered arrival the
-    sets collapse to a single element each (the O(1) frontier of the
-    naive fold); under disorder they hold only the candidates below
-    the current pick, bounded by the stream's disorder horizon (a
-    production deployment adds a state TTL to cap it)."""
+    State boundedness (round-9: now watermark-enforced, not just
+    claimed). Dominance pruning: the chain thresholds t1/t2 only ever
+    DECREASE as earlier events arrive, so any candidate strictly above
+    the current pick is dominated forever and dropped. That alone
+    leaves one hole (round-8 ADVICE): a user with NO signup yet keeps
+    every click/purchase forever. Watermark-relative eviction closes
+    it — with watermark W, every event still to arrive has event time
+    >= W, so
+
+      * a click c can newly qualify as t2 only via a signup t1' < c;
+        if c <= W any future signup has t1' >= W >= c, impossible —
+        a click c <= W that does not already qualify (t1 < 0 or
+        c <= t1) is provably dead and evicted;
+      * symmetrically, any future value of t2 is > W (it is some click
+        c > t1' >= W), so a purchase p <= W with (t2 < 0 or p <= t2)
+        can never satisfy p > t2 and is evicted.
+
+    After eviction the state is {current picks} + {candidates newer
+    than the watermark}: O(1) per user plus the disorder horizon, for
+    EVERY user including never-converting clickers. A user whose state
+    becomes vacuous (no signup, no surviving candidates) is identical
+    to an absent user for every future event, so the state row is
+    REMOVED outright; signup-less users with surviving candidates arm
+    an event-time timeout at their newest candidate, at which point
+    the watermark has proven everything dead and the timed-out state
+    is dropped without emission."""
+    if state.hasTimedOut:
+        # fires only for signup-less users (see arm below) once the
+        # watermark passed their newest candidate: every candidate is
+        # now <= W with t1 < 0, i.e. provably dead — drop the state.
+        # No emission: the user's last-emitted depth-0 row stands.
+        state.remove()
+        return
     if state.exists:
         t1, clicks, purchases = state.get
         clicks = list(clicks or [])
@@ -906,7 +954,24 @@ def _funnel_step(key, pdfs, state: GroupState):
     # requalify those
     clicks = sorted(c for c in set(clicks) if t2 < 0 or c <= t2)
     purchases = sorted(p for p in set(purchases) if t3 < 0 or p <= t3)
-    state.update((t1, clicks, purchases))
+    # watermark-relative eviction (docstring proof): candidates at or
+    # below the watermark survive only while they currently qualify
+    wm = _wm_us(state)
+    if wm > 0:
+        clicks = [c for c in clicks if c > wm or 0 <= t1 < c]
+        purchases = [p for p in purchases if p > wm or 0 <= t2 < p]
+    if t1 < 0 and not clicks and not purchases:
+        # vacuous state == absent state for every future event: GC it
+        if state.exists:
+            state.remove()
+    else:
+        state.update((t1, clicks, purchases))
+        if t1 < 0:
+            # signup-less user: everything dies once the watermark
+            # passes the newest candidate — arm the timeout there
+            # (candidates are micros; timeouts are epoch millis)
+            newest = max(clicks + purchases)
+            _arm_event_timeout(state, newest // 1000 + 1)
     depth = 0 if t1 < 0 else 1 if t2 < 0 else 2 if t3 < 0 else 3
     converted = 1 if t3 >= 0 and t3 - t1 <= _FUNNEL_WINDOW_US else 0
     yield pd.DataFrame(
@@ -935,20 +1000,32 @@ def stream_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is what lets the streaming run share the batch query's value
     oracle verbatim.
 
-    Scale notes: state per user is the min signup plus the pruned
-    candidate sets — O(1) under event-time-ordered arrival, bounded by
-    the disorder horizon otherwise — partitioned by user_id across
-    state stores; a production deployment adds a state TTL
-    (GroupStateTimeout) to retire users past the attribution horizon.
+    Scale notes (round-9: the state bound is now ENFORCED, not a
+    production note): the query runs with a 1-hour watermark and
+    GroupStateTimeout.EventTimeTimeout. Per user the state after each
+    batch is the current picks plus only candidates newer than the
+    watermark (_funnel_step's eviction proof), so it is O(1) under
+    event-time-ordered arrival and disorder-horizon-bounded otherwise
+    — for EVERY user, including never-converting clickers (the
+    round-8 unbounded-growth hole). Signup-less users are fully
+    garbage-collected by the event-time timeout once the watermark
+    passes their newest candidate; tests/test_streaming_soak.py pins
+    flat state under a 20-micro-batch sustained-clicker replay.
     Update mode emits each user's frontier once per micro-batch that
     touches them; the LAST emission per user is the answer (the
-    availableNow replay here is one batch, so it equals the batch
-    answer directly)."""
-    src = _stream(spark, sf_dir).select(
-        "user_id",
-        "event_type",
-        F.unix_micros("ts").alias("t"),
-        "event_id",
+    availableNow replay here is one batch — watermark 0 throughout, so
+    eviction is a no-op and the run equals the batch answer directly).
+    """
+    src = (
+        _stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("t"),
+            "event_id",
+            "ts",  # keep the watermark column in the plan
+        )
     )
     out_schema = (
         "user_id bigint, depth bigint, t1_us bigint, t2_us bigint, "
@@ -959,6 +1036,6 @@ def stream_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputStructType=out_schema,
         stateStructType=FUNNEL_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     return _run_to_table(result, "hs_stream_funnel", "update")

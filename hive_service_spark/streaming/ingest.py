@@ -39,8 +39,54 @@ from hive_service_spark.llm.dedup import (
 )
 from hive_service_spark.registry import persisted, query
 from hive_service_spark.scratch import SCRATCH_ROOT as _SCRATCH
-from hive_service_spark.scratch import stage_source
-from hive_service_spark.streaming.events import _run_to_table
+from hive_service_spark.scratch import pid_dir, stage_source
+from hive_service_spark.streaming.events import _CKPT, _run_to_table, _state_partitions
+
+_SINKS = f"{pid_dir('proc')}/ingest_sinks"
+
+
+def _run_stateless_ingest(stream_df: DataFrame, name: str, decide) -> DataFrame:
+    """Run an ingest stream whose per-doc decision needs NO cross-batch
+    state: ``decide`` maps each micro-batch (a plain BATCH DataFrame —
+    every derived row of an input doc lives in the doc's own batch,
+    because the featurization is narrow per-row transforms) to its
+    decision rows, which foreachBatch APPENDS to a parquet sink.
+
+    This is the 100-TB-shaped replacement (round 9) for the previous
+    complete-mode streaming aggregation, whose state kept one row per
+    doc EVER ingested — unbounded at sustained ingest. Here the
+    streaming query has ZERO stateful operators (the aggregation runs
+    as a batch agg inside each micro-batch), so state-store rows stay
+    at exactly zero however many batches flow through
+    (tests/test_streaming_soak.py pins that under a 20-micro-batch
+    replay), and the appended parquet decision log is the durable
+    output a downstream selector reads — the same availableNow replay
+    still lands on the batch oracle's exact values."""
+    import shutil
+
+    spark = stream_df.sparkSession
+    sink = f"{_SINKS}/{name}"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    # full replay per invocation, like _run_to_table: stale checkpoint
+    # or sink would pin old offsets / duplicate old decision rows
+    shutil.rmtree(f"{_CKPT}/{name}", ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
+    with _state_partitions(spark):
+        q = (
+            stream_df.writeStream.foreachBatch(
+                lambda bdf, _bid: decide(bdf)
+                .write.mode("append")
+                .parquet(sink)
+            )
+            .queryName(name)
+            .option("checkpointLocation", f"{_CKPT}/{name}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(sink)
 
 
 def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,22 +115,38 @@ def stream_dedup_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
        are STATELESS, and left-outer keeps docs with zero candidates;
     3. candidates verified with exact Jaccard against the static
        signature table (second stateless static join);
-    4. ONE streaming aggregation per doc_id builds the decision row —
-       duplicate (band, pair) hits are collapsed with collect_set
-       instead of a DISTINCT (distinct is a second stateful op;
-       size(collect_set(..)) is the streaming-safe rewrite, state
-       bounded by per-doc candidate fanout), and unverified/null
-       candidates are excluded inside the aggregates with WHEN flags
-       rather than a filter, so every incoming doc keeps its row.
+    4. one BATCH aggregation per doc_id inside foreachBatch builds the
+       decision row — duplicate (band, pair) hits are collapsed with
+       collect_set, and unverified/null candidates are excluded inside
+       the aggregates with WHEN flags rather than a filter, so every
+       incoming doc keeps its row — appended to the parquet decision
+       log (_run_stateless_ingest).
 
     Value-identical to the batch decision table, so it shares
     _INCR_ORACLE. Scale (100 TB/day): the static index is the bucketed
     band table of ann_lsh_bucketed_index — the stream routes to it
-    without re-shuffling the corpus; state is one decision row per
-    in-flight doc. The md5-per-shingle work is recomputed per lambda
-    on the stream (the batch path's persist barrier has no streaming
-    equivalent); production would stage signatures via foreachBatch —
-    same decision function."""
+    without re-shuffling the corpus; and because every derived row of a
+    doc lives in the doc's own micro-batch, the decision needs NO
+    cross-batch state: the streaming query has zero stateful operators
+    (round 9 — the previous complete-mode aggregation kept one state
+    row per doc ever ingested, unbounded at sustained ingest;
+    tests/test_streaming_soak.py pins state flat at 0 across a
+    20-micro-batch replay). The md5-per-shingle work is recomputed per
+    lambda on the stream — same decision function as the batch path."""
+    corp_bands, corp_sig = _lsh_corpus_index(spark, sf_dir)
+    docs = _doc_stream(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+    return _run_stateless_ingest(
+        docs,
+        "hs_stream_dedup_ingest",
+        lambda bdf: _lsh_decide(bdf, corp_bands, corp_sig),
+    )
+
+
+def _lsh_corpus_index(spark: SparkSession, sf_dir: str):
+    """The static stored-corpus side of the LSH ingest: (band index,
+    signature table) over the non-incoming partition — exported so the
+    soak (tests/test_streaming_soak.py) drives the identical decision
+    function through many micro-batches."""
     sig_all = _signatures(spark, sf_dir)
     is_inc = F.col("doc_id") % 5 == 0
     corp_sig = persisted(sig_all.where(~is_inc).select("doc_id", "s"))
@@ -92,13 +154,19 @@ def stream_dedup_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _band_frame(sig_all.where(~is_inc))
         .select("b", "bkey", F.col("doc_id").alias("dc"))
     )
+    return corp_bands, corp_sig
 
-    docs = _doc_stream(spark, sf_dir).where(is_inc)
+
+def _lsh_decide(docs: DataFrame, corp_bands: DataFrame, corp_sig: DataFrame) -> DataFrame:
+    """One micro-batch's docs -> decision rows (steps 1-4 of the
+    stream_dedup_lsh_ingest docstring). Pure batch transformation —
+    runs identically on the stream (single-batch oracle replay) and
+    inside foreachBatch (sustained ingest)."""
     sh = docs.where(F.size(F.split("text", " ")) >= 3).select(
         "doc_id", _shingles().alias("s")
     )
     # name `hs` as a column to limit md5 re-inlining across the 16
-    # minhash lambdas (streaming frames cannot persist)
+    # minhash lambdas (cheaper than a persist barrier per micro-batch)
     sh = sh.select("doc_id", "s", F.transform("s", _h).alias("hs"))
     sig = sh.select(
         "doc_id",
@@ -160,7 +228,7 @@ def stream_dedup_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("best_match"),
         (F.coalesce(F.max("vjac"), F.lit(0.0)) + 0.0).alias("best_jaccard"),
     )
-    return _run_to_table(decisions, "hs_stream_dedup_ingest", "complete")
+    return decisions
 
 
 # ---------------------------------------------------------------------------
@@ -276,10 +344,14 @@ def stream_dsir_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     (static side), then the ingest stream (doc_id % 5 = 0, the same
     incoming partition as the LSH ingest screens) is featurized per
     micro-batch, joined to the BROADCAST static model, and scored with
-    one update-mode aggregation per document. Scores are the same
-    BIGINT-quantized integers as the batch selector — the oracle
-    computes them batch-side, so a drifting featurization or a stale
-    model join cannot pass. State is one row per streamed doc; the
+    one BATCH aggregation per document inside foreachBatch — a doc's
+    features all live in its own micro-batch, so the score needs no
+    cross-batch state and the streaming query has ZERO stateful
+    operators (round 9: the previous complete-mode aggregation kept
+    one state row per doc ever scored — unbounded at sustained
+    ingest). Scores are the same BIGINT-quantized integers as the
+    batch selector — the oracle computes them batch-side, so a
+    drifting featurization or a stale model join cannot pass; the
     model never re-fits mid-stream (exactly the paper's
     train-once/apply-everywhere contract)."""
     from hive_service_spark.llm.selection import _dsir_features, _dsir_model
@@ -288,14 +360,17 @@ def stream_dsir_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = _dsir_model(_dsir_features(corpus)).localCheckpoint(eager=True)
 
     stream = _doc_stream(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
-    feats = _dsir_features(stream)
-    scored = (
-        feats.join(F.broadcast(model), "b")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.sum("q").cast("bigint").alias("score_q"),
-            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+
+    def _score(bdf: DataFrame) -> DataFrame:
+        return (
+            _dsir_features(bdf)
+            .join(F.broadcast(model), "b")
+            .groupBy("doc_id", "source")
+            .agg(
+                F.sum("q").cast("bigint").alias("score_q"),
+                F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            )
         )
-    )
-    out = _run_to_table(scored, "dsir_scores", "complete")
+
+    out = _run_stateless_ingest(stream, "dsir_scores", _score)
     return out.select("doc_id", "source", "score_q", "n_feats")

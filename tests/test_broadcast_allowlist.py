@@ -162,8 +162,9 @@ ALLOWLIST = {
             "is UNHINTED — round-8 fix)"),
     ("streaming/events.py", "stream_stream_outer_join"):
         (1, "scalar-1row: watermark cutoff"),
-    ("streaming/ingest.py", "stream_dsir_scoring"):
-        (1, "model-bounded: 256-bucket DSIR model"),
+    ("streaming/ingest.py", "_score"):
+        (1, "model-bounded: 256-bucket DSIR model (the per-batch "
+            "scorer inside stream_dsir_scoring's foreachBatch)"),
     ("streaming/notifications.py", "stream_cdc_apply_replica"):
         (2, "scalar-1row: drift gauge counters"),
 }

@@ -1,0 +1,140 @@
+"""Sustained-ingest soak: the funnel's state bound under 20 real
+micro-batches (round-9; closes round-8 VERDICT "What's wrong" #1 and
+the round-8 ADVICE unbounded-clicker finding).
+
+The driver (tools/funnel_soak.py) streams a never-converting clicker
+and purchaser through every batch plus one converter per batch, with
+the watermark advancing between micro-batches. These tests pin:
+
+1. state ROWS grow only with live users (exactly 2 + converters), not
+   with event volume;
+2. the clicker's candidate array holds only the disorder horizon, not
+   the 200-click history (the pre-fix behavior);
+3. converters' candidate sets are collapsed to the frontier picks;
+4. once the watermark passes every hot candidate, the armed
+   event-time timeouts REMOVE the signup-less users' state outright.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo/tools")
+
+from funnel_soak import (  # noqa: E402
+    CLICKER,
+    CLICKS_PER_BATCH,
+    PURCHASER,
+    run_soak,
+)
+
+
+def test_funnel_soak_state_is_bounded(spark, tmp_path):
+    n_batches = 20
+    res = run_soak(spark, str(tmp_path), n_batches=n_batches)
+
+    # one micro-batch per landed file (maxFilesPerTrigger=1); Spark may
+    # append a data-less timeout-processing batch at the end
+    data_batches = [b for b in res["batches"] if b["rows_in"] > 0]
+    assert len(data_batches) == n_batches
+
+    # 1. state rows = 2 hot users + one converter per batch, exactly —
+    # growth tracks live users, never event volume
+    for i, b in enumerate(data_batches):
+        assert b["state_rows"] == 2 + (i + 1), b
+
+    # 2. the clicker kept only the watermark horizon, not the history
+    clicker = res["final_state"][CLICKER]
+    assert clicker["t1"] < 0
+    assert clicker["n_clicks"] <= 4 * CLICKS_PER_BATCH, clicker
+    assert res["clicks_delivered"] == n_batches * CLICKS_PER_BATCH
+    assert clicker["n_clicks"] < res["clicks_delivered"] // 4
+    purchaser = res["final_state"][PURCHASER]
+    assert purchaser["n_purchases"] <= 4 * CLICKS_PER_BATCH, purchaser
+
+    # 3. converters: dominance pruning collapses candidates to the
+    # frontier picks (one click, one purchase)
+    converters = [
+        v for k, v in res["final_state"].items() if k >= 100
+    ]
+    assert len(converters) == n_batches
+    assert all(
+        v["t1"] >= 0 and v["n_clicks"] <= 1 and v["n_purchases"] <= 1
+        for v in converters
+    )
+
+    # 4. the far-future batch fires the armed timeouts: hot users gone
+    assert CLICKER not in res["after_future"]
+    assert PURCHASER not in res["after_future"]
+    # converters are still there (they have a signup; semantics keep
+    # their frontier live for late events)
+    assert (
+        sum(1 for k in res["after_future"] if 100 <= k < 100 + n_batches)
+        == n_batches
+    )
+
+
+def test_lsh_ingest_soak_has_zero_state(spark, tmp_path):
+    """The LSH dedup ingest under sustained ingest: the incoming docs
+    land as 20 separate files, processed one micro-batch each
+    (maxFilesPerTrigger=1). Round 9 moved the per-doc decision
+    aggregation inside foreachBatch, so the streaming query must have
+    ZERO stateful operators in every batch — state cannot grow with
+    corpus size because there is none — and the appended decision log
+    over all 20 batches must equal the single-batch replay row-for-row
+    (decisions are per-doc; docs partition across batches)."""
+    import pyspark.sql.functions as F
+
+    from hive_service_spark.registry import load_all
+    from hive_service_spark.streaming.ingest import (
+        _lsh_corpus_index,
+        _lsh_decide,
+    )
+    from tests.conftest import SF_DIR
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "decisions")
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+        F.col("doc_id") % 5 == 0
+    )
+    schema = docs.schema
+    n_files = 20
+    for k in range(n_files):
+        docs.where(F.col("doc_id") % (5 * n_files) == 5 * k).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    corp_bands, corp_sig = _lsh_corpus_index(spark, SF_DIR)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(
+            lambda bdf, _bid: _lsh_decide(bdf, corp_bands, corp_sig)
+            .write.mode("append")
+            .parquet(sink)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(progresses) == n_files
+    assert all(not p["stateOperators"] for p in progresses), (
+        "the ingest topology must carry no stateful operator at all"
+    )
+
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(sink).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in load_all()["stream_dedup_lsh_ingest"].fn(
+            spark, SF_DIR
+        ).collect()
+    )
+    assert got == want
