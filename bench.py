@@ -90,6 +90,9 @@ HEADLINE = [
     "ts_cusum_changepoint",
     "seq_attribution_credit",
     "text_ngram_novelty",
+    # round-9: the widened MatchPath chain class (alternation group +
+    # bounded quantifier), compiled to the same Python-free island walk
+    "seq_matchpath_alternation",
 ]
 
 # Pure-CPU sentinel queries (plan-pinned, untouched since round 1) and
@@ -97,8 +100,18 @@ HEADLINE = [
 # host's per-core speed, so cross-round bench comparisons can divide
 # the hardware out mechanically (SURVEY §8 methodology, promoted here
 # per the round-2 verdict). host_factor ~1.0 = round-1-class host;
-# ~1.8-2.0 = the slower round-2 host.
-_SENTINELS = {"window_rows_frame": 0.115, "window_ranking": 0.130}
+# ~1.8-2.0 = the slower round-2 host. Round 9 (verdict #3): four
+# sentinels instead of two and the MEDIAN of their ratios — two
+# sentinels at ±30% run-to-run noise made every cross-round comparison
+# an adjudication call; the median of four is robust to one outlier
+# and the JSON reports the per-sentinel samples + spread so the judge
+# can see the instrument's variance instead of inferring it.
+_SENTINELS = {
+    "window_rows_frame": 0.115,
+    "window_ranking": 0.130,
+    "join_theta_residual": 0.182,
+    "setop_except_all": 0.133,
+}
 
 
 def main() -> None:
@@ -137,10 +150,23 @@ def main() -> None:
         times[name] = round(min(samples), 3)
 
     total = round(sum(times.values()), 3)
-    ratios = [
-        times[name] / ref for name, ref in _SENTINELS.items() if name in times
-    ]
-    host_factor = round(sum(ratios) / len(ratios), 3) if ratios else None
+    samples = {
+        name: round(times[name] / ref, 3)
+        for name, ref in _SENTINELS.items()
+        if name in times
+    }
+    ordered = sorted(samples.values())
+    host_factor = None
+    spread = None
+    if ordered:
+        mid = len(ordered) // 2
+        host_factor = round(
+            ordered[mid]
+            if len(ordered) % 2
+            else (ordered[mid - 1] + ordered[mid]) / 2,
+            3,
+        )
+        spread = round(ordered[-1] - ordered[0], 3)
     print(
         json.dumps(
             {
@@ -150,10 +176,14 @@ def main() -> None:
                 "queries": times,
                 "sf": SF_DIR,
                 "host_factor": host_factor,
+                "host_factor_samples": samples,
+                "host_factor_spread": spread,
                 "host_factor_note": (
-                    "mean ratio of the pure-CPU sentinel queries "
+                    "MEDIAN ratio of the pure-CPU sentinel queries "
                     f"{sorted(_SENTINELS)} to their round-1 times; divide "
-                    "per-query times by this to compare across hosts"
+                    "per-query times by this to compare across hosts. "
+                    "host_factor_spread (max-min sample) is the "
+                    "instrument's own noise band for this run."
                 ),
             }
         )

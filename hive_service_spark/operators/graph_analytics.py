@@ -65,9 +65,19 @@ _BC_NODE_CAP_DEFAULT = 4_000_000
 
 
 def _bc_node_cap() -> int:
-    return int(
-        os.environ.get("SPARK_GRAFT_GRAPH_BC_NODES", _BC_NODE_CAP_DEFAULT)
-    )
+    # read per call (tests flip it around the gate); a malformed value
+    # must surface as a configuration error naming the knob, not a bare
+    # ValueError from deep inside plan construction (round-8 ADVICE)
+    raw = os.environ.get("SPARK_GRAFT_GRAPH_BC_NODES")
+    if raw is None:
+        return _BC_NODE_CAP_DEFAULT
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValueError(
+            "SPARK_GRAFT_GRAPH_BC_NODES must be an integer node-count "
+            f"cap, got {raw!r}"
+        ) from None
 
 
 def _per_node_side(frame: DataFrame, n_nodes: int) -> DataFrame:

@@ -43,15 +43,16 @@ from hive_service_spark.registry import query
 # pattern compiler: "a.b*.c" over named symbols -> (classifier, regex)
 # ---------------------------------------------------------------------------
 
-_TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|[*+?()|]")
+_TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|\{\d+(?:,\d*)?\}|[*+?()|]")
 
 
 def compile_pattern(pattern: str, symbol_order: Iterable[str]) -> tuple[dict[str, str], str]:
     """Compile a MatchPath pattern to (symbol->char map, regex source).
 
     Grammar (the reference MatchPath surface): symbol names chained
-    with ``.``, postfix quantifiers ``* + ?``, grouping ``( )`` and
-    alternation ``|``. Symbols are assigned one character each in
+    with ``.``, postfix quantifiers ``* + ?`` and bounded ``{m}`` /
+    ``{m,}`` / ``{m,n}`` (round 9), grouping ``( )`` and alternation
+    ``|``. Symbols are assigned one character each in
     ``symbol_order``; the regex matches over the per-row symbol-char
     string. Rows matching no symbol get the reserved char ``'x'``,
     which no pattern element can match.
@@ -72,7 +73,7 @@ def compile_pattern(pattern: str, symbol_order: Iterable[str]) -> tuple[dict[str
     assert len(set(chars.values())) == len(chars), "symbol chars collide"
     out: list[str] = []
     for tok in _TOKEN_RE.findall(pattern.replace(".", " ")):
-        if tok in "*+?()|":
+        if tok in "*+?()|" or tok.startswith("{"):
             out.append(tok)
         elif tok in chars:
             out.append(chars[tok])
@@ -84,30 +85,86 @@ def compile_pattern(pattern: str, symbol_order: Iterable[str]) -> tuple[dict[str
 _INF = 10**9  # "unbounded" sentinel for segment max-counts
 
 
-def _parse_chain(pattern: str) -> list[tuple[str, str]] | None:
-    """Detect the JVM-compilable chain class: a ``.``-chain of literal
-    symbols, each optionally quantified by one of ``* + ?`` — no
-    grouping, no alternation — whose FIRST symbol is unquantified
-    (optional first symbols would shift the start anchor per variant).
-    Trailing quantifiers are fine: _chain_variants' final-segment gate
-    enforces the one real engine constraint (merged final max count in
-    {1, unbounded}). Returns the token list [(symbol, quant)] with
-    quant in {'1','*','+','?'}, or None (route to the automaton)."""
+def _quant_bounds(q: str) -> tuple[int, int] | None:
+    """Quantifier token -> (min, max) row counts; None if malformed
+    (lo > hi routes to the Python automaton, whose re.compile raises
+    the natural error)."""
+    fixed = {"1": (1, 1), "?": (0, 1), "*": (0, _INF), "+": (1, _INF)}
+    if q in fixed:
+        return fixed[q]
+    m = re.fullmatch(r"\{(\d+)(,(\d*))?\}", q)
+    if not m:
+        return None
+    lo = int(m.group(1))
+    if m.group(2) is None:
+        hi = lo  # {m}
+    elif m.group(3) == "":
+        hi = _INF  # {m,}
+    else:
+        hi = int(m.group(3))  # {m,n}
+    return (lo, hi) if lo <= hi else None
+
+
+def _parse_chain(
+    pattern: str,
+) -> list[tuple[str | tuple[str, ...], str]] | None:
+    """Detect the JVM-compilable chain class (round 9 widened): a
+    ``.``-chain of atoms — a literal symbol OR a flat alternation
+    group of literals ``(a|b|c)`` — each optionally quantified by
+    ``* + ?`` or bounded ``{m}``/``{m,}``/``{m,n}``. The FIRST atom's
+    minimum count must be >= 1 (an optional first atom would shift the
+    start anchor per variant); trailing quantifiers are fine —
+    _chain_variants' final-segment gate enforces the one real engine
+    constraint (merged final max count in {1, unbounded}), and the
+    caller additionally requires the atoms' char-sets to be pairwise
+    disjoint (the island key must be well-defined per row). Returns
+    the token list [(atom, quant)] with atom a symbol name or a
+    sorted tuple of group member names and quant the raw quantifier
+    token, or None (route to the automaton)."""
     toks = _TOKEN_RE.findall(pattern.replace(".", " "))
-    if not toks or any(t in "()|" for t in toks):
+    if not toks:
         return None
-    out: list[tuple[str, str]] = []
-    for t in toks:
-        if t in "*+?":
-            if not out or out[-1][1] != "1":
-                return None  # dangling or double quantifier
-            out[-1] = (out[-1][0], t)
+
+    def _is_name(t: str) -> bool:
+        return t not in "*+?()|" and not t.startswith("{")
+
+    out: list[tuple[str | tuple[str, ...], str]] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if _is_name(t):
+            atom: str | tuple[str, ...] = t
+            i += 1
+        elif t == "(":
+            names: list[str] = []
+            j = i + 1
+            expect_name = True
+            while j < len(toks) and toks[j] != ")":
+                if expect_name and _is_name(toks[j]):
+                    names.append(toks[j])
+                elif not expect_name and toks[j] == "|":
+                    pass
+                else:
+                    return None  # nested group / stray token
+                expect_name = not expect_name
+                j += 1
+            if j >= len(toks) or expect_name or len(names) < 2:
+                return None
+            atom = tuple(sorted(set(names)))
+            i = j + 1
         else:
-            out.append((t, "1"))
-    if len(out) < 1 or out[0][1] != "1":
+            return None  # dangling quantifier or stray | )
+        q = "1"
+        if i < len(toks) and (toks[i] in "*+?" or toks[i].startswith("{")):
+            q = toks[i]
+            i += 1
+            if _quant_bounds(q) is None:
+                return None
+        out.append((atom, q))
+    if not out or _quant_bounds(out[0][1])[0] < 1:
         return None
-    # every '*'/'?' token doubles the variant space; keep it bounded
-    if sum(1 for _, q in out if q in "*?") > 6:
+    # every min-0 token doubles the variant space; keep it bounded
+    if sum(1 for _, q in out if _quant_bounds(q)[0] == 0) > 6:
         return None
     return out
 
@@ -140,21 +197,21 @@ def _chain_variants(
     the Python automaton."""
     from itertools import product
 
-    opt = [i for i, (_, q) in enumerate(tokens) if q in "*?"]
+    opt = [
+        i for i, (_, q) in enumerate(tokens) if _quant_bounds(q)[0] == 0
+    ]
     variants: list[list[tuple[str, int, int]]] = []
     seen: set[tuple] = set()
     for mask in product([True, False], repeat=len(opt)):
         present = dict(zip(opt, mask))
         segs: list[tuple[str, int, int]] = []
         for i, (ch, q) in enumerate(tokens):
-            if q in "*?" and not present[i]:
+            qlo, qhi = _quant_bounds(q)
+            if qlo == 0 and not present[i]:
                 continue
-            lo, hi = {
-                "1": (1, 1),
-                "?": (1, 1),  # present-'?' is exactly one row
-                "+": (1, _INF),
-                "*": (1, _INF),  # present-'*' is '+'
-            }[q]
+            # a PRESENT min-0 quantifier consumes >= 1 row ('?' is
+            # exactly one; '*' is '+'; '{0,n}' is '{1,n}')
+            lo, hi = max(qlo, 1), qhi
             if segs and segs[-1][0] == ch:
                 plo, phi = segs[-1][1], segs[-1][2]
                 segs[-1] = (ch, plo + lo, min(phi + hi, _INF))
@@ -176,6 +233,7 @@ def _matchpath_jvm_chain(
     order_cols: list[str],
     partition_by: str,
     variants: list[list[tuple[str, int, int]]],
+    group_of: dict[str, str],
 ) -> DataFrame:
     """A literal symbol chain compiled to pure window expressions plus
     one equi-join — no Python stage anywhere (the analog of keeping
@@ -183,37 +241,51 @@ def _matchpath_jvm_chain(
     shelling out; hive-exec!ql/udf/ptf/MatchPath.class is the
     capability being matched). Shape:
 
-    - runs of equal symbol chars become islands (rn − per-char rn),
-    - the island frame (one row per island: char, length, first/last
+    - each row's symbol char maps to its segment GROUP id (round 9:
+      an alternation group ``(b|c)`` is one segment whose char-set is
+      {b, c}; the caller guarantees the pattern's char-sets are
+      pairwise disjoint, so the group id is well-defined per row — a
+      plain char is its own singleton group). The mapping is a single
+      ``translate()``, and chars outside every set pass through
+      unchanged, so they form their own islands and can never satisfy
+      a segment condition;
+    - runs of equal group ids become islands (rn − per-group rn),
+    - the island frame (one row per island: group, length, first/last
       row number and timestamp) learns its K successors via lead(),
       K = longest variant − 1,
-    - every row of the chain's first symbol is a candidate start; its
+    - every row of the chain's first group is a candidate start; its
       remainder rem = rows left in its own island is segment 1's
       forced consumption, successor island j must carry segment j+1's
-      char with length inside that segment's (min, max), and the FINAL
-      segment consumes min(max, island length) — greedy, exact,
-      because a segment's neighbors differ so it can never stop short
-      of its island's end except at the very end of the match,
+      group with length inside that segment's (min, max), and the
+      FINAL segment consumes min(max, island length) — greedy, exact,
+      because adjacent segments' char-sets are disjoint so a segment
+      can never stop short of its island's end except at the very end
+      of the match (the argument is unchanged from the single-char
+      case: every row of an island belongs to the segment's set and
+      to no neighbor's),
     - variants are tried in regex-backtracking preference order via
       one coalesce(when(...)) chain per output column.
 
     One sort-shuffle on the partition key for the row windows, a
     groupBy onto the same key family for the island frame, and a
-    (pk, char, island) equi-join back to the candidate rows — every
+    (pk, group, island) equi-join back to the candidate rows — every
     stage JVM-side, Arrow never touched."""
     from pyspark.sql import Window
 
+    src = "".join(group_of)
+    dst = "".join(group_of[c] for c in group_of)
+    slim = slim.withColumn("_g", F.translate("_ch", src, dst))
     first_ch = variants[0][0][0]
     k_lead = max(len(v) for v in variants) - 1
 
     w = Window.partitionBy("pk").orderBy(*order_cols)
-    wc = Window.partitionBy("pk", "_ch").orderBy(*order_cols)
+    wc = Window.partitionBy("pk", "_g").orderBy(*order_cols)
     rows = slim.select(
         "*",
         F.row_number().over(w).alias("rn"),
         (F.row_number().over(w) - F.row_number().over(wc)).alias("isl"),
     )
-    isl = rows.groupBy("pk", "_ch", "isl").agg(
+    isl = rows.groupBy("pk", "_g", "isl").agg(
         F.count(F.lit(1)).alias("i_n"),
         F.min("rn").alias("i_start"),
         F.max("rn").alias("i_end"),
@@ -224,14 +296,14 @@ def _matchpath_jvm_chain(
     lead_cols = []
     for k in range(1, k_lead + 1):
         lead_cols += [
-            F.lead("_ch", k).over(wi).alias(f"ch_{k}"),
+            F.lead("_g", k).over(wi).alias(f"ch_{k}"),
             F.lead("i_n", k).over(wi).alias(f"n_{k}"),
             F.lead("i_first_ts", k).over(wi).alias(f"fts_{k}"),
             F.lead("i_last_ts", k).over(wi).alias(f"lts_{k}"),
         ]
     isl = isl.select("*", *lead_cols)
-    cand = rows.where(F.col("_ch") == first_ch).join(
-        isl.drop("i_start"), ["pk", "_ch", "isl"]
+    cand = rows.where(F.col("_g") == first_ch).join(
+        isl.drop("i_start"), ["pk", "_g", "isl"]
     )
     rem = F.col("i_end") - F.col("rn") + 1
 
@@ -304,12 +376,17 @@ def matchpath(
     like the reference's symbol-arg ordering). Emits one row per match
     start: (partition key, start_rn, match_len, path_start, path_end).
 
-    Any literal ``.``-chain with per-symbol ``* + ?`` quantifiers
-    (unquantified first symbol, no grouping/alternation, <= 6 optional
-    symbols, merged final segment's max count 1 or unbounded) compiles
-    to a pure JVM island-walk plan (_matchpath_jvm_chain) — no Python
-    stage; every other pattern runs the Arrow-batched Python automaton
-    below, the documented fallback for genuinely irregular patterns."""
+    Any literal ``.``-chain of atoms — a symbol or a flat alternation
+    group ``(b|c)`` — with per-atom ``* + ?`` / ``{m}`` / ``{m,}`` /
+    ``{m,n}`` quantifiers compiles to a pure JVM island-walk plan
+    (_matchpath_jvm_chain) — no Python stage — provided the first
+    atom's min count is >= 1, <= 6 atoms are min-0 optional, the
+    merged final segment's max count is 1 or unbounded, and the
+    pattern's distinct char-sets are pairwise disjoint (round 9
+    widened the class from plain ``* + ?`` symbol chains). Every
+    other pattern runs the Arrow-batched Python automaton below, the
+    documented fallback for genuinely irregular patterns (overlapping
+    alternation sets, nested groups, bounded final repeats)."""
     chars, rx_src = compile_pattern(pattern, symbols.keys())
     rx = re.compile(rx_src)
 
@@ -328,13 +405,38 @@ def matchpath(
 
     chain = _parse_chain(pattern)
     if chain is not None:
-        variants = _chain_variants(
-            [(chars[name], q) for name, q in chain]
-        )
-        if variants is not None:
-            return _matchpath_jvm_chain(
-                slim, order_cols, partition_by, variants
+        # atom -> char-set; the island key is only well-defined when
+        # the pattern's DISTINCT char-sets are pairwise disjoint
+        # (identical sets share a group; an overlap like a vs (a|b)
+        # would make one row belong to two groups -> Python automaton)
+        csets = [
+            frozenset(
+                chars[n]
+                for n in ((atom,) if isinstance(atom, str) else atom)
             )
+            for atom, _ in chain
+        ]
+        distinct = set(csets)
+        disjoint = all(
+            a == b or not (a & b) for a in distinct for b in distinct
+        )
+        if disjoint:
+            variants = _chain_variants(
+                [(cs, q) for cs, (_, q) in zip(csets, chain)]
+            )
+            if variants is not None:
+                # one representative char per group; translate() maps
+                # every member char onto it
+                group_of = {
+                    c: min(cs) for cs in distinct for c in sorted(cs)
+                }
+                variants = [
+                    [(min(cs), lo, hi) for cs, lo, hi in segs]
+                    for segs in variants
+                ]
+                return _matchpath_jvm_chain(
+                    slim, order_cols, partition_by, variants, group_of
+                )
 
     out_schema = (
         f"{partition_by} long, start_rn int, match_len int, "
@@ -478,5 +580,76 @@ def seq_matchpath_chain4(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase": F.col("event_type") == "purchase",
         },
         pattern="signup.view*.click+.purchase",
+    )
+    return out.orderBy("user_id", "start_rn")
+
+
+# ---------------------------------------------------------------------------
+# registered query: alternation group + bounded quantifier — the
+# round-9 widened chain class, still zero Python
+# ---------------------------------------------------------------------------
+
+_ALT_ORACLE = """
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'signup' THEN 'a'
+              WHEN event_type = 'view' THEN 'b'
+              WHEN event_type = 'click' THEN 'c'
+              WHEN event_type = 'purchase' THEN 'd'
+              ELSE 'x' END AS ch,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+s AS (
+  SELECT user_id, string_agg(ch, '' ORDER BY rn) AS str
+  FROM c GROUP BY user_id
+),
+m AS (
+  SELECT c.user_id, c.rn AS start_rn, c.ts AS path_start,
+         length(regexp_extract(substr(s.str, CAST(c.rn AS INT)),
+                               '^a(b|c){1,3}d'))
+           AS match_len
+  FROM c JOIN s USING (user_id)
+)
+SELECT m.user_id, CAST(m.start_rn AS INT) AS start_rn,
+       CAST(m.match_len AS INT) AS match_len,
+       CAST(m.path_start AS TIMESTAMP) AS path_start,
+       CAST(e.ts AS TIMESTAMP) AS path_end
+FROM m
+JOIN c e ON e.user_id = m.user_id AND e.rn = m.start_rn + m.match_len - 1
+WHERE m.match_len > 0
+ORDER BY m.user_id, start_rn
+"""
+
+
+@query("seq_matchpath_alternation", oracle=_ALT_ORACLE)
+def seq_matchpath_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MatchPath with an alternation-group atom AND a bounded
+    quantifier: ``signup.(view|click){1,3}.purchase`` — a signup, one
+    to three consecutive browse events of EITHER kind, then a
+    purchase (the short-consideration conversion pattern). Round 9
+    widened the JVM chain compiler to this class: the group becomes
+    one island segment whose char-set is {view, click} (rows map to a
+    group id with a single translate(); the pattern's char-sets are
+    pairwise disjoint so the id is well-defined), and the bounded
+    {1,3} is the segment's (min, max) island-length window — the plan
+    is the same pure window-plus-one-equi-join island walk, no Python
+    stage (pinned in test_matchpath_compile.py). Reference surface:
+    hive-exec!ql/udf/ptf/MatchPath.class (npath symbol patterns allow
+    alternation and bounded repetition). The DuckDB oracle anchors
+    the identical greedy regex at every row, so the value hash
+    verifies match starts, greedy lengths, AND end timestamps."""
+    ev = load(spark, sf_dir, "events")
+    out = matchpath(
+        ev,
+        partition_by="user_id",
+        order_by=["ts", "event_id"],
+        symbols={
+            "signup": F.col("event_type") == "signup",
+            "view": F.col("event_type") == "view",
+            "click": F.col("event_type") == "click",
+            "purchase": F.col("event_type") == "purchase",
+        },
+        pattern="signup.(view|click){1,3}.purchase",
     )
     return out.orderBy("user_id", "start_rn")

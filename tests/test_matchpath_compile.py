@@ -184,15 +184,177 @@ def test_jvm_chain_fuzz_random_sequences(spark):
         assert got == want, f"fuzz {pi}: pattern {pattern} diverges"
 
 
+def test_jvm_alternation_and_bounded_match_regex(spark):
+    """Round-9 widening: alternation-group atoms, bounded quantifiers,
+    and min>=1 quantified first atoms — exhaustive equivalence over
+    every 6-symbol sequence on {A, B, C, other}, same harness as the
+    round-8 sweep."""
+    import itertools
+
+    rows = [
+        (i, list(seq))
+        for i, seq in enumerate(itertools.product("ABCX", repeat=6))
+    ]
+
+    for pattern, rx in (
+        ("a.(b|c).a", "a(b|c)a"),
+        ("a.(b|c)+.a", "a(b|c)+a"),
+        ("a.(b|c)*.a", "a(b|c)*a"),
+        ("(b|c).a", "(b|c)a"),
+        ("a.(b|c)?.a", "a(b|c)?a"),
+        ("a.(b|c).(b|c).a", "a(b|c)(b|c)a"),  # same-set merge (2,2)
+        ("a.(b|c)+", "a(b|c)+"),  # trailing group quantifier
+        ("(b|c)+.a", "(b|c)+a"),  # quantified first group
+        ("a.b{2}.c", "ab{2}c"),
+        ("a.b{2,3}.c", "ab{2,3}c"),
+        ("a.b{0,2}.c", "ab{0,2}c"),
+        ("a.b{2,}.c", "ab{2,}c"),
+        ("a{2}.b", "a{2}b"),
+        ("a+.b", "a+b"),
+        ("a{2,}.b+", "a{2,}b+"),
+        ("a.(b|c){2,}.a", "a(b|c){2,}a"),
+        ("a.a{1,2}.b", "aa{1,2}b"),  # bounded merge into start (2,3)
+        ("a.b{1,2}.b{2,3}.c", "ab{1,2}b{2,3}c"),  # bounded+bounded
+    ):
+        got = _mp(spark, rows, pattern, _CHAIN_SYMS)
+        want = _pysim(rows, rx, _classify)
+        assert got == want, f"pattern {pattern} diverges from {rx}"
+
+
+def test_widened_chain_class_compiles_without_python(spark):
+    """The new classes must actually take the JVM path, not silently
+    fall back — and the overlapping-set case must NOT take it."""
+    import pyspark.sql.functions as F
+
+    from hive_service_spark.operators.matchpath import matchpath
+    from hive_service_spark.plans import inspect as P
+
+    df = spark.createDataFrame(
+        [(1, 0, "A"), (1, 1, "B"), (1, 2, "C")],
+        "user_id bigint, pos bigint, sym string",
+    ).select(
+        "user_id",
+        F.timestamp_micros(F.col("pos") * 1_000_000).alias("ts"),
+        "pos",
+        "sym",
+    )
+
+    def plan_of(pattern):
+        out = matchpath(
+            df,
+            partition_by="user_id",
+            order_by=["pos"],
+            symbols=_CHAIN_SYMS(F),
+            pattern=pattern,
+        )
+        return P.formatted_plan(out)
+
+    # markers of an actual Python execution stage (the local
+    # createDataFrame source itself mentions "PythonRDD", so the bare
+    # substring "Python" would false-positive here; the registered-
+    # query pin reads parquet and keeps the broad check)
+    py_markers = ("FlatMapGroupsInPandas", "ArrowEval", "BatchEval", "MapInPandas")
+    for pattern in (
+        "a.(b|c)+.a",  # alternation group
+        "a.b{2,4}.c",  # bounded quantifier
+        "a+.b",  # quantified first atom
+        "a.(b|c){2,}.a",  # bounded group
+    ):
+        plan = plan_of(pattern)
+        for marker in py_markers:
+            assert marker not in plan, f"{pattern} fell back:\n{plan[:400]}"
+
+    # overlapping char-sets make the island key ill-defined -> the
+    # Python automaton must keep these
+    for pattern in ("a.(a|b).c", "a.(b|c)*.c", "a.b{2,3}"):
+        plan = plan_of(pattern)
+        assert "FlatMapGroupsInPandas" in plan, (
+            f"{pattern} must route to the automaton"
+        )
+
+
+def test_jvm_widened_fuzz_random_sequences(spark):
+    """Deterministic fuzz over the WIDENED class: random chains whose
+    atoms draw from a random disjoint partition of {a, b, c} and whose
+    quantifiers include the bounded forms, verified against the
+    anchored-regex model on run-skewed length-12 sequences."""
+    import random
+
+    rnd = random.Random(9)
+    partitions = [
+        [("a",), ("b",), ("c",)],
+        [("a",), ("b", "c")],
+        [("a", "b"), ("c",)],
+        [("a", "c"), ("b",)],
+    ]
+    quants = ["", "*", "+", "?", "{2}", "{1,2}", "{0,2}", "{2,}", "{2,3}"]
+    pats = []
+    tries = 0
+    while len(pats) < 14 and tries < 4000:
+        tries += 1
+        cells = rnd.choice(partitions)
+        n = rnd.randint(2, 4)
+        toks = [rnd.choice(cells) for _ in range(n)]
+        qs = [rnd.choice(quants) for _ in range(n)]
+        parts = []
+        for t, q in zip(toks, qs):
+            atom = t[0] if len(t) == 1 else "(" + "|".join(t) + ")"
+            parts.append(atom + q)
+        pattern = ".".join(parts)
+        chain = _parse_chain(pattern)
+        if chain is None:
+            continue
+        atoms = [
+            frozenset((a,) if isinstance(a, str) else a) for a, _ in chain
+        ]
+        if _chain_variants(list(zip(atoms, (q for _, q in chain)))) is None:
+            continue
+        rx = "".join(
+            (t[0] if len(t) == 1 else "(" + "|".join(t) + ")") + q
+            for t, q in zip(toks, qs)
+        )
+        pats.append((pattern, rx))
+    assert len(pats) >= 10, "fuzz generator starved"
+    for pi, (pattern, rx) in enumerate(pats):
+        rows = [
+            (u, [rnd.choice("AABBBCX") for _ in range(12)])
+            for u in range(150)
+        ]
+        got = _mp(spark, rows, pattern, _CHAIN_SYMS)
+        want = _pysim(rows, rx, _classify)
+        assert got == want, f"fuzz {pi}: pattern {pattern} diverges"
+
+
 def test_chain_detection_and_fallback_scope():
-    """Alternation/grouping, quantified first/last symbols, and
-    finite-max>1 final segments fall back to the Python automaton."""
+    """Min-0 first atoms, nested/degenerate groups, too many optional
+    atoms, and finite-max>1 final segments fall back to the Python
+    automaton; flat alternation groups and bounded quantifiers parse
+    (round-9 widening)."""
     assert _parse_chain("view.view*.purchase") == [
         ("view", "1"), ("view", "*"), ("purchase", "1"),
     ]
     assert _parse_chain("a.b*.c") == [("a", "1"), ("b", "*"), ("c", "1")]
-    assert _parse_chain("a.(b|c)*.d") is None
-    assert _parse_chain("a*.b") is None  # quantified first symbol
+    # round 9: flat literal alternation groups are chain atoms now
+    assert _parse_chain("a.(b|c)*.d") == [
+        ("a", "1"), (("b", "c"), "*"), ("d", "1"),
+    ]
+    assert _parse_chain("(c|b).a") == [(("b", "c"), "1"), ("a", "1")]
+    # round 9: bounded quantifiers are chain tokens
+    assert _parse_chain("a.b{2,4}.c") == [
+        ("a", "1"), ("b", "{2,4}"), ("c", "1"),
+    ]
+    assert _parse_chain("a{2}.b") == [("a", "{2}"), ("b", "1")]
+    assert _parse_chain("a{2,}.b") == [("a", "{2,}"), ("b", "1")]
+    # round 9: min>=1 quantified FIRST atoms are allowed ('a+' anchors
+    # every start row exactly like 'a.a*')...
+    assert _parse_chain("a+.b") == [("a", "+"), ("b", "1")]
+    # ...but min-0 first atoms still shift the anchor -> automaton
+    assert _parse_chain("a*.b") is None
+    assert _parse_chain("a{0,3}.b") is None
+    # malformed / non-chain shapes -> automaton
+    assert _parse_chain("a.(b|c*).d") is None  # quantifier inside group
+    assert _parse_chain("a.(b).d") is None  # degenerate 1-member group
+    assert _parse_chain("a.b{3,2}") is None  # inverted bounds
     # trailing quantifiers parse (round-8 relaxation): the engine gate
     # lives in _chain_variants, not the parser
     assert _parse_chain("a.b+") == [("a", "1"), ("b", "+")]
@@ -232,7 +394,11 @@ def test_registered_matchpath_plans_have_no_python_stage(spark):
     from hive_service_spark.registry import load_all
     from tests.conftest import SF_DIR
 
-    for name in ("seq_matchpath_general", "seq_matchpath_chain4"):
+    for name in (
+        "seq_matchpath_general",
+        "seq_matchpath_chain4",
+        "seq_matchpath_alternation",
+    ):
         df = load_all()[name].fn(spark, SF_DIR)
         plan = P.formatted_plan(df)
         for marker in ("Python", "Arrow", "Pandas"):

@@ -739,6 +739,23 @@ def test_graph_loop_broadcast_is_size_gated(spark, monkeypatch):
     assert P.hinted_subtrees(lp) == []
 
 
+def test_graph_bc_cap_rejects_malformed_env(monkeypatch):
+    """Round-8 ADVICE (low): a malformed SPARK_GRAFT_GRAPH_BC_NODES
+    must raise a configuration error NAMING the knob, not a bare
+    ValueError from deep inside plan construction."""
+    import pytest
+
+    import hive_service_spark.operators.graph_analytics as G
+
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_BC_NODES", "four million")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_GRAPH_BC_NODES"):
+        G._bc_node_cap()
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_BC_NODES", "4000000")
+    assert G._bc_node_cap() == 4_000_000
+    monkeypatch.delenv("SPARK_GRAFT_GRAPH_BC_NODES")
+    assert G._bc_node_cap() == G._BC_NODE_CAP_DEFAULT
+
+
 def test_graph_module_broadcast_only_inside_gate():
     """Regression guard for the whole module: F.broadcast may appear
     exactly once in graph_analytics.py — inside the _per_node_side

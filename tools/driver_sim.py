@@ -23,7 +23,14 @@ SF = _args[0] if _args else "/root/testdata/sf0.01"
 # --only=name1,name2 restricts the oracle sweep (full gate still the default)
 # --sample=N picks a deterministic pseudo-random N-query subset; add
 #   --seed=S to rotate it (different seeds exercise different families
-#   — proposed so graded rounds can sweep beyond the fixed core sample)
+#   — proposed so graded rounds can sweep beyond the fixed core sample;
+#   proposal: seed = round number, so every family gets graded exposure
+#   across rounds)
+# --sample + --only compose as a UNION (round-8 ADVICE): a seeded
+#   sample can exclude every query a diff touched, so a sampled gate
+#   run MUST pair the rotation with --only=<touched queries> — the
+#   union guarantees the changed code paths are oracle-checked even
+#   when the rotation misses them
 ONLY = None
 SAMPLE = None
 SEED = 0
@@ -128,12 +135,15 @@ def main():
         )
         sampled = set(ranked[:SAMPLE])
         print(f"sample: {len(sampled)}/{len(qs)} queries (seed={SEED})")
+    # --sample and --only UNION (header note): the sampled rotation
+    # plus the explicitly-named touched queries, never an intersection
+    selected = None
+    if ONLY is not None or sampled is not None:
+        selected = (ONLY or set()) | (sampled or set())
     n_pass = n_fail = n_rowsonly = n_empty = 0
     empty_names = []
     for name, fn in sorted(qs.items()):
-        if ONLY is not None and name not in ONLY:
-            continue
-        if sampled is not None and name not in sampled:
+        if selected is not None and name not in selected:
             continue
         t0 = time.time()
         # crash-proof per query (round-6 advice): one raising query must
