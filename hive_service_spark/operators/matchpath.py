@@ -369,8 +369,14 @@ def matchpath(
     symbols: dict[str, Column],
     pattern: str,
     ts_col: str = "ts",
+    force_automaton: bool = False,
 ) -> DataFrame:
     """Generic MatchPath over any DataFrame.
+
+    ``force_automaton=True`` skips the JVM chain compiler and runs the
+    Arrow automaton even for compilable patterns — measurement/testing
+    only (tools/scale_probe.py's compiled-vs-automaton cost line and
+    direct path-equivalence tests); never set in registered queries.
 
     ``symbols`` maps symbol name -> boolean Column (first match wins,
     like the reference's symbol-arg ordering). Emits one row per match
@@ -403,7 +409,7 @@ def matchpath(
     )
     order_cols = [f"_o{i}" for i in range(len(order_by))]
 
-    chain = _parse_chain(pattern)
+    chain = None if force_automaton else _parse_chain(pattern)
     if chain is not None:
         # atom -> char-set; the island key is only well-defined when
         # the pattern's DISTINCT char-sets are pairwise disjoint

@@ -124,6 +124,31 @@ AUX = [
     ("window_skyline_pareto", "part", N_PART),
 ]
 
+# hot-key skew probes (round-8 verdict #2): the per-USER sequence
+# operators' window/group key is user_id, which cannot be salted (the
+# semantics are per-user order), so a power-law hot user is their real
+# 100x risk — volume replicas can't see it. OUT_SKEW replays the same
+# xN events volume with ONE user owning ~10% of all events; skew_x =
+# t_skew / t_uniform at identical volume isolates the hot-key cost.
+OUT_SKEW = OUT + "_skew"
+HOT_USER = 424_242
+SKEW = [
+    # pure groupBy-user aggregations: partial (map-side) aggregation
+    # absorbs the hot key — expect skew_x ~ 1
+    "seq_window_funnel",
+    # window-partition operators: the hot user's whole sequence lands
+    # in ONE task (a window partition is unsplittable, and AQE's
+    # skew-join splitting does not apply to window exchanges) — the
+    # measured skew_x is the straggler cost at 10% ownership
+    "seq_sessionize_batch",
+    "seq_markov_transitions",
+    "seq_top_journey_paths",
+    "seq_attribution_credit",
+    "seq_matchpath_general",
+    "seq_matchpath_chain4",
+    "seq_matchpath_alternation",
+]
+
 
 def _build(n_docs: int, n_vecs: int, n_li: int) -> None:
     import pyspark.sql.functions as F
@@ -323,6 +348,49 @@ def _build(n_docs: int, n_vecs: int, n_li: int) -> None:
                 "replicated and linked tables in one scale dir"
             )
         os.symlink(f"{BASE}/{t}.parquet", link)
+
+    # ---- skew dir: same events volume, ONE user owns ~10% ---------
+    # identical xN_EV replication as the aux events EXCEPT that a
+    # deterministic 10% of every replica's events (event_id % 10 == 0,
+    # same rows in each replica) are reassigned to HOT_USER — the
+    # power-law head the per-user sequence operators meet in real
+    # clickstreams. Volume matches OUT_AUX exactly, so skew_x is the
+    # key-distribution cost alone.
+    os.makedirs(OUT_SKEW, exist_ok=True)
+    p = f"{OUT_SKEW}/events.parquet"
+    if os.path.islink(p):
+        os.remove(p)
+    parts = [
+        ev.select(
+            (F.col("event_id") + k * 100_000_000).alias("event_id"),
+            "ts",
+            F.when(F.col("event_id") % 10 == 0, F.lit(HOT_USER))
+            .otherwise(F.col("user_id") + k * 10_000_000)
+            .alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for k in range(N_EV)
+    ]
+    out = parts[0]
+    for r in parts[1:]:
+        out = out.unionByName(r)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{OUT_SKEW}/events.parquet"
+    )
+    for t in TABLES:
+        if t == "events":
+            continue
+        link = f"{OUT_SKEW}/{t}.parquet"
+        if os.path.islink(link):
+            os.remove(link)
+        elif os.path.exists(link):
+            raise RuntimeError(
+                f"{link} exists and is not a symlink — refusing to mix "
+                "replicated and linked tables in one scale dir"
+            )
+        os.symlink(f"{BASE}/{t}.parquet", link)
     spark.stop()
 
 
@@ -434,6 +502,113 @@ def _wand_mix() -> None:
     spark.stop()
 
 
+def _mp_cost() -> None:
+    """Automaton-vs-compiled cost line (round-8 verdict #4): run the
+    SAME MatchPath pattern (seq_matchpath_general's view.view*.purchase)
+    over the x8 events replica down BOTH paths — the JVM island walk
+    and the Arrow automaton (force_automaton=True) — verifying the
+    answers agree via an aggregate fingerprint, and report both wall
+    times. This is the measured price a genuinely irregular pattern
+    (one the compiler cannot take) pays for the Python stage."""
+    import pyspark.sql.functions as F
+
+    from hive_service_spark.catalog import load
+    from hive_service_spark.operators.matchpath import matchpath
+    from hive_service_spark.session import get_session
+
+    spark = get_session("mp_cost")
+    spark.sparkContext.setLogLevel("ERROR")
+    ev = load(spark, OUT_AUX, "events")
+    syms = lambda: {  # noqa: E731
+        "view": F.col("event_type") == "view",
+        "purchase": F.col("event_type") == "purchase",
+    }
+    times, prints = {}, {}
+    for key, force in (("compiled", False), ("automaton", True)):
+        best = None
+        for measured in (False, True, True):
+            t0 = time.perf_counter()
+            out = matchpath(
+                ev,
+                partition_by="user_id",
+                order_by=["ts", "event_id"],
+                symbols=syms(),
+                pattern="view.view*.purchase",
+                force_automaton=force,
+            )
+            out.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            if measured and (best is None or dt < best):
+                best = dt
+            spark.catalog.clearCache()
+        times[key] = round(best, 3)
+        fp = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("match_len").alias("sl"),
+            F.sum("start_rn").alias("sr"),
+        ).first()
+        prints[key] = (fp["n"], fp["sl"], fp["sr"])
+    assert prints["compiled"] == prints["automaton"], prints
+    print(
+        json.dumps(
+            {
+                "mp_cost": {
+                    "pattern": "view.view*.purchase",
+                    "events_x": N_EV,
+                    "n_matches": prints["compiled"][0],
+                    "t_compiled_s": times["compiled"],
+                    "t_automaton_s": times["automaton"],
+                    "automaton_x": round(
+                        times["automaton"] / times["compiled"], 2
+                    ),
+                }
+            }
+        )
+    )
+    spark.stop()
+
+
+def _soak() -> None:
+    """Streaming funnel soak (round-8 verdict #5): 20 real micro-batches
+    with per-batch state-store metrics — the SCALE.md row source; the
+    assertions live in tests/test_streaming_soak.py."""
+    import shutil
+    import tempfile
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from funnel_soak import CLICKER, PURCHASER, run_soak
+
+    from hive_service_spark.session import get_session
+
+    spark = get_session("funnel_soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    d = tempfile.mkdtemp(prefix="funnel_soak_")
+    try:
+        res = run_soak(spark, d, n_batches=20)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    clk = res["final_state"][CLICKER]
+    pur = res["final_state"][PURCHASER]
+    print(
+        json.dumps(
+            {
+                "soak": {
+                    "batches": res["batches"],
+                    "clicks_delivered": res["clicks_delivered"],
+                    "clicker_final_clicks": clk["n_clicks"],
+                    "purchaser_final_purchases": pur["n_purchases"],
+                    "hot_users_after_future_batch": sum(
+                        1
+                        for k in (CLICKER, PURCHASER)
+                        if k in res["after_future"]
+                    ),
+                }
+            }
+        )
+    )
+    spark.stop()
+
+
 def _run_measure(sf_dir: str, names: list[str], extra_env=None) -> dict[str, float]:
     env = dict(os.environ)
     env.update(extra_env or {})
@@ -474,6 +649,12 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--wand-mix":
         _wand_mix()
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--mp-cost":
+        _mp_cost()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--soak":
+        _soak()
+        return
 
     subprocess.run(
         [
@@ -500,6 +681,30 @@ def main() -> None:
         OUT, cell_names, {"SPARK_GRAFT_KMEANS_K": str(8 * N_VECS)}
     )
     big_aux = _run_measure(OUT_AUX, aux_names)
+    # hot-key skew: same volume (x8 events), one user owning ~10%
+    skew_uniform = _run_measure(OUT_AUX, SKEW)
+    skew_hot = _run_measure(OUT_SKEW, SKEW)
+
+    def _json_sub(flag: str, key: str, timeout: int):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), flag],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            timeout=timeout,
+        )
+        for line in out.stdout.splitlines():
+            try:
+                rec = json.loads(line)
+                if key in rec:
+                    return rec[key]
+            except json.JSONDecodeError:
+                pass
+        sys.stderr.write(out.stderr[-3000:])
+        raise SystemExit(f"{flag} subprocess failed")
+
+    mp_cost = _json_sub("--mp-cost", "mp_cost", 1800)
+    soak = _json_sub("--soak", "soak", 1800)
 
     wand_mix = None
     mix_out = subprocess.run(
@@ -576,6 +781,81 @@ def main() -> None:
             f"| {r['query']} | {r['table']} | {r['data_x']} | "
             f"{r['t_base_s']} | {r['t_scaled_s']} | {r['time_x']} | "
             f"{r['efficiency']} | {r['note']} |"
+        )
+    lines.append("")
+    lines.append("## Hot-key skew — per-user sequence operators\n")
+    lines.append(
+        f"Same x{N_EV} events volume as the aux probes, but ONE user "
+        "(the power-law head) owns ~10% of ALL events "
+        "(tools/scale_probe.py OUT_SKEW). These operators' key is "
+        "user_id and their semantics are per-user ORDER, so the hot "
+        "key cannot be salted; `skew_x` = t_hot / t_uniform at "
+        "identical volume isolates the key-distribution cost. "
+        "Interpretation: plain groupBy-user aggregations (the batch "
+        "funnel's chained min-aggregates) are rescued by partial "
+        "map-side aggregation — the hot key arrives pre-combined. "
+        "Window-partition operators (sessionize, markov, journeys, "
+        "attribution, matchpath) serialize the hot user into one "
+        "task: a window partition is unsplittable and AQE's skew "
+        "splitting applies to joins, not window exchanges — their "
+        "measured skew_x is the straggler cost at 10% ownership, and "
+        "the production mitigation at worse ratios is a DOCUMENTED "
+        "hot-key cap (drop or truncate users beyond a per-user event "
+        "budget — a data-quality rule, not an engine rewrite; bot "
+        "traffic at this ownership share is filtered upstream in any "
+        "real clickstream pipeline).\n"
+    )
+    lines.append(
+        "| query | t_uniform (s) | t_hot (s) | skew_x | key shape |"
+    )
+    lines.append("|---|---|---|---|---|")
+    for name in SKEW:
+        tu, th = skew_uniform[name], skew_hot[name]
+        shape = (
+            "groupBy (partial-agg rescued)"
+            if name == "seq_window_funnel"
+            else "window partition (one-task hot key)"
+        )
+        lines.append(
+            f"| {name} | {round(tu, 2)} | {round(th, 2)} | "
+            f"{round(th / tu, 2)} | {shape} |"
+        )
+    lines.append("")
+    lines.append("## MatchPath compiled vs automaton — same pattern\n")
+    lines.append(
+        f"Pattern `{mp_cost['pattern']}` over the x{mp_cost['events_x']} "
+        "events replica, answers verified identical "
+        f"({mp_cost['n_matches']} matches): JVM island walk "
+        f"**{mp_cost['t_compiled_s']} s** vs Arrow automaton "
+        f"(force_automaton=True) **{mp_cost['t_automaton_s']} s** — "
+        f"the Python stage costs **{mp_cost['automaton_x']}x** here, "
+        "the measured price a genuinely irregular pattern (overlapping "
+        "alternation sets, bounded final repeats) pays for staying on "
+        "the automaton, and the payoff of the round-8/9 compiler work "
+        "for everything in the chain class.\n"
+    )
+    lines.append("## Streaming funnel soak — 20 micro-batches\n")
+    lines.append(
+        "tools/scale_probe.py --soak (assertions in "
+        "tests/test_streaming_soak.py): a never-converting clicker and "
+        "purchaser sustained through 20 real micro-batches (file "
+        "source, maxFilesPerTrigger=1, watermark advancing between "
+        "batches) plus one fresh converter per batch. State rows grow "
+        "ONLY with live users (exactly 2 + converters), and the "
+        "clicker's candidate array holds the watermark horizon, not "
+        f"the history: {soak['clicker_final_clicks']} clicks retained "
+        f"of {soak['clicks_delivered']} delivered "
+        f"(purchaser: {soak['purchaser_final_purchases']}); after a "
+        "far-future batch fires the armed event-time timeouts, "
+        f"{soak['hot_users_after_future_batch']} of the 2 signup-less "
+        "users remain in the store (0 = fully garbage-collected).\n"
+    )
+    lines.append("| batch | rows_in | state_rows | state_removed |")
+    lines.append("|---|---|---|---|")
+    for b in soak["batches"]:
+        lines.append(
+            f"| {b['batch_id']} | {b['rows_in']} | {b['state_rows']} | "
+            f"{b['state_removed']} |"
         )
     lines.append("")
     lines.append(
