@@ -191,10 +191,9 @@ def _chain_variants(
     a backtracking regex engine explores (latest choice point flipped
     first).  First matching variant per start row wins.
 
-    Returns None when some variant's FINAL segment has a finite max
-    count > 1 (consumption could end mid-island at a row whose
-    timestamp the island frame does not carry) — those patterns keep
-    the Python automaton."""
+    Bounded final segments (finite max > 1) are fine since round 9:
+    _matchpath_jvm_chain detects them and fetches the end timestamp by
+    the rn-identity equi-join instead of the island frame."""
     from itertools import product
 
     opt = [
@@ -221,9 +220,6 @@ def _chain_variants(
         if not segs or key in seen:
             continue
         seen.add(key)
-        last_hi = segs[-1][2]
-        if last_hi != _INF and last_hi > 1:
-            return None
         variants.append(segs)
     return variants or None
 
@@ -264,7 +260,15 @@ def _matchpath_jvm_chain(
       case: every row of an island belongs to the segment's set and
       to no neighbor's),
     - variants are tried in regex-backtracking preference order via
-      one coalesce(when(...)) chain per output column.
+      one coalesce(when(...)) chain per output column,
+    - the match's END timestamp comes straight from the island frame
+      (final island's first/last ts) when every variant's final
+      segment has max count 1 or unbounded; a BOUNDED final segment
+      (round 9 — e.g. ``b{2,3}``) can stop mid-island, so those
+      patterns fetch the end row by the identity end_rn = start_rn +
+      match_len − 1 (segments consume contiguous rn ranges) with ONE
+      extra (pk, rn) equi-join against the row frame — still zero
+      Python; the join only appears for patterns that need it.
 
     One sort-shuffle on the partition key for the row windows, a
     groupBy onto the same key family for the island frame, and a
@@ -307,18 +311,25 @@ def _matchpath_jvm_chain(
     )
     rem = F.col("i_end") - F.col("rn") + 1
 
+    # a BOUNDED final segment (finite max > 1) can stop mid-island, so
+    # its end timestamp is not in the island frame — those patterns
+    # fetch it via end_rn = rn + match_len - 1 (one extra equi-join)
+    end_join = any(v[-1][2] != _INF and v[-1][2] > 1 for v in variants)
+
     def _variant(segs):
         ch0, lo0, hi0 = segs[0]
         m = len(segs)
         if m == 1:
             # nothing follows, so segment 1 is NOT forced to eat its
-            # whole island: consumption = min(max, rem) needs only
-            # rem >= min (hi0 is 1 or INF by _chain_variants' gate)
+            # whole island: greedy consumption = min(max, rem), needs
+            # only rem >= min
             cond = rem >= lo0
-            length = rem if hi0 == _INF else F.lit(1)
-            end_ts = (
-                F.col("i_last_ts") if hi0 == _INF else F.col("_ts")
-            )
+            if hi0 == _INF:
+                length, end_ts = rem, F.col("i_last_ts")
+            elif hi0 == 1:
+                length, end_ts = F.lit(1), F.col("_ts")
+            else:  # bounded: end via the rn-identity join
+                length, end_ts = F.least(F.lit(hi0), rem), None
             return cond, length.cast("long"), end_ts
         # segment 2's char differs, so segment 1 must consume the whole
         # island remainder: rem itself must sit inside (min, max)
@@ -337,27 +348,52 @@ def _matchpath_jvm_chain(
         if him == _INF:  # greedy: eat the whole final island
             length = length + F.col(f"n_{k}")
             end_ts = F.col(f"lts_{k}")
-        else:  # him == 1 by _chain_variants' gate
+        elif him == 1:
             length = length + F.lit(1)
             end_ts = F.col(f"fts_{k}")
+        else:  # bounded: greedy min(max, island len), end via join
+            length = length + F.least(F.lit(him), F.col(f"n_{k}"))
+            end_ts = None
         return cond, length.cast("long"), end_ts
 
     parts = [_variant(v) for v in variants]
-    pick = F.coalesce(
-        *[
-            F.when(c, F.struct(ln.alias("l"), e.alias("e")))
-            for c, ln, e in parts
-        ]
+    if not end_join:
+        pick = F.coalesce(
+            *[
+                F.when(c, F.struct(ln.alias("l"), e.alias("e")))
+                for c, ln, e in parts
+            ]
+        )
+        return (
+            cand.select("pk", "rn", "_ts", pick.alias("m"))
+            .where(F.col("m").isNotNull())
+            .select(
+                F.col("pk").alias(partition_by),
+                F.col("rn").cast("int").alias("start_rn"),
+                F.col("m.l").cast("int").alias("match_len"),
+                F.col("_ts").alias("path_start"),
+                F.col("m.e").alias("path_end"),
+            )
+        )
+    # bounded-final mode: segments consume CONTIGUOUS rn ranges, so
+    # end_rn = rn + match_len - 1 holds for every variant — one narrow
+    # (pk, rn) equi-join fetches the end row's timestamp
+    pick = F.coalesce(*[F.when(c, ln) for c, ln, _ in parts])
+    matched = cand.select("pk", "rn", "_ts", pick.alias("l")).where(
+        F.col("l").isNotNull()
+    )
+    ends = rows.select(
+        "pk", F.col("rn").alias("ern"), F.col("_ts").alias("end_ts")
     )
     return (
-        cand.select("pk", "rn", "_ts", pick.alias("m"))
-        .where(F.col("m").isNotNull())
+        matched.withColumn("ern", F.col("rn") + F.col("l") - 1)
+        .join(ends, ["pk", "ern"])
         .select(
             F.col("pk").alias(partition_by),
             F.col("rn").cast("int").alias("start_rn"),
-            F.col("m.l").cast("int").alias("match_len"),
+            F.col("l").cast("int").alias("match_len"),
             F.col("_ts").alias("path_start"),
-            F.col("m.e").alias("path_end"),
+            F.col("end_ts").alias("path_end"),
         )
     )
 
@@ -386,13 +422,14 @@ def matchpath(
     group ``(b|c)`` — with per-atom ``* + ?`` / ``{m}`` / ``{m,}`` /
     ``{m,n}`` quantifiers compiles to a pure JVM island-walk plan
     (_matchpath_jvm_chain) — no Python stage — provided the first
-    atom's min count is >= 1, <= 6 atoms are min-0 optional, the
-    merged final segment's max count is 1 or unbounded, and the
+    atom's min count is >= 1, <= 6 atoms are min-0 optional, and the
     pattern's distinct char-sets are pairwise disjoint (round 9
-    widened the class from plain ``* + ?`` symbol chains). Every
-    other pattern runs the Arrow-batched Python automaton below, the
-    documented fallback for genuinely irregular patterns (overlapping
-    alternation sets, nested groups, bounded final repeats)."""
+    widened the class from plain ``* + ?`` symbol chains and lifted
+    the round-8 bounded-final-segment gate via the rn-identity end
+    join). Every other pattern runs the Arrow-batched Python automaton
+    below, the documented fallback for genuinely irregular patterns
+    (overlapping alternation sets, nested groups, min-0 first
+    atoms)."""
     chars, rx_src = compile_pattern(pattern, symbols.keys())
     rx = re.compile(rx_src)
 

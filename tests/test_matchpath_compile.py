@@ -215,6 +215,16 @@ def test_jvm_alternation_and_bounded_match_regex(spark):
         ("a.(b|c){2,}.a", "a(b|c){2,}a"),
         ("a.a{1,2}.b", "aa{1,2}b"),  # bounded merge into start (2,3)
         ("a.b{1,2}.b{2,3}.c", "ab{1,2}b{2,3}c"),  # bounded+bounded
+        # round 9 continued: bounded FINAL segments (end timestamp via
+        # the rn-identity equi-join, not the island frame)
+        ("a.b{2}", "ab{2}"),
+        ("a.b{2,3}", "ab{2,3}"),
+        ("a{2,3}", "a{2,3}"),  # single bounded segment
+        ("b{1,2}", "b{1,2}"),
+        ("a.(b|c){2,3}", "a(b|c){2,3}"),  # bounded group final
+        ("a.b?.b{1,2}", "ab?b{1,2}"),  # optional merging into final
+        ("a.b{1,2}.b", "ab{1,2}b"),  # give-back onto a bounded final
+        ("a.b*.c{2,4}", "ab*c{2,4}"),
     ):
         got = _mp(spark, rows, pattern, _CHAIN_SYMS)
         want = _pysim(rows, rx, _classify)
@@ -259,6 +269,9 @@ def test_widened_chain_class_compiles_without_python(spark):
         "a.b{2,4}.c",  # bounded quantifier
         "a+.b",  # quantified first atom
         "a.(b|c){2,}.a",  # bounded group
+        "a.b{2,3}",  # bounded FINAL segment (rn-identity end join)
+        "a{2,3}",  # single bounded segment
+        "a.b?.b{1,2}",  # merge into a bounded final
     ):
         plan = plan_of(pattern)
         for marker in py_markers:
@@ -266,7 +279,7 @@ def test_widened_chain_class_compiles_without_python(spark):
 
     # overlapping char-sets make the island key ill-defined -> the
     # Python automaton must keep these
-    for pattern in ("a.(a|b).c", "a.(b|c)*.c", "a.b{2,3}"):
+    for pattern in ("a.(a|b).c", "a.(b|c)*.c", "a*.b"):
         plan = plan_of(pattern)
         assert "FlatMapGroupsInPandas" in plan, (
             f"{pattern} must route to the automaton"
@@ -366,11 +379,17 @@ def test_chain_detection_and_fallback_scope():
         [("a", 1, 1), ("b", 2, _INF)],
         [("a", 1, 1), ("b", 1, 1)],
     ]
-    # a final segment with finite max > 1 cannot place its end
-    # timestamp from the island frame -> whole pattern falls back
-    assert _chain_variants([("a", "1"), ("b", "?"), ("b", "1")]) is None
-    # same gate for a trailing quantifier merging to finite max 2
-    assert _chain_variants([("a", "1"), ("a", "?")]) is None
+    # round 9 lifted the bounded-final gate: finite max > 1 final
+    # segments expand too (the walk fetches their end timestamp via
+    # the rn-identity join instead of the island frame)
+    assert _chain_variants([("a", "1"), ("b", "?"), ("b", "1")]) == [
+        [("a", 1, 1), ("b", 2, 2)],
+        [("a", 1, 1), ("b", 1, 1)],
+    ]
+    assert _chain_variants([("a", "1"), ("a", "?")]) == [
+        [("a", 2, 2)],
+        [("a", 1, 1)],
+    ]
 
 
 def test_variant_preference_is_regex_backtracking_order():
