@@ -926,6 +926,13 @@ def _funnel_step(key, pdfs, state: GroupState):
         # watermark passed their newest candidate: every candidate is
         # now <= W with t1 < 0, i.e. provably dead — drop the state.
         # No emission: the user's last-emitted depth-0 row stands.
+        # Defensive re-check of the arm invariant: Spark clears a
+        # group's timeout on every invocation (so a user who later
+        # signed up cannot carry a stale arm), but a signed-up user's
+        # frontier must NEVER be dropped — verify t1 < 0 before
+        # removing rather than trusting the engine contract.
+        if state.exists and state.get[0] >= 0:
+            return
         state.remove()
         return
     if state.exists:

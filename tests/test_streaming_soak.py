@@ -24,6 +24,7 @@ sys.path.insert(0, "/root/repo/tools")
 from funnel_soak import (  # noqa: E402
     CLICKER,
     CLICKS_PER_BATCH,
+    LATE_SIGNUP,
     PURCHASER,
     run_soak,
 )
@@ -38,10 +39,11 @@ def test_funnel_soak_state_is_bounded(spark, tmp_path):
     data_batches = [b for b in res["batches"] if b["rows_in"] > 0]
     assert len(data_batches) == n_batches
 
-    # 1. state rows = 2 hot users + one converter per batch, exactly —
-    # growth tracks live users, never event volume
+    # 1. state rows = 2 hot users + the late-signup user + one
+    # converter per batch, exactly — growth tracks live users, never
+    # event volume
     for i, b in enumerate(data_batches):
-        assert b["state_rows"] == 2 + (i + 1), b
+        assert b["state_rows"] == 3 + (i + 1), b
 
     # 2. the clicker kept only the watermark horizon, not the history
     clicker = res["final_state"][CLICKER]
@@ -51,6 +53,22 @@ def test_funnel_soak_state_is_bounded(spark, tmp_path):
     assert clicker["n_clicks"] < res["clicks_delivered"] // 4
     purchaser = res["final_state"][PURCHASER]
     assert purchaser["n_purchases"] <= 4 * CLICKS_PER_BATCH, purchaser
+
+    # 2b. the late-signup user: clicks in batches 0-4 armed the
+    # signup-less timeout each batch; the batch-5 signup must CLEAR
+    # the arm (Spark resets a group's timeout on every invocation,
+    # and _funnel_step's timed-out branch double-checks t1) — the
+    # frontier survives the silence of batches 7-19, with the one
+    # qualifying click retained and the dead pre-signup clicks
+    # evicted by the watermark
+    late = res["final_state"][LATE_SIGNUP]
+    assert late["t1"] >= 0
+    # the qualifying pick plus at most the stragglers that were still
+    # inside the watermark horizon at the user's LAST touch (eviction
+    # runs when a user is touched; an untouched user's state is frozen
+    # — bounded by the horizon as of that touch, never growing)
+    assert 1 <= late["n_clicks"] <= 2, late
+    assert late["n_purchases"] == 0
 
     # 3. converters: dominance pruning collapses candidates to the
     # frontier picks (one click, one purchase)
@@ -63,9 +81,11 @@ def test_funnel_soak_state_is_bounded(spark, tmp_path):
         for v in converters
     )
 
-    # 4. the far-future batch fires the armed timeouts: hot users gone
+    # 4. the far-future batch fires the armed timeouts: hot users gone;
+    # the signed-up late user is NOT reaped
     assert CLICKER not in res["after_future"]
     assert PURCHASER not in res["after_future"]
+    assert LATE_SIGNUP in res["after_future"]
     # converters are still there (they have a signup; semantics keep
     # their frontier live for late events)
     assert (

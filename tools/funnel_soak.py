@@ -39,7 +39,7 @@ _OUT_SCHEMA = (
     "t3_us bigint, converted_7d bigint"
 )
 
-CLICKER, PURCHASER = 1, 2
+CLICKER, PURCHASER, LATE_SIGNUP = 1, 2, 3
 CLICKS_PER_BATCH = 10
 BATCH_STEP_S = 60
 WATERMARK = "90 seconds"  # ~1.5 batches of disorder horizon
@@ -48,7 +48,11 @@ WATERMARK = "90 seconds"  # ~1.5 batches of disorder horizon
 def _batch_rows(k: int) -> list[tuple]:
     """Batch k's events: 10 clicks for the sustained clicker, 10
     purchases for the sustained purchaser (neither ever signs up),
-    and one fresh converter (signup -> click -> purchase)."""
+    one fresh converter (signup -> click -> purchase), and the
+    late-signup user — clicks in batches 0-4 (arming the signup-less
+    timeout each time), a signup in batch 5, one qualifying click in
+    batch 6, then silence: the armed timeout must NOT survive the
+    signup invocation and reap the live frontier."""
     base = _T0 + _dt.timedelta(seconds=k * BATCH_STEP_S)
     eid = k * 1000
     rows = []
@@ -62,6 +66,12 @@ def _batch_rows(k: int) -> list[tuple]:
     rows.append(
         (conv, "purchase", base + _dt.timedelta(seconds=10), eid + 202)
     )
+    if k < 5:
+        rows.append((LATE_SIGNUP, "click", base, eid + 300))
+    elif k == 5:
+        rows.append((LATE_SIGNUP, "signup", base, eid + 300))
+    elif k == 6:
+        rows.append((LATE_SIGNUP, "click", base, eid + 300))
     return rows
 
 

@@ -840,9 +840,10 @@ def main() -> None:
         "tests/test_streaming_soak.py): a never-converting clicker and "
         "purchaser sustained through 20 real micro-batches (file "
         "source, maxFilesPerTrigger=1, watermark advancing between "
-        "batches) plus one fresh converter per batch. State rows grow "
-        "ONLY with live users (exactly 2 + converters), and the "
-        "clicker's candidate array holds the watermark horizon, not "
+        "batches), plus one fresh converter per batch and a late-signup "
+        "user (clicks arm the signup-less timeout, then a signup must "
+        "clear it). State rows grow ONLY with live users (exactly 3 + "
+        "converters), and the "
         f"the history: {soak['clicker_final_clicks']} clicks retained "
         f"of {soak['clicks_delivered']} delivered "
         f"(purchaser: {soak['purchaser_final_purchases']}); after a "
