@@ -830,9 +830,9 @@ def main() -> None:
         f"(force_automaton=True) **{mp_cost['t_automaton_s']} s** — "
         f"the Python stage costs **{mp_cost['automaton_x']}x** here, "
         "the measured price a genuinely irregular pattern (overlapping "
-        "alternation sets, bounded final repeats) pays for staying on "
-        "the automaton, and the payoff of the round-8/9 compiler work "
-        "for everything in the chain class.\n"
+        "alternation sets, nested groups, min-0 first atoms) pays for "
+        "staying on the automaton, and the payoff of the round-8/9 "
+        "compiler work for everything in the chain class.\n"
     )
     lines.append("## Streaming funnel soak — 20 micro-batches\n")
     lines.append(
@@ -843,7 +843,8 @@ def main() -> None:
         "batches), plus one fresh converter per batch and a late-signup "
         "user (clicks arm the signup-less timeout, then a signup must "
         "clear it). State rows grow ONLY with live users (exactly 3 + "
-        "converters), and the "
+        "converters), and the clicker's candidate array holds the "
+        "watermark horizon, not "
         f"the history: {soak['clicker_final_clicks']} clicks retained "
         f"of {soak['clicks_delivered']} delivered "
         f"(purchaser: {soak['purchaser_final_purchases']}); after a "
