@@ -93,6 +93,9 @@ HEADLINE = [
     # round-9: the widened MatchPath chain class (alternation group +
     # bounded quantifier), compiled to the same Python-free island walk
     "seq_matchpath_alternation",
+    # round-9: cross-document repeated-passage spans (passage-level
+    # dedup audit — linear gram flagging, no pair-space expansion)
+    "text_duplicate_spans",
 ]
 
 # Pure-CPU sentinel queries (plan-pinned, untouched since round 1) and

@@ -1471,3 +1471,131 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document repeated-passage spans (passage-level dedup audit)
+# ---------------------------------------------------------------------------
+
+_DUP_SPANS_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 5
+),
+g AS (
+  SELECT doc_id, i AS pos,
+         ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                             || w[i+3] || ' ' || w[i+4]), 1, 15))::BIGINT
+           AS gh
+  FROM w, unnest(generate_series(1, len(w) - 4)) AS t(i)
+),
+rep AS (
+  SELECT gh FROM g GROUP BY gh HAVING MIN(doc_id) <> MAX(doc_id)
+),
+f AS (
+  SELECT g.doc_id, g.pos,
+         ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS rn
+  FROM g JOIN rep USING (gh)
+),
+s AS (
+  SELECT doc_id, pos - rn AS isl,
+         MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+         COUNT(*) AS n_dup_grams
+  FROM f GROUP BY doc_id, pos - rn
+)
+SELECT doc_id,
+       CAST(span_start AS BIGINT) AS span_start_word,
+       CAST(span_end AS BIGINT) AS span_end_word,
+       CAST(span_end - span_start + 1 AS BIGINT) AS span_words,
+       CAST(n_dup_grams AS BIGINT) AS n_dup_grams
+FROM s
+ORDER BY doc_id, span_start_word
+"""
+
+
+@query("text_duplicate_spans", oracle=_DUP_SPANS_ORACLE)
+def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-PASSAGE spans — the passage-level dedup
+    audit of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"): document-level near-dup removal leaves
+    boilerplate/quotation passages duplicated ACROSS otherwise-unique
+    documents, and those spans are exactly what models memorize. For
+    every word-5-gram that occurs in MORE THAN ONE document, the
+    per-document maximal runs of consecutive duplicated grams are
+    emitted as spans (start/end word positions, width, gram count) —
+    the actionable output a span-excision pass consumes.
+
+    100 TB reading: grams hash to 60-bit integers before any shuffle
+    (the same discipline as text_ngram_novelty); "appears in >1 doc"
+    is MIN(doc_id) <> MAX(doc_id) per gram — one map-side-combined
+    hash aggregate, strictly cheaper than COUNT(DISTINCT) and
+    equivalent for the cross-doc predicate (a gram repeated only
+    WITHIN one doc has min = max and is correctly not flagged); the
+    flag-back is a plain equi-join on the gram hash (shuffle, no
+    broadcast hint — the repeated-gram table scales with the corpus);
+    span assembly is one per-document window (islands by
+    pos - row_number) plus a (doc, island) aggregate. No pair-space
+    expansion anywhere — unlike the O(pairs) near-dup joins, passage
+    flagging is linear in total gram count."""
+    from hive_service_spark.catalog import par
+
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    g = (
+        d.where(F.size(words) >= 5)
+        .repartition(par(spark))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - 4),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(words, i),
+                        F.element_at(words, i + 1),
+                        F.element_at(words, i + 2),
+                        F.element_at(words, i + 3),
+                        F.element_at(words, i + 4),
+                    ),
+                )
+            ).alias("p0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pos"),
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("gh"),
+        )
+    )
+    g = persisted(g)
+    rep = (
+        g.groupBy("gh")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .where(F.col("mn") != F.col("mx"))
+        .select("gh")
+    )
+    from pyspark.sql import Window
+
+    flagged = g.join(rep, "gh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        flagged.withColumn("rn", F.row_number().over(w))
+        .withColumn("isl", F.col("pos") - F.col("rn"))
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start_word"),
+            (F.max("pos") + 4).cast("bigint").alias("span_end_word"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "span_start_word",
+            "span_end_word",
+            (F.col("span_end_word") - F.col("span_start_word") + 1).alias(
+                "span_words"
+            ),
+            "n_dup_grams",
+        )
+    )
+    return spans.orderBy("doc_id", "span_start_word")

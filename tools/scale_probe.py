@@ -94,6 +94,9 @@ LINEAR = [
     ("tok_bpe_train_merges", "documents", N_DOCS),
     ("ml_bigram_lm_quality", "documents", N_DOCS),
     ("text_ngram_novelty", "documents", N_DOCS),
+    # round-9: passage-span flagging is linear in total gram count
+    # (min<>max per gram + one equi-join back) — this row is the claim
+    ("text_duplicate_spans", "documents", N_DOCS),
     ("knn_cosine_bruteforce", "embeddings", N_VECS),
 ]
 # cell-scoped probes: run with k scaled by the data factor
