@@ -94,8 +94,10 @@ HEADLINE = [
     # bounded quantifier), compiled to the same Python-free island walk
     "seq_matchpath_alternation",
     # round-9: cross-document repeated-passage spans (passage-level
-    # dedup audit — linear gram flagging, no pair-space expansion)
+    # dedup audit — linear gram flagging, no pair-space expansion) and
+    # the acting excision pass that rebuilds documents without them
     "text_duplicate_spans",
+    "dedup_span_excision",
 ]
 
 # Pure-CPU sentinel queries (plan-pinned, untouched since round 1) and

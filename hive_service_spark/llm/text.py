@@ -1599,3 +1599,150 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return spans.orderBy("doc_id", "span_start_word")
+
+
+# ---------------------------------------------------------------------------
+# duplicated-passage excision (the consumer of text_duplicate_spans)
+# ---------------------------------------------------------------------------
+
+_EXCISION_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+tok AS (
+  SELECT doc_id, i AS idx, w[i] AS word
+  FROM w, unnest(generate_series(1, len(w))) AS t(i)
+),
+g AS (
+  SELECT doc_id, i AS pos,
+         ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                             || w[i+3] || ' ' || w[i+4]), 1, 15))::BIGINT
+           AS gh
+  FROM w, unnest(generate_series(1, len(w) - 4)) AS t(i)
+  WHERE len(w) >= 5
+),
+rep AS (
+  SELECT gh, MIN(doc_id) AS canon
+  FROM g GROUP BY gh HAVING MIN(doc_id) <> MAX(doc_id)
+),
+cov AS (
+  SELECT DISTINCT g.doc_id, t.j
+  FROM g JOIN rep USING (gh), unnest(generate_series(g.pos, g.pos + 4)) AS t(j)
+  WHERE g.doc_id <> rep.canon
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) FILTER (WHERE c.j IS NULL) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE c.j IS NOT NULL) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(CASE WHEN c.j IS NULL THEN t.word END, ' '
+                           ORDER BY t.idx), '') AS clean_text
+FROM tok t
+LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.j = t.idx
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@query("dedup_span_excision", oracle=_EXCISION_ORACLE)
+def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage EXCISION — the acting half of the
+    text_duplicate_spans audit (Lee et al. 2022 remove duplicated
+    passages rather than whole documents): every cross-document
+    5-gram keeps its FIRST corpus occurrence (canonical owner =
+    MIN(doc_id) per gram) and is excised everywhere else — the word
+    positions covered by any non-canonical duplicated gram are
+    dropped and the document is rebuilt, emitting (kept words,
+    removed words, clean text) per document. Documents too short for
+    grams pass through untouched; a fully-duplicated document
+    collapses to an empty string, not a dropped row.
+
+    100 TB reading: the gram/flag stages are the linear passes of
+    text_duplicate_spans (60-bit hashes, min<>max flagging, equi-join
+    flag-back — no pair space); covered indices explode 5 per flagged
+    gram and dedup on (doc, idx); the rebuild is one (doc, idx)
+    equi-join against the token frame followed by a per-document
+    aggregate — collect_list is bounded by single-document length,
+    the unit every text pipeline already requires to fit a task."""
+    from hive_service_spark.catalog import par
+
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(words).alias("i0", "word"),
+    ).select("doc_id", (F.col("i0") + 1).alias("idx"), "word")
+    g = (
+        d.where(F.size(words) >= 5)
+        .repartition(par(spark))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - 4),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(words, i),
+                        F.element_at(words, i + 1),
+                        F.element_at(words, i + 2),
+                        F.element_at(words, i + 3),
+                        F.element_at(words, i + 4),
+                    ),
+                )
+            ).alias("p0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pos"),
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("gh"),
+        )
+    )
+    g = persisted(g)
+    rep = (
+        g.groupBy("gh")
+        .agg(F.min("doc_id").alias("canon"), F.max("doc_id").alias("mx"))
+        .where(F.col("canon") != F.col("mx"))
+        .select("gh", "canon")
+    )
+    cov = (
+        g.join(rep, "gh")
+        .where(F.col("doc_id") != F.col("canon"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + 4)
+            ).alias("idx"),
+        )
+        .distinct()
+        .withColumn("cut", F.lit(1))
+    )
+    return (
+        tok.join(cov, ["doc_id", "idx"], "left_outer")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.when(F.col("cut").isNull(), 1))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.count(F.when(F.col("cut").isNotNull(), 1))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("cut").isNull(),
+                                    F.struct("idx", "word"),
+                                )
+                            )
+                        ),
+                        lambda x: x["word"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )

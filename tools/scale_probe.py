@@ -97,6 +97,7 @@ LINEAR = [
     # round-9: passage-span flagging is linear in total gram count
     # (min<>max per gram + one equi-join back) — this row is the claim
     ("text_duplicate_spans", "documents", N_DOCS),
+    ("dedup_span_excision", "documents", N_DOCS),
     ("knn_cosine_bruteforce", "embeddings", N_VECS),
 ]
 # cell-scoped probes: run with k scaled by the data factor
