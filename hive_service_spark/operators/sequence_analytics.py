@@ -1787,3 +1787,105 @@ def seq_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "purchase_id")
     )
+
+
+# --- capped sessionization: the hot-key budget made first-class -------------
+
+# per-user event budget for the capped sessionizer — the SCALE.md
+# hot-key section's "documented per-user cap", shipped as code
+_USER_EVENT_CAP = 48
+
+_SESSION_CAPPED_ORACLE = f"""
+WITH r AS (
+  SELECT user_id, ts, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_total
+  FROM events
+),
+c AS (SELECT * FROM r WHERE rn <= {_USER_EVENT_CAP}),
+g AS (
+  SELECT user_id, ts, value, n_total,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess,
+         event_id
+  FROM c
+),
+s AS (
+  SELECT user_id, ts, value, n_total,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_no
+  FROM g
+)
+SELECT user_id, session_no,
+       COUNT(*) AS n_events,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+       ROUND(SUM(value), 2) AS session_value,
+       CAST(MAX(CASE WHEN n_total > {_USER_EVENT_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS user_capped
+FROM s
+GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+"""
+
+
+@query("seq_sessionize_capped", oracle=_SESSION_CAPPED_ORACLE)
+def seq_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization under a PER-USER EVENT BUDGET — the hot-key cap
+    the SCALE.md skew section documents as the production mitigation
+    for power-law users, shipped as a first-class operator instead of
+    a footnote: each user keeps only their EARLIEST N events (N = 48
+    here; deterministic by (ts, event_id)), sessions are built over
+    the surviving prefix, and every emitted session carries a
+    user_capped flag so downstream consumers know the user's tail was
+    truncated (bot-filtering pipelines alert on exactly that flag).
+
+    Scale reading: the cap is one row_number + one windowed count on
+    the SAME single user_id sort-shuffle the sessionizer already
+    needs — no extra exchange — and it hard-bounds what every
+    downstream per-user pass (here: the lag/cumsum session windows
+    and the session aggregate) can see from any one key. The capping
+    pass itself still walks the hot user's full sequence once (a
+    window partition is unsplittable — the measured cost of that is
+    SCALE.md's skew table); what the budget buys is that ONE narrow
+    single-column pass is the only place the hot key is ever larger
+    than N rows."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wu = Window.partitionBy("user_id")
+    capped = (
+        ev.select(
+            "user_id",
+            "ts",
+            "value",
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wu).alias("n_total"),
+        )
+        .where(F.col("rn") <= _USER_EVENT_CAP)
+    )
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = capped.withColumn("new_sess", new_sess).withColumn(
+        "session_no",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+            F.max(
+                F.when(F.col("n_total") > _USER_EVENT_CAP, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("user_capped"),
+        )
+        .orderBy("user_id", "session_no")
+    )

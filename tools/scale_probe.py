@@ -145,6 +145,10 @@ SKEW = [
     # skew-join splitting does not apply to window exchanges) — the
     # measured skew_x is the straggler cost at 10% ownership
     "seq_sessionize_batch",
+    # round-9: the capped variant — the budget bounds every pass after
+    # the one narrow capping window, so its skew_x under the same hot
+    # user is the mitigation's measured payoff
+    "seq_sessionize_capped",
     "seq_markov_transitions",
     "seq_top_journey_paths",
     "seq_attribution_credit",
