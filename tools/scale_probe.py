@@ -819,11 +819,16 @@ def main() -> None:
     lines.append("|---|---|---|---|---|")
     for name in SKEW:
         tu, th = skew_uniform[name], skew_hot[name]
-        shape = (
-            "groupBy (partial-agg rescued)"
-            if name == "seq_window_funnel"
-            else "window partition (one-task hot key)"
-        )
+        if name == "seq_window_funnel":
+            shape = "groupBy (partial-agg rescued)"
+        elif name == "seq_sessionize_capped":
+            shape = (
+                "capped window (the 48-event budget bounds every pass "
+                "after the one narrow capping window; its local cost "
+                "shows here, its payoff is the BOUND at worse ratios)"
+            )
+        else:
+            shape = "window partition (one-task hot key)"
         lines.append(
             f"| {name} | {round(tu, 2)} | {round(th, 2)} | "
             f"{round(th / tu, 2)} | {shape} |"
