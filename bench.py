@@ -163,6 +163,7 @@ def main() -> None:
     ordered = sorted(samples.values())
     host_factor = None
     spread = None
+    warn = None
     if ordered:
         mid = len(ordered) // 2
         host_factor = round(
@@ -172,6 +173,17 @@ def main() -> None:
             3,
         )
         spread = round(ordered[-1] - ordered[0], 3)
+        if spread > 0.5:
+            # round-9 verdict #6: the spread gate is mechanical, not an
+            # adjudication call — a settling/loaded box shows up as
+            # sentinel disagreement; the run's per-query ratios are
+            # then noise and the suite should be re-run idle
+            warn = (
+                f"sentinel spread {spread} > 0.5: host was busy or "
+                "settling during this run — re-run on an idle box "
+                "before comparing per-query times across rounds"
+            )
+            sys.stderr.write(f"WARN bench: {warn}\n")
     print(
         json.dumps(
             {
@@ -183,6 +195,7 @@ def main() -> None:
                 "host_factor": host_factor,
                 "host_factor_samples": samples,
                 "host_factor_spread": spread,
+                "host_factor_warn": warn,
                 "host_factor_note": (
                     "MEDIAN ratio of the pure-CPU sentinel queries "
                     f"{sorted(_SENTINELS)} to their round-1 times; divide "

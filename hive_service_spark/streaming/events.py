@@ -857,27 +857,61 @@ FUNNEL_STATE_SCHEMA = (
 )
 
 
+# one-time-per-worker flag so the NoTimeout-harness fallback below is
+# LOUD on first engagement instead of silent (round-10; the round-9
+# bare `except Exception` could have masked a real engine error and
+# let eviction/GC regress invisibly — the exact defect class round 9
+# fixed)
+_WM_FALLBACK_WARNED = False
+
+
+def _wm_fallback_warn(what: str, exc: Exception) -> None:
+    global _WM_FALLBACK_WARNED
+    if not _WM_FALLBACK_WARNED:
+        _WM_FALLBACK_WARNED = True
+        import warnings
+
+        warnings.warn(
+            f"GroupState {what} unavailable ({exc!r}); running WITHOUT "
+            "watermark eviction / event-time timeouts — expected only "
+            "under a NoTimeout/no-watermark unit harness, NEVER in the "
+            "registered stream_window_funnel query",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def _wm_us(state: GroupState) -> int:
     """Event-time watermark in MICROseconds, or 0 when the harness runs
     without one (the unit-test replays drive _funnel_step under
-    NoTimeout with no watermark, where PySpark's GroupState raises on
-    the accessor; the registered query always has a watermark and
-    EventTimeTimeout, so eviction is live there)."""
+    NoTimeout with no watermark, where PySpark's GroupState raises
+    PySparkRuntimeError CANNOT_WITHOUT on the accessor; the registered
+    query always has a watermark and EventTimeTimeout, so eviction is
+    live there). Round 10: ONLY that PySpark error is absorbed — and
+    loudly, once per worker — any other exception propagates, so a
+    real engine failure can no longer silently disable eviction."""
+    from pyspark.errors import PySparkRuntimeError
+
     try:
         return state.getCurrentWatermarkMs() * 1000
-    except Exception:
+    except PySparkRuntimeError as e:
+        _wm_fallback_warn("watermark accessor", e)
         return 0
 
 
 def _arm_event_timeout(state: GroupState, ts_ms: int) -> None:
-    """Best-effort GroupStateTimeout arm: a no-op under the NoTimeout
-    unit harness (where PySpark raises), required under the registered
+    """GroupStateTimeout arm: a no-op under the NoTimeout unit harness
+    (where PySpark raises PySparkRuntimeError — the ONLY absorbed
+    error, warned once per worker), required under the registered
     query's EventTimeTimeout so signup-less users are garbage-collected
-    once the watermark proves their candidates dead."""
+    once the watermark proves their candidates dead. Any other
+    exception propagates (round 10 — see _wm_us)."""
+    from pyspark.errors import PySparkRuntimeError
+
     try:
         state.setTimeoutTimestamp(ts_ms)
-    except Exception:
-        pass
+    except PySparkRuntimeError as e:
+        _wm_fallback_warn("timeout arm", e)
 
 
 def _funnel_step(key, pdfs, state: GroupState):

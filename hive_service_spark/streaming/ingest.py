@@ -59,9 +59,18 @@ def _run_stateless_ingest(stream_df: DataFrame, name: str, decide) -> DataFrame:
     as a batch agg inside each micro-batch), so state-store rows stay
     at exactly zero however many batches flow through
     (tests/test_streaming_soak.py pins that under a 20-micro-batch
-    replay), and the appended parquet decision log is the durable
-    output a downstream selector reads — the same availableNow replay
-    still lands on the batch oracle's exact values."""
+    replay), and the parquet decision log is the durable output a
+    downstream selector reads — the same availableNow replay still
+    lands on the batch oracle's exact values.
+
+    Round 10 (ADVICE): the per-batch write is IDEMPOTENT — foreachBatch
+    gives at-least-once batch semantics, so a mid-stream failure can
+    re-run the interrupted batchId; each batch now lands in its own
+    ``batch_id=<id>`` partition directory in OVERWRITE mode (replayed
+    batches replace their own rows instead of duplicating them —
+    exactly-once decision rows without any read-time dedup), and an
+    empty source (zero micro-batches ever fired) returns the decision
+    frame's empty shape instead of raising on the never-created sink."""
     import shutil
 
     spark = stream_df.sparkSession
@@ -76,9 +85,9 @@ def _run_stateless_ingest(stream_df: DataFrame, name: str, decide) -> DataFrame:
     with _state_partitions(spark):
         q = (
             stream_df.writeStream.foreachBatch(
-                lambda bdf, _bid: decide(bdf)
-                .write.mode("append")
-                .parquet(sink)
+                lambda bdf, bid: decide(bdf)
+                .write.mode("overwrite")
+                .parquet(f"{sink}/batch_id={bid}")
             )
             .queryName(name)
             .option("checkpointLocation", f"{_CKPT}/{name}")
@@ -86,7 +95,14 @@ def _run_stateless_ingest(stream_df: DataFrame, name: str, decide) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return spark.read.parquet(sink)
+    if not Path(sink).exists():
+        # zero micro-batches fired (empty landing dir): the contract is
+        # still the decision schema, just with no rows
+        empty = spark.createDataFrame([], stream_df.schema)
+        return decide(empty)
+    # partition discovery surfaces batch_id as a column; it is sink
+    # bookkeeping, not part of the decision row
+    return spark.read.option("basePath", sink).parquet(sink).drop("batch_id")
 
 
 def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,23 +370,35 @@ def stream_dsir_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     drifting featurization or a stale model join cannot pass; the
     model never re-fits mid-stream (exactly the paper's
     train-once/apply-everywhere contract)."""
+    model = _dsir_static_model(spark, sf_dir)
+    stream = _doc_stream(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+    out = _run_stateless_ingest(
+        stream, "dsir_scores", lambda bdf: _dsir_decide(bdf, model)
+    )
+    return out.select("doc_id", "source", "score_q", "n_feats")
+
+
+def _dsir_static_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train-once static side of the DSIR ingest — exported (like
+    _lsh_corpus_index) so the soak drives the identical decision
+    function through many micro-batches."""
     from hive_service_spark.llm.selection import _dsir_features, _dsir_model
 
     corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    model = _dsir_model(_dsir_features(corpus)).localCheckpoint(eager=True)
+    return _dsir_model(_dsir_features(corpus)).localCheckpoint(eager=True)
 
-    stream = _doc_stream(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
 
-    def _score(bdf: DataFrame) -> DataFrame:
-        return (
-            _dsir_features(bdf)
-            .join(F.broadcast(model), "b")
-            .groupBy("doc_id", "source")
-            .agg(
-                F.sum("q").cast("bigint").alias("score_q"),
-                F.count(F.lit(1)).cast("bigint").alias("n_feats"),
-            )
+def _dsir_decide(bdf: DataFrame, model: DataFrame) -> DataFrame:
+    """One micro-batch's docs -> DSIR score rows. Pure batch transform
+    against the BROADCAST static model — zero cross-batch state."""
+    from hive_service_spark.llm.selection import _dsir_features
+
+    return (
+        _dsir_features(bdf)
+        .join(F.broadcast(model), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("q").cast("bigint").alias("score_q"),
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
         )
-
-    out = _run_stateless_ingest(stream, "dsir_scores", _score)
-    return out.select("doc_id", "source", "score_q", "n_feats")
+    )

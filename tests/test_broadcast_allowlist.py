@@ -162,9 +162,10 @@ ALLOWLIST = {
             "is UNHINTED — round-8 fix)"),
     ("streaming/events.py", "stream_stream_outer_join"):
         (1, "scalar-1row: watermark cutoff"),
-    ("streaming/ingest.py", "_score"):
+    ("streaming/ingest.py", "_dsir_decide"):
         (1, "model-bounded: 256-bucket DSIR model (the per-batch "
-            "scorer inside stream_dsir_scoring's foreachBatch)"),
+            "scorer inside stream_dsir_scoring's foreachBatch; round "
+            "10 factored it module-level so the soak drives it)"),
     ("streaming/notifications.py", "stream_cdc_apply_replica"):
         (2, "scalar-1row: drift gauge counters"),
 }

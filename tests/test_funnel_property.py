@@ -227,3 +227,60 @@ def test_funnel_timeout_never_fires_on_signed_up_users():
     state.hasTimedOut = True
     assert list(_funnel_step((7,), [], state)) == []
     assert state.exists and state.get[0] == 123
+
+def test_funnel_wm_fallback_is_narrow_and_loud():
+    """Round-10: only PySparkRuntimeError (the NoTimeout/no-watermark
+    harness error) is absorbed by the watermark/timeout accessors — a
+    REAL engine failure must propagate, not silently disable eviction
+    — and the absorbed case warns once per worker."""
+    import warnings
+
+    import pytest
+    from pyspark.errors import PySparkRuntimeError
+
+    import hive_service_spark.streaming.events as ev_mod
+
+    base = 1_700_000_000_000_000
+
+    class HarnessState(FakeGroupState):
+        def getCurrentWatermarkMs(self):
+            raise PySparkRuntimeError(
+                errorClass="CANNOT_WITHOUT",
+                messageParameters={"condition1": "x", "condition2": "y"},
+            )
+
+        def setTimeoutTimestamp(self, ts_ms):
+            raise PySparkRuntimeError(
+                errorClass="CANNOT_WITHOUT",
+                messageParameters={"condition1": "x", "condition2": "y"},
+            )
+
+    pdf = pd.DataFrame({"event_type": ["click"], "t": [base]})
+    state = HarnessState()
+    ev_mod._WM_FALLBACK_WARNED = False
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = list(_funnel_step((7,), [pdf], state))
+    assert len(out) == 1 and int(out[0].iloc[0]["depth"]) == 0
+    assert state.exists  # fallback wm=0 keeps the candidate
+    msgs = [str(w.message) for w in caught if w.category is RuntimeWarning]
+    assert any("watermark" in m or "timeout arm" in m for m in msgs)
+    # second engagement in the same worker stays quiet
+    with warnings.catch_warnings(record=True) as again:
+        warnings.simplefilter("always")
+        list(_funnel_step((7,), [pdf], HarnessState()))
+    assert not [w for w in again if w.category is RuntimeWarning]
+
+    class BrokenState(FakeGroupState):
+        def getCurrentWatermarkMs(self):
+            raise RuntimeError("real engine failure")
+
+    with pytest.raises(RuntimeError, match="real engine failure"):
+        list(_funnel_step((7,), [pdf], BrokenState()))
+
+    class BrokenArm(FakeGroupState):
+        def setTimeoutTimestamp(self, ts_ms):
+            raise RuntimeError("real arm failure")
+
+    with pytest.raises(RuntimeError, match="real arm failure"):
+        list(_funnel_step((7,), [pdf], BrokenArm()))

@@ -13,13 +13,25 @@ the watermark advancing between micro-batches. These tests pin:
 3. converters' candidate sets are collapsed to the frontier picks;
 4. once the watermark passes every hot candidate, the armed
    event-time timeouts REMOVE the signup-less users' state outright.
+
+Round 10: the ingest soak is parametrized over BOTH stateless ingest
+queries (LSH dedup + DSIR scoring — they share _run_stateless_ingest,
+but each decision function is pinned at zero state individually), and
+the per-batch decision writes are pinned IDEMPOTENT (a replayed
+batchId overwrites its own partition instead of duplicating rows —
+foreachBatch is at-least-once).
 """
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tools")
+)
+
+import pytest
 
 from funnel_soak import (  # noqa: E402
     CLICKER,
@@ -94,22 +106,46 @@ def test_funnel_soak_state_is_bounded(spark, tmp_path):
     )
 
 
-def test_lsh_ingest_soak_has_zero_state(spark, tmp_path):
-    """The LSH dedup ingest under sustained ingest: the incoming docs
-    land as 20 separate files, processed one micro-batch each
-    (maxFilesPerTrigger=1). Round 9 moved the per-doc decision
-    aggregation inside foreachBatch, so the streaming query must have
-    ZERO stateful operators in every batch — state cannot grow with
-    corpus size because there is none — and the appended decision log
-    over all 20 batches must equal the single-batch replay row-for-row
-    (decisions are per-doc; docs partition across batches)."""
-    import pyspark.sql.functions as F
-
-    from hive_service_spark.registry import load_all
+def _ingest_cases():
+    """(query name, make_decide(spark) -> decide) for both stateless
+    ingest queries — each must carry ZERO stateful operators."""
     from hive_service_spark.streaming.ingest import (
+        _dsir_decide,
+        _dsir_static_model,
         _lsh_corpus_index,
         _lsh_decide,
     )
+    from tests.conftest import SF_DIR
+
+    def lsh(spark):
+        corp_bands, corp_sig = _lsh_corpus_index(spark, SF_DIR)
+        return lambda bdf: _lsh_decide(bdf, corp_bands, corp_sig)
+
+    def dsir(spark):
+        model = _dsir_static_model(spark, SF_DIR)
+        return lambda bdf: _dsir_decide(bdf, model)
+
+    return [("stream_dedup_lsh_ingest", lsh), ("stream_dsir_scoring", dsir)]
+
+
+@pytest.mark.parametrize("qname,make_decide", _ingest_cases())
+def test_ingest_soak_has_zero_state_and_idempotent_sink(
+    spark, tmp_path, qname, make_decide
+):
+    """Both stateless ingest queries under sustained ingest: the
+    incoming docs land as 20 separate files, processed one micro-batch
+    each (maxFilesPerTrigger=1). Round 9 moved the per-doc decision
+    aggregation inside foreachBatch, so the streaming query must have
+    ZERO stateful operators in every batch — state cannot grow with
+    corpus size because there is none — and the decision log over all
+    20 batches must equal the single-batch replay row-for-row
+    (decisions are per-doc; docs partition across batches). Round 10
+    additionally pins sink IDEMPOTENCY: re-running a batch's write
+    (foreachBatch's at-least-once failure mode) overwrites its own
+    batch_id partition, leaving the log unchanged."""
+    import pyspark.sql.functions as F
+
+    from hive_service_spark.registry import load_all
     from tests.conftest import SF_DIR
 
     src = str(tmp_path / "src")
@@ -126,16 +162,18 @@ def test_lsh_ingest_soak_has_zero_state(spark, tmp_path):
             1
         ).write.mode("append").parquet(src)
 
-    corp_bands, corp_sig = _lsh_corpus_index(spark, SF_DIR)
+    decide = make_decide(spark)
+    batch_rows: dict[int, object] = {}
+
+    def _sink_batch(bdf, bid):
+        batch_rows[bid] = bdf
+        decide(bdf).write.mode("overwrite").parquet(f"{sink}/batch_id={bid}")
+
     q = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
-        .writeStream.foreachBatch(
-            lambda bdf, _bid: _lsh_decide(bdf, corp_bands, corp_sig)
-            .write.mode("append")
-            .parquet(sink)
-        )
+        .writeStream.foreachBatch(_sink_batch)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
@@ -148,13 +186,52 @@ def test_lsh_ingest_soak_has_zero_state(spark, tmp_path):
         "the ingest topology must carry no stateful operator at all"
     )
 
-    got = sorted(
-        tuple(r) for r in spark.read.parquet(sink).collect()
-    )
+    def _log():
+        return sorted(
+            tuple(r)
+            for r in spark.read.option("basePath", sink)
+            .parquet(sink)
+            .drop("batch_id")
+            .collect()
+        )
+
+    got = _log()
     want = sorted(
         tuple(r)
-        for r in load_all()["stream_dedup_lsh_ingest"].fn(
-            spark, SF_DIR
-        ).collect()
+        for r in load_all()[qname].fn(spark, SF_DIR)
+        .select(*spark.read.parquet(sink).drop("batch_id").columns)
+        .collect()
     )
     assert got == want
+
+    # idempotency: replay batch 0's write (the at-least-once re-run) —
+    # the overwrite replaces its own partition, log unchanged
+    bid0 = min(batch_rows)
+    decide(batch_rows[bid0]).write.mode("overwrite").parquet(
+        f"{sink}/batch_id={bid0}"
+    )
+    assert _log() == got
+
+
+def test_stateless_ingest_empty_source_returns_empty_frame(spark, tmp_path):
+    """An ingest stream whose landing dir never yields a micro-batch
+    must return the decision frame's EMPTY shape, not raise on the
+    never-created sink (round-10 ADVICE)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from hive_service_spark.streaming.ingest import _run_stateless_ingest
+
+    empty_dir = str(tmp_path / "landing")
+    os.makedirs(empty_dir)
+    schema = StructType([StructField("doc_id", LongType())])
+    stream = spark.readStream.schema(schema).parquet(empty_dir)
+    out = _run_stateless_ingest(
+        stream,
+        "hs_test_empty_ingest",
+        lambda bdf: bdf.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        ),
+    )
+    assert out.columns == ["doc_id", "n"]
+    assert out.count() == 0
