@@ -1791,9 +1791,50 @@ def seq_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- capped sessionization: the hot-key budget made first-class -------------
 
-# per-user event budget for the capped sessionizer — the SCALE.md
-# hot-key section's "documented per-user cap", shipped as code
+# per-user event budget for the capped sequence operators — the
+# SCALE.md hot-key section's "documented per-user cap", shipped as code
 _USER_EVENT_CAP = 48
+
+
+def capped_user_prefix(
+    df: DataFrame,
+    n: int = _USER_EVENT_CAP,
+    key: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """The per-user event budget as a REUSABLE pre-pass (round 10 —
+    factored out of seq_sessionize_capped so every hot-key-exposed
+    sequence operator can run capped): keep each key's EARLIEST n rows
+    (deterministic by ``order_cols``) and stamp every surviving row
+    with a ``user_capped`` 0/1 flag (1 = the key had more than n rows,
+    i.e. its tail was truncated — the signal a bot-filtering pipeline
+    alerts on).
+
+    Scale reading: row_number and the per-key count share ONE
+    hash-partitioned exchange on the key (Catalyst reuses it across
+    the two Window nodes), and this single narrow pass is the only
+    place a hot key is ever wider than n rows — every downstream
+    per-key window/group (sessionize, matchpath, markov, attribution)
+    sees at most n rows per key, which converts the unsplittable-hot-
+    window-partition straggler (SCALE.md skew table) into a hard
+    bound. The capping window itself still walks the hot key's full
+    sequence once; that cost is the floor any per-key-ORDER semantics
+    pays."""
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    wu = Window.partitionBy(key)
+    return (
+        df.select(
+            "*",
+            F.row_number().over(w).alias("_cap_rn"),
+            F.count(F.lit(1)).over(wu).alias("_cap_n"),
+        )
+        .where(F.col("_cap_rn") <= n)
+        .withColumn(
+            "user_capped",
+            F.when(F.col("_cap_n") > n, 1).otherwise(0).cast("bigint"),
+        )
+        .drop("_cap_rn", "_cap_n")
+    )
 
 _SESSION_CAPPED_ORACLE = f"""
 WITH r AS (
@@ -1853,20 +1894,13 @@ def seq_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     window partition is unsplittable — the measured cost of that is
     SCALE.md's skew table); what the budget buys is that ONE narrow
     single-column pass is the only place the hot key is ever larger
-    than N rows."""
+    than N rows. Round 10: the capping pass is the shared
+    capped_user_prefix helper, reused by the capped matchpath /
+    markov / attribution variants."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wu = Window.partitionBy("user_id")
-    capped = (
-        ev.select(
-            "user_id",
-            "ts",
-            "value",
-            "event_id",
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(wu).alias("n_total"),
-        )
-        .where(F.col("rn") <= _USER_EVENT_CAP)
+    capped = capped_user_prefix(
+        ev.select("user_id", "ts", "value", "event_id")
     )
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
     new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
@@ -1881,11 +1915,286 @@ def seq_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.round(F.sum("value"), 2).alias("session_value"),
-            F.max(
-                F.when(F.col("n_total") > _USER_EVENT_CAP, 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("user_capped"),
+            F.max("user_capped").cast("bigint").alias("user_capped"),
         )
         .orderBy("user_id", "session_no")
+    )
+
+# --- capped variants of the worst hot-key operators (round 10) --------------
+# SCALE.md's skew table shows the window-partition operators
+# (matchpath 1.48-1.64x, attribution 1.43x at 10% ownership) pay the
+# unsplittable-hot-partition straggler with NO in-code recourse; these
+# variants run the identical semantics over capped_user_prefix's
+# earliest-48 budget, turning the documented mitigation into shipped,
+# value-oracled operators. Reference surface: the same PTF family
+# (hive-exec-2.3.10-core.jar!ql/udf/ptf/MatchPath.class and
+# ql/exec/PTFOperator) — the cap itself is the extension's data-quality
+# rule, not a Hive feature.
+
+_MATCHPATH_CAPPED_ORACLE = f"""
+WITH r AS (
+  SELECT user_id, ts, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_total
+  FROM events
+),
+c AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'view' THEN 'a'
+              WHEN event_type = 'purchase' THEN 'b'
+              ELSE 'x' END AS ch,
+         rn,
+         CAST(CASE WHEN n_total > {_USER_EVENT_CAP} THEN 1 ELSE 0 END
+              AS BIGINT) AS user_capped
+  FROM r WHERE rn <= {_USER_EVENT_CAP}
+),
+s AS (
+  SELECT user_id, string_agg(ch, '' ORDER BY rn) AS str
+  FROM c GROUP BY user_id
+),
+m AS (
+  SELECT c.user_id, c.rn AS start_rn, c.ts AS path_start, c.user_capped,
+         length(regexp_extract(substr(s.str, CAST(c.rn AS INT)), '^aa*b'))
+           AS match_len
+  FROM c JOIN s USING (user_id)
+)
+SELECT m.user_id, CAST(m.start_rn AS INT) AS start_rn,
+       CAST(m.match_len AS INT) AS match_len,
+       CAST(m.path_start AS TIMESTAMP) AS path_start,
+       CAST(e.ts AS TIMESTAMP) AS path_end,
+       m.user_capped
+FROM m
+JOIN c e ON e.user_id = m.user_id AND e.rn = m.start_rn + m.match_len - 1
+WHERE m.match_len > 0
+ORDER BY m.user_id, start_rn
+"""
+
+
+@query("seq_matchpath_capped", oracle=_MATCHPATH_CAPPED_ORACLE)
+def seq_matchpath_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General MatchPath (``view.view*.purchase``) under the per-user
+    event budget: pattern matching runs over capped_user_prefix's
+    earliest-48 rows per user, and every match carries the user's
+    ``user_capped`` flag. Because the budget keeps the EARLIEST prefix,
+    a kept row's row number is unchanged — start_rn/match_len are
+    exactly the uncapped operator's values for any match that lies
+    wholly inside the budget; matches that needed the truncated tail
+    are gone, which is the point (at a 50%-ownership bot key the
+    uncapped operator serializes the hot user into one task; capped,
+    no task ever sees more than 48 rows of any user after the one
+    narrow capping window — SCALE.md's 50%-skew table measures both
+    sides). The flag join is a map-side-combined per-user count, one
+    broadcast-free equi-join."""
+    from hive_service_spark.operators.matchpath import matchpath
+
+    ev = load(spark, sf_dir, "events")
+    capped = capped_user_prefix(
+        ev.select("user_id", "ts", "event_id", "event_type")
+    )
+    out = matchpath(
+        capped,
+        partition_by="user_id",
+        order_by=["ts", "event_id"],
+        symbols={
+            "view": F.col("event_type") == "view",
+            "purchase": F.col("event_type") == "purchase",
+        },
+        pattern="view.view*.purchase",
+    )
+    flags = ev.groupBy("user_id").agg(
+        F.when(F.count(F.lit(1)) > _USER_EVENT_CAP, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("user_capped")
+    )
+    return out.join(flags, "user_id").orderBy("user_id", "start_rn")
+
+
+_ATTRIB_CAPPED_ORACLE = f"""
+WITH r AS (
+  SELECT user_id, event_id, event_type, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_total
+  FROM events
+),
+ev AS (
+  SELECT user_id, event_id, event_type, ts,
+         epoch_us(ts) AS t_us,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS v_c,
+         CAST(CASE WHEN n_total > {_USER_EVENT_CAP} THEN 1 ELSE 0 END
+              AS BIGINT) AS user_capped,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS pcnt
+  FROM r WHERE rn <= {_USER_EVENT_CAP}
+),
+clicks AS (
+  SELECT user_id, pcnt + 1 AS idx, ts, t_us
+  FROM ev WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, pcnt AS idx, event_id, t_us, v_c, user_capped
+  FROM ev WHERE event_type = 'purchase'
+)
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       CAST(MAX(p.v_c) AS BIGINT) AS purchase_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_clicks,
+       CAST((100 * MAX(p.v_c)) // COUNT(*) AS BIGINT) AS linear_credit_cc,
+       MIN(c.ts) AS first_click_ts,
+       MAX(c.ts) AS last_click_ts,
+       MAX(p.user_capped) AS user_capped
+FROM purchases p
+JOIN clicks c ON p.user_id = c.user_id AND p.idx = c.idx
+WHERE p.t_us - c.t_us <= 604800000000
+GROUP BY p.user_id, p.event_id
+ORDER BY p.user_id, purchase_id
+"""
+
+
+@query("seq_attribution_capped", oracle=_ATTRIB_CAPPED_ORACLE)
+def seq_attribution_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution (seq_attribution_credit semantics)
+    under the per-user event budget: the running purchase count, the
+    click->purchase index pairing, and the 7-day-lookback credit all
+    run over capped_user_prefix's earliest-48 rows, and each purchase
+    row carries the user's user_capped flag. The pcnt window rides the
+    SAME user_id sort-shuffle the capping pass creates; after it, no
+    window or join fan-in ever sees more than 48 rows of one user —
+    the hard bound SCALE.md's 50%-ownership row contrasts against the
+    uncapped straggler."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    capped = capped_user_prefix(
+        ev.select("user_id", "event_id", "event_type", "ts", "value")
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        "user_capped",
+        F.unix_micros("ts").alias("t_us"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_c"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(w)
+        .cast("bigint")
+        .alias("pcnt"),
+    )
+    clicks = capped.where(F.col("event_type") == "click").select(
+        "user_id",
+        (F.col("pcnt") + 1).alias("idx"),
+        F.col("ts").alias("c_ts"),
+        F.col("t_us").alias("c_us"),
+    )
+    purchases = capped.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("pcnt").alias("idx"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("t_us").alias("p_us"),
+        F.col("v_c").alias("p_c"),
+        "user_capped",
+    )
+    return (
+        purchases.join(clicks, ["user_id", "idx"])
+        .where(F.col("p_us") - F.col("c_us") <= 604800000000)
+        .groupBy("user_id", "purchase_id")
+        .agg(
+            F.max("p_c").cast("bigint").alias("purchase_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_clicks"),
+            F.expr("CAST((100 * MAX(p_c)) DIV COUNT(*) AS BIGINT)").alias(
+                "linear_credit_cc"
+            ),
+            F.min("c_ts").alias("first_click_ts"),
+            F.max("c_ts").alias("last_click_ts"),
+            F.max("user_capped").alias("user_capped"),
+        )
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+_MARKOV_CAPPED_ORACLE = f"""
+WITH r AS (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+ordered AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id)
+           AS prev_type
+  FROM r WHERE rn <= {_USER_EVENT_CAP}
+),
+trans AS (
+  SELECT prev_type AS from_type, event_type AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+  FROM trans GROUP BY from_type
+)
+SELECT t.from_type, t.to_type, t.n_trans,
+       CAST(FLOOR(1000000.0 * t.n_trans / tt.n_from) AS BIGINT) AS prob_q
+FROM trans t JOIN totals tt ON t.from_type = tt.from_type
+ORDER BY t.from_type, t.to_type
+"""
+
+
+@query("seq_markov_capped", oracle=_MARKOV_CAPPED_ORACLE)
+def seq_markov_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Markov transition matrix (seq_markov_transitions semantics,
+    matrix only — the stationary distribution is a property of the
+    matrix and unchanged by re-running the power iterations here)
+    fitted on capped_user_prefix's earliest-48 rows per user: the
+    behavioral model a clickstream pipeline fits when power-law/bot
+    users must not dominate the transition counts (one 10%-ownership
+    user contributes 10% of ALL transitions uncapped; capped, at most
+    47 — a data-quality decision shipped as an operator). The LAG
+    pairing rides the capping pass's own user_id sort-shuffle; counts
+    are map-side combined onto the tiny |states|^2 key space."""
+    ev = load(spark, sf_dir, "events")
+    capped = capped_user_prefix(
+        ev.select("user_id", "event_type", "ts", "event_id"),
+        order_cols=("ts", "event_id"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    ordered = capped.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        ordered.where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
+    )
+    totals = trans.groupBy("from_type").agg(
+        F.sum("n_trans").cast("bigint").alias("n_from")
+    )
+    return (
+        trans.join(totals, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_trans",
+            F.floor(
+                F.lit(1000000.0) * F.col("n_trans") / F.col("n_from")
+            )
+            .cast("bigint")
+            .alias("prob_q"),
+        )
+        .orderBy("from_type", "to_type")
     )
