@@ -272,18 +272,149 @@ def test_widened_chain_class_compiles_without_python(spark):
         "a.b{2,3}",  # bounded FINAL segment (rn-identity end join)
         "a{2,3}",  # single bounded segment
         "a.b?.b{1,2}",  # merge into a bounded final
+        # round 10: OVERLAPPING sets with finite bounds take the
+        # lead-chain plan — also pure JVM
+        "a.(a|b).c",
+        "(a|b){1,2}.(b|c){1,2}",
+        "a.(a|b)?.b{1,2}",
     ):
         plan = plan_of(pattern)
         for marker in py_markers:
             assert marker not in plan, f"{pattern} fell back:\n{plan[:400]}"
 
-    # overlapping char-sets make the island key ill-defined -> the
-    # Python automaton must keep these
-    for pattern in ("a.(a|b).c", "a.(b|c)*.c", "a*.b"):
+    # what remains on the automaton (round 10): an UNBOUNDED
+    # quantifier over an overlapping set (no finite lead depth, no
+    # island key) and a min-0 first atom (start anchor shifts)
+    for pattern in ("a.(b|c)*.c", "(a|b)+.b", "a*.b"):
         plan = plan_of(pattern)
         assert "FlatMapGroupsInPandas" in plan, (
             f"{pattern} must route to the automaton"
         )
+
+
+def test_jvm_overlap_leadchain_matches_regex(spark):
+    """Round-10 widening: OVERLAPPING char-sets with finite bounds
+    compile to the lead-chain plan — exhaustive equivalence over every
+    6-symbol sequence on {A, B, C, other}, same harness as the round-8
+    and round-9 sweeps. Shapes cover: literal/group overlap, subset
+    sets, same set repeated, min-0 middles, bounded finals, and the
+    give-back compositions where an earlier segment must stop short."""
+    import itertools
+
+    rows = [
+        (i, list(seq))
+        for i, seq in enumerate(itertools.product("ABCX", repeat=6))
+    ]
+
+    for pattern, rx in (
+        ("a.(a|b).c", "a(a|b)c"),
+        ("a.(a|b).a", "a(a|b)a"),
+        ("(a|b).(b|c)", "(a|b)(b|c)"),
+        ("(a|b){1,2}.(b|c){1,2}", "(a|b){1,2}(b|c){1,2}"),
+        ("(a|b){1,3}.b", "(a|b){1,3}b"),  # subset final: give-back
+        ("a.(a|b){1,2}.b", "a(a|b){1,2}b"),
+        ("(a|b|c){2,4}.(a|b)", "(a|b|c){2,4}(a|b)"),
+        ("a.(a|b)?.b", "a(a|b)?b"),  # min-0 overlap middle
+        ("a.(a|b){0,2}.c", "a(a|b){0,2}c"),
+        ("b.(b|c).(c|a)?", "b(b|c)(c|a)?"),  # min-0 overlap FINAL
+        ("(b|c){2}.(a|c){1,2}", "(b|c){2}(a|c){1,2}"),
+        ("a.(a|b).(b|c).(c|a)", "a(a|b)(b|c)(c|a)"),
+        ("b{1,2}.(a|b){1,2}", "b{1,2}(a|b){1,2}"),  # literal vs super-set
+        ("a.b.(a|b){1,3}", "ab(a|b){1,3}"),
+    ):
+        got = _mp(spark, rows, pattern, _CHAIN_SYMS)
+        want = _pysim(rows, rx, _classify)
+        assert got == want, f"pattern {pattern} diverges from {rx}"
+
+
+def test_lead_compositions_order_and_gates():
+    """The composition expansion must enumerate count vectors in
+    regex-backtracking (lexicographic-descending) order, dedupe equal
+    offset signatures, and refuse unbounded or over-budget chains."""
+    from hive_service_spark.operators.matchpath import (
+        _LEAD_MAX_COMPS,
+        _LEAD_MAX_K,
+        _lead_compositions,
+    )
+
+    ab, bc = frozenset("ab"), frozenset("bc")
+    comps, k = _lead_compositions([(ab, "{1,2}"), (bc, "{1,2}")])
+    assert k == 4
+    assert [
+        "".join("1" if cs == ab else "2" for cs in comp) for comp in comps
+    ] == ["1122", "112", "122", "12"]
+
+    # same-set adjacency dedupes to distinct lengths only
+    comps, _ = _lead_compositions([(ab, "{1,2}"), (ab, "{1,2}")])
+    assert [len(c) for c in comps] == [4, 3, 2]
+
+    # unbounded / over-budget -> None (stays on the automaton)
+    assert _lead_compositions([(ab, "+"), (bc, "1")]) is None
+    assert _lead_compositions([(ab, "{1,}"), (bc, "1")]) is None
+    assert _lead_compositions([(ab, f"{{1,{_LEAD_MAX_K + 1}}}")]) is None
+    assert (
+        _lead_compositions(
+            [(ab, "{0,7}"), (bc, "{0,7}"), (frozenset("ac"), "{0,7}")]
+        )
+        is None
+    )  # 8^3 = 512 comps but K = 21 > 16
+    assert _lead_compositions([(ab, "{1,1}")]) is not None
+
+
+def test_jvm_overlap_fuzz_random_sequences(spark):
+    """Deterministic fuzz over the round-10 overlap class: random
+    chains whose atoms draw from ARBITRARY (non-disjoint) subsets of
+    {a, b, c} with bounded quantifiers only, verified against the
+    anchored-regex model on run-skewed length-12 sequences."""
+    import random
+
+    from hive_service_spark.operators.matchpath import _lead_compositions
+
+    rnd = random.Random(10)
+    cells = [("a",), ("b",), ("c",), ("a", "b"), ("b", "c"), ("a", "c"),
+             ("a", "b", "c")]
+    quants = ["", "?", "{2}", "{1,2}", "{0,2}", "{2,3}", "{1,3}"]
+    pats = []
+    tries = 0
+    while len(pats) < 14 and tries < 4000:
+        tries += 1
+        n = rnd.randint(2, 4)
+        toks = [rnd.choice(cells) for _ in range(n)]
+        qs = [rnd.choice(quants) for _ in range(n)]
+        parts = []
+        for t, q in zip(toks, qs):
+            atom = t[0] if len(t) == 1 else "(" + "|".join(t) + ")"
+            parts.append(atom + q)
+        pattern = ".".join(parts)
+        chain = _parse_chain(pattern)
+        if chain is None:
+            continue
+        atoms = [
+            frozenset((a,) if isinstance(a, str) else a) for a, _ in chain
+        ]
+        # only keep genuinely OVERLAPPING draws (the disjoint ones are
+        # the island walk's class, already fuzzed above)
+        distinct = set(atoms)
+        if all(x == y or not (x & y) for x in distinct for y in distinct):
+            continue
+        if _lead_compositions(
+            list(zip(atoms, (q for _, q in chain)))
+        ) is None:
+            continue
+        rx = "".join(
+            (t[0] if len(t) == 1 else "(" + "|".join(t) + ")") + q
+            for t, q in zip(toks, qs)
+        )
+        pats.append((pattern, rx))
+    assert len(pats) >= 10, "fuzz generator starved"
+    for pi, (pattern, rx) in enumerate(pats):
+        rows = [
+            (u, [rnd.choice("AABBBCX") for _ in range(12)])
+            for u in range(150)
+        ]
+        got = _mp(spark, rows, pattern, _CHAIN_SYMS)
+        want = _pysim(rows, rx, _classify)
+        assert got == want, f"fuzz {pi}: pattern {pattern} diverges"
 
 
 def test_jvm_widened_fuzz_random_sequences(spark):
@@ -417,6 +548,8 @@ def test_registered_matchpath_plans_have_no_python_stage(spark):
         "seq_matchpath_general",
         "seq_matchpath_chain4",
         "seq_matchpath_alternation",
+        "seq_matchpath_overlap",
+        "seq_matchpath_capped",
     ):
         df = load_all()[name].fn(spark, SF_DIR)
         plan = P.formatted_plan(df)

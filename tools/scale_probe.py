@@ -124,6 +124,9 @@ AUX = [
     ("seq_attribution_credit", "events", N_EV),
     ("seq_matchpath_general", "events", N_EV),
     ("seq_matchpath_chain4", "events", N_EV),
+    ("seq_matchpath_overlap", "events", N_EV),
+    ("seq_matchpath_capped", "events", N_EV),
+    ("seq_attribution_capped", "events", N_EV),
     ("graph_label_propagation", "lineitem(graph)", N_LI),
     ("window_skyline_pareto", "part", N_PART),
 ]
@@ -135,6 +138,9 @@ AUX = [
 # xN events volume with ONE user owning ~10% of all events; skew_x =
 # t_skew / t_uniform at identical volume isolates the hot-key cost.
 OUT_SKEW = OUT + "_skew"
+# round 10: 50% ownership — the bot-key breaking point; measured only
+# for the capped-vs-uncapped contrast pairs (SKEW50 below)
+OUT_SKEW50 = OUT + "_skew50"
 HOT_USER = 424_242
 SKEW = [
     # pure groupBy-user aggregations: partial (map-side) aggregation
@@ -155,7 +161,24 @@ SKEW = [
     "seq_matchpath_general",
     "seq_matchpath_chain4",
     "seq_matchpath_alternation",
+    # round 10: the overlap lead-chain plan is also a window-partition
+    # operator — same straggler exposure, measured alongside
+    "seq_matchpath_overlap",
 ]
+
+# round 10: capped-vs-uncapped contrast at 50% ownership — each pair
+# runs the same semantics with and without capped_user_prefix's
+# 48-event budget; skew_x(uncapped) is the breaking point, skew_x
+# (capped) is the bound the budget buys (the capping window itself
+# still walks the hot sequence once, but it is the ONLY pass that
+# does)
+SKEW50_PAIRS = [
+    ("seq_sessionize_batch", "seq_sessionize_capped"),
+    ("seq_matchpath_general", "seq_matchpath_capped"),
+    ("seq_attribution_credit", "seq_attribution_capped"),
+    ("seq_markov_transitions", "seq_markov_capped"),
+]
+SKEW50 = [q for pair in SKEW50_PAIRS for q in pair]
 
 
 def _build(n_docs: int, n_vecs: int, n_li: int) -> None:
@@ -364,41 +387,45 @@ def _build(n_docs: int, n_vecs: int, n_li: int) -> None:
     # power-law head the per-user sequence operators meet in real
     # clickstreams. Volume matches OUT_AUX exactly, so skew_x is the
     # key-distribution cost alone.
-    os.makedirs(OUT_SKEW, exist_ok=True)
-    p = f"{OUT_SKEW}/events.parquet"
-    if os.path.islink(p):
-        os.remove(p)
-    parts = [
-        ev.select(
-            (F.col("event_id") + k * 100_000_000).alias("event_id"),
-            "ts",
-            F.when(F.col("event_id") % 10 == 0, F.lit(HOT_USER))
-            .otherwise(F.col("user_id") + k * 10_000_000)
-            .alias("user_id"),
-            "event_type",
-            "value",
-            "props",
-        )
-        for k in range(N_EV)
-    ]
-    out = parts[0]
-    for r in parts[1:]:
-        out = out.unionByName(r)
-    out.repartition(32).write.mode("overwrite").parquet(
-        f"{OUT_SKEW}/events.parquet"
-    )
-    for t in TABLES:
-        if t == "events":
-            continue
-        link = f"{OUT_SKEW}/{t}.parquet"
-        if os.path.islink(link):
-            os.remove(link)
-        elif os.path.exists(link):
-            raise RuntimeError(
-                f"{link} exists and is not a symlink — refusing to mix "
-                "replicated and linked tables in one scale dir"
+    # round 10: a second skew dir at 50% ownership (the bot-key
+    # breaking point the capped operators exist for) — same recipe,
+    # event_id % 2 instead of % 10
+    for skew_dir, modulus in ((OUT_SKEW, 10), (OUT_SKEW50, 2)):
+        os.makedirs(skew_dir, exist_ok=True)
+        p = f"{skew_dir}/events.parquet"
+        if os.path.islink(p):
+            os.remove(p)
+        parts = [
+            ev.select(
+                (F.col("event_id") + k * 100_000_000).alias("event_id"),
+                "ts",
+                F.when(F.col("event_id") % modulus == 0, F.lit(HOT_USER))
+                .otherwise(F.col("user_id") + k * 10_000_000)
+                .alias("user_id"),
+                "event_type",
+                "value",
+                "props",
             )
-        os.symlink(f"{BASE}/{t}.parquet", link)
+            for k in range(N_EV)
+        ]
+        out = parts[0]
+        for r in parts[1:]:
+            out = out.unionByName(r)
+        out.repartition(32).write.mode("overwrite").parquet(
+            f"{skew_dir}/events.parquet"
+        )
+        for t in TABLES:
+            if t == "events":
+                continue
+            link = f"{skew_dir}/{t}.parquet"
+            if os.path.islink(link):
+                os.remove(link)
+            elif os.path.exists(link):
+                raise RuntimeError(
+                    f"{link} exists and is not a symlink — refusing to "
+                    "mix replicated and linked tables in one scale dir"
+                )
+            os.symlink(f"{BASE}/{t}.parquet", link)
     spark.stop()
 
 
@@ -511,13 +538,16 @@ def _wand_mix() -> None:
 
 
 def _mp_cost() -> None:
-    """Automaton-vs-compiled cost line (round-8 verdict #4): run the
-    SAME MatchPath pattern (seq_matchpath_general's view.view*.purchase)
-    over the x8 events replica down BOTH paths — the JVM island walk
-    and the Arrow automaton (force_automaton=True) — verifying the
-    answers agree via an aggregate fingerprint, and report both wall
-    times. This is the measured price a genuinely irregular pattern
-    (one the compiler cannot take) pays for the Python stage."""
+    """Automaton-vs-compiled cost lines (round-8 verdict #4; round 10
+    adds the overlap class): run the SAME MatchPath pattern over the
+    x8 events replica down BOTH paths — the compiled JVM plan (island
+    walk for view.view*.purchase; lead chain for the overlapping
+    signup.(view|click){1,2}.(click|purchase){1,2}) and the Arrow
+    automaton (force_automaton=True) — verifying the answers agree via
+    an aggregate fingerprint, and report both wall times. This is the
+    measured price a genuinely irregular pattern (one NEITHER compiler
+    can take: unbounded overlap, nested groups, min-0 first atoms)
+    pays for the Python stage."""
     import pyspark.sql.functions as F
 
     from hive_service_spark.catalog import load
@@ -527,52 +557,68 @@ def _mp_cost() -> None:
     spark = get_session("mp_cost")
     spark.sparkContext.setLogLevel("ERROR")
     ev = load(spark, OUT_AUX, "events")
-    syms = lambda: {  # noqa: E731
-        "view": F.col("event_type") == "view",
-        "purchase": F.col("event_type") == "purchase",
-    }
-    times, prints = {}, {}
-    for key, force in (("compiled", False), ("automaton", True)):
-        best = None
-        for measured in (False, True, True):
-            t0 = time.perf_counter()
-            out = matchpath(
-                ev,
-                partition_by="user_id",
-                order_by=["ts", "event_id"],
-                symbols=syms(),
-                pattern="view.view*.purchase",
-                force_automaton=force,
-            )
-            out.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            if measured and (best is None or dt < best):
-                best = dt
-            spark.catalog.clearCache()
-        times[key] = round(best, 3)
-        fp = out.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("match_len").alias("sl"),
-            F.sum("start_rn").alias("sr"),
-        ).first()
-        prints[key] = (fp["n"], fp["sl"], fp["sr"])
-    assert prints["compiled"] == prints["automaton"], prints
-    print(
-        json.dumps(
+    cases = (
+        (
+            "view.view*.purchase",
+            "island walk",
+            lambda: {
+                "view": F.col("event_type") == "view",
+                "purchase": F.col("event_type") == "purchase",
+            },
+        ),
+        (
+            "signup.(view|click){1,2}.(click|purchase){1,2}",
+            "lead chain (overlap, r10)",
+            lambda: {
+                "signup": F.col("event_type") == "signup",
+                "view": F.col("event_type") == "view",
+                "click": F.col("event_type") == "click",
+                "purchase": F.col("event_type") == "purchase",
+            },
+        ),
+    )
+    rows = []
+    for pattern, plan_kind, syms in cases:
+        times, prints = {}, {}
+        for key, force in (("compiled", False), ("automaton", True)):
+            best = None
+            for measured in (False, True, True):
+                t0 = time.perf_counter()
+                out = matchpath(
+                    ev,
+                    partition_by="user_id",
+                    order_by=["ts", "event_id"],
+                    symbols=syms(),
+                    pattern=pattern,
+                    force_automaton=force,
+                )
+                out.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                if measured and (best is None or dt < best):
+                    best = dt
+                spark.catalog.clearCache()
+            times[key] = round(best, 3)
+            fp = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("match_len").alias("sl"),
+                F.sum("start_rn").alias("sr"),
+            ).first()
+            prints[key] = (fp["n"], fp["sl"], fp["sr"])
+        assert prints["compiled"] == prints["automaton"], (pattern, prints)
+        rows.append(
             {
-                "mp_cost": {
-                    "pattern": "view.view*.purchase",
-                    "events_x": N_EV,
-                    "n_matches": prints["compiled"][0],
-                    "t_compiled_s": times["compiled"],
-                    "t_automaton_s": times["automaton"],
-                    "automaton_x": round(
-                        times["automaton"] / times["compiled"], 2
-                    ),
-                }
+                "pattern": pattern,
+                "plan_kind": plan_kind,
+                "events_x": N_EV,
+                "n_matches": prints["compiled"][0],
+                "t_compiled_s": times["compiled"],
+                "t_automaton_s": times["automaton"],
+                "automaton_x": round(
+                    times["automaton"] / times["compiled"], 2
+                ),
             }
         )
-    )
+    print(json.dumps({"mp_cost": rows}))
     spark.stop()
 
 
@@ -692,6 +738,9 @@ def main() -> None:
     # hot-key skew: same volume (x8 events), one user owning ~10%
     skew_uniform = _run_measure(OUT_AUX, SKEW)
     skew_hot = _run_measure(OUT_SKEW, SKEW)
+    # round 10: 50% ownership, capped-vs-uncapped contrast pairs
+    skew50_uniform = _run_measure(OUT_AUX, SKEW50)
+    skew50_hot = _run_measure(OUT_SKEW50, SKEW50)
 
     def _json_sub(flag: str, key: str, timeout: int):
         out = subprocess.run(
@@ -834,19 +883,59 @@ def main() -> None:
             f"{round(th / tu, 2)} | {shape} |"
         )
     lines.append("")
+    lines.append(
+        "## Hot-key skew at 50% ownership — capped vs uncapped "
+        "(round 10)\n"
+    )
+    lines.append(
+        "The bot-key breaking point: same x8 volume, ONE user owning "
+        "~50% of ALL events (tools/scale_probe.py OUT_SKEW50). Each "
+        "pair runs identical semantics without and with "
+        "capped_user_prefix's 48-event budget "
+        "(hive_service_spark/operators/sequence_analytics.py). "
+        "Uncapped, the window-partition operators serialize ~half the "
+        "dataset into one unsplittable task; capped, the one narrow "
+        "capping window is the only pass that walks the hot sequence "
+        "— every downstream window/group/join sees <= 48 rows per "
+        "user. skew_x = t_hot / t_uniform at identical volume; the "
+        "capped rows' skew_x is the bound the budget buys (their "
+        "t_uniform differs from the uncapped operator's because the "
+        "capped variants also emit the user_capped flag).\n"
+    )
+    lines.append(
+        "| operator | variant | t_uniform (s) | t_hot (s) | skew_x |"
+    )
+    lines.append("|---|---|---|---|---|")
+    for unc, cap in SKEW50_PAIRS:
+        for name, label in ((unc, "uncapped"), (cap, "capped-48")):
+            tu, th = skew50_uniform[name], skew50_hot[name]
+            lines.append(
+                f"| {name} | {label} | {round(tu, 2)} | {round(th, 2)} "
+                f"| {round(th / tu, 2)} |"
+            )
+    lines.append("")
     lines.append("## MatchPath compiled vs automaton — same pattern\n")
     lines.append(
-        f"Pattern `{mp_cost['pattern']}` over the x{mp_cost['events_x']} "
-        "events replica, answers verified identical "
-        f"({mp_cost['n_matches']} matches): JVM island walk "
-        f"**{mp_cost['t_compiled_s']} s** vs Arrow automaton "
-        f"(force_automaton=True) **{mp_cost['t_automaton_s']} s** — "
-        f"the Python stage costs **{mp_cost['automaton_x']}x** here, "
-        "the measured price a genuinely irregular pattern (overlapping "
-        "alternation sets, nested groups, min-0 first atoms) pays for "
-        "staying on the automaton, and the payoff of the round-8/9 "
-        "compiler work for everything in the chain class.\n"
+        f"Each pattern over the x{mp_cost[0]['events_x']} events "
+        "replica down BOTH paths, answers verified identical by "
+        "aggregate fingerprint. `automaton_x` is the measured price a "
+        "genuinely irregular pattern (unbounded overlapping "
+        "quantifier, nested groups, min-0 first atoms) pays for the "
+        "Python stage — and the payoff of the round-8/9 island-walk + "
+        "round-10 lead-chain compilers for everything either class "
+        "covers.\n"
     )
+    lines.append(
+        "| pattern | compiled plan | n_matches | t_compiled (s) | "
+        "t_automaton (s) | automaton_x |"
+    )
+    lines.append("|---|---|---|---|---|---|")
+    for r in mp_cost:
+        lines.append(
+            f"| `{r['pattern']}` | {r['plan_kind']} | {r['n_matches']} "
+            f"| {r['t_compiled_s']} | {r['t_automaton_s']} | "
+            f"{r['automaton_x']} |"
+        )
     lines.append("## Streaming funnel soak — 20 micro-batches\n")
     lines.append(
         "tools/scale_probe.py --soak (assertions in "
