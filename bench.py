@@ -98,6 +98,12 @@ HEADLINE = [
     # the acting excision pass that rebuilds documents without them
     "text_duplicate_spans",
     "dedup_span_excision",
+    # round-10: overlapping-alternation MatchPath compiled to the
+    # lead-chain plan (was automaton-only), and the per-user event
+    # budget applied to attribution (the hot-key mitigation as a
+    # first-class operator)
+    "seq_matchpath_overlap",
+    "seq_attribution_capped",
 ]
 
 # Pure-CPU sentinel queries (plan-pinned, untouched since round 1) and

@@ -2198,3 +2198,77 @@ def seq_markov_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+_PATHS_CAPPED_ORACLE = f"""
+WITH r AS (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+ordered AS (
+  SELECT user_id, event_type AS s3,
+         LAG(event_type, 1) OVER w AS s2,
+         LAG(event_type, 2) OVER w AS s1
+  FROM r WHERE rn <= {_USER_EVENT_CAP}
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+paths AS (
+  SELECT s1 || '>' || s2 || '>' || s3 AS path,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM ordered WHERE s1 IS NOT NULL
+  GROUP BY 1
+)
+SELECT path, n_occurrences, n_users,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, path)
+            AS BIGINT) AS rnk
+FROM paths
+ORDER BY rnk LIMIT 20
+"""
+
+
+@query("seq_journeys_capped", oracle=_PATHS_CAPPED_ORACLE)
+def seq_journeys_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top journey trigrams (seq_top_journey_paths semantics) under
+    the per-user event budget: trigrams are counted over
+    capped_user_prefix's earliest-48 rows per user, so a power-law/bot
+    user contributes at most 46 of the corpus's path occurrences
+    instead of their full history (with 50% ownership, half of ALL
+    trigrams would otherwise be one user's — the ranking becomes that
+    user's behavior, and their window partition becomes the straggler
+    task; SCALE.md's 50%-skew table measures both). Same plan shape
+    as the uncapped operator with the capping window fused onto the
+    identical user_id sort-shuffle."""
+    ev = load(spark, sf_dir, "events")
+    capped = capped_user_prefix(
+        ev.select("user_id", "event_type", "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    ordered = capped.select(
+        "user_id",
+        F.col("event_type").alias("s3"),
+        F.lag("event_type", 1).over(w).alias("s2"),
+        F.lag("event_type", 2).over(w).alias("s1"),
+    )
+    paths = (
+        ordered.where(F.col("s1").isNotNull())
+        .select(
+            F.concat_ws(">", "s1", "s2", "s3").alias("path"), "user_id"
+        )
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+    top = paths.orderBy(
+        F.col("n_occurrences").desc(), F.col("path")
+    ).limit(20)
+    w_rank = Window.orderBy(F.col("n_occurrences").desc(), F.col("path"))
+    return top.withColumn(
+        "rnk", F.row_number().over(w_rank).cast("bigint")
+    ).orderBy("rnk")

@@ -782,3 +782,22 @@ def test_fk_audit_has_no_forced_broadcast():
     assert "F.broadcast" not in _inspect.getsource(
         ddl_constraints_informational
     )
+
+
+def test_capped_user_prefix_single_exchange(spark):
+    """The per-user budget pre-pass (round 10: capped_user_prefix)
+    claims row_number and the per-key count share ONE hash exchange on
+    the key — pin it: the helper's own plan must contain exactly one
+    shuffle Exchange, and the capped matchpath plan must not add a
+    second pre-matchpath exchange for the flag join beyond the
+    (map-side-combinable) per-user count aggregation."""
+    import re
+
+    from hive_service_spark.catalog import load
+    from hive_service_spark.operators.sequence_analytics import (
+        capped_user_prefix,
+    )
+
+    ev = load(spark, SF_DIR, "events").select("user_id", "ts", "event_id")
+    plan = P.formatted_plan(capped_user_prefix(ev))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan[:800]

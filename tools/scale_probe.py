@@ -177,6 +177,7 @@ SKEW50_PAIRS = [
     ("seq_matchpath_general", "seq_matchpath_capped"),
     ("seq_attribution_credit", "seq_attribution_capped"),
     ("seq_markov_transitions", "seq_markov_capped"),
+    ("seq_top_journey_paths", "seq_journeys_capped"),
 ]
 SKEW50 = [q for pair in SKEW50_PAIRS for q in pair]
 
