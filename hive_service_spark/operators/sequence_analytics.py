@@ -1791,9 +1791,37 @@ def seq_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- capped sessionization: the hot-key budget made first-class -------------
 
-# per-user event budget for the capped sequence operators — the
-# SCALE.md hot-key section's "documented per-user cap", shipped as code
-_USER_EVENT_CAP = 48
+
+def _read_user_event_cap() -> int:
+    """Per-user event budget for the capped sequence operators — the
+    SCALE.md hot-key section's "documented per-user cap", shipped as
+    code. Overridable via SPARK_GRAFT_USER_EVENT_CAP (a pipeline tunes
+    it to its bot-traffic threshold); read ONCE at import so the Spark
+    operators and their baked oracle SQL can never disagree on N. A
+    malformed value must surface as a configuration error naming the
+    knob (the SPARK_GRAFT_GRAPH_BC_NODES convention, round-8
+    ADVICE)."""
+    import os
+
+    raw = os.environ.get("SPARK_GRAFT_USER_EVENT_CAP")
+    if raw is None:
+        return 48
+    try:
+        v = int(raw)
+    except ValueError:
+        raise ValueError(
+            "SPARK_GRAFT_USER_EVENT_CAP must be an integer per-user "
+            f"event budget, got {raw!r}"
+        ) from None
+    if v < 1:
+        raise ValueError(
+            "SPARK_GRAFT_USER_EVENT_CAP must be >= 1 (a budget of "
+            f"{v} would drop every event)"
+        )
+    return v
+
+
+_USER_EVENT_CAP = _read_user_event_cap()
 
 
 def capped_user_prefix(

@@ -801,3 +801,25 @@ def test_capped_user_prefix_single_exchange(spark):
     ev = load(spark, SF_DIR, "events").select("user_id", "ts", "event_id")
     plan = P.formatted_plan(capped_user_prefix(ev))
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan[:800]
+
+
+def test_user_event_cap_knob_validates(monkeypatch):
+    """SPARK_GRAFT_USER_EVENT_CAP follows the GRAPH_BC_NODES
+    convention: malformed or non-positive values raise a configuration
+    error NAMING the knob; valid values parse; unset -> 48."""
+    import pytest as _pytest
+
+    from hive_service_spark.operators.sequence_analytics import (
+        _read_user_event_cap,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_USER_EVENT_CAP", raising=False)
+    assert _read_user_event_cap() == 48
+    monkeypatch.setenv("SPARK_GRAFT_USER_EVENT_CAP", "100")
+    assert _read_user_event_cap() == 100
+    monkeypatch.setenv("SPARK_GRAFT_USER_EVENT_CAP", "forty-eight")
+    with _pytest.raises(ValueError, match="SPARK_GRAFT_USER_EVENT_CAP"):
+        _read_user_event_cap()
+    monkeypatch.setenv("SPARK_GRAFT_USER_EVENT_CAP", "0")
+    with _pytest.raises(ValueError, match="SPARK_GRAFT_USER_EVENT_CAP"):
+        _read_user_event_cap()
