@@ -104,6 +104,12 @@ HEADLINE = [
     # first-class operator)
     "seq_matchpath_overlap",
     "seq_attribution_capped",
+    # round-10 continued: npath MEASURES over matched rows (explode of
+    # the contiguous rn range + one equi-join), and per-domain quality
+    # pruning via the exact score-histogram threshold (map-only corpus
+    # touch + broadcast join, no per-domain sort)
+    "seq_matchpath_measures",
+    "sel_domain_quality_prune",
 ]
 
 # Pure-CPU sentinel queries (plan-pinned, untouched since round 1) and

@@ -418,3 +418,133 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
         (F.col("est") >= F.col("exact_cnt")).alias("no_undercount"),
     ).orderBy(F.desc("exact_cnt"), F.asc("word"))
+
+
+# ---------------------------------------------------------------------------
+# per-domain quality pruning: stratified top-quartile selection via an
+# exact score-histogram threshold (no full-data sort)
+# ---------------------------------------------------------------------------
+
+_DOMAIN_PRUNE_ORACLE = """
+WITH sc AS (
+  SELECT doc_id, source,
+         (1000000 * len(regexp_extract_all(text,
+            '\\b(the|a|and|or|of|to|in|is|for|on|with)\\b'))
+            // len(string_split(text, ' ')))
+         - (1000000 * len(regexp_extract_all(text, '[[:punct:]]'))
+            // length(text)) AS score_q
+  FROM documents
+),
+hist AS (
+  SELECT source, score_q, COUNT(*) AS c
+  FROM sc GROUP BY source, score_q
+),
+cum AS (
+  SELECT source, score_q,
+         SUM(c) OVER (PARTITION BY source ORDER BY score_q DESC
+                      ROWS UNBOUNDED PRECEDING) AS ge,
+         SUM(c) OVER (PARTITION BY source) AS n
+  FROM hist
+),
+th AS (
+  SELECT source, MAX(score_q) AS threshold_q,
+         CAST(MAX(n) AS BIGINT) AS n_source
+  FROM cum
+  WHERE ge >= CAST(CEIL(n / 4.0) AS BIGINT)
+  GROUP BY source
+)
+SELECT sc.doc_id, sc.source,
+       CAST(sc.score_q AS BIGINT) AS score_q,
+       CAST(th.threshold_q AS BIGINT) AS threshold_q,
+       th.n_source,
+       CAST(CASE WHEN sc.score_q > th.threshold_q THEN 1 ELSE 0 END
+            AS BIGINT) AS kept
+FROM sc JOIN th USING (source)
+ORDER BY sc.doc_id
+"""
+
+
+@query("sel_domain_quality_prune", oracle=_DOMAIN_PRUNE_ORACLE)
+def sel_domain_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOMAIN quality pruning: within each source, keep only the
+    top quality quartile — the stratified filtering step real
+    pretraining pipelines run so a low-quality-but-huge domain cannot
+    pass the global gate while a clean domain gets over-pruned
+    (FineWeb/RefinedWeb-style per-dump thresholds). Quality is an
+    exact-integer composite (ppm stopword density minus ppm
+    punctuation density — the same signals as text_quality_scores,
+    floor-divided so both engines agree bit-for-bit).
+
+    Scale shape (the reason this is not ROW_NUMBER per source): an
+    exact per-domain quantile over 100 TB must not sort each domain's
+    full partition. The threshold comes from the SCORE HISTOGRAM —
+    groupBy (source, score_q) is map-side combinable onto a tiny key
+    space, the descending cumulative count runs on that small frame,
+    and the per-source threshold (largest score whose >=-count reaches
+    ceil(n/4)) joins back by source — the corpus is touched map-only
+    plus one broadcast-sized equi-join; no window ever sees a full
+    domain partition. Boundary docs AT the threshold score are dropped
+    (kept = score > T), so the kept set is deterministic without any
+    per-doc tiebreak and never exceeds the quartile."""
+    from hive_service_spark.llm.text import _EN_MARKERS
+
+    d = load(spark, sf_dir, "documents")
+    stop_re = r"\b(" + "|".join(_EN_MARKERS) + r")\b"
+    sc = d.select(
+        "doc_id",
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(stop_re))).alias(
+            "stop_hits"
+        ),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[\!-/\:-@\[-`\{-~]"))
+        ).alias("punct_hits"),
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.length("text").alias("n_chars_txt"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.expr("CAST((1000000 * stop_hits) DIV n_words AS BIGINT)")
+            - F.expr(
+                "CAST((1000000 * punct_hits) DIV n_chars_txt AS BIGINT)"
+            )
+        ).alias("score_q"),
+    )
+    hist = sc.groupBy("source", "score_q").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_desc = (
+        Window.partitionBy("source")
+        .orderBy(F.col("score_q").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "source",
+        "score_q",
+        F.sum("c").over(w_desc).alias("ge"),
+        F.sum("c").over(Window.partitionBy("source")).alias("n"),
+    )
+    th = (
+        cum.where(F.col("ge") >= F.ceil(F.col("n") / 4.0))
+        .groupBy("source")
+        .agg(
+            F.max("score_q").cast("bigint").alias("threshold_q"),
+            F.max("n").cast("bigint").alias("n_source"),
+        )
+    )
+    return (
+        sc.join(F.broadcast(th), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.col("score_q").cast("bigint").alias("score_q"),
+            "threshold_q",
+            "n_source",
+            F.when(F.col("score_q") > F.col("threshold_q"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("kept"),
+        )
+        .orderBy("doc_id")
+    )

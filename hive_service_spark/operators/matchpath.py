@@ -931,3 +931,119 @@ def seq_matchpath_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         pattern="signup.(view|click){1,2}.(click|purchase){1,2}",
     )
     return out.orderBy("user_id", "start_rn")
+
+
+# ---------------------------------------------------------------------------
+# registered query: MEASURES over matched rows — the npath "tpath"
+# aggregation surface (emit expressions computed over the match, not
+# just match metadata)
+# ---------------------------------------------------------------------------
+
+_MEASURES_ORACLE = """
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS v_c,
+         CASE WHEN event_type = 'view' THEN 'a'
+              WHEN event_type = 'purchase' THEN 'b'
+              ELSE 'x' END AS ch,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+s AS (
+  SELECT user_id, string_agg(ch, '' ORDER BY rn) AS str
+  FROM c GROUP BY user_id
+),
+m AS (
+  SELECT c.user_id, c.rn AS start_rn, c.ts AS path_start,
+         length(regexp_extract(substr(s.str, CAST(c.rn AS INT)), '^aa*b'))
+           AS match_len
+  FROM c JOIN s USING (user_id)
+  WHERE length(regexp_extract(substr(s.str, CAST(c.rn AS INT)), '^aa*b')) > 0
+)
+SELECT m.user_id, CAST(m.start_rn AS INT) AS start_rn,
+       CAST(m.match_len AS INT) AS match_len,
+       CAST(m.path_start AS TIMESTAMP) AS path_start,
+       CAST(MAX(CASE WHEN r.rn = m.start_rn + m.match_len - 1 THEN r.ts END)
+            AS TIMESTAMP) AS path_end,
+       CAST(SUM(r.v_c) AS BIGINT) AS path_value_cents,
+       CAST(MAX(r.v_c) AS BIGINT) AS max_event_cents
+FROM m
+JOIN c r ON r.user_id = m.user_id
+        AND r.rn BETWEEN m.start_rn AND m.start_rn + m.match_len - 1
+GROUP BY m.user_id, m.start_rn, m.match_len, m.path_start
+ORDER BY m.user_id, start_rn
+"""
+
+
+@query("seq_matchpath_measures", oracle=_MEASURES_ORACLE)
+def seq_matchpath_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MatchPath MEASURES: aggregates computed OVER each match's rows —
+    the reference's npath/tpath surface (hive-exec-2.3.10-core.jar!
+    ql/udf/ptf/MatchPath.class emits selected expressions over the
+    matched row set, e.g. tpath.size / sum over the path), which the
+    metadata-only matchpath queries don't exercise. Pattern
+    ``view.view*.purchase``; each match additionally reports the cent
+    sum and max over its rows.
+
+    Spark-first shape: matches come from the compiled island-walk plan
+    (zero Python); because segments consume CONTIGUOUS row numbers,
+    the matched row set is exactly rn IN [start_rn, start_rn +
+    match_len), so measures are ONE explode(sequence(...)) — linear in
+    total matched rows, never pattern-length-quadratic — plus one
+    (user, rn) equi-join back to the row frame and one groupBy per
+    match. At 100 TB: the row frame reuses the same user_id
+    sort-shuffle family, the join fans in bounded by matches-per-user,
+    and no row is duplicated beyond its match multiplicity (overlapping
+    matches pay exactly their overlap, the npath semantics)."""
+    ev = load(spark, sf_dir, "events")
+    m = matchpath(
+        ev,
+        partition_by="user_id",
+        order_by=["ts", "event_id"],
+        symbols={
+            "view": F.col("event_type") == "view",
+            "purchase": F.col("event_type") == "purchase",
+        },
+        pattern="view.view*.purchase",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rows = ev.select(
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_c"),
+    )
+    exp = m.select(
+        "user_id",
+        "start_rn",
+        "match_len",
+        "path_start",
+        "path_end",
+        F.explode(
+            F.sequence(
+                F.col("start_rn"),
+                F.col("start_rn") + F.col("match_len") - 1,
+            )
+        ).alias("rn"),
+    )
+    return (
+        exp.join(rows, ["user_id", "rn"])
+        .groupBy(
+            "user_id", "start_rn", "match_len", "path_start", "path_end"
+        )
+        .agg(
+            F.sum("v_c").cast("bigint").alias("path_value_cents"),
+            F.max("v_c").cast("bigint").alias("max_event_cents"),
+        )
+        .select(
+            "user_id",
+            "start_rn",
+            "match_len",
+            "path_start",
+            "path_end",
+            "path_value_cents",
+            "max_event_cents",
+        )
+        .orderBy("user_id", "start_rn")
+    )

@@ -79,6 +79,9 @@ ALLOWLIST = {
         (1, "model-bounded: 256-bucket log-ratio model"),
     ("llm/selection.py", "text_cms_heavy_hitters"):
         (2, "model-bounded: CMS width*depth sketch + params"),
+    ("llm/selection.py", "sel_domain_quality_prune"):
+        (1, "group-bounded: per-source threshold frame (|sources| "
+            "rows — the histogram-quantile output, round 10)"),
     ("llm/similarity.py", "_km_assign"):
         (1, "model-bounded: k-vector centroid codebook"),
     ("llm/similarity.py", "ann_ivf_cells"):

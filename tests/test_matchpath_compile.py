@@ -550,6 +550,7 @@ def test_registered_matchpath_plans_have_no_python_stage(spark):
         "seq_matchpath_alternation",
         "seq_matchpath_overlap",
         "seq_matchpath_capped",
+        "seq_matchpath_measures",
     ):
         df = load_all()[name].fn(spark, SF_DIR)
         plan = P.formatted_plan(df)
