@@ -111,9 +111,12 @@ def _parse_chain(
     """Detect the JVM-compilable chain class (round 9 widened): a
     ``.``-chain of atoms — a literal symbol OR a flat alternation
     group of literals ``(a|b|c)`` — each optionally quantified by
-    ``* + ?`` or bounded ``{m}``/``{m,}``/``{m,n}``. The FIRST atom's
-    minimum count must be >= 1 (an optional first atom would shift the
-    start anchor per variant); trailing quantifiers are fine —
+    ``* + ?`` or bounded ``{m}``/``{m,}``/``{m,n}``. A min-0 FIRST
+    atom is allowed since round 10b: the variants' first segments then
+    differ, and _matchpath_jvm_chain widens its candidate filter to
+    the union of first groups while gating each variant on the row's
+    own group id (char-sets are disjoint, so exactly one variant
+    family applies per row); trailing quantifiers are fine —
     _chain_variants' final-segment gate enforces the one real engine
     constraint (merged final max count in {1, unbounded}), and the
     caller additionally requires the atoms' char-sets to be pairwise
@@ -161,7 +164,7 @@ def _parse_chain(
             if _quant_bounds(q) is None:
                 return None
         out.append((atom, q))
-    if not out or _quant_bounds(out[0][1])[0] < 1:
+    if not out:
         return None
     # every min-0 token doubles the variant space; keep it bounded
     if sum(1 for _, q in out if _quant_bounds(q)[0] == 0) > 6:
@@ -281,6 +284,179 @@ def _lead_compositions(
         seen.add(key)
         comps.append(offsets)
     return (comps, total_hi) if comps else None
+
+
+class _TooBig(Exception):
+    """Finite-pattern expansion exceeded the lead-chain caps — route
+    to the automaton instead of building an oversized expression."""
+
+
+def _parse_ast(pattern: str):
+    """Parse the FULL MatchPath pattern grammar into an AST — the
+    round-10b front-end for patterns the flat chain parser rejects
+    (nested groups ``(a.(b|c))``, alternation of SEQUENCES
+    ``(a.b|c)``, top-level alternation). Grammar::
+
+        expr := seq ('|' seq)*
+        seq  := atom+
+        atom := (name | '(' expr ')') quant?
+
+    Nodes: ``("sym", frozenset[name])`` (an alternation of bare
+    single symbols collapses to one charset atom — each branch
+    consumes exactly one row with identical continuations, so
+    first-branch-wins preference cannot differ and set membership is
+    exact), ``("seq", [nodes])``, ``("alt", [nodes])``,
+    ``("quant", node, lo, hi)``. Returns None on malformed input
+    (the automaton's re.compile raises the natural error)."""
+    toks = _TOKEN_RE.findall(pattern.replace(".", " "))
+    if not toks:
+        return None
+    pos = [0]
+
+    def _peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def _is_name(t):
+        return t is not None and t not in "*+?()|" and not t.startswith("{")
+
+    def _seq():
+        atoms = []
+        while True:
+            t = _peek()
+            if _is_name(t):
+                pos[0] += 1
+                node = ("sym", frozenset((t,)))
+            elif t == "(":
+                pos[0] += 1
+                node = _expr()
+                if node is None or _peek() != ")":
+                    return None
+                pos[0] += 1
+            else:
+                break
+            q = _peek()
+            if q is not None and (q in "*+?" or q.startswith("{")):
+                pos[0] += 1
+                b = _quant_bounds(q)
+                if b is None:
+                    return None
+                if b != (1, 1):
+                    node = ("quant", node, b[0], b[1])
+            atoms.append(node)
+        if not atoms:
+            return None
+        return atoms[0] if len(atoms) == 1 else ("seq", atoms)
+
+    def _expr():
+        branches = [_seq()]
+        while _peek() == "|":
+            pos[0] += 1
+            branches.append(_seq())
+        if any(b is None for b in branches):
+            return None
+        if len(branches) == 1:
+            return branches[0]
+        if all(b[0] == "sym" for b in branches):
+            return ("sym", frozenset().union(*(b[1] for b in branches)))
+        return ("alt", branches)
+
+    ast = _expr()
+    return ast if ast is not None and pos[0] == len(toks) else None
+
+
+def _enum_ast(ast, chars: dict[str, str]):
+    """Expand a FINITE AST into concrete per-offset charset sequences
+    in exact regex-backtracking order — the round-10b generalization
+    of _lead_compositions to nested groups and sequence alternation.
+
+    Order correctness: a backtracking engine explores complete
+    candidate shapes in DFS order where the LATEST choice point is
+    unwound first. That is reproduced structurally:
+
+    - ``seq``: leftmost child's choices are most significant
+      (prefix-major product);
+    - ``alt``: branches in written order;
+    - greedy ``quant{lo,hi}``: at each repetition step the
+      take-another-copy branches (each child alternative, in order,
+      with all continuations) come BEFORE the stop branch — NOT plain
+      count-descending enumeration, which would misorder e.g.
+      ``(ab|c){1,2}``: the engine tries [ab] (1 copy, stop) before
+      [c,ab] (2 copies, second alternative first copy).
+
+    Duplicate offset signatures keep only their first (earlier
+    duplicates shadow later unreachable branches); the empty match is
+    dropped (the automaton requires m.end() > i). Returns
+    (compositions, K = max length) or None when any quantifier is
+    unbounded or the _LEAD_MAX_K / _LEAD_MAX_COMPS caps are hit."""
+    cap = _LEAD_MAX_COMPS * 4  # working pre-dedup bound
+
+    def _enum(node):
+        kind = node[0]
+        if kind == "sym":
+            return [(frozenset(chars[n] for n in node[1]),)]
+        if kind == "alt":
+            out = []
+            for b in node[1]:
+                out.extend(_enum(b))
+                if len(out) > cap:
+                    raise _TooBig
+            return out
+        if kind == "seq":
+            out = [()]
+            for child in node[1]:
+                cl = _enum(child)
+                nxt = []
+                for prefix in out:
+                    for s in cl:
+                        t = prefix + s
+                        if len(t) > _LEAD_MAX_K:
+                            raise _TooBig
+                        nxt.append(t)
+                        if len(nxt) > cap:
+                            raise _TooBig
+                out = nxt
+            return out
+        # quant
+        _, child, lo, hi = node
+        if hi >= _INF or hi > _LEAD_MAX_K:
+            raise _TooBig
+        cl = _enum(child)
+        memo: dict[tuple[int, int], list] = {}
+
+        def rep(l: int, h: int):  # noqa: E741 - regex bound names
+            key = (l, h)
+            if key not in memo:
+                out = []
+                if h > 0:
+                    for s in cl:
+                        for t in rep(max(l - 1, 0), h - 1):
+                            u = s + t
+                            if len(u) > _LEAD_MAX_K:
+                                raise _TooBig
+                            out.append(u)
+                            if len(out) > cap:
+                                raise _TooBig
+                if l == 0:
+                    out.append(())
+                memo[key] = out
+            return memo[key]
+
+        return rep(lo, hi)
+
+    try:
+        raw = _enum(ast)
+    except _TooBig:
+        return None
+    seen: set[tuple] = set()
+    comps: list[list[frozenset[str]]] = []
+    for c in raw:
+        if not c or c in seen:
+            continue
+        seen.add(c)
+        comps.append(list(c))
+    if not comps or len(comps) > _LEAD_MAX_COMPS:
+        return None
+    return comps, max(len(c) for c in comps)
 
 
 def _matchpath_jvm_leadchain(
@@ -413,7 +589,13 @@ def _matchpath_jvm_chain(
     src = "".join(group_of)
     dst = "".join(group_of[c] for c in group_of)
     slim = slim.withColumn("_g", F.translate("_ch", src, dst))
-    first_ch = variants[0][0][0]
+    # a min-0 FIRST atom (round 10b) makes variants start in different
+    # groups: candidates widen to the union of first groups, and each
+    # variant's condition gains a `_g == its-own-first-group` gate (the
+    # char-sets are disjoint, so exactly one gate holds per row and the
+    # coalesce preference order within that row's variants is intact)
+    first_groups = sorted({v[0][0] for v in variants})
+    multi_start = len(first_groups) > 1
     k_lead = max(len(v) for v in variants) - 1
 
     w = Window.partitionBy("pk").orderBy(*order_cols)
@@ -440,7 +622,7 @@ def _matchpath_jvm_chain(
             F.lead("i_last_ts", k).over(wi).alias(f"lts_{k}"),
         ]
     isl = isl.select("*", *lead_cols)
-    cand = rows.where(F.col("_g") == first_ch).join(
+    cand = rows.where(F.col("_g").isin(first_groups)).join(
         isl.drop("i_start"), ["pk", "_g", "isl"]
     )
     rem = F.col("i_end") - F.col("rn") + 1
@@ -449,6 +631,9 @@ def _matchpath_jvm_chain(
     # its end timestamp is not in the island frame — those patterns
     # fetch it via end_rn = rn + match_len - 1 (one extra equi-join)
     end_join = any(v[-1][2] != _INF and v[-1][2] > 1 for v in variants)
+
+    def _gate(ch0, cond):
+        return (F.col("_g") == ch0) & cond if multi_start else cond
 
     def _variant(segs):
         ch0, lo0, hi0 = segs[0]
@@ -464,7 +649,7 @@ def _matchpath_jvm_chain(
                 length, end_ts = F.lit(1), F.col("_ts")
             else:  # bounded: end via the rn-identity join
                 length, end_ts = F.least(F.lit(hi0), rem), None
-            return cond, length.cast("long"), end_ts
+            return _gate(ch0, cond), length.cast("long"), end_ts
         # segment 2's char differs, so segment 1 must consume the whole
         # island remainder: rem itself must sit inside (min, max)
         cond = (rem >= lo0) if hi0 == _INF else rem.between(lo0, hi0)
@@ -488,7 +673,7 @@ def _matchpath_jvm_chain(
         else:  # bounded: greedy min(max, island len), end via join
             length = length + F.least(F.lit(him), F.col(f"n_{k}"))
             end_ts = None
-        return cond, length.cast("long"), end_ts
+        return _gate(ch0, cond), length.cast("long"), end_ts
 
     parts = [_variant(v) for v in variants]
     if not end_join:
@@ -564,22 +749,28 @@ def matchpath(
     also compile — to the lead-chain plan (_matchpath_jvm_leadchain:
     per-offset membership over <= 16 lead columns, compositions tried
     in regex-backtracking order) — whenever every quantifier's max is
-    FINITE with total max length <= 16 and <= 512 branches. What still
-    runs the Arrow-batched Python automaton below, and why:
+    FINITE with total max length <= 16 and <= 512 branches. Round 10b
+    closes two more classes: a min-0 FIRST atom (``a*.b+``) now rides
+    the island walk even when unbounded (candidates widen to the union
+    of variant first groups, each variant gated on the row's own group
+    id), and ANY finite pattern in the FULL grammar — nested groups
+    ``(a.(b|c)){1,2}``, alternation of sequences ``(a.b|c).d``,
+    top-level alternation — compiles to the lead-chain plan via the
+    exact-backtracking-order AST enumerator (_parse_ast/_enum_ast).
+    What still runs the Arrow-batched Python automaton below, and why:
 
-    - UNBOUNDED quantifier over an overlapping set (``(a|b)*.b``):
-      greedy backtracking over an unbounded run has no finite lead
-      depth, and the island key is undefined (a row's char can belong
-      to two segments) — neither compiled plan's premise holds;
-    - nested groups / non-flat alternation (``(a.(b|c))+``): not a
-      segment chain at all;
-    - a min-0 FIRST atom (``a*.b``): the start anchor shifts per
-      variant, so "a match starts at row r" is not a per-row predicate
-      over r's own island/leads.
+    - an UNBOUNDED quantifier outside the disjoint flat-chain class —
+      over an overlapping set (``(a|b)*.b``) or over a nested group
+      (``(a.b)+.c``): greedy backtracking over an unbounded run has no
+      finite lead depth, and the island key is undefined (a row's char
+      can belong to two segments / the repeated unit spans islands);
+    - a finite pattern past the expression caps (total max length
+      > 16 or > 512 concrete branches): the coalesce expression tree
+      stops paying for itself vs one Arrow pass.
 
-    Each is a genuinely irregular shape; the automaton is the exact
-    fallback, at the measured price in SCALE.md's compiled-vs-automaton
-    section."""
+    Each is a genuinely irregular or oversized shape; the automaton is
+    the exact fallback, at the measured price in SCALE.md's
+    compiled-vs-automaton section."""
     chars, rx_src = compile_pattern(pattern, symbols.keys())
     rx = re.compile(rx_src)
 
@@ -642,6 +833,21 @@ def matchpath(
             return _matchpath_jvm_leadchain(
                 slim, order_cols, partition_by, comps, k_max
             )
+
+    # round 10b: anything the flat chain parser rejects but whose FULL
+    # grammar AST expands to a finite branch set — nested groups,
+    # alternation of sequences, top-level alternation — compiles to
+    # the same lead-chain plan via the exact-backtracking-order
+    # enumerator (see _parse_ast/_enum_ast)
+    if not force_automaton:
+        ast = _parse_ast(pattern)
+        if ast is not None:
+            fin = _enum_ast(ast, chars)
+            if fin is not None:
+                comps, k_max = fin
+                return _matchpath_jvm_leadchain(
+                    slim, order_cols, partition_by, comps, k_max
+                )
 
     out_schema = (
         f"{partition_by} long, start_rn int, match_len int, "
@@ -1047,3 +1253,149 @@ def seq_matchpath_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "start_rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# registered query: NESTED group — the round-10b AST lead-chain
+# compiled class, still zero Python
+# ---------------------------------------------------------------------------
+
+_NESTED_ORACLE = """
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'signup' THEN 'a'
+              WHEN event_type = 'view' THEN 'b'
+              WHEN event_type = 'click' THEN 'c'
+              WHEN event_type = 'purchase' THEN 'd'
+              ELSE 'x' END AS ch,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+s AS (
+  SELECT user_id, string_agg(ch, '' ORDER BY rn) AS str
+  FROM c GROUP BY user_id
+),
+m AS (
+  SELECT c.user_id, c.rn AS start_rn, c.ts AS path_start,
+         length(regexp_extract(substr(s.str, CAST(c.rn AS INT)),
+                               '^a(bc|c){1,2}d'))
+           AS match_len
+  FROM c JOIN s USING (user_id)
+)
+SELECT m.user_id, CAST(m.start_rn AS INT) AS start_rn,
+       CAST(m.match_len AS INT) AS match_len,
+       CAST(m.path_start AS TIMESTAMP) AS path_start,
+       CAST(e.ts AS TIMESTAMP) AS path_end
+FROM m
+JOIN c e ON e.user_id = m.user_id AND e.rn = m.start_rn + m.match_len - 1
+WHERE m.match_len > 0
+ORDER BY m.user_id, start_rn
+"""
+
+
+@query("seq_matchpath_nested", oracle=_NESTED_ORACLE)
+def seq_matchpath_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MatchPath with a NESTED group — alternation of SEQUENCES inside
+    a quantifier: ``signup.(view.click|click){1,2}.purchase`` — a
+    signup, one or two browse UNITS (a unit is a view followed by its
+    click, or a bare click), then a purchase. Not a segment chain at
+    all (the repeated unit is itself a sequence), so neither the
+    island walk nor the flat lead compiler applies; round 10b parses
+    the full grammar into an AST and enumerates its concrete branch
+    shapes in exact regex-backtracking DFS order (the engine tries
+    [view·click] with one copy and STOP before two copies starting
+    [click, …] — count-descending order would misorder mixed-length
+    branches), compiling to the same lead-chain plan: per-offset set
+    membership over lead() columns on the one per-user sort, one
+    coalesce, no Python stage, no join (pinned in
+    test_matchpath_compile.py). Reference surface:
+    hive-exec-2.3.10-core.jar!ql/udf/ptf/MatchPath.class (npath symbol
+    patterns allow nested grouping). The DuckDB oracle anchors the
+    identical greedy regex at every row, so the value hash verifies
+    match starts, backtracking lengths, AND end timestamps."""
+    ev = load(spark, sf_dir, "events")
+    out = matchpath(
+        ev,
+        partition_by="user_id",
+        order_by=["ts", "event_id"],
+        symbols={
+            "signup": F.col("event_type") == "signup",
+            "view": F.col("event_type") == "view",
+            "click": F.col("event_type") == "click",
+            "purchase": F.col("event_type") == "purchase",
+        },
+        pattern="signup.(view.click|click){1,2}.purchase",
+    )
+    return out.orderBy("user_id", "start_rn")
+
+
+# ---------------------------------------------------------------------------
+# registered query: min-0 FIRST atom over an UNBOUNDED chain — the
+# round-10b widened island-walk class, still zero Python
+# ---------------------------------------------------------------------------
+
+_OPTLEAD_ORACLE = """
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'view' THEN 'a'
+              WHEN event_type = 'click' THEN 'b'
+              WHEN event_type = 'purchase' THEN 'c'
+              ELSE 'x' END AS ch,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+s AS (
+  SELECT user_id, string_agg(ch, '' ORDER BY rn) AS str
+  FROM c GROUP BY user_id
+),
+m AS (
+  SELECT c.user_id, c.rn AS start_rn, c.ts AS path_start,
+         length(regexp_extract(substr(s.str, CAST(c.rn AS INT)),
+                               '^a*b+c'))
+           AS match_len
+  FROM c JOIN s USING (user_id)
+)
+SELECT m.user_id, CAST(m.start_rn AS INT) AS start_rn,
+       CAST(m.match_len AS INT) AS match_len,
+       CAST(m.path_start AS TIMESTAMP) AS path_start,
+       CAST(e.ts AS TIMESTAMP) AS path_end
+FROM m
+JOIN c e ON e.user_id = m.user_id AND e.rn = m.start_rn + m.match_len - 1
+WHERE m.match_len > 0
+ORDER BY m.user_id, start_rn
+"""
+
+
+@query("seq_matchpath_optional_lead", oracle=_OPTLEAD_ORACLE)
+def seq_matchpath_optional_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MatchPath with a min-0 FIRST atom over an UNBOUNDED chain:
+    ``view*.click+.purchase`` — a purchase preceded by one-or-more
+    consecutive clicks, optionally led by a view run; a match begins
+    at EVERY row of the qualifying run (the anchor may sit on a view
+    or directly on a click). Before round 10b a min-0 first atom was a
+    documented automaton boundary ("the start anchor shifts per
+    variant"); the island walk now takes it by widening candidates to
+    the UNION of variant first groups and gating each variant on the
+    candidate row's own group id — char-sets are disjoint, so exactly
+    one variant family applies per row and the coalesce preference
+    order is intact. Unbounded quantifiers keep this pattern out of
+    the lead-chain plan, so this is specifically the widened
+    island-walk class: pure window expressions plus one equi-join, no
+    Python stage (pinned in test_matchpath_compile.py). Reference
+    surface: hive-exec-2.3.10-core.jar!ql/udf/ptf/MatchPath.class. The
+    DuckDB oracle anchors the identical greedy regex at every row, so
+    the value hash verifies match starts, greedy lengths, AND end
+    timestamps."""
+    ev = load(spark, sf_dir, "events")
+    out = matchpath(
+        ev,
+        partition_by="user_id",
+        order_by=["ts", "event_id"],
+        symbols={
+            "view": F.col("event_type") == "view",
+            "click": F.col("event_type") == "click",
+            "purchase": F.col("event_type") == "purchase",
+        },
+        pattern="view*.click+.purchase",
+    )
+    return out.orderBy("user_id", "start_rn")

@@ -277,15 +277,27 @@ def test_widened_chain_class_compiles_without_python(spark):
         "a.(a|b).c",
         "(a|b){1,2}.(b|c){1,2}",
         "a.(a|b)?.b{1,2}",
+        # round 10b: min-0 FIRST atoms ride the island walk (variants
+        # gated on the row's own group id), even unbounded
+        "a*.b",
+        "a{0,3}.b+",
+        "(a|b)*.c",
+        # round 10b: nested groups / sequence alternation / top-level
+        # alternation with finite bounds take the AST lead-chain plan
+        "a.(b.c|c){1,2}",
+        "(a.b|c).a",
+        "a.b|b.c",
+        "(a.(b|c)){1,2}",
     ):
         plan = plan_of(pattern)
         for marker in py_markers:
             assert marker not in plan, f"{pattern} fell back:\n{plan[:400]}"
 
-    # what remains on the automaton (round 10): an UNBOUNDED
-    # quantifier over an overlapping set (no finite lead depth, no
-    # island key) and a min-0 first atom (start anchor shifts)
-    for pattern in ("a.(b|c)*.c", "(a|b)+.b", "a*.b"):
+    # what remains on the automaton (round 10b): an UNBOUNDED
+    # quantifier outside the disjoint flat-chain class — over an
+    # overlapping set (no finite lead depth, no island key) or over a
+    # nested group (the repeated unit spans islands)
+    for pattern in ("a.(b|c)*.c", "(a|b)+.b", "(a.b)+.c", "(a.b|c)*.a"):
         plan = plan_of(pattern)
         assert "FlatMapGroupsInPandas" in plan, (
             f"{pattern} must route to the automaton"
@@ -492,9 +504,10 @@ def test_chain_detection_and_fallback_scope():
     # round 9: min>=1 quantified FIRST atoms are allowed ('a+' anchors
     # every start row exactly like 'a.a*')...
     assert _parse_chain("a+.b") == [("a", "+"), ("b", "1")]
-    # ...but min-0 first atoms still shift the anchor -> automaton
-    assert _parse_chain("a*.b") is None
-    assert _parse_chain("a{0,3}.b") is None
+    # ...and round 10b admits min-0 FIRST atoms too: the island walk
+    # gates each variant on the candidate row's own group id
+    assert _parse_chain("a*.b") == [("a", "*"), ("b", "1")]
+    assert _parse_chain("a{0,3}.b") == [("a", "{0,3}"), ("b", "1")]
     # malformed / non-chain shapes -> automaton
     assert _parse_chain("a.(b|c*).d") is None  # quantifier inside group
     assert _parse_chain("a.(b).d") is None  # degenerate 1-member group
@@ -536,6 +549,176 @@ def test_variant_preference_is_regex_backtracking_order():
     ]
 
 
+def test_jvm_min0_first_matches_regex(spark):
+    """Round-10b widening #1: min-0 FIRST atoms ride the island walk
+    (unbounded included) — exhaustive equivalence over every 6-symbol
+    sequence on {A, B, C, other}. Shapes cover: unbounded and bounded
+    optional leads, a lead merging into its own following atom
+    (give-back across the anchor), multiple min-0 leads (three
+    distinct start groups), and group leads."""
+    import itertools
+
+    rows = [
+        (i, list(seq))
+        for i, seq in enumerate(itertools.product("ABCX", repeat=6))
+    ]
+
+    for pattern, rx in (
+        ("a*.b", "a*b"),
+        ("a?.b.c", "a?bc"),
+        ("a*.b+.c", "a*b+c"),
+        ("(b|c)*.a", "(b|c)*a"),
+        ("a{0,2}.b", "a{0,2}b"),
+        ("a*.b*", "a*b*"),
+        ("a?.a.b", "a?ab"),  # lead merges into its own atom
+        ("a*.a", "a*a"),
+        ("b{0,3}.a{1,2}", "b{0,3}a{1,2}"),  # bounded final + multi-start
+        ("a?.b?.c", "a?b?c"),  # three start groups
+        ("a*.b.a", "a*ba"),
+    ):
+        got = _mp(spark, rows, pattern, _CHAIN_SYMS)
+        want = _pysim(rows, rx, _classify)
+        assert got == want, f"pattern {pattern} diverges from {rx}"
+
+
+def test_jvm_nested_ast_matches_regex(spark):
+    """Round-10b widening #2: the FULL grammar with finite bounds —
+    nested groups, alternation of sequences, top-level alternation —
+    compiles to the lead-chain plan via the AST enumerator; exhaustive
+    equivalence over every 6-symbol sequence on {A, B, C, other}.
+    Shapes cover: mixed-length alternation branches (where branch
+    PREFERENCE decides the emitted length), quantified nested groups,
+    optional nested first atoms, and same-prefix branches."""
+    import itertools
+
+    rows = [
+        (i, list(seq))
+        for i, seq in enumerate(itertools.product("ABCX", repeat=6))
+    ]
+
+    for pattern, rx in (
+        ("a.(b.c|c){1,2}", "a(bc|c){1,2}"),
+        ("(a.b|c).a", "(ab|c)a"),
+        ("(a.(b|c)){1,2}", "(a(b|c)){1,2}"),
+        ("a.b|b.c", "ab|bc"),
+        ("(a|b.c)?.a", "(a|bc)?a"),
+        ("(a.b){2}", "(ab){2}"),
+        ("(a.b?){1,2}.c", "(ab?){1,2}c"),
+        ("((a|b).c){1,2}", "((a|b)c){1,2}"),
+        ("a.(b|c.c){1,2}.a", "a(b|cc){1,2}a"),
+        ("(a.b|b.a){1,2}", "(ab|ba){1,2}"),
+        ("(a|a.a){1,2}", "(a|aa){1,2}"),  # same-char branches, dedup
+        ("b.(c.a|a)?", "b(ca|a)?"),  # optional nested FINAL
+    ):
+        got = _mp(spark, rows, pattern, _CHAIN_SYMS)
+        want = _pysim(rows, rx, _classify)
+        assert got == want, f"pattern {pattern} diverges from {rx}"
+
+
+def test_enum_ast_order_and_gates():
+    """The AST enumerator must reproduce the regex engine's DFS order
+    over complete branch shapes — which count-descending enumeration
+    does NOT for multi-alternative repeated units — and refuse
+    unbounded or over-budget patterns."""
+    from hive_service_spark.operators.matchpath import (
+        _enum_ast,
+        _parse_ast,
+    )
+
+    chars = {"a": "a", "b": "b", "c": "c"}
+
+    def words(pattern):
+        res = _enum_ast(_parse_ast(pattern), chars)
+        assert res is not None
+        comps, _ = res
+        assert all(len(cs) == 1 for comp in comps for cs in comp)
+        return ["".join(next(iter(cs)) for cs in comp) for comp in comps]
+
+    # the engine tries [ab] (1 copy, stop) BEFORE [c, ab] (2 copies);
+    # count-descending would put every 2-copy shape first
+    assert words("(a.b|c){1,2}") == ["abab", "abc", "ab", "cab", "cc", "c"]
+    # duplicates keep their FIRST (earlier shadows later)
+    assert words("(a|a.a){1,2}") == ["aa", "aaa", "a", "aaaa"]
+    # alternation of bare symbols collapses to ONE charset atom
+    res = _enum_ast(_parse_ast("a.(b|c){1,2}"), chars)
+    assert res is not None and len(res[0]) == 2  # not 6 branches
+    assert res[0][0] == [
+        frozenset("a"), frozenset("bc"), frozenset("bc"),
+    ]
+    # unbounded / over-budget -> None (stays on the automaton)
+    assert _enum_ast(_parse_ast("(a.b)+.c"), chars) is None
+    assert _enum_ast(_parse_ast("(a.b)*"), chars) is None
+    assert _enum_ast(_parse_ast("a{17}"), chars) is None
+    big = ".".join("(a.b|b.c|c.a)" for _ in range(8))  # 3^8 branches
+    assert _enum_ast(_parse_ast(big), chars) is None
+
+
+def test_parse_ast_scope():
+    """Malformed input returns None; the flat forms parse to the same
+    shapes the chain parser sees (charset collapse included)."""
+    from hive_service_spark.operators.matchpath import _parse_ast
+
+    assert _parse_ast("a.(b|c*.d") is None  # unbalanced group
+    assert _parse_ast("a||b") is None  # empty branch
+    assert _parse_ast("a.b)") is None  # trailing tokens
+    assert _parse_ast("") is None
+    assert _parse_ast("a.b{3,2}") is None  # inverted bounds
+    assert _parse_ast("(b|c)") == ("sym", frozenset({"b", "c"}))
+    assert _parse_ast("a.(b)") == (
+        "seq", [("sym", frozenset({"a"})), ("sym", frozenset({"b"}))],
+    )
+    assert _parse_ast("a?") == ("quant", ("sym", frozenset({"a"})), 0, 1)
+
+
+def test_jvm_nested_fuzz_random_sequences(spark):
+    """Deterministic fuzz over the round-10b AST class: random
+    patterns with nested groups / sequence alternation whose flat
+    parse FAILS (so they exercise the new route), verified against the
+    anchored-regex model on run-skewed length-12 sequences."""
+    import random
+
+    from hive_service_spark.operators.matchpath import (
+        _enum_ast,
+        _parse_ast,
+    )
+
+    rnd = random.Random(11)
+    chars = {"a": "a", "b": "b", "c": "c"}
+    quants = ["", "?", "{1,2}", "{2}", "{0,2}", "{1,3}"]
+
+    def unit(depth):
+        if depth == 0 or rnd.random() < 0.5:
+            return rnd.choice("abc") + rnd.choice(quants)
+        n_br = rnd.randint(2, 3)
+        brs = [
+            ".".join(unit(0) for _ in range(rnd.randint(1, 2)))
+            for _ in range(n_br)
+        ]
+        return "(" + "|".join(brs) + ")" + rnd.choice(quants)
+
+    pats = []
+    tries = 0
+    while len(pats) < 14 and tries < 6000:
+        tries += 1
+        pattern = ".".join(unit(1) for _ in range(rnd.randint(1, 3)))
+        if _parse_chain(pattern) is not None:
+            continue  # the flat classes, already fuzzed
+        ast = _parse_ast(pattern)
+        if ast is None or _enum_ast(ast, chars) is None:
+            continue
+        rx = pattern.replace(".", "")
+        pats.append((pattern, rx))
+    assert len(pats) >= 10, "fuzz generator starved"
+    for pi, (pattern, rx) in enumerate(pats):
+        rows = [
+            (u, [rnd.choice("AABBBCX") for _ in range(12)])
+            for u in range(150)
+        ]
+        got = _mp(spark, rows, pattern, _CHAIN_SYMS)
+        want = _pysim(rows, rx, _classify)
+        assert got == want, f"fuzz {pi}: pattern {pattern} diverges"
+
+
 def test_registered_matchpath_plans_have_no_python_stage(spark):
     """Both registered matchpath chain queries compile — their
     physical plans must contain NO Python/Arrow stage (round-7 advice
@@ -551,6 +734,8 @@ def test_registered_matchpath_plans_have_no_python_stage(spark):
         "seq_matchpath_overlap",
         "seq_matchpath_capped",
         "seq_matchpath_measures",
+        "seq_matchpath_nested",
+        "seq_matchpath_optional_lead",
     ):
         df = load_all()[name].fn(spark, SF_DIR)
         plan = P.formatted_plan(df)

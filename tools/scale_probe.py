@@ -577,6 +577,25 @@ def _mp_cost() -> None:
                 "purchase": F.col("event_type") == "purchase",
             },
         ),
+        (
+            "signup.(view.click|click){1,2}.purchase",
+            "lead chain (nested AST, r10b)",
+            lambda: {
+                "signup": F.col("event_type") == "signup",
+                "view": F.col("event_type") == "view",
+                "click": F.col("event_type") == "click",
+                "purchase": F.col("event_type") == "purchase",
+            },
+        ),
+        (
+            "view*.click+.purchase",
+            "island walk (min-0 lead, r10b)",
+            lambda: {
+                "view": F.col("event_type") == "view",
+                "click": F.col("event_type") == "click",
+                "purchase": F.col("event_type") == "purchase",
+            },
+        ),
     )
     rows = []
     for pattern, plan_kind, syms in cases:
