@@ -110,6 +110,13 @@ HEADLINE = [
     # touch + broadcast join, no per-domain sort)
     "seq_matchpath_measures",
     "sel_domain_quality_prune",
+    # round-10b: nested-group MatchPath compiled via the AST
+    # backtracking-order enumerator (was automaton-only), and exact
+    # phrase search over a positional postings index (the L-1
+    # positional self-joins collapsed into one count-distinct-offset
+    # aggregation)
+    "seq_matchpath_nested",
+    "text_phrase_search",
 ]
 
 # Pure-CPU sentinel queries (plan-pinned, untouched since round 1) and

@@ -1746,3 +1746,109 @@ def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact phrase search over a POSITIONAL postings index (round 10)
+# ---------------------------------------------------------------------------
+
+_PHRASE_QMOD = 97  # every 97th doc's first three words form a probe phrase
+_PHRASE_QCAP = 9700  # capped at doc_id < 9700 (bounded probes at ANY sf)
+
+_PHRASE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+q AS (
+  SELECT doc_id AS query_id, w[1] AS t0, w[2] AS t1, w[3] AS t2
+  FROM d
+  WHERE doc_id % {_PHRASE_QMOD} = 0 AND doc_id < {_PHRASE_QCAP}
+    AND len(w) >= 3
+),
+p AS (  -- parallel unnests zip in DuckDB: positional postings
+  SELECT doc_id,
+         unnest(w) AS word,
+         unnest(range(1, len(w) + 1)) AS pos
+  FROM d
+)
+SELECT q.query_id, p0.doc_id, CAST(p0.pos AS INT) AS start_pos,
+       q.t0 || ' ' || q.t1 || ' ' || q.t2 AS phrase
+FROM q
+JOIN p p0 ON p0.word = q.t0
+JOIN p p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+         AND p1.word = q.t1
+JOIN p p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2
+         AND p2.word = q.t2
+ORDER BY q.query_id, p0.doc_id, start_pos
+"""
+
+
+@query("text_phrase_search", oracle=_PHRASE_ORACLE)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE search over a positional postings index — the
+    consecutive-terms complement of the bag-of-words BM25 family
+    (reference surface: nothing in Hive 2.3; this extends the
+    retrieval stack next to text_bm25_* / text_hybrid_rrf). Probe
+    phrases are derived deterministically from the corpus (every 97th
+    doc's first three words, capped), so the probe set is non-empty
+    and bounded at every scale factor and self-retrieval doubles as a
+    sanity gauge.
+
+    Spark-first shape, 100 TB reading: ONE corpus pass builds the
+    positional postings frame (posexplode — doc_id, pos, word); the
+    tiny phrase table unpivots to (query_id, off, term) and BROADCASTS
+    into the postings scan, so candidate generation is a map-side
+    hash probe that never shuffles the corpus. Each posting hit
+    projects its implied phrase START (pos − off), and a phrase match
+    is exactly a (query_id, doc_id, start) group covering ALL L
+    offsets — so the classic L−1 positional self-joins collapse into
+    ONE map-side-combinable count(DISTINCT off) aggregation whose
+    input is bounded by Σ df(term) over phrase terms, not by the
+    corpus. (A production variant additionally pre-filters candidates
+    by the phrase's RAREST term — the positional analog of WAND's
+    upper-bound prune, df_min·L instead of Σ df candidate rows —
+    ranking-neutral and omitted here to keep the oracle exact.)
+    count(DISTINCT off) == L is correct even when the phrase repeats a
+    term: offsets are distinct by construction, and a start needs
+    every offset present."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    phrases = (
+        d.where(
+            (F.col("doc_id") % _PHRASE_QMOD == 0)
+            & (F.col("doc_id") < _PHRASE_QCAP)
+            & (F.size("w") >= 3)
+        )
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.concat_ws(
+                " ", F.col("w")[0], F.col("w")[1], F.col("w")[2]
+            ).alias("phrase"),
+            F.posexplode(F.slice("w", 1, 3)).alias("off", "term"),
+        )
+    )
+    post = d.select(
+        "doc_id", F.posexplode("w").alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    hits = post.join(
+        F.broadcast(phrases), post["word"] == phrases["term"]
+    ).select(
+        "query_id",
+        "doc_id",
+        "phrase",
+        (F.col("pos") - F.col("off")).alias("start_pos"),
+        "off",
+    )
+    return (
+        hits.groupBy("query_id", "doc_id", "phrase", "start_pos")
+        .agg(F.count_distinct("off").alias("n_off"))
+        .where((F.col("n_off") == 3) & (F.col("start_pos") >= 1))
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("start_pos").cast("int").alias("start_pos"),
+            "phrase",
+        )
+        .orderBy("query_id", "doc_id", "start_pos")
+    )

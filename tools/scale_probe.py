@@ -125,6 +125,8 @@ AUX = [
     ("seq_matchpath_general", "events", N_EV),
     ("seq_matchpath_chain4", "events", N_EV),
     ("seq_matchpath_overlap", "events", N_EV),
+    ("seq_matchpath_nested", "events", N_EV),
+    ("seq_matchpath_optional_lead", "events", N_EV),
     ("seq_matchpath_capped", "events", N_EV),
     ("seq_attribution_capped", "events", N_EV),
     ("graph_label_propagation", "lineitem(graph)", N_LI),
