@@ -1399,3 +1399,79 @@ def seq_matchpath_optional_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         pattern="view*.click+.purchase",
     )
     return out.orderBy("user_id", "start_rn")
+
+
+# ---------------------------------------------------------------------------
+# registered query: the SQL-callable npath PTF surface — a Python UDTF
+# with a TABLE(...) PARTITION BY ... ORDER BY argument (Spark 4), the
+# exact call shape of the reference's PTF
+# ---------------------------------------------------------------------------
+
+
+@query("seq_npath_sql_ptf", oracle=_GENERAL_ORACLE)
+def seq_npath_sql_ptf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's npath is a SQL-CALLABLE partitioned table
+    function — ``npath(ON events PARTITION BY user_id ORDER BY ts, …)``
+    (hive-exec-2.3.10-core.jar!ql/udf/ptf/MatchPath.class registered
+    as npath/matchpath in FunctionRegistry) — so parity needs the SQL
+    entry point, not just the DataFrame-API operator. Spark 4's
+    Python UDTF TABLE arguments reproduce the PTF execution model
+    exactly: ``hs_npath(TABLE(...) PARTITION BY user_id ORDER BY ts,
+    event_id)`` streams each partition's rows IN ORDER through one
+    UDTF instance (eval per row, terminate emits the matches), which
+    is precisely how the reference's PTFOperator feeds MatchPath.
+
+    Same pattern and output contract as seq_matchpath_general
+    (``view.view*.purchase``; one row per match start), sharing its
+    oracle — so the value hash proves the SQL surface agrees with both
+    the DataFrame operator's compiled island-walk plan and the DuckDB
+    regex model. This query IS the Python-stage surface (an Arrow
+    batched UDTF, one pass per partition); the DataFrame API's
+    compiled JVM plans remain the performance path — SCALE.md's
+    compiled-vs-automaton table prices the difference."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "user_id bigint, start_rn int, match_len int, "
+            "path_start timestamp, path_end timestamp"
+        )
+    )
+    class NPath:
+        def __init__(self) -> None:
+            self._rows: list = []
+
+        def eval(self, row) -> None:
+            self._rows.append(
+                (row["user_id"], row["ts"], row["event_type"])
+            )
+
+        def terminate(self):
+            import re as _re
+
+            rx = _re.compile("aa*b")
+            sym = {"view": "a", "purchase": "b"}
+            s = "".join(sym.get(t, "x") for _, _, t in self._rows)
+            for i in range(len(s)):
+                m = rx.match(s, i)
+                if m and m.end() > i:
+                    yield (
+                        self._rows[0][0],
+                        i + 1,
+                        m.end() - i,
+                        self._rows[i][1],
+                        self._rows[m.end() - 1][1],
+                    )
+
+    spark.udtf.register("hs_npath", NPath)
+    load(spark, sf_dir, "events").createOrReplaceTempView("npath_events_src")
+    return spark.sql(
+        """
+        SELECT * FROM hs_npath(
+          TABLE(SELECT user_id, ts, event_id, event_type
+                FROM npath_events_src)
+          PARTITION BY user_id ORDER BY (ts, event_id)
+        )
+        ORDER BY user_id, start_rn
+        """
+    )

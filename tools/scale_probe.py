@@ -98,6 +98,11 @@ LINEAR = [
     # (min<>max per gram + one equi-join back) — this row is the claim
     ("text_duplicate_spans", "documents", N_DOCS),
     ("dedup_span_excision", "documents", N_DOCS),
+    # round-10: phrase search — postings build is one corpus pass and
+    # candidate volume is bounded by the (capped) probes' term dfs;
+    # probe count grows with the corpus like BM25's, so expected
+    # growth is linear
+    ("text_phrase_search", "documents", N_DOCS),
     ("knn_cosine_bruteforce", "embeddings", N_VECS),
 ]
 # cell-scoped probes: run with k scaled by the data factor
