@@ -117,6 +117,9 @@ HEADLINE = [
     # aggregation)
     "seq_matchpath_nested",
     "text_phrase_search",
+    # round-10 continued: in-engine classifier training (3 exact
+    # integer-GD steps of logistic regression over hashed features)
+    "ml_logreg_quality",
 ]
 
 # Pure-CPU sentinel queries (plan-pinned, untouched since round 1) and

@@ -439,3 +439,231 @@ def ml_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# quality/language classifier TRAINING in the engine: full-batch
+# logistic regression over hashed bag-of-words features (round 10)
+# ---------------------------------------------------------------------------
+
+_LR_B = 64        # hashed feature buckets (bias is bucket _LR_B)
+_LR_XS = 10_000   # per-doc feature scale: x = round(XS * cnt / n_words)
+_LR_ES = 1_000_000  # residual scale: e = round(ES * (p - y))
+_LR_LR = 4.0      # learning rate (3 full-batch GD steps)
+
+_LOGREG_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         ('0x'||substr(md5(word),1,8))::BIGINT % {_LR_B} AS b
+  FROM (SELECT doc_id, lang,
+               unnest(string_split(lower(text), ' ')) AS word
+        FROM documents)
+),
+nd AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+ylab AS (SELECT DISTINCT doc_id, y FROM tok),
+ntot AS (SELECT COUNT(*) AS nd_total FROM nd),
+x AS (
+  SELECT xb.doc_id, xb.b,
+         CAST(ROUND({_LR_XS} * 1.0 * xb.c / nd.n) AS BIGINT) AS x
+  FROM (SELECT doc_id, b, COUNT(*) AS c FROM tok GROUP BY doc_id, b) xb
+  JOIN nd USING (doc_id)
+  UNION ALL
+  SELECT doc_id, {_LR_B} AS b, {_LR_XS} AS x FROM nd
+),
+e1 AS (
+  SELECT doc_id, CAST(ROUND((0.5 - y) * {_LR_ES}) AS BIGINT) AS e
+  FROM ylab
+),
+w1 AS (
+  SELECT g.b,
+         CAST(0 - ROUND({_LR_LR} * g.g / ({_LR_XS} * 1.0 * n.nd_total))
+              AS BIGINT) AS w
+  FROM (SELECT x.b, CAST(SUM(e1.e * x.x) AS BIGINT) AS g
+        FROM x JOIN e1 USING (doc_id) GROUP BY x.b) g, ntot n
+),
+m2 AS (
+  SELECT x.doc_id, CAST(SUM(x.x * w1.w) AS BIGINT) AS mi
+  FROM x JOIN w1 USING (b) GROUP BY x.doc_id
+),
+e2 AS (
+  SELECT y.doc_id,
+         CAST(ROUND(((0.5 + (m.mi / 1e10) / (2 * (1 + abs(m.mi / 1e10))))
+                     - y.y) * {_LR_ES}) AS BIGINT) AS e
+  FROM ylab y JOIN m2 m USING (doc_id)
+),
+w2 AS (
+  SELECT w1.b,
+         w1.w - CAST(ROUND({_LR_LR} * g.g / ({_LR_XS} * 1.0 * n.nd_total))
+                     AS BIGINT) AS w
+  FROM (SELECT x.b, CAST(SUM(e2.e * x.x) AS BIGINT) AS g
+        FROM x JOIN e2 USING (doc_id) GROUP BY x.b) g
+  JOIN w1 USING (b), ntot n
+),
+m3 AS (
+  SELECT x.doc_id, CAST(SUM(x.x * w2.w) AS BIGINT) AS mi
+  FROM x JOIN w2 USING (b) GROUP BY x.doc_id
+),
+e3 AS (
+  SELECT y.doc_id,
+         CAST(ROUND(((0.5 + (m.mi / 1e10) / (2 * (1 + abs(m.mi / 1e10))))
+                     - y.y) * {_LR_ES}) AS BIGINT) AS e
+  FROM ylab y JOIN m3 m USING (doc_id)
+),
+w3 AS (
+  SELECT w2.b,
+         w2.w - CAST(ROUND({_LR_LR} * g.g / ({_LR_XS} * 1.0 * n.nd_total))
+                     AS BIGINT) AS w
+  FROM (SELECT x.b, CAST(SUM(e3.e * x.x) AS BIGINT) AS g
+        FROM x JOIN e3 USING (doc_id) GROUP BY x.b) g
+  JOIN w2 USING (b), ntot n
+),
+m4 AS (
+  SELECT x.doc_id, CAST(SUM(x.x * w3.w) AS BIGINT) AS mi
+  FROM x JOIN w3 USING (b) GROUP BY x.doc_id
+),
+acc AS (
+  SELECT CAST(COUNT(CASE WHEN (m.mi > 0) = (y.y = 1) THEN 1 END) AS BIGINT)
+           AS n_correct
+  FROM ylab y JOIN m4 m USING (doc_id)
+)
+SELECT w1.b, w1.w AS w_iter1, w2.w AS w_iter2, w3.w AS w_iter3,
+       acc.n_correct AS n_correct_final
+FROM w1 JOIN w2 USING (b) JOIN w3 USING (b), acc
+ORDER BY w1.b
+"""
+
+
+@query("ml_logreg_quality", oracle=_LOGREG_ORACLE)
+def ml_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a binary quality/language classifier IN the engine: 3
+    full-batch gradient-descent steps of logistic regression over
+    hashed bag-of-words features (label: lang == 'en') — the
+    fastText-style linear classifier that web-scale curation pipelines
+    (CCNet, FineWeb) train to score documents, here expressed as pure
+    relational algebra so the same job trains on 100 TB (reference
+    surface: nothing in Hive 2.3; this extends the engine's ML family
+    next to naive-Bayes langid / OLS normal equations / Lloyd
+    k-means).
+
+    Exactness discipline (the NB/BM25 integer pattern, extended to an
+    ITERATIVE optimizer): every cross-row SUM is over BIGINTs — per-doc
+    features x = round(XS·cnt/n), per-doc residuals e = round(ES·(p−y))
+    — so aggregation order can never change a bit; every nonlinearity
+    (the rational sigmoid surrogate p = 0.5 + m/(2(1+|m|)), computed
+    from the exact integer margin) is a pure scalar function
+    requantized by one ROUND. DuckDB unrolls the identical three
+    iterations in CTEs, so the value hash verifies the whole GD
+    trajectory (w after each step) plus the final training accuracy.
+
+    Plan shape, 100 TB reading: featurization is one explode +
+    map-side-combined groupBy per doc (bounded key space: 65 buckets x
+    docs); each GD step is (a) margins — join x against the BROADCAST
+    65-row weight vector, groupBy doc_id; (b) residuals — pure scalar
+    map; (c) gradient — one groupBy onto the 65-bucket key space
+    (map-side combine collapses it before the shuffle). The model is
+    model-bounded by construction (65 rows at any corpus size), the
+    feature frame is persisted once and reused by all three steps, and
+    nothing driver-side ever holds data-sized state."""
+    d = load(spark, sf_dir, "documents")
+    from hive_service_spark.llm.dedup import _h
+    from hive_service_spark.registry import persisted
+
+    tok = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.explode(F.split(F.lower("text"), " ")).alias("word"),
+    ).select("doc_id", "y", (_h(F.col("word")) % _LR_B).alias("b"))
+    nd = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ylab = tok.select("doc_id", "y").distinct()
+    xb = tok.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    x = persisted(
+        xb.join(nd, "doc_id")
+        .select(
+            "doc_id",
+            "b",
+            F.round(F.lit(_LR_XS) * F.col("c") / F.col("n"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .unionByName(
+            nd.select(
+                "doc_id",
+                F.lit(_LR_B).alias("b"),
+                F.lit(_LR_XS).cast("bigint").alias("x"),
+            )
+        )
+    )
+    n_total = nd.agg(F.count(F.lit(1)).alias("nd_total"))
+
+    def _step(e_df: DataFrame, w_prev: DataFrame | None) -> DataFrame:
+        """One GD step: exact-integer gradient on the 65-bucket key
+        space, then the weight update (w_prev None = all-zero w)."""
+        g = (
+            x.join(e_df, "doc_id")
+            .groupBy("b")
+            .agg(F.sum(F.col("e") * F.col("x")).cast("bigint").alias("g"))
+        )
+        delta = F.round(
+            F.lit(_LR_LR)
+            * F.col("g")
+            / (F.lit(_LR_XS) * F.col("nd_total").cast("double"))
+        ).cast("bigint")
+        g = g.crossJoin(F.broadcast(n_total))
+        if w_prev is None:
+            return g.select("b", (F.lit(0) - delta).alias("w"))
+        return g.join(F.broadcast(w_prev), "b").select(
+            "b", (F.col("w") - delta).alias("w")
+        )
+
+    def _resid(w_df: DataFrame) -> DataFrame:
+        """Residuals e = round(ES*(p - y)) from the exact integer
+        margin under the broadcast weight vector."""
+        m = (
+            x.join(F.broadcast(w_df), "b")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("x") * F.col("w")).cast("bigint").alias("mi"))
+        )
+        mm = F.col("mi") / F.lit(1e10)
+        p = F.lit(0.5) + mm / (F.lit(2) * (F.lit(1) + F.abs(mm)))
+        return ylab.join(m, "doc_id").select(
+            "doc_id",
+            F.round((p - F.col("y")) * F.lit(_LR_ES)).cast("bigint").alias("e"),
+        )
+
+    e1 = ylab.select(
+        "doc_id",
+        F.round((F.lit(0.5) - F.col("y")) * F.lit(_LR_ES))
+        .cast("bigint")
+        .alias("e"),
+    )
+    w1 = persisted(_step(e1, None))
+    w2 = persisted(_step(_resid(w1), w1))
+    w3 = persisted(_step(_resid(w2), w2))
+    m4 = (
+        x.join(F.broadcast(w3), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("x") * F.col("w")).cast("bigint").alias("mi"))
+    )
+    acc = (
+        ylab.join(m4, "doc_id")
+        .agg(
+            F.count(
+                F.when((F.col("mi") > 0) == (F.col("y") == 1), 1)
+            ).cast("bigint").alias("n_correct")
+        )
+    )
+    return (
+        w1.withColumnRenamed("w", "w_iter1")
+        .join(w2.withColumnRenamed("w", "w_iter2"), "b")
+        .join(w3.withColumnRenamed("w", "w_iter3"), "b")
+        .crossJoin(F.broadcast(acc))
+        .select(
+            "b",
+            "w_iter1",
+            "w_iter2",
+            "w_iter3",
+            F.col("n_correct").alias("n_correct_final"),
+        )
+        .orderBy("b")
+    )

@@ -53,6 +53,12 @@ ALLOWLIST = {
         (6, "model-bounded: label/vocab/count frames"),
     ("llm/classify.py", "ml_bigram_lm_quality"):
         (5, "model-bounded: vocab + bigram LM + backoff + 1-row unseen"),
+    ("llm/classify.py", "_step"):
+        (2, "scalar-1row doc count + model-bounded 65-row weights"),
+    ("llm/classify.py", "_resid"):
+        (1, "model-bounded: 65-row weight vector"),
+    ("llm/classify.py", "ml_logreg_quality"):
+        (2, "model-bounded 65-row weights + scalar-1row accuracy"),
     ("llm/corpus.py", "text_tfidf_top_terms"):
         (1, "scalar-1row: corpus doc count"),
     ("llm/dedup.py", "dedup_containment_pairs"):

@@ -103,6 +103,10 @@ LINEAR = [
     # probe count grows with the corpus like BM25's, so expected
     # growth is linear
     ("text_phrase_search", "documents", N_DOCS),
+    # round-10: classifier training — every GD step is one broadcast
+    # join + two bounded-key groupBys, so steps scale with one corpus
+    # pass each
+    ("ml_logreg_quality", "documents", N_DOCS),
     ("knn_cosine_bruteforce", "embeddings", N_VECS),
 ]
 # cell-scoped probes: run with k scaled by the data factor
