@@ -384,8 +384,17 @@ def _enum_ast(ast, chars: dict[str, str]):
       [c,ab] (2 copies, second alternative first copy).
 
     Duplicate offset signatures keep only their first (earlier
-    duplicates shadow later unreachable branches); the empty match is
-    dropped (the automaton requires m.end() > i). Returns
+    duplicates shadow later unreachable branches). The EMPTY
+    composition is a barrier, not a skip: if the engine reaches the
+    empty branch it RETURNS the empty match — which the automaton then
+    discards (m.end() > i) — so every branch after the first empty
+    composition is unreachable and the list truncates there
+    (``(c?|a)`` matches nothing at an ``a`` row: c? returns empty
+    before the a-branch is ever tried; fuzz-caught in round 10b —
+    plain drop-the-empties emits the unreachable branches). The flat
+    expansions never hit this because their empty variant — all
+    optionals absent / all counts zero — is always LAST in preference
+    order, where truncation and dropping coincide. Returns
     (compositions, K = max length) or None when any quantifier is
     unbounded or the _LEAD_MAX_K / _LEAD_MAX_COMPS caps are hit."""
     cap = _LEAD_MAX_COMPS * 4  # working pre-dedup bound
@@ -450,7 +459,9 @@ def _enum_ast(ast, chars: dict[str, str]):
     seen: set[tuple] = set()
     comps: list[list[frozenset[str]]] = []
     for c in raw:
-        if not c or c in seen:
+        if not c:
+            break  # empty-match barrier: later branches unreachable
+        if c in seen:
             continue
         seen.add(c)
         comps.append(list(c))

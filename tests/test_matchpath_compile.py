@@ -609,6 +609,11 @@ def test_jvm_nested_ast_matches_regex(spark):
         ("(a.b|b.a){1,2}", "(ab|ba){1,2}"),
         ("(a|a.a){1,2}", "(a|aa){1,2}"),  # same-char branches, dedup
         ("b.(c.a|a)?", "b(ca|a)?"),  # optional nested FINAL
+        # top-level empty-match BARRIERS (the round-10b fuzz catch):
+        # branches after a possible empty match are engine-unreachable
+        ("(c?|a.b)", "(c?|ab)"),
+        ("b?|a.b", "b?|ab"),
+        ("(a{0,2}|b).c{0,1}", "(a{0,2}|b)c{0,1}"),
     ):
         got = _mp(spark, rows, pattern, _CHAIN_SYMS)
         want = _pysim(rows, rx, _classify)
@@ -645,6 +650,16 @@ def test_enum_ast_order_and_gates():
     assert res[0][0] == [
         frozenset("a"), frozenset("bc"), frozenset("bc"),
     ]
+    # the EMPTY composition is a BARRIER, not a skip: the engine
+    # returns the empty match there (which the automaton discards), so
+    # every later branch is unreachable (round-10b fuzz catch)
+    assert words("(c?|a)") == ["c"]  # the a-branch is dead code
+    assert words("b?|a.b") == ["b"]
+    # nested empty needs NO truncation: 'ab' stays enumerated but is
+    # runtime-dead because comp 'a' (the c?-empty branch) precedes and
+    # matches everywhere 'ab' would — first-match-wins absorbs it
+    assert words("a.(c?|b)") == ["ac", "a", "ab"]
+    assert _enum_ast(_parse_ast("(a{0,2}|b).c{0,1}"), chars) is not None
     # unbounded / over-budget -> None (stays on the automaton)
     assert _enum_ast(_parse_ast("(a.b)+.c"), chars) is None
     assert _enum_ast(_parse_ast("(a.b)*"), chars) is None
@@ -668,6 +683,91 @@ def test_parse_ast_scope():
         "seq", [("sym", frozenset({"a"})), ("sym", frozenset({"b"}))],
     )
     assert _parse_ast("a?") == ("quant", ("sym", frozenset({"a"})), 0, 1)
+
+
+def test_enum_ast_mass_fuzz_pure_python():
+    """No-Spark mass differential fuzz of the AST enumerator: ~2000
+    random full-grammar patterns (nested groups, sequence alternation,
+    min-0 atoms anywhere) against Python's re engine on random AND
+    exhaustive strings, via the same first-composition-wins simulation
+    the lead-chain plan executes. This is the harness that caught the
+    round-10b empty-composition-barrier bug (an empty branch
+    mid-preference-order makes the engine return an empty match — the
+    automaton discards it — so later branches are unreachable; plain
+    drop-the-empties emitted them)."""
+    import itertools
+    import random
+    import re as _re
+
+    from hive_service_spark.operators.matchpath import (
+        _enum_ast,
+        _parse_ast,
+    )
+
+    chars = {"a": "a", "b": "b", "c": "c"}
+    rnd = random.Random(42)
+    quants = ["", "?", "{1,2}", "{2}", "{0,2}", "{1,3}", "{2,3}", "{0,1}"]
+
+    def unit(depth):
+        if depth == 0 or rnd.random() < 0.45:
+            return rnd.choice("abc") + rnd.choice(quants)
+        brs = [
+            ".".join(unit(depth - 1) for _ in range(rnd.randint(1, 3)))
+            for _ in range(rnd.randint(2, 3))
+        ]
+        return "(" + "|".join(brs) + ")" + rnd.choice(quants)
+
+    def sim_comps(comps, s):
+        out = []
+        for i in range(len(s)):
+            for comp in comps:
+                if i + len(comp) <= len(s) and all(
+                    s[i + j] in cs for j, cs in enumerate(comp)
+                ):
+                    out.append((i, len(comp)))
+                    break
+        return out
+
+    def sim_re(rx, s):
+        out = []
+        for i in range(len(s)):
+            m = rx.match(s, i)
+            if m and m.end() > i:
+                out.append((i, m.end() - i))
+        return out
+
+    n_tested = 0
+    for _ in range(6000):
+        pat = ".".join(unit(2) for _ in range(rnd.randint(1, 3)))
+        ast = _parse_ast(pat)
+        if ast is None:
+            continue
+        res = _enum_ast(ast, chars)
+        if res is None:
+            continue
+        comps, _ = res
+        rx = _re.compile(pat.replace(".", ""))
+        n_tested += 1
+        for _ in range(6):
+            s = "".join(
+                rnd.choice("aabbbcx") for _ in range(rnd.randint(0, 14))
+            )
+            assert sim_comps(comps, s) == sim_re(rx, s), (pat, s)
+    # exhaustive short strings over a subset
+    for _ in range(200):
+        pat = ".".join(unit(2) for _ in range(rnd.randint(1, 2)))
+        ast = _parse_ast(pat)
+        if ast is None:
+            continue
+        res = _enum_ast(ast, chars)
+        if res is None:
+            continue
+        comps, _ = res
+        rx = _re.compile(pat.replace(".", ""))
+        for tup in itertools.product("abx", repeat=5):
+            s = "".join(tup)
+            assert sim_comps(comps, s) == sim_re(rx, s), (pat, s)
+    assert n_tested >= 1500, "fuzz generator starved"
 
 
 def test_jvm_nested_fuzz_random_sequences(spark):
