@@ -961,11 +961,12 @@ def main() -> None:
         f"Each pattern over the x{mp_cost[0]['events_x']} events "
         "replica down BOTH paths, answers verified identical by "
         "aggregate fingerprint. `automaton_x` is the measured price a "
-        "genuinely irregular pattern (unbounded overlapping "
-        "quantifier, nested groups, min-0 first atoms) pays for the "
-        "Python stage — and the payoff of the round-8/9 island-walk + "
-        "round-10 lead-chain compilers for everything either class "
-        "covers.\n"
+        "genuinely irregular pattern (round 10b shrank the class to: "
+        "unbounded quantifiers outside the disjoint flat-chain class, "
+        "and finite patterns past the expression caps) pays for the "
+        "Python stage — and the payoff of the island-walk (r8/r9, "
+        "r10b min-0 leads) + lead-chain (r10 overlap, r10b nested-AST) "
+        "compilers for everything either class covers.\n"
     )
     lines.append(
         "| pattern | compiled plan | n_matches | t_compiled (s) | "
