@@ -1697,3 +1697,143 @@ def ml_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         "votes",
         (F.col("predicted_label") == F.col("label")).alias("is_correct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# matryoshka truncation recall: how much top-k quality does each
+# embedding-dimension budget keep? (round 10)
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = (8, 16)
+
+_MRL_ORACLE = f"""
+WITH v0 AS ({_VECS_SQL}),
+v AS (
+  SELECT vec_id, e, nr,
+         sqrt(list_dot_product(e[1:8], e[1:8])) AS nr8,
+         sqrt(list_dot_product(e[1:16], e[1:16])) AS nr16
+  FROM v0
+),
+q AS (SELECT * FROM v WHERE {_IS_QUERY}),
+gt AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND(list_dot_product(q.e, c.e)
+                            / (q.nr * c.nr), 4) DESC, c.vec_id) AS rank
+    FROM q JOIN v c ON q.vec_id <> c.vec_id
+  ) WHERE rank <= 5
+),
+t8 AS (
+  SELECT 8 AS trunc_dim, query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND(list_dot_product(q.e[1:8], c.e[1:8])
+                            / (q.nr8 * c.nr8), 4) DESC, c.vec_id) AS rank
+    FROM q JOIN v c ON q.vec_id <> c.vec_id
+  ) WHERE rank <= 5
+),
+t16 AS (
+  SELECT 16 AS trunc_dim, query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND(list_dot_product(q.e[1:16], c.e[1:16])
+                            / (q.nr16 * c.nr16), 4) DESC, c.vec_id) AS rank
+    FROM q JOIN v c ON q.vec_id <> c.vec_id
+  ) WHERE rank <= 5
+),
+tt AS (SELECT * FROM t8 UNION ALL SELECT * FROM t16)
+SELECT tt.trunc_dim,
+       CAST(COUNT(DISTINCT tt.query_id) AS BIGINT) AS n_queries,
+       CAST(COUNT(gt.cand_id) AS BIGINT) AS hits_total,
+       ROUND(COUNT(gt.cand_id) * 1.0
+             / (5 * COUNT(DISTINCT tt.query_id)), 4) + 0.0 AS recall_at_5
+FROM tt LEFT JOIN gt
+  ON gt.query_id = tt.query_id AND gt.cand_id = tt.cand_id
+GROUP BY tt.trunc_dim
+ORDER BY tt.trunc_dim
+"""
+
+
+@query("ann_matryoshka_recall", oracle=_MRL_ORACLE)
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation recall (Kusupati et al. 2022): score the
+    SAME top-5 retrieval with the embedding truncated to its first 8
+    and 16 of 64 dimensions against the full-dimension ground truth,
+    reporting recall@5 per dimension budget — the measurement that
+    decides how much index/serving cost an MRL-style embedding can
+    shed before quality drops (reference surface: nothing in Hive 2.3;
+    this extends the ANN evaluation family next to ann_recall_gauge /
+    dedup_eval_lsh_pr, which gauge INDEX approximations — this gauges
+    the REPRESENTATION budget itself).
+
+    Plan shape, 100 TB reading: the probe set is the capped _IS_QUERY
+    sample (<= 200 at any sf), so ground truth and every truncated
+    ranking are broadcast-probe map passes over the corpus — O(|Q| x n)
+    scored rows each, never a corpus self-join; per-dim norms are
+    precomputed ONCE on the corpus frame (one pass) rather than per
+    pair. Cosines round to 4dp BEFORE ranking (ties broken by cand_id)
+    so rank order is engine-stable; recall counting is integer."""
+    v0 = _vecs(spark, sf_dir)
+    sl = {d: F.slice("e", 1, d) for d in _MRL_DIMS}
+    v = persisted(
+        v0.select(
+            "vec_id",
+            "e",
+            "nr",
+            *[
+                F.sqrt(_dot(sl[d], sl[d])).alias(f"nr{d}")
+                for d in _MRL_DIMS
+            ],
+        )
+    )
+    q = v.where(F.expr(_IS_QUERY))
+
+    def _top5(dim: int | None) -> DataFrame:
+        if dim is None:
+            cos = _cos("q", "c")
+        else:
+            cos = _dot(
+                F.slice(F.col("q.e"), 1, dim), F.slice(F.col("c.e"), 1, dim)
+            ) / (F.col(f"q.nr{dim}") * F.col(f"c.nr{dim}"))
+        scored = (
+            F.broadcast(q.alias("q"))
+            .join(v.alias("c"), F.col("q.vec_id") != F.col("c.vec_id"))
+            .select(
+                F.col("q.vec_id").alias("query_id"),
+                F.col("c.vec_id").alias("cand_id"),
+                (F.round(cos, 4) + 0.0).alias("cos_r"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_r"), F.asc("cand_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("query_id", "cand_id")
+        )
+
+    gt = _top5(None)
+    tt = None
+    for d in _MRL_DIMS:
+        td = _top5(d).select(F.lit(d).alias("trunc_dim"), "query_id", "cand_id")
+        tt = td if tt is None else tt.unionByName(td)
+    hit = gt.select("query_id", "cand_id", F.lit(1).alias("hit"))
+    return (
+        tt.join(hit, ["query_id", "cand_id"], "left")
+        .groupBy("trunc_dim")
+        .agg(
+            F.count_distinct("query_id").cast("bigint").alias("n_queries"),
+            F.count("hit").cast("bigint").alias("hits_total"),
+            (
+                F.round(
+                    F.count("hit")
+                    / (F.lit(5.0) * F.count_distinct("query_id")),
+                    4,
+                )
+                + 0.0
+            ).alias("recall_at_5"),
+        )
+        .orderBy("trunc_dim")
+    )

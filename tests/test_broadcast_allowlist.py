@@ -104,6 +104,8 @@ ALLOWLIST = {
         (1, "probe-capped probe frame"),
     ("llm/similarity.py", "ml_knn_label_vote"):
         (1, "probe-capped probe frame"),
+    ("llm/similarity.py", "_top5"):
+        (1, "probe-capped probe frame (matryoshka recall gauge)"),
     ("llm/similarity.py", "ml_random_projection_jl"):
         (1, "model-bounded: JL projection matrix"),
     ("llm/similarity.py", "ranked"):
