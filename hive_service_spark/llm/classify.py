@@ -440,10 +440,13 @@ def ml_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source")
     )
 
-
 # ---------------------------------------------------------------------------
 # quality/language classifier TRAINING in the engine: full-batch
-# logistic regression over hashed bag-of-words features (round 10)
+# logistic regression over hashed bag-of-words features (round 10) —
+# shared exact-integer GD core; ml_logreg_quality trains on the full
+# corpus (the trajectory-verification surface), ml_logreg_served_scores
+# trains on the 80% split and scores the held-out 20% (the
+# train/serve discipline surface)
 # ---------------------------------------------------------------------------
 
 _LR_B = 64        # hashed feature buckets (bias is bucket _LR_B)
@@ -451,8 +454,14 @@ _LR_XS = 10_000   # per-doc feature scale: x = round(XS * cnt / n_words)
 _LR_ES = 1_000_000  # residual scale: e = round(ES * (p - y))
 _LR_LR = 4.0      # learning rate (3 full-batch GD steps)
 
-_LOGREG_ORACLE = f"""
-WITH tok AS (
+
+def _logreg_cte(train: str) -> str:
+    """The shared DuckDB CTE chain: hashed features, labels, and the
+    3-step exact-integer GD unrolled, with every training-side sum
+    restricted by the ``train`` predicate (a SQL expression over
+    doc_id). Yields CTEs: x, ylab (doc_id, y, is_train), ntot (train
+    count), w1/w2/w3 (weights after each step)."""
+    return f"""tok AS (
   SELECT doc_id,
          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
          ('0x'||substr(md5(word),1,8))::BIGINT % {_LR_B} AS b
@@ -461,8 +470,8 @@ WITH tok AS (
         FROM documents)
 ),
 nd AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
-ylab AS (SELECT DISTINCT doc_id, y FROM tok),
-ntot AS (SELECT COUNT(*) AS nd_total FROM nd),
+ylab AS (SELECT DISTINCT doc_id, y, ({train}) AS is_train FROM tok),
+ntot AS (SELECT COUNT(*) AS nd_total FROM ylab WHERE is_train),
 x AS (
   SELECT xb.doc_id, xb.b,
          CAST(ROUND({_LR_XS} * 1.0 * xb.c / nd.n) AS BIGINT) AS x
@@ -473,7 +482,7 @@ x AS (
 ),
 e1 AS (
   SELECT doc_id, CAST(ROUND((0.5 - y) * {_LR_ES}) AS BIGINT) AS e
-  FROM ylab
+  FROM ylab WHERE is_train
 ),
 w1 AS (
   SELECT g.b,
@@ -490,7 +499,7 @@ e2 AS (
   SELECT y.doc_id,
          CAST(ROUND(((0.5 + (m.mi / 1e10) / (2 * (1 + abs(m.mi / 1e10))))
                      - y.y) * {_LR_ES}) AS BIGINT) AS e
-  FROM ylab y JOIN m2 m USING (doc_id)
+  FROM ylab y JOIN m2 m USING (doc_id) WHERE y.is_train
 ),
 w2 AS (
   SELECT w1.b,
@@ -508,7 +517,7 @@ e3 AS (
   SELECT y.doc_id,
          CAST(ROUND(((0.5 + (m.mi / 1e10) / (2 * (1 + abs(m.mi / 1e10))))
                      - y.y) * {_LR_ES}) AS BIGINT) AS e
-  FROM ylab y JOIN m3 m USING (doc_id)
+  FROM ylab y JOIN m3 m USING (doc_id) WHERE y.is_train
 ),
 w3 AS (
   SELECT w2.b,
@@ -517,7 +526,11 @@ w3 AS (
   FROM (SELECT x.b, CAST(SUM(e3.e * x.x) AS BIGINT) AS g
         FROM x JOIN e3 USING (doc_id) GROUP BY x.b) g
   JOIN w2 USING (b), ntot n
-),
+)"""
+
+
+_LOGREG_ORACLE = f"""
+WITH {_logreg_cte("TRUE")},
 m4 AS (
   SELECT x.doc_id, CAST(SUM(x.x * w3.w) AS BIGINT) AS mi
   FROM x JOIN w3 USING (b) GROUP BY x.doc_id
@@ -533,49 +546,48 @@ FROM w1 JOIN w2 USING (b) JOIN w3 USING (b), acc
 ORDER BY w1.b
 """
 
+_LOGREG_SERVED_ORACLE = f"""
+WITH {_logreg_cte("doc_id % 5 <> 0")},
+mt AS (
+  SELECT x.doc_id, CAST(SUM(x.x * w3.w) AS BIGINT) AS margin_q
+  FROM x JOIN w3 USING (b)
+  WHERE x.doc_id % 5 = 0
+  GROUP BY x.doc_id
+)
+SELECT y.doc_id, CAST(y.y AS INT) AS y,
+       mt.margin_q,
+       CAST(CASE WHEN mt.margin_q > 0 THEN 1 ELSE 0 END AS INT) AS pred_en,
+       CAST(CASE WHEN (mt.margin_q > 0) = (y.y = 1) THEN 1 ELSE 0 END
+            AS INT) AS correct
+FROM ylab y JOIN mt USING (doc_id)
+ORDER BY y.doc_id
+"""
 
-@query("ml_logreg_quality", oracle=_LOGREG_ORACLE)
-def ml_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train a binary quality/language classifier IN the engine: 3
-    full-batch gradient-descent steps of logistic regression over
-    hashed bag-of-words features (label: lang == 'en') — the
-    fastText-style linear classifier that web-scale curation pipelines
-    (CCNet, FineWeb) train to score documents, here expressed as pure
-    relational algebra so the same job trains on 100 TB (reference
-    surface: nothing in Hive 2.3; this extends the engine's ML family
-    next to naive-Bayes langid / OLS normal equations / Lloyd
-    k-means).
 
-    Exactness discipline (the NB/BM25 integer pattern, extended to an
-    ITERATIVE optimizer): every cross-row SUM is over BIGINTs — per-doc
-    features x = round(XS·cnt/n), per-doc residuals e = round(ES·(p−y))
-    — so aggregation order can never change a bit; every nonlinearity
-    (the rational sigmoid surrogate p = 0.5 + m/(2(1+|m|)), computed
-    from the exact integer margin) is a pure scalar function
-    requantized by one ROUND. DuckDB unrolls the identical three
-    iterations in CTEs, so the value hash verifies the whole GD
-    trajectory (w after each step) plus the final training accuracy.
-
-    Plan shape, 100 TB reading: featurization is one explode +
-    map-side-combined groupBy per doc (bounded key space: 65 buckets x
-    docs); each GD step is (a) margins — join x against the BROADCAST
-    65-row weight vector, groupBy doc_id; (b) residuals — pure scalar
-    map; (c) gradient — one groupBy onto the 65-bucket key space
-    (map-side combine collapses it before the shuffle). The model is
-    model-bounded by construction (65 rows at any corpus size), the
-    feature frame is persisted once and reused by all three steps, and
-    nothing driver-side ever holds data-sized state."""
-    d = load(spark, sf_dir, "documents")
+def _logreg_core(
+    spark: SparkSession, sf_dir: str, train_col
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared Spark GD core. ``train_col`` is a boolean Column over
+    doc_id selecting the training split. Returns (x, ylab, w1, w2, w3)
+    — x persisted and reused by all three steps, ylab carrying
+    (doc_id, y, is_train), weights BIGINT in 1e-6 units after each
+    step. Every cross-row sum is BIGINT-exact; see ml_logreg_quality
+    for the full exactness argument."""
     from hive_service_spark.llm.dedup import _h
     from hive_service_spark.registry import persisted
 
+    d = load(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
         F.explode(F.split(F.lower("text"), " ")).alias("word"),
     ).select("doc_id", "y", (_h(F.col("word")) % _LR_B).alias("b"))
     nd = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ylab = tok.select("doc_id", "y").distinct()
+    ylab = (
+        tok.select("doc_id", "y")
+        .distinct()
+        .select("doc_id", "y", train_col.alias("is_train"))
+    )
     xb = tok.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
     x = persisted(
         xb.join(nd, "doc_id")
@@ -594,7 +606,8 @@ def ml_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    n_total = nd.agg(F.count(F.lit(1)).alias("nd_total"))
+    ytrain = ylab.where("is_train")
+    n_total = ytrain.agg(F.count(F.lit(1)).alias("nd_total"))
 
     def _step(e_df: DataFrame, w_prev: DataFrame | None) -> DataFrame:
         """One GD step: exact-integer gradient on the 65-bucket key
@@ -617,8 +630,8 @@ def ml_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def _resid(w_df: DataFrame) -> DataFrame:
-        """Residuals e = round(ES*(p - y)) from the exact integer
-        margin under the broadcast weight vector."""
+        """Training residuals e = round(ES*(p - y)) from the exact
+        integer margin under the broadcast weight vector."""
         m = (
             x.join(F.broadcast(w_df), "b")
             .groupBy("doc_id")
@@ -626,20 +639,60 @@ def ml_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         mm = F.col("mi") / F.lit(1e10)
         p = F.lit(0.5) + mm / (F.lit(2) * (F.lit(1) + F.abs(mm)))
-        return ylab.join(m, "doc_id").select(
+        return ytrain.join(m, "doc_id").select(
             "doc_id",
             F.round((p - F.col("y")) * F.lit(_LR_ES)).cast("bigint").alias("e"),
         )
 
-    e1 = ylab.select(
+    from hive_service_spark.registry import persisted as _p
+
+    e1 = ytrain.select(
         "doc_id",
         F.round((F.lit(0.5) - F.col("y")) * F.lit(_LR_ES))
         .cast("bigint")
         .alias("e"),
     )
-    w1 = persisted(_step(e1, None))
-    w2 = persisted(_step(_resid(w1), w1))
-    w3 = persisted(_step(_resid(w2), w2))
+    w1 = _p(_step(e1, None))
+    w2 = _p(_step(_resid(w1), w1))
+    w3 = _p(_step(_resid(w2), w2))
+    return x, ylab, w1, w2, w3
+
+
+@query("ml_logreg_quality", oracle=_LOGREG_ORACLE)
+def ml_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a binary quality/language classifier IN the engine: 3
+    full-batch gradient-descent steps of logistic regression over
+    hashed bag-of-words features (label: lang == 'en') — the
+    fastText-style linear classifier that web-scale curation pipelines
+    (CCNet, FineWeb) train to score documents, here expressed as pure
+    relational algebra so the same job trains on 100 TB (reference
+    surface: nothing in Hive 2.3; this extends the engine's ML family
+    next to naive-Bayes langid / OLS normal equations / Lloyd
+    k-means). This surface trains on the FULL corpus and reports the
+    whole GD trajectory; ml_logreg_served_scores is the train/serve
+    split twin.
+
+    Exactness discipline (the NB/BM25 integer pattern, extended to an
+    ITERATIVE optimizer): every cross-row SUM is over BIGINTs — per-doc
+    features x = round(XS·cnt/n), per-doc residuals e = round(ES·(p−y))
+    — so aggregation order can never change a bit; every nonlinearity
+    (the rational sigmoid surrogate p = 0.5 + m/(2(1+|m|)), computed
+    from the exact integer margin — no exp(), so no libm divergence)
+    is a pure scalar function requantized by one ROUND. DuckDB unrolls
+    the identical three iterations in CTEs, so the value hash verifies
+    the whole GD trajectory (w after each step) plus the final
+    training accuracy.
+
+    Plan shape, 100 TB reading: featurization is one explode +
+    map-side-combined groupBy per doc (bounded key space: 65 buckets x
+    docs); each GD step is (a) margins — join x against the BROADCAST
+    65-row weight vector, groupBy doc_id; (b) residuals — pure scalar
+    map; (c) gradient — one groupBy onto the 65-bucket key space
+    (map-side combine collapses it before the shuffle). The model is
+    model-bounded by construction (65 rows at any corpus size), the
+    feature frame is persisted once and reused by all three steps, and
+    nothing driver-side ever holds data-sized state."""
+    x, ylab, w1, w2, w3 = _logreg_core(spark, sf_dir, F.lit(True))
     m4 = (
         x.join(F.broadcast(w3), "b")
         .groupBy("doc_id")
@@ -666,4 +719,43 @@ def ml_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_correct").alias("n_correct_final"),
         )
         .orderBy("b")
+    )
+
+
+@query("ml_logreg_served_scores", oracle=_LOGREG_SERVED_ORACLE)
+def ml_logreg_served_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train/serve discipline twin of ml_logreg_quality: train the
+    same 3-step exact-integer logistic regression on the 80% split
+    (doc_id % 5 != 0 — the NB family's split convention) and SCORE the
+    held-out 20%, emitting each test document's exact integer margin,
+    prediction, and correctness — the per-document serving path a
+    curation pipeline actually runs after training (threshold the
+    margin to keep/drop documents). Featurization is shared verbatim
+    with training (_logreg_core), the served-model property the DSIR
+    batch/stream pair also pins. The value hash verifies every test
+    margin exactly — weights AND scores are BIGINT, so there is no
+    float tolerance anywhere in the served path."""
+    x, ylab, _w1, _w2, w3 = _logreg_core(
+        spark, sf_dir, F.col("doc_id") % 5 != 0
+    )
+    mt = (
+        x.where(F.col("doc_id") % 5 == 0)
+        .join(F.broadcast(w3), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("x") * F.col("w")).cast("bigint").alias("margin_q"))
+    )
+    return (
+        ylab.join(mt, "doc_id")
+        .select(
+            "doc_id",
+            F.col("y").cast("int").alias("y"),
+            "margin_q",
+            F.when(F.col("margin_q") > 0, 1).otherwise(0)
+            .cast("int")
+            .alias("pred_en"),
+            F.when(
+                (F.col("margin_q") > 0) == (F.col("y") == 1), 1
+            ).otherwise(0).cast("int").alias("correct"),
+        )
+        .orderBy("doc_id")
     )

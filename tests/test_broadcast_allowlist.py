@@ -59,6 +59,8 @@ ALLOWLIST = {
         (1, "model-bounded: 65-row weight vector"),
     ("llm/classify.py", "ml_logreg_quality"):
         (2, "model-bounded 65-row weights + scalar-1row accuracy"),
+    ("llm/classify.py", "ml_logreg_served_scores"):
+        (1, "model-bounded: 65-row trained weight vector"),
     ("llm/corpus.py", "text_tfidf_top_terms"):
         (1, "scalar-1row: corpus doc count"),
     ("llm/dedup.py", "dedup_containment_pairs"):
