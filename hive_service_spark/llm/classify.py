@@ -644,17 +644,15 @@ def _logreg_core(
             F.round((p - F.col("y")) * F.lit(_LR_ES)).cast("bigint").alias("e"),
         )
 
-    from hive_service_spark.registry import persisted as _p
-
     e1 = ytrain.select(
         "doc_id",
         F.round((F.lit(0.5) - F.col("y")) * F.lit(_LR_ES))
         .cast("bigint")
         .alias("e"),
     )
-    w1 = _p(_step(e1, None))
-    w2 = _p(_step(_resid(w1), w1))
-    w3 = _p(_step(_resid(w2), w2))
+    w1 = persisted(_step(e1, None))
+    w2 = persisted(_step(_resid(w1), w1))
+    w3 = persisted(_step(_resid(w2), w2))
     return x, ylab, w1, w2, w3
 
 
