@@ -1783,6 +1783,46 @@ ORDER BY q.query_id, p0.doc_id, start_pos
 """
 
 
+def phrase_search(docs_w, phrases) -> DataFrame:
+    """The phrase-match core, factored for direct testing: ``docs_w``
+    is (doc_id, w: array<string>); ``phrases`` is the unpivoted probe
+    frame (query_id, phrase, off, term, n_terms) with off 0-based.
+    One posexplode pass builds positional postings; the phrase frame
+    BROADCASTS into the postings scan; each hit projects its implied
+    start (pos − off) and a match is a (query_id, doc_id, start) group
+    covering ALL n_terms offsets — count(DISTINCT off) == n_terms is
+    correct even when the phrase repeats a term (offsets are distinct
+    by construction, and a start needs every offset present; pinned
+    with overlapping repeated-term cases in tests/
+    test_phrase_search.py)."""
+    post = docs_w.select(
+        "doc_id", F.posexplode("w").alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    hits = post.join(
+        F.broadcast(phrases), post["word"] == phrases["term"]
+    ).select(
+        "query_id",
+        "doc_id",
+        "phrase",
+        "n_terms",
+        (F.col("pos") - F.col("off")).alias("start_pos"),
+        "off",
+    )
+    return (
+        hits.groupBy("query_id", "doc_id", "phrase", "n_terms", "start_pos")
+        .agg(F.count_distinct("off").alias("n_off"))
+        .where(
+            (F.col("n_off") == F.col("n_terms")) & (F.col("start_pos") >= 1)
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("start_pos").cast("int").alias("start_pos"),
+            "phrase",
+        )
+    )
+
+
 @query("text_phrase_search", oracle=_PHRASE_ORACLE)
 def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact PHRASE search over a positional postings index — the
@@ -1808,9 +1848,9 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the phrase's RAREST term — the positional analog of WAND's
     upper-bound prune, df_min·L instead of Σ df candidate rows —
     ranking-neutral and omitted here to keep the oracle exact.)
-    count(DISTINCT off) == L is correct even when the phrase repeats a
-    term: offsets are distinct by construction, and a start needs
-    every offset present."""
+    The repeated-term and overlapping-occurrence edge cases are pinned
+    directly on the factored core (phrase_search) in
+    tests/test_phrase_search.py."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("w")
     )
@@ -1825,30 +1865,10 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(
                 " ", F.col("w")[0], F.col("w")[1], F.col("w")[2]
             ).alias("phrase"),
+            F.lit(3).alias("n_terms"),
             F.posexplode(F.slice("w", 1, 3)).alias("off", "term"),
         )
     )
-    post = d.select(
-        "doc_id", F.posexplode("w").alias("pos0", "word")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
-    hits = post.join(
-        F.broadcast(phrases), post["word"] == phrases["term"]
-    ).select(
-        "query_id",
-        "doc_id",
-        "phrase",
-        (F.col("pos") - F.col("off")).alias("start_pos"),
-        "off",
-    )
-    return (
-        hits.groupBy("query_id", "doc_id", "phrase", "start_pos")
-        .agg(F.count_distinct("off").alias("n_off"))
-        .where((F.col("n_off") == 3) & (F.col("start_pos") >= 1))
-        .select(
-            "query_id",
-            "doc_id",
-            F.col("start_pos").cast("int").alias("start_pos"),
-            "phrase",
-        )
-        .orderBy("query_id", "doc_id", "start_pos")
+    return phrase_search(d, phrases).orderBy(
+        "query_id", "doc_id", "start_pos"
     )

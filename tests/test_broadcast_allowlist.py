@@ -124,8 +124,9 @@ ALLOWLIST = {
         (1, "probe-capped probe frame (_HE_QCAP)"),
     ("llm/text.py", "text_hybrid_rrf_retrieval"):
         (1, "probe-capped probe frame"),
-    ("llm/text.py", "text_phrase_search"):
-        (1, "probe-capped: phrase-term frame (_PHRASE_QCAP)"),
+    ("llm/text.py", "phrase_search"):
+        (1, "probe-capped: phrase-term frame (_PHRASE_QCAP / test "
+            "fixtures)"),
     ("llm/tokenizer.py", "_train_chain"):
         (1, "scalar-1row: winning merge pair"),
     ("llm/tokenizer.py", "tok_vocab_coverage_heldout"):
