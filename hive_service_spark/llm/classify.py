@@ -564,32 +564,24 @@ ORDER BY y.doc_id
 """
 
 
-def _logreg_core(
-    spark: SparkSession, sf_dir: str, train_col
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
-    """Shared Spark GD core. ``train_col`` is a boolean Column over
-    doc_id selecting the training split. Returns (x, ylab, w1, w2, w3)
-    — x persisted and reused by all three steps, ylab carrying
-    (doc_id, y, is_train), weights BIGINT in 1e-6 units after each
-    step. Every cross-row sum is BIGINT-exact; see ml_logreg_quality
-    for the full exactness argument."""
+def _logreg_featurize(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The shared featurizer: documents (doc_id, lang, text) -> the
+    exact-integer feature frame x = (doc_id, b, x: BIGINT) — hashed
+    word buckets at scale _LR_XS plus the bias bucket — and the label
+    frame (doc_id, y). Used verbatim by batch training AND the
+    streaming scorer (the served-model property: featurization must
+    be identical or served scores drift from the trained model)."""
     from hive_service_spark.llm.dedup import _h
-    from hive_service_spark.registry import persisted
 
-    d = load(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
         F.explode(F.split(F.lower("text"), " ")).alias("word"),
     ).select("doc_id", "y", (_h(F.col("word")) % _LR_B).alias("b"))
     nd = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ylab = (
-        tok.select("doc_id", "y")
-        .distinct()
-        .select("doc_id", "y", train_col.alias("is_train"))
-    )
+    ylab = tok.select("doc_id", "y").distinct()
     xb = tok.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
-    x = persisted(
+    x = (
         xb.join(nd, "doc_id")
         .select(
             "doc_id",
@@ -606,6 +598,24 @@ def _logreg_core(
             )
         )
     )
+    return x, ylab
+
+
+def _logreg_core(
+    spark: SparkSession, sf_dir: str, train_col
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared Spark GD core. ``train_col`` is a boolean Column over
+    doc_id selecting the training split. Returns (x, ylab, w1, w2, w3)
+    — x persisted and reused by all three steps, ylab carrying
+    (doc_id, y, is_train), weights BIGINT in 1e-6 units after each
+    step. Every cross-row sum is BIGINT-exact; see ml_logreg_quality
+    for the full exactness argument."""
+    from hive_service_spark.registry import persisted
+
+    d = load(spark, sf_dir, "documents")
+    x0, ylab0 = _logreg_featurize(d)
+    ylab = ylab0.select("doc_id", "y", train_col.alias("is_train"))
+    x = persisted(x0)
     ytrain = ylab.where("is_train")
     n_total = ytrain.agg(F.count(F.lit(1)).alias("nd_total"))
 

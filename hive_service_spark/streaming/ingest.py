@@ -37,6 +37,7 @@ from hive_service_spark.llm.dedup import (
     _shingles,
     _signatures,
 )
+from hive_service_spark.llm.classify import _LOGREG_SERVED_ORACLE
 from hive_service_spark.registry import persisted, query
 from hive_service_spark.scratch import SCRATCH_ROOT as _SCRATCH
 from hive_service_spark.scratch import pid_dir, stage_source
@@ -402,3 +403,77 @@ def _dsir_decide(bdf: DataFrame, model: DataFrame) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_feats"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming classifier scoring: the trained logistic-regression weight
+# vector applied to the ingest stream (round 10)
+# ---------------------------------------------------------------------------
+
+
+def _logreg_static_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once static side of the LR ingest: the 3-step
+    exact-integer GD fitted on the STORED corpus (doc_id % 5 != 0 —
+    the same 80% split ml_logreg_served_scores trains on), frozen
+    with an eager localCheckpoint so no micro-batch ever re-runs a
+    training stage. Exported (like _lsh_corpus_index and
+    _dsir_static_model) so the soak can drive the identical decision
+    function through many micro-batches."""
+    from hive_service_spark.llm.classify import _logreg_core
+
+    _x, _ylab, _w1, _w2, w3 = _logreg_core(
+        spark, sf_dir, F.col("doc_id") % 5 != 0
+    )
+    return w3.localCheckpoint(eager=True)
+
+
+def _logreg_decide(bdf: DataFrame, w3: DataFrame) -> DataFrame:
+    """One micro-batch's docs -> scored rows. Featurization is the
+    SAME function training used (_logreg_featurize — the served-model
+    property), the weight join is against the BROADCAST 65-row frozen
+    vector, and the margin is the same exact BIGINT the batch scorer
+    emits — zero cross-batch state."""
+    from hive_service_spark.llm.classify import _logreg_featurize
+
+    x, ylab = _logreg_featurize(bdf)
+    mt = (
+        x.join(F.broadcast(w3), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("x") * F.col("w")).cast("bigint").alias("margin_q"))
+    )
+    return ylab.join(mt, "doc_id").select(
+        "doc_id",
+        F.col("y").cast("int").alias("y"),
+        "margin_q",
+        F.when(F.col("margin_q") > 0, 1).otherwise(0)
+        .cast("int")
+        .alias("pred_en"),
+        F.when((F.col("margin_q") > 0) == (F.col("y") == 1), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("correct"),
+    )
+
+
+@query("stream_logreg_scoring", oracle=_LOGREG_SERVED_ORACLE)
+def stream_logreg_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train batch, serve streaming — the quality-classifier
+    deployment shape (the LR twin of stream_dsir_scoring): the 65-row
+    weight vector is trained ONCE on the stored 80% corpus
+    (_logreg_static_weights), then the ingest stream (doc_id % 5 = 0,
+    the same incoming partition every ingest query screens) is
+    featurized per micro-batch BY THE SAME FUNCTION training used,
+    joined to the broadcast frozen weights, and scored with one batch
+    aggregation per document inside foreachBatch — a doc's features
+    all live in its own micro-batch, so the streaming query has ZERO
+    stateful operators and state-store rows stay at exactly zero at
+    any ingest volume. Margins are the same exact BIGINTs as
+    ml_logreg_served_scores — the two queries SHARE the oracle, so a
+    drifting featurization, a stale weight join, or any float creeping
+    into the served path hash-fails against the batch-trained truth."""
+    w3 = _logreg_static_weights(spark, sf_dir)
+    stream = _doc_stream(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+    out = _run_stateless_ingest(
+        stream, "logreg_scores", lambda bdf: _logreg_decide(bdf, w3)
+    )
+    return out.select("doc_id", "y", "margin_q", "pred_en", "correct")

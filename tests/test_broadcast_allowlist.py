@@ -131,6 +131,8 @@ ALLOWLIST = {
         (1, "scalar-1row: winning merge pair"),
     ("llm/tokenizer.py", "tok_vocab_coverage_heldout"):
         (1, "model-bounded: trained merge table"),
+    ("streaming/ingest.py", "_logreg_decide"):
+        (1, "model-bounded: 65-row frozen weight vector"),
     ("operators/acid_snapshots.py", "_rewrite"):
         (1, "batch-contract: txn delete keyset"),
     ("operators/acid_snapshots.py", "acid_cdc_apply_replica"):

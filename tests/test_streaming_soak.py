@@ -107,11 +107,13 @@ def test_funnel_soak_state_is_bounded(spark, tmp_path):
 
 
 def _ingest_cases():
-    """(query name, make_decide(spark) -> decide) for both stateless
+    """(query name, make_decide(spark) -> decide) for ALL stateless
     ingest queries — each must carry ZERO stateful operators."""
     from hive_service_spark.streaming.ingest import (
         _dsir_decide,
         _dsir_static_model,
+        _logreg_decide,
+        _logreg_static_weights,
         _lsh_corpus_index,
         _lsh_decide,
     )
@@ -125,7 +127,15 @@ def _ingest_cases():
         model = _dsir_static_model(spark, SF_DIR)
         return lambda bdf: _dsir_decide(bdf, model)
 
-    return [("stream_dedup_lsh_ingest", lsh), ("stream_dsir_scoring", dsir)]
+    def logreg(spark):
+        w3 = _logreg_static_weights(spark, SF_DIR)
+        return lambda bdf: _logreg_decide(bdf, w3)
+
+    return [
+        ("stream_dedup_lsh_ingest", lsh),
+        ("stream_dsir_scoring", dsir),
+        ("stream_logreg_scoring", logreg),
+    ]
 
 
 @pytest.mark.parametrize("qname,make_decide", _ingest_cases())
