@@ -601,6 +601,38 @@ def _logreg_featurize(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     return x, ylab
 
 
+def _logreg_margins(x: DataFrame, w: DataFrame) -> DataFrame:
+    """Exact BIGINT margins per doc under a BROADCAST weight vector —
+    THE one scoring expression batch training (residuals), batch
+    serving, and the streaming scorer all share, so the served-model
+    property holds by construction, not just by test."""
+    return (
+        x.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("x") * F.col("w")).cast("bigint").alias("mi"))
+    )
+
+
+def _logreg_scores(ylab: DataFrame, margins: DataFrame) -> DataFrame:
+    """(doc_id, y) ⋈ exact margins -> the served row shape
+    (doc_id, y, margin_q, pred_en, correct) — shared by the batch and
+    streaming scorers."""
+    return ylab.join(
+        margins.withColumnRenamed("mi", "margin_q"), "doc_id"
+    ).select(
+        "doc_id",
+        F.col("y").cast("int").alias("y"),
+        "margin_q",
+        F.when(F.col("margin_q") > 0, 1).otherwise(0)
+        .cast("int")
+        .alias("pred_en"),
+        F.when((F.col("margin_q") > 0) == (F.col("y") == 1), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("correct"),
+    )
+
+
 def _logreg_core(
     spark: SparkSession, sf_dir: str, train_col
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
@@ -614,7 +646,12 @@ def _logreg_core(
 
     d = load(spark, sf_dir, "documents")
     x0, ylab0 = _logreg_featurize(d)
-    ylab = ylab0.select("doc_id", "y", train_col.alias("is_train"))
+    # ylab persists too: one row per doc, and WITHOUT it every
+    # consumer (e1, both _resid steps, n_total, the final join)
+    # re-runs the tokenize/explode/distinct corpus pass
+    ylab = persisted(
+        ylab0.select("doc_id", "y", train_col.alias("is_train"))
+    )
     x = persisted(x0)
     ytrain = ylab.where("is_train")
     n_total = ytrain.agg(F.count(F.lit(1)).alias("nd_total"))
@@ -642,11 +679,7 @@ def _logreg_core(
     def _resid(w_df: DataFrame) -> DataFrame:
         """Training residuals e = round(ES*(p - y)) from the exact
         integer margin under the broadcast weight vector."""
-        m = (
-            x.join(F.broadcast(w_df), "b")
-            .groupBy("doc_id")
-            .agg(F.sum(F.col("x") * F.col("w")).cast("bigint").alias("mi"))
-        )
+        m = _logreg_margins(x, w_df)
         mm = F.col("mi") / F.lit(1e10)
         p = F.lit(0.5) + mm / (F.lit(2) * (F.lit(1) + F.abs(mm)))
         return ytrain.join(m, "doc_id").select(
@@ -701,11 +734,7 @@ def ml_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature frame is persisted once and reused by all three steps, and
     nothing driver-side ever holds data-sized state."""
     x, ylab, w1, w2, w3 = _logreg_core(spark, sf_dir, F.lit(True))
-    m4 = (
-        x.join(F.broadcast(w3), "b")
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("x") * F.col("w")).cast("bigint").alias("mi"))
-    )
+    m4 = _logreg_margins(x, w3)
     acc = (
         ylab.join(m4, "doc_id")
         .agg(
@@ -746,24 +775,5 @@ def ml_logreg_served_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     x, ylab, _w1, _w2, w3 = _logreg_core(
         spark, sf_dir, F.col("doc_id") % 5 != 0
     )
-    mt = (
-        x.where(F.col("doc_id") % 5 == 0)
-        .join(F.broadcast(w3), "b")
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("x") * F.col("w")).cast("bigint").alias("margin_q"))
-    )
-    return (
-        ylab.join(mt, "doc_id")
-        .select(
-            "doc_id",
-            F.col("y").cast("int").alias("y"),
-            "margin_q",
-            F.when(F.col("margin_q") > 0, 1).otherwise(0)
-            .cast("int")
-            .alias("pred_en"),
-            F.when(
-                (F.col("margin_q") > 0) == (F.col("y") == 1), 1
-            ).otherwise(0).cast("int").alias("correct"),
-        )
-        .orderBy("doc_id")
-    )
+    mt = _logreg_margins(x.where(F.col("doc_id") % 5 == 0), w3)
+    return _logreg_scores(ylab, mt).orderBy("doc_id")

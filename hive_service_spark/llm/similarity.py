@@ -1729,7 +1729,8 @@ t8 AS (
     SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
            ROW_NUMBER() OVER (PARTITION BY q.vec_id
              ORDER BY ROUND(list_dot_product(q.e[1:8], c.e[1:8])
-                            / (q.nr8 * c.nr8), 4) DESC, c.vec_id) AS rank
+                            / nullif(q.nr8 * c.nr8, 0), 4)
+                      DESC, c.vec_id) AS rank
     FROM q JOIN v c ON q.vec_id <> c.vec_id
   ) WHERE rank <= 5
 ),
@@ -1738,7 +1739,8 @@ t16 AS (
     SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
            ROW_NUMBER() OVER (PARTITION BY q.vec_id
              ORDER BY ROUND(list_dot_product(q.e[1:16], c.e[1:16])
-                            / (q.nr16 * c.nr16), 4) DESC, c.vec_id) AS rank
+                            / nullif(q.nr16 * c.nr16, 0), 4)
+                      DESC, c.vec_id) AS rank
     FROM q JOIN v c ON q.vec_id <> c.vec_id
   ) WHERE rank <= 5
 ),
@@ -1793,9 +1795,14 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         if dim is None:
             cos = _cos("q", "c")
         else:
+            # a NONZERO vector can still have an all-zero prefix: the
+            # 0-denominator must be NULL on BOTH engines (NULLs sort
+            # last under DESC on both), not Spark-NULL vs DuckDB-inf
             cos = _dot(
                 F.slice(F.col("q.e"), 1, dim), F.slice(F.col("c.e"), 1, dim)
-            ) / (F.col(f"q.nr{dim}") * F.col(f"c.nr{dim}"))
+            ) / F.nullif(
+                F.col(f"q.nr{dim}") * F.col(f"c.nr{dim}"), F.lit(0.0)
+            )
         scored = (
             F.broadcast(q.alias("q"))
             .join(v.alias("c"), F.col("q.vec_id") != F.col("c.vec_id"))

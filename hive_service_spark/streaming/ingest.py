@@ -428,31 +428,19 @@ def _logreg_static_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _logreg_decide(bdf: DataFrame, w3: DataFrame) -> DataFrame:
-    """One micro-batch's docs -> scored rows. Featurization is the
-    SAME function training used (_logreg_featurize — the served-model
-    property), the weight join is against the BROADCAST 65-row frozen
-    vector, and the margin is the same exact BIGINT the batch scorer
-    emits — zero cross-batch state."""
-    from hive_service_spark.llm.classify import _logreg_featurize
+    """One micro-batch's docs -> scored rows. Featurization AND
+    scoring are the SAME functions the batch path uses
+    (_logreg_featurize / _logreg_margins / _logreg_scores — the
+    served-model property by construction), against the BROADCAST
+    65-row frozen vector — zero cross-batch state."""
+    from hive_service_spark.llm.classify import (
+        _logreg_featurize,
+        _logreg_margins,
+        _logreg_scores,
+    )
 
     x, ylab = _logreg_featurize(bdf)
-    mt = (
-        x.join(F.broadcast(w3), "b")
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("x") * F.col("w")).cast("bigint").alias("margin_q"))
-    )
-    return ylab.join(mt, "doc_id").select(
-        "doc_id",
-        F.col("y").cast("int").alias("y"),
-        "margin_q",
-        F.when(F.col("margin_q") > 0, 1).otherwise(0)
-        .cast("int")
-        .alias("pred_en"),
-        F.when((F.col("margin_q") > 0) == (F.col("y") == 1), 1)
-        .otherwise(0)
-        .cast("int")
-        .alias("correct"),
-    )
+    return _logreg_scores(ylab, _logreg_margins(x, w3))
 
 
 @query("stream_logreg_scoring", oracle=_LOGREG_SERVED_ORACLE)

@@ -55,12 +55,11 @@ ALLOWLIST = {
         (5, "model-bounded: vocab + bigram LM + backoff + 1-row unseen"),
     ("llm/classify.py", "_step"):
         (2, "scalar-1row doc count + model-bounded 65-row weights"),
-    ("llm/classify.py", "_resid"):
-        (1, "model-bounded: 65-row weight vector"),
+    ("llm/classify.py", "_logreg_margins"):
+        (1, "model-bounded: 65-row weight vector (the ONE shared "
+            "scoring site — residuals, batch serve, streaming serve)"),
     ("llm/classify.py", "ml_logreg_quality"):
-        (2, "model-bounded 65-row weights + scalar-1row accuracy"),
-    ("llm/classify.py", "ml_logreg_served_scores"):
-        (1, "model-bounded: 65-row trained weight vector"),
+        (1, "scalar-1row: accuracy row"),
     ("llm/corpus.py", "text_tfidf_top_terms"):
         (1, "scalar-1row: corpus doc count"),
     ("llm/dedup.py", "dedup_containment_pairs"):
@@ -131,8 +130,6 @@ ALLOWLIST = {
         (1, "scalar-1row: winning merge pair"),
     ("llm/tokenizer.py", "tok_vocab_coverage_heldout"):
         (1, "model-bounded: trained merge table"),
-    ("streaming/ingest.py", "_logreg_decide"):
-        (1, "model-bounded: 65-row frozen weight vector"),
     ("operators/acid_snapshots.py", "_rewrite"):
         (1, "batch-contract: txn delete keyset"),
     ("operators/acid_snapshots.py", "acid_cdc_apply_replica"):
