@@ -120,6 +120,13 @@ HEADLINE = [
     # round-10 continued: in-engine classifier training (3 exact
     # integer-GD steps of logistic regression over hashed features)
     "ml_logreg_quality",
+    # round 11: the SQL npath surfaces — the call parser routed through
+    # the compiled island walk (must price like seq_matchpath_general),
+    # and the automaton-class pattern under the MAXROWS per-user budget
+    # (the bounded Python-stage price, vs the unbounded buffering the
+    # old UDTF-only surface implied)
+    "seq_npath_sql_compiled",
+    "seq_npath_sql_capped",
 ]
 
 # Pure-CPU sentinel queries (plan-pinned, untouched since round 1) and
@@ -141,14 +148,10 @@ _SENTINELS = {
 }
 
 
-def main() -> None:
-    specs = load_all()
-    spark = get_session("hive_service_spark-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    # JVM + file-listing warmup (not counted)
-    spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
-
+def _run_suite(spark, specs) -> dict:
+    """One full measured pass over HEADLINE. Returns the run summary
+    (times, total, host-factor stats) so the caller can decide whether
+    the instrument reading is trustworthy."""
     times: dict[str, float] = {}
     for name in HEADLINE:
         if name not in specs:
@@ -185,7 +188,6 @@ def main() -> None:
     ordered = sorted(samples.values())
     host_factor = None
     spread = None
-    warn = None
     if ordered:
         mid = len(ordered) // 2
         host_factor = round(
@@ -195,35 +197,82 @@ def main() -> None:
             3,
         )
         spread = round(ordered[-1] - ordered[0], 3)
-        if spread > 0.5:
-            # round-9 verdict #6: the spread gate is mechanical, not an
-            # adjudication call — a settling/loaded box shows up as
-            # sentinel disagreement; the run's per-query ratios are
-            # then noise and the suite should be re-run idle
-            warn = (
-                f"sentinel spread {spread} > 0.5: host was busy or "
-                "settling during this run — re-run on an idle box "
-                "before comparing per-query times across rounds"
-            )
-            sys.stderr.write(f"WARN bench: {warn}\n")
+    return {
+        "queries": times,
+        "value": total,
+        "host_factor": host_factor,
+        "host_factor_samples": samples,
+        "host_factor_spread": spread,
+    }
+
+
+def main() -> None:
+    specs = load_all()
+    spark = get_session("hive_service_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM + file-listing warmup (not counted)
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+
+    run = _run_suite(spark, specs)
+    discarded = None
+    retried = False
+    if (run["host_factor_spread"] or 0) > 0.5:
+        # round-10 verdict #3 (self-heal): the round-10 GRADED file was
+        # a known-bad instrument reading (spread 0.664 — busy box). The
+        # spread gate is mechanical, so the retry is too: re-run the
+        # whole suite once and keep the run whose sentinels agree
+        # better (tie-broken by lower host_factor = less-loaded box),
+        # recording BOTH runs in the JSON so the discarded reading
+        # stays auditable.
+        sys.stderr.write(
+            f"WARN bench: sentinel spread {run['host_factor_spread']} "
+            "> 0.5 (busy/settling box) — re-running the suite once\n"
+        )
+        retried = True
+        second = _run_suite(spark, specs)
+        key = lambda r: (  # noqa: E731
+            r["host_factor_spread"],
+            r["host_factor"],
+        )
+        if key(second) < key(run):
+            run, discarded = second, run
+        else:
+            discarded = second
+    warn = None
+    if (run["host_factor_spread"] or 0) > 0.5:
+        # still noisy after the retry: the gate stays loud — a graded
+        # artifact carrying this flag must be read via host correction
+        warn = (
+            f"sentinel spread {run['host_factor_spread']} > 0.5 "
+            "(persisted across a retry): host was busy or settling — "
+            "re-run on an idle box before comparing per-query times "
+            "across rounds"
+        )
+        sys.stderr.write(f"WARN bench: {warn}\n")
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": total,
+                "value": run["value"],
                 "unit": "sec",
-                "queries": times,
+                "queries": run["queries"],
                 "sf": SF_DIR,
-                "host_factor": host_factor,
-                "host_factor_samples": samples,
-                "host_factor_spread": spread,
+                "host_factor": run["host_factor"],
+                "host_factor_samples": run["host_factor_samples"],
+                "host_factor_spread": run["host_factor_spread"],
                 "host_factor_warn": warn,
+                "spread_retry": retried,
+                "discarded_run": discarded,
                 "host_factor_note": (
                     "MEDIAN ratio of the pure-CPU sentinel queries "
                     f"{sorted(_SENTINELS)} to their round-1 times; divide "
                     "per-query times by this to compare across hosts. "
                     "host_factor_spread (max-min sample) is the "
-                    "instrument's own noise band for this run."
+                    "instrument's own noise band for this run. A run "
+                    "whose spread fired the >0.5 gate is re-run once "
+                    "(spread_retry) and the noisier reading is kept in "
+                    "discarded_run for audit."
                 ),
             }
         )

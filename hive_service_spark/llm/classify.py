@@ -634,17 +634,27 @@ def _logreg_scores(ylab: DataFrame, margins: DataFrame) -> DataFrame:
 
 
 def _logreg_core(
-    spark: SparkSession, sf_dir: str, train_col
+    spark: SparkSession, sf_dir: str, train_col, prefilter=None
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
     """Shared Spark GD core. ``train_col`` is a boolean Column over
     doc_id selecting the training split. Returns (x, ylab, w1, w2, w3)
     — x persisted and reused by all three steps, ylab carrying
     (doc_id, y, is_train), weights BIGINT in 1e-6 units after each
     step. Every cross-row sum is BIGINT-exact; see ml_logreg_quality
-    for the full exactness argument."""
+    for the full exactness argument.
+
+    ``prefilter`` (round-10 ADVICE #2): a boolean Column applied to
+    the corpus BEFORE featurization. A train-only caller (the ingest
+    stream's frozen static side, which never scores stored docs) passes
+    its split predicate here with ``train_col=lit(True)`` so the 20%
+    it will never train on is not featurized and persisted as dead
+    weight; gradients are unchanged because every training aggregate
+    joins through the train split anyway."""
     from hive_service_spark.registry import persisted
 
     d = load(spark, sf_dir, "documents")
+    if prefilter is not None:
+        d = d.where(prefilter)
     x0, ylab0 = _logreg_featurize(d)
     # ylab persists too: one row per doc, and WITHOUT it every
     # consumer (e1, both _resid steps, n_total, the final join)

@@ -1720,7 +1720,8 @@ gt AS (
     SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
            ROW_NUMBER() OVER (PARTITION BY q.vec_id
              ORDER BY ROUND(list_dot_product(q.e, c.e)
-                            / (q.nr * c.nr), 4) DESC, c.vec_id) AS rank
+                            / nullif(q.nr * c.nr, 0), 4)
+                      DESC, c.vec_id) AS rank
     FROM q JOIN v c ON q.vec_id <> c.vec_id
   ) WHERE rank <= 5
 ),
@@ -1793,7 +1794,13 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _top5(dim: int | None) -> DataFrame:
         if dim is None:
-            cos = _cos("q", "c")
+            # round-10 ADVICE #1: the GROUND-TRUTH ranking needs the
+            # same zero-denominator guard the truncated prefixes got —
+            # an all-zero embedding must be NULL (sorts last DESC) on
+            # BOTH engines, not Spark-NULL vs DuckDB inf/NaN
+            cos = _dot(F.col("q.e"), F.col("c.e")) / F.nullif(
+                F.col("q.nr") * F.col("c.nr"), F.lit(0.0)
+            )
         else:
             # a NONZERO vector can still have an all-zero prefix: the
             # 0-denominator must be NULL on BOTH engines (NULLs sort

@@ -476,6 +476,7 @@ def _matchpath_jvm_leadchain(
     partition_by: str,
     comps: list[list[frozenset[str]]],
     k_max: int,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Bounded-length chains with OVERLAPPING char-sets compiled to a
     pure lead-chain window plan — no Python stage, no join at all
@@ -533,7 +534,7 @@ def _matchpath_jvm_leadchain(
     )
     return (
         rows.where(F.col("_ch").isin(*first_sets))
-        .select("pk", "rn", "_ts", pick.alias("m"))
+        .select("pk", "rn", "_ts", *passthrough, pick.alias("m"))
         .where(F.col("m").isNotNull())
         .select(
             F.col("pk").alias(partition_by),
@@ -541,6 +542,7 @@ def _matchpath_jvm_leadchain(
             F.col("m.l").cast("int").alias("match_len"),
             F.col("_ts").alias("path_start"),
             F.col("m.e").alias("path_end"),
+            *passthrough,
         )
     )
 
@@ -551,6 +553,7 @@ def _matchpath_jvm_chain(
     partition_by: str,
     variants: list[list[tuple[str, int, int]]],
     group_of: dict[str, str],
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """A literal symbol chain compiled to pure window expressions plus
     one equi-join — no Python stage anywhere (the analog of keeping
@@ -695,7 +698,7 @@ def _matchpath_jvm_chain(
             ]
         )
         return (
-            cand.select("pk", "rn", "_ts", pick.alias("m"))
+            cand.select("pk", "rn", "_ts", *passthrough, pick.alias("m"))
             .where(F.col("m").isNotNull())
             .select(
                 F.col("pk").alias(partition_by),
@@ -703,15 +706,16 @@ def _matchpath_jvm_chain(
                 F.col("m.l").cast("int").alias("match_len"),
                 F.col("_ts").alias("path_start"),
                 F.col("m.e").alias("path_end"),
+                *passthrough,
             )
         )
     # bounded-final mode: segments consume CONTIGUOUS rn ranges, so
     # end_rn = rn + match_len - 1 holds for every variant — one narrow
     # (pk, rn) equi-join fetches the end row's timestamp
     pick = F.coalesce(*[F.when(c, ln) for c, ln, _ in parts])
-    matched = cand.select("pk", "rn", "_ts", pick.alias("l")).where(
-        F.col("l").isNotNull()
-    )
+    matched = cand.select(
+        "pk", "rn", "_ts", *passthrough, pick.alias("l")
+    ).where(F.col("l").isNotNull())
     ends = rows.select(
         "pk", F.col("rn").alias("ern"), F.col("_ts").alias("end_ts")
     )
@@ -724,6 +728,7 @@ def _matchpath_jvm_chain(
             F.col("l").cast("int").alias("match_len"),
             F.col("_ts").alias("path_start"),
             F.col("end_ts").alias("path_end"),
+            *passthrough,
         )
     )
 
@@ -736,6 +741,7 @@ def matchpath(
     pattern: str,
     ts_col: str = "ts",
     force_automaton: bool = False,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Generic MatchPath over any DataFrame.
 
@@ -743,6 +749,13 @@ def matchpath(
     Arrow automaton even for compilable patterns — measurement/testing
     only (tools/scale_probe.py's compiled-vs-automaton cost line and
     direct path-equivalence tests); never set in registered queries.
+
+    ``passthrough`` (round 11, verdict #2): extra input columns carried
+    onto each output row, valued from the match's START row — so a flag
+    an upstream pass already stamped (capped_user_prefix's
+    ``user_capped``) rides the matchpath plan instead of forcing the
+    caller to re-scan and re-aggregate the corpus just to join it back.
+    All three plans honor it (island walk, lead chain, automaton).
 
     ``symbols`` maps symbol name -> boolean Column (first match wins,
     like the reference's symbol-arg ordering). Emits one row per match
@@ -795,6 +808,7 @@ def matchpath(
         F.col(ts_col).alias("_ts"),
         *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_by)],
         ch.alias("_ch"),
+        *passthrough,
     )
     order_cols = [f"_o{i}" for i in range(len(order_by))]
 
@@ -830,7 +844,12 @@ def matchpath(
                     for segs in variants
                 ]
                 return _matchpath_jvm_chain(
-                    slim, order_cols, partition_by, variants, group_of
+                    slim,
+                    order_cols,
+                    partition_by,
+                    variants,
+                    group_of,
+                    passthrough,
                 )
         # overlapping char-sets (or an island-variant blowup): the
         # round-10 lead-chain compiler covers any FINITE-max chain —
@@ -842,7 +861,7 @@ def matchpath(
         if lead is not None:
             comps, k_max = lead
             return _matchpath_jvm_leadchain(
-                slim, order_cols, partition_by, comps, k_max
+                slim, order_cols, partition_by, comps, k_max, passthrough
             )
 
     # round 10b: anything the flat chain parser rejects but whose FULL
@@ -857,12 +876,16 @@ def matchpath(
             if fin is not None:
                 comps, k_max = fin
                 return _matchpath_jvm_leadchain(
-                    slim, order_cols, partition_by, comps, k_max
+                    slim, order_cols, partition_by, comps, k_max, passthrough
                 )
 
     out_schema = (
         f"{partition_by} long, start_rn int, match_len int, "
         "path_start timestamp, path_end timestamp"
+        + "".join(
+            f", {c} {slim.schema[c].dataType.simpleString()}"
+            for c in passthrough
+        )
     )
 
     def _walk(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -870,14 +893,25 @@ def matchpath(
         s = "".join(pdf["_ch"])
         ts = pdf["_ts"]
         pk = pdf["pk"].iloc[0]
+        extra = [pdf[c] for c in passthrough]
         rows = []
         for i in range(len(s)):
             m = rx.match(s, i)
             if m and m.end() > i:
-                rows.append((pk, i + 1, m.end() - i, ts[i], ts[m.end() - 1]))
+                rows.append(
+                    (pk, i + 1, m.end() - i, ts[i], ts[m.end() - 1])
+                    + tuple(x.iloc[i] for x in extra)
+                )
         return pd.DataFrame(
             rows,
-            columns=[partition_by, "start_rn", "match_len", "path_start", "path_end"],
+            columns=[
+                partition_by,
+                "start_rn",
+                "match_len",
+                "path_start",
+                "path_end",
+                *passthrough,
+            ],
         )
 
     return slim.groupBy("pk").applyInPandas(_walk, out_schema)
@@ -1419,6 +1453,65 @@ def seq_matchpath_optional_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# hard per-partition buffer guard for the demo UDTF surface: a hot key
+# past this raises a clear budget error (naming the bounded surfaces)
+# instead of silently buffering an unbounded history in one Python
+# worker — the straggler class capped_user_prefix exists to bound
+_NPATH_UDTF_MAX_ROWS = 1_000_000
+
+
+def _npath_udtf(pattern: str, symbol_order: list[str]):
+    """Build the hs_npath Python UDTF for a pattern whose symbol names
+    ARE event_type values (the demo surface's convention). The regex
+    and symbol->char map come from compile_pattern — the same source
+    of truth the DataFrame operator compiles from (round-10 ADVICE #3:
+    the old version hardcoded 'aa*b' and drifted independently)."""
+    from pyspark.sql.functions import udtf
+
+    chars, rx_src = compile_pattern(pattern, symbol_order)
+
+    @udtf(
+        returnType=(
+            "user_id bigint, start_rn int, match_len int, "
+            "path_start timestamp, path_end timestamp"
+        )
+    )
+    class NPath:
+        def __init__(self) -> None:
+            self._rows: list = []
+
+        def eval(self, row) -> None:
+            if len(self._rows) >= _NPATH_UDTF_MAX_ROWS:
+                raise RuntimeError(
+                    "hs_npath: partition exceeds the "
+                    f"{_NPATH_UDTF_MAX_ROWS}-row UDTF buffer guard — "
+                    "use the compiled SQL surface (npath_sql / "
+                    "seq_npath_sql_compiled) or a MAXROWS per-user "
+                    "budget (seq_npath_sql_capped)"
+                )
+            self._rows.append(
+                (row["user_id"], row["ts"], chars.get(row["event_type"], "x"))
+            )
+
+        def terminate(self):
+            import re as _re
+
+            rx = _re.compile(rx_src)
+            s = "".join(c for _, _, c in self._rows)
+            for i in range(len(s)):
+                m = rx.match(s, i)
+                if m and m.end() > i:
+                    yield (
+                        self._rows[0][0],
+                        i + 1,
+                        m.end() - i,
+                        self._rows[i][1],
+                        self._rows[m.end() - 1][1],
+                    )
+
+    return NPath
+
+
 @query("seq_npath_sql_ptf", oracle=_GENERAL_ORACLE)
 def seq_npath_sql_ptf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's npath is a SQL-CALLABLE partitioned table
@@ -1437,44 +1530,19 @@ def seq_npath_sql_ptf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle — so the value hash proves the SQL surface agrees with both
     the DataFrame operator's compiled island-walk plan and the DuckDB
     regex model. This query IS the Python-stage surface (an Arrow
-    batched UDTF, one pass per partition); the DataFrame API's
-    compiled JVM plans remain the performance path — SCALE.md's
-    compiled-vs-automaton table prices the difference."""
-    from pyspark.sql.functions import udtf
-
-    @udtf(
-        returnType=(
-            "user_id bigint, start_rn int, match_len int, "
-            "path_start timestamp, path_end timestamp"
-        )
+    batched UDTF, one pass per partition) kept as the PTF execution
+    model's demonstration; round 11 adds the surfaces a 100 TB caller
+    should use instead — seq_npath_sql_compiled (npath_sql -> the
+    Python-free compiled plan, same oracle) and seq_npath_sql_capped
+    (MAXROWS budget on the automaton class) — and this UDTF now (a)
+    derives its regex and symbol map from compile_pattern, sharing one
+    source of truth with the DataFrame operator (round-10 ADVICE #3),
+    and (b) refuses a partition larger than its buffer guard with an
+    error naming those bounded surfaces, instead of buffering a hot
+    key's unbounded history silently."""
+    spark.udtf.register(
+        "hs_npath", _npath_udtf("view.view*.purchase", ["view", "purchase"])
     )
-    class NPath:
-        def __init__(self) -> None:
-            self._rows: list = []
-
-        def eval(self, row) -> None:
-            self._rows.append(
-                (row["user_id"], row["ts"], row["event_type"])
-            )
-
-        def terminate(self):
-            import re as _re
-
-            rx = _re.compile("aa*b")
-            sym = {"view": "a", "purchase": "b"}
-            s = "".join(sym.get(t, "x") for _, _, t in self._rows)
-            for i in range(len(s)):
-                m = rx.match(s, i)
-                if m and m.end() > i:
-                    yield (
-                        self._rows[0][0],
-                        i + 1,
-                        m.end() - i,
-                        self._rows[i][1],
-                        self._rows[m.end() - 1][1],
-                    )
-
-    spark.udtf.register("hs_npath", NPath)
     load(spark, sf_dir, "events").createOrReplaceTempView("npath_events_src")
     return spark.sql(
         """
@@ -1486,3 +1554,305 @@ def seq_npath_sql_ptf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY user_id, start_rn
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# round 11: the SQL-callable npath surface routed through the COMPILED
+# planner — a mini PTF-call parser in front of matchpath(), so a SQL
+# caller gets the same island-walk / lead-chain JVM plans the DataFrame
+# API compiles to (verdict #1: the UDTF surface was the only entry
+# point, and it always buffered each partition in Python)
+# ---------------------------------------------------------------------------
+
+_NPATH_KEYWORDS = (
+    "ON",
+    "PARTITION BY",
+    "ORDER BY",
+    "MAXROWS",
+    "SYMBOLS",
+    "PATTERN",
+)
+
+
+def _npath_split(body: str) -> dict[str, str]:
+    """Split an npath(...) call body into clause texts keyed by
+    keyword. Keywords are recognized case-insensitively at paren depth
+    0 outside single-quoted strings, so symbol expressions may contain
+    parens, commas, and quoted literals freely."""
+    low = body.lower()
+    spans: list[tuple[str, int, int]] = []
+    depth, in_str, i, n = 0, False, 0, len(body)
+    while i < n:
+        ch = body[i]
+        if in_str:
+            in_str = ch != "'"
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+            i += 1
+            continue
+        if ch == ")":
+            depth -= 1
+            i += 1
+            continue
+        boundary = i == 0 or not (body[i - 1].isalnum() or body[i - 1] == "_")
+        if depth == 0 and boundary:
+            for kw in _NPATH_KEYWORDS:
+                k = kw.lower()
+                j = i + len(k)
+                if low.startswith(k, i) and (
+                    j >= n or not (low[j].isalnum() or low[j] == "_")
+                ):
+                    spans.append((kw, i, j))
+                    i = j
+                    break
+            else:
+                i += 1
+            continue
+        i += 1
+    out: dict[str, str] = {}
+    for idx, (kw, _s, e) in enumerate(spans):
+        nxt = spans[idx + 1][1] if idx + 1 < len(spans) else n
+        if kw in out:
+            raise ValueError(f"npath_sql: duplicate {kw} clause")
+        out[kw] = body[e:nxt].strip()
+    return out
+
+
+def _split_top_commas(s: str) -> list[str]:
+    parts, cur, depth, in_str = [], [], 0, False
+    for ch in s:
+        if in_str:
+            in_str = ch != "'"
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+            continue
+        cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def npath_sql(spark: SparkSession, call: str) -> DataFrame:
+    """SQL entry point for MatchPath that reaches the COMPILED planner
+    — the reference's PTF call shape (Teradata-style nPath, which
+    hive-exec-2.3.10-core.jar!ql/udf/ptf/MatchPath.class models as
+    ``npath(ON ... PARTITION BY ... ORDER BY ...)``) parsed into a
+    matchpath() invocation, so compiled-class patterns run the
+    Python-free island-walk / lead-chain JVM plans from SQL exactly as
+    from the DataFrame API, and only genuinely irregular patterns fall
+    back to the Arrow automaton. Grammar (whitespace-insensitive;
+    keywords case-insensitive):
+
+        npath(ON <table-or-(subquery)>
+              PARTITION BY <key-column>
+              ORDER BY <col> [, <col> ...]
+              [MAXROWS <n>]
+              SYMBOLS(<bool-sql-expr> AS <name> [, ...])
+              PATTERN('<pattern>'))
+
+    ``path_start``/``path_end`` timestamps come from the FIRST ORDER BY
+    column (the reference emits the matched rows' sort key the same
+    way). ``MAXROWS n`` (round 11, verdict #1) is the per-partition
+    event budget made first-class in the SQL surface: the input is
+    pre-passed through capped_user_prefix(n) — each key's EARLIEST n
+    rows on the same sort — and every match carries the stamped
+    ``user_capped`` flag via matchpath's passthrough. This is the
+    bound that keeps an automaton-class (irregular) pattern from
+    buffering a hot key's unbounded history in one Python worker;
+    compiled-class patterns never leave the JVM regardless.
+
+    Pattern strings cannot contain whitespace (the parser normalizes
+    runs of whitespace before splitting clauses)."""
+    s = re.sub(r"\s+", " ", call).strip()
+    m = re.match(r"(?i)^npath\s*\(", s)
+    if not m or not s.endswith(")"):
+        raise ValueError("npath_sql: expected npath( ... )")
+    clauses = _npath_split(s[m.end() : -1])
+    missing = [
+        kw
+        for kw in ("ON", "PARTITION BY", "ORDER BY", "SYMBOLS", "PATTERN")
+        if kw not in clauses
+    ]
+    if missing:
+        raise ValueError(f"npath_sql: missing clause(s) {missing}")
+
+    part = clauses["PARTITION BY"]
+    if not re.fullmatch(r"[A-Za-z_]\w*", part):
+        raise ValueError(
+            f"npath_sql: PARTITION BY expects one column, got {part!r}"
+        )
+    order = _split_top_commas(clauses["ORDER BY"])
+    if not order:
+        raise ValueError("npath_sql: ORDER BY needs at least one column")
+
+    sym_txt = clauses["SYMBOLS"]
+    if not (sym_txt.startswith("(") and sym_txt.endswith(")")):
+        raise ValueError("npath_sql: SYMBOLS expects a parenthesized list")
+    symbols: dict[str, Column] = {}
+    for item in _split_top_commas(sym_txt[1:-1]):
+        am = re.fullmatch(r"(?is)(.+?)\s+as\s+([A-Za-z_]\w*)", item)
+        if not am:
+            raise ValueError(
+                f"npath_sql: SYMBOLS item must be '<expr> AS <name>', "
+                f"got {item!r}"
+            )
+        symbols[am.group(2)] = F.expr(am.group(1))
+
+    pm = re.fullmatch(r"(?s)\(\s*'([^']+)'\s*\)", clauses["PATTERN"])
+    if not pm:
+        raise ValueError("npath_sql: PATTERN expects ('<pattern>')")
+    pattern = pm.group(1)
+    if "MAXROWS" in clauses and not re.fullmatch(
+        r"\d+", clauses["MAXROWS"]
+    ):
+        raise ValueError("npath_sql: MAXROWS expects an integer")
+
+    # every clause validated — only now resolve the relation
+    rel = clauses["ON"]
+    df = (
+        spark.sql(rel[1:-1])
+        if rel.startswith("(") and rel.endswith(")")
+        else spark.table(rel)
+    )
+    passthrough: tuple[str, ...] = ()
+    if "MAXROWS" in clauses:
+        from hive_service_spark.operators.sequence_analytics import (
+            capped_user_prefix,
+        )
+
+        df = capped_user_prefix(
+            df, int(clauses["MAXROWS"]), key=part, order_cols=tuple(order)
+        )
+        passthrough = ("user_capped",)
+
+    return matchpath(
+        df,
+        partition_by=part,
+        order_by=order,
+        symbols=symbols,
+        pattern=pattern,
+        ts_col=order[0],
+        passthrough=passthrough,
+    )
+
+
+@query("seq_npath_sql_compiled", oracle=_GENERAL_ORACLE)
+def seq_npath_sql_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL npath call routed through the COMPILED planner (round
+    11, verdict #1): the same ``view.view*.purchase`` contract as
+    seq_matchpath_general / seq_npath_sql_ptf — all three share one
+    oracle — but the SQL text reaches _matchpath_jvm_chain's island
+    walk via npath_sql's call parser, so the plan is Python-free (plan
+    pinned in test_matchpath_compile.py) while the call shape stays
+    the reference PTF's (hive-exec-2.3.10-core.jar!ql/udf/ptf/
+    MatchPath.class registered as npath/matchpath). This is the
+    surface a 100 TB SQL caller should use: the Arrow UDTF twin
+    (seq_npath_sql_ptf) buffers each partition in one Python worker;
+    this one never leaves the JVM."""
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "npath_events_src"
+    )
+    out = npath_sql(
+        spark,
+        """
+        npath(ON npath_events_src
+              PARTITION BY user_id
+              ORDER BY ts, event_id
+              SYMBOLS(event_type = 'view' AS view,
+                      event_type = 'purchase' AS purchase)
+              PATTERN('view.view*.purchase'))
+        """,
+    )
+    return out.orderBy("user_id", "start_rn")
+
+
+# the per-user budget knob, read once at import by sequence_analytics
+# (module-level import is cycle-safe: that module only imports this one
+# inside function bodies)
+from hive_service_spark.operators.sequence_analytics import (  # noqa: E402
+    _USER_EVENT_CAP,
+)
+
+_NPATH_CAPPED_ORACLE = f"""
+WITH r AS (
+  SELECT user_id, ts, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_total
+  FROM events
+),
+c AS (
+  SELECT user_id, ts, event_id, rn,
+         CASE WHEN event_type = 'view' THEN 'a'
+              WHEN event_type = 'click' THEN 'b'
+              ELSE 'x' END AS ch,
+         CAST(CASE WHEN n_total > {_USER_EVENT_CAP} THEN 1 ELSE 0 END
+              AS BIGINT) AS user_capped
+  FROM r WHERE rn <= {_USER_EVENT_CAP}
+),
+s AS (
+  SELECT user_id, string_agg(ch, '' ORDER BY rn) AS str
+  FROM c GROUP BY user_id
+),
+m AS (
+  SELECT c.user_id, c.rn AS start_rn, c.ts AS path_start, c.user_capped,
+         length(regexp_extract(substr(s.str, CAST(c.rn AS INT)),
+                               '^(a|b)+b')) AS match_len
+  FROM c JOIN s USING (user_id)
+)
+SELECT m.user_id, CAST(m.start_rn AS INT) AS start_rn,
+       CAST(m.match_len AS INT) AS match_len,
+       CAST(m.path_start AS TIMESTAMP) AS path_start,
+       CAST(e.ts AS TIMESTAMP) AS path_end,
+       m.user_capped
+FROM m
+JOIN c e ON e.user_id = m.user_id AND e.rn = m.start_rn + m.match_len - 1
+WHERE m.match_len > 0
+ORDER BY m.user_id, start_rn
+"""
+
+
+@query("seq_npath_sql_capped", oracle=_NPATH_CAPPED_ORACLE)
+def seq_npath_sql_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The automaton-class SQL npath under the per-user budget (round
+    11, verdict #1's second half): ``(view|click)+.click`` has an
+    unbounded quantifier over an OVERLAPPING char-set — no island key,
+    no finite lead depth — so it is genuinely the Arrow automaton's
+    class, the exact shape whose hot-key partition used to buffer
+    unbounded in one Python worker. ``MAXROWS {cap}`` in the SQL call
+    pre-passes the input through capped_user_prefix on the same sort:
+    the automaton never sees more than the budget per user, and each
+    match carries the stamped user_capped flag via matchpath's
+    passthrough — value-oracled against the DuckDB regex model over
+    the identical capped prefix."""
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "npath_events_src"
+    )
+    out = npath_sql(
+        spark,
+        f"""
+        npath(ON (SELECT user_id, ts, event_id, event_type
+                  FROM npath_events_src)
+              PARTITION BY user_id
+              ORDER BY ts, event_id
+              MAXROWS {_USER_EVENT_CAP}
+              SYMBOLS(event_type = 'view' AS view,
+                      event_type = 'click' AS click)
+              PATTERN('(view|click)+.click'))
+        """,
+    )
+    return out.orderBy("user_id", "start_rn")

@@ -2012,8 +2012,11 @@ def seq_matchpath_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncapped operator serializes the hot user into one task; capped,
     no task ever sees more than 48 rows of any user after the one
     narrow capping window — SCALE.md's 50%-skew table measures both
-    sides). The flag join is a map-side-combined per-user count, one
-    broadcast-free equi-join."""
+    sides). Round 11 (verdict #2): the flag capped_user_prefix already
+    stamped rides matchpath's ``passthrough`` onto each match's start
+    row — the old version re-scanned and re-aggregated events just to
+    rejoin a value it had dropped, one whole extra corpus pass at
+    100 TB (pinned gone in test_plans.py)."""
     from hive_service_spark.operators.matchpath import matchpath
 
     ev = load(spark, sf_dir, "events")
@@ -2029,14 +2032,9 @@ def seq_matchpath_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase": F.col("event_type") == "purchase",
         },
         pattern="view.view*.purchase",
+        passthrough=("user_capped",),
     )
-    flags = ev.groupBy("user_id").agg(
-        F.when(F.count(F.lit(1)) > _USER_EVENT_CAP, 1)
-        .otherwise(0)
-        .cast("bigint")
-        .alias("user_capped")
-    )
-    return out.join(flags, "user_id").orderBy("user_id", "start_rn")
+    return out.orderBy("user_id", "start_rn")
 
 
 _ATTRIB_CAPPED_ORACLE = f"""

@@ -421,8 +421,13 @@ def _logreg_static_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     function through many micro-batches."""
     from hive_service_spark.llm.classify import _logreg_core
 
+    # round-10 ADVICE #2: this path only ever TRAINS (the stream
+    # featurizes its own docs per micro-batch), so the 20% streamed
+    # split is pre-filtered out before featurization instead of being
+    # featurized+persisted as dead weight; weights are bit-identical
+    # (every training aggregate joins through the train split).
     _x, _ylab, _w1, _w2, w3 = _logreg_core(
-        spark, sf_dir, F.col("doc_id") % 5 != 0
+        spark, sf_dir, F.lit(True), prefilter=F.col("doc_id") % 5 != 0
     )
     return w3.localCheckpoint(eager=True)
 

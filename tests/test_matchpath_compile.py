@@ -836,6 +836,9 @@ def test_registered_matchpath_plans_have_no_python_stage(spark):
         "seq_matchpath_measures",
         "seq_matchpath_nested",
         "seq_matchpath_optional_lead",
+        # round 11: the SQL call surface routed through the compiled
+        # planner must be exactly as Python-free as the DataFrame API
+        "seq_npath_sql_compiled",
     ):
         df = load_all()[name].fn(spark, SF_DIR)
         plan = P.formatted_plan(df)
@@ -859,3 +862,165 @@ def test_irregular_pattern_still_exact_via_python_path(spark):
     got = _mp(spark, rows, "a.(b|c)*.c", _CHAIN_SYMS)
     want = _pysim(rows, "a(b|c)*c", _classify)
     assert got == want
+
+
+def test_passthrough_rides_all_three_plans(spark):
+    """Round 11 (verdict #2): ``passthrough`` columns are carried onto
+    each output row valued from the match's START row — on the island
+    walk, the lead-chain plan, AND the automaton fallback — so a flag
+    an upstream pass stamped (capped_user_prefix's user_capped) never
+    forces a second corpus scan. Differential check: a per-row tag
+    must equal the tag of the row start_rn points at."""
+    import itertools
+
+    import pyspark.sql.functions as F
+
+    from hive_service_spark.operators.matchpath import matchpath
+
+    rows = [
+        (i, list(seq))
+        for i, seq in enumerate(itertools.product("ABX", repeat=5))
+    ]
+    df = spark.createDataFrame(
+        [
+            (u, i, sym, u * 100 + i)
+            for u, seq in rows
+            for i, sym in enumerate(seq)
+        ],
+        "user_id bigint, pos bigint, sym string, tag bigint",
+    ).select(
+        "user_id",
+        F.timestamp_micros(F.col("pos") * 1_000_000).alias("ts"),
+        "pos",
+        "sym",
+        "tag",
+    )
+    for pattern, rx in (
+        ("a.a*.b", "aa*b"),  # island walk
+        ("a.(a|b){1,2}", "a(a|b){1,2}"),  # lead chain (overlap)
+        ("(a|b)+.b", "(a|b)+b"),  # automaton (unbounded overlap)
+    ):
+        out = matchpath(
+            df,
+            partition_by="user_id",
+            order_by=["pos"],
+            symbols=_CHAIN_SYMS(F),
+            pattern=pattern,
+            passthrough=("tag",),
+        )
+        got = sorted(
+            (r["user_id"], r["start_rn"], r["match_len"], r["tag"])
+            for r in out.collect()
+        )
+        # _pysim returns (u, start_rn, len); start row's tag is
+        # u*100 + (start_rn - 1)
+        want = sorted(
+            (u, srn, ln, u * 100 + (srn - 1))
+            for (u, srn, ln) in _pysim(rows, rx, _classify)
+        )
+        assert got == want, f"pattern {pattern}: passthrough diverges"
+
+
+# ---------------------------------------------------------------------------
+# round 11: the SQL npath surface (npath_sql parser + budget semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_npath_sql_parser_errors(spark):
+    from hive_service_spark.operators.matchpath import npath_sql
+
+    with pytest.raises(ValueError, match="expected npath"):
+        npath_sql(spark, "SELECT 1")
+    with pytest.raises(ValueError, match="missing clause"):
+        npath_sql(spark, "npath(ON t PARTITION BY u ORDER BY ts)")
+    with pytest.raises(ValueError, match="MAXROWS expects an integer"):
+        npath_sql(
+            spark,
+            "npath(ON t PARTITION BY u ORDER BY ts MAXROWS lots "
+            "SYMBOLS(a = 1 AS a) PATTERN('a'))",
+        )
+    with pytest.raises(ValueError, match="duplicate ON"):
+        npath_sql(
+            spark,
+            "npath(ON t ON t2 PARTITION BY u ORDER BY ts "
+            "SYMBOLS(a = 1 AS a) PATTERN('a'))",
+        )
+    with pytest.raises(ValueError, match="expr> AS <name"):
+        npath_sql(
+            spark,
+            "npath(ON t PARTITION BY u ORDER BY ts "
+            "SYMBOLS(a = 1) PATTERN('a'))",
+        )
+
+
+def test_npath_sql_matches_dataframe_operator(spark):
+    """npath_sql over a subquery, with symbol expressions containing
+    top-level-comma traps (IN lists, function calls), must produce the
+    same matches as the DataFrame operator — and keywords inside
+    quoted literals must not confuse the clause splitter."""
+    import pyspark.sql.functions as F
+
+    from hive_service_spark.operators.matchpath import matchpath, npath_sql
+
+    df = spark.createDataFrame(
+        [
+            (u, i, sym)
+            for u, seq in [
+                (1, "AABX"),
+                (2, "ABBB"),
+                (3, "XBAB"),
+                (4, "AAAB"),
+            ]
+            for i, sym in enumerate(seq)
+        ],
+        "user_id bigint, pos bigint, sym string",
+    ).select(
+        "user_id",
+        F.timestamp_micros(F.col("pos") * 1_000_000).alias("ts"),
+        "pos",
+        "sym",
+    )
+    df.createOrReplaceTempView("npath_parser_probe")
+    out = npath_sql(
+        spark,
+        """
+        npath(ON (SELECT user_id, ts, pos, sym
+                  FROM npath_parser_probe)
+              PARTITION BY user_id
+              ORDER BY pos
+              SYMBOLS(sym IN ('A', 'ON') AS a,
+                      coalesce(sym, 'PATTERN') = 'B' AS b)
+              PATTERN('a.a*.b'))
+        """,
+    )
+    want = matchpath(
+        df,
+        partition_by="user_id",
+        order_by=["pos"],
+        symbols={"a": F.col("sym") == "A", "b": F.col("sym") == "B"},
+        pattern="a.a*.b",
+        ts_col="pos",
+    )
+    got = sorted(
+        (r["user_id"], r["start_rn"], r["match_len"]) for r in out.collect()
+    )
+    exp = sorted(
+        (r["user_id"], r["start_rn"], r["match_len"]) for r in want.collect()
+    )
+    assert got == exp and got  # non-empty and identical
+
+
+def test_npath_udtf_buffer_guard(monkeypatch):
+    """The demo UDTF refuses a partition past its buffer guard with an
+    error naming the bounded surfaces (round 11: no silent unbounded
+    Python buffering)."""
+    import hive_service_spark.operators.matchpath as mp
+
+    monkeypatch.setattr(mp, "_NPATH_UDTF_MAX_ROWS", 3)
+    cls = mp._npath_udtf("view.view*.purchase", ["view", "purchase"]).func
+    inst = cls()
+    row = {"user_id": 1, "ts": 0, "event_type": "view"}
+    for _ in range(3):
+        inst.eval(row)
+    with pytest.raises(RuntimeError, match="MAXROWS"):
+        inst.eval(row)

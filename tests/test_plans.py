@@ -803,6 +803,29 @@ def test_capped_user_prefix_single_exchange(spark):
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan[:800]
 
 
+def test_capped_matchpath_has_no_flag_rescan(spark):
+    """Round 11 (verdict #2): seq_matchpath_capped used to re-scan and
+    re-aggregate RAW events just to rejoin the user_capped flag that
+    capped_user_prefix had already stamped (matchpath's slim projection
+    dropped it) — a whole extra corpus pass at 100 TB. With the flag
+    riding matchpath's passthrough, the plan must have exactly the
+    island walk's 3 exchanges (the old shape had 4: + the flag
+    aggregation's) and no scan subtree may feed an aggregate on raw
+    uncapped events — every scan sits under the capping window."""
+    import re
+
+    from hive_service_spark.registry import load_all
+
+    df = load_all()["seq_matchpath_capped"].fn(spark, SF_DIR)
+    plan = P.formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 3, plan[:1200]
+    # the flag join's HashAggregate keyed on the raw user_id is gone:
+    # the only aggregate left is the island frame's (pk, _g, isl) one
+    aggs = re.findall(r"Keys(?: \[\d+\])?: \[([^\]]*)\]", plan)
+    for keys in aggs:
+        assert "isl" in keys or "_g" in keys, (keys, plan[:1200])
+
+
 def test_user_event_cap_knob_validates(monkeypatch):
     """SPARK_GRAFT_USER_EVENT_CAP follows the GRAPH_BC_NODES
     convention: malformed or non-positive values raise a configuration

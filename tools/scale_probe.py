@@ -152,6 +152,11 @@ OUT_SKEW = OUT + "_skew"
 # round 10: 50% ownership — the bot-key breaking point; measured only
 # for the capped-vs-uncapped contrast pairs (SKEW50 below)
 OUT_SKEW50 = OUT + "_skew50"
+# round 11 (verdict #6): 90% ownership — does the 50%-table's fused
+# capping-walk floor (sessionize/attribution capped at 1.83-1.86x)
+# stay flat or grow as ownership rises? Measured only for the fused
+# pairs (SKEW90 below).
+OUT_SKEW90 = OUT + "_skew90"
 HOT_USER = 424_242
 SKEW = [
     # pure groupBy-user aggregations: partial (map-side) aggregation
@@ -191,6 +196,17 @@ SKEW50_PAIRS = [
     ("seq_top_journey_paths", "seq_journeys_capped"),
 ]
 SKEW50 = [q for pair in SKEW50_PAIRS for q in pair]
+
+# round 11: the two pairs whose capped skew_x at 50% sat at the fused
+# capping-walk floor — probed again at 90% ownership (plus one
+# post-cap-dominated pair, matchpath, as the control that the budget's
+# erased-straggler reading also holds at 90%)
+SKEW90_PAIRS = [
+    ("seq_sessionize_batch", "seq_sessionize_capped"),
+    ("seq_attribution_credit", "seq_attribution_capped"),
+    ("seq_matchpath_general", "seq_matchpath_capped"),
+]
+SKEW90 = [q for pair in SKEW90_PAIRS for q in pair]
 
 
 def _build(n_docs: int, n_vecs: int, n_li: int) -> None:
@@ -401,8 +417,13 @@ def _build(n_docs: int, n_vecs: int, n_li: int) -> None:
     # key-distribution cost alone.
     # round 10: a second skew dir at 50% ownership (the bot-key
     # breaking point the capped operators exist for) — same recipe,
-    # event_id % 2 instead of % 10
-    for skew_dir, modulus in ((OUT_SKEW, 10), (OUT_SKEW50, 2)):
+    # event_id % 2 instead of % 10. Round 11: a third at 90% (the
+    # fused-floor question), hot when event_id % 10 != 9.
+    for skew_dir, hot in (
+        (OUT_SKEW, lambda c: c % 10 == 0),
+        (OUT_SKEW50, lambda c: c % 2 == 0),
+        (OUT_SKEW90, lambda c: c % 10 != 9),
+    ):
         os.makedirs(skew_dir, exist_ok=True)
         p = f"{skew_dir}/events.parquet"
         if os.path.islink(p):
@@ -411,7 +432,7 @@ def _build(n_docs: int, n_vecs: int, n_li: int) -> None:
             ev.select(
                 (F.col("event_id") + k * 100_000_000).alias("event_id"),
                 "ts",
-                F.when(F.col("event_id") % modulus == 0, F.lit(HOT_USER))
+                F.when(hot(F.col("event_id")), F.lit(HOT_USER))
                 .otherwise(F.col("user_id") + k * 10_000_000)
                 .alias("user_id"),
                 "event_type",
@@ -653,6 +674,101 @@ def _mp_cost() -> None:
     spark.stop()
 
 
+def _lead_caps() -> None:
+    """Measure the lead-chain expression caps instead of asserting
+    them (round-10 verdict #4): `_LEAD_MAX_COMPS = 512` shipped with
+    the claim 'past this the coalesce expression tree stops paying for
+    itself vs one Arrow pass' — this probe runs a branch-count pattern
+    family (one fixed first atom + n alternating OVERLAPPING optional
+    groups => 2^n backtracking branches, total length n+1 <= the lead
+    cap) down BOTH paths at 64/256/512/1024 branches over the x8
+    events replica, answers fingerprint-verified identical. The
+    1024-branch case temporarily raises the cap so the crossover is
+    measured, not extrapolated."""
+    import pyspark.sql.functions as F
+
+    import hive_service_spark.operators.matchpath as mp
+    from hive_service_spark.catalog import load
+    from hive_service_spark.session import get_session
+
+    spark = get_session("lead_caps")
+    spark.sparkContext.setLogLevel("ERROR")
+    ev = load(spark, OUT_AUX, "events")
+    syms = lambda: {  # noqa: E731
+        "signup": F.col("event_type") == "signup",
+        "view": F.col("event_type") == "view",
+        "click": F.col("event_type") == "click",
+        "purchase": F.col("event_type") == "purchase",
+    }
+    rows = []
+    old_cap = mp._LEAD_MAX_COMPS
+    try:
+        for n in (6, 8, 9, 10):
+            atoms = [
+                "(view|click)?" if i % 2 == 0 else "(click|purchase)?"
+                for i in range(n)
+            ]
+            pattern = ".".join(["signup"] + atoms)
+            mp._LEAD_MAX_COMPS = 4096  # measure past the shipped cap
+            times, prints = {}, {}
+            for key, force in (("compiled", False), ("automaton", True)):
+                best = None
+                for measured in (False, True, True):
+                    t0 = time.perf_counter()
+                    out = mp.matchpath(
+                        ev,
+                        partition_by="user_id",
+                        order_by=["ts", "event_id"],
+                        symbols=syms(),
+                        pattern=pattern,
+                        force_automaton=force,
+                    )
+                    out.write.format("noop").mode("overwrite").save()
+                    dt = time.perf_counter() - t0
+                    if measured and (best is None or dt < best):
+                        best = dt
+                    spark.catalog.clearCache()
+                if key == "compiled":
+                    # the measurement is only honest if the compiled
+                    # path really took the lead-chain plan
+                    plan = out._sc._jvm.PythonSQLUtils.explainString(
+                        out._jdf.queryExecution(), "simple"
+                    )
+                    assert "Python" not in plan and "Arrow" not in plan, (
+                        pattern,
+                        "compiled run fell back to the automaton",
+                    )
+                times[key] = round(best, 3)
+                fp = out.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("match_len").alias("sl"),
+                    F.sum("start_rn").alias("sr"),
+                ).first()
+                prints[key] = (fp["n"], fp["sl"], fp["sr"])
+            assert prints["compiled"] == prints["automaton"], (
+                pattern,
+                prints,
+            )
+            rows.append(
+                {
+                    "branches": 2**n,
+                    "k_max": n + 1,
+                    "events_x": N_EV,
+                    "n_matches": prints["compiled"][0],
+                    "t_compiled_s": times["compiled"],
+                    "t_automaton_s": times["automaton"],
+                    "automaton_x": round(
+                        times["automaton"] / times["compiled"], 2
+                    ),
+                }
+            )
+            print(json.dumps(rows[-1]))
+    finally:
+        mp._LEAD_MAX_COMPS = old_cap
+    print(json.dumps({"lead_caps": rows}))
+    spark.stop()
+
+
 def _soak() -> None:
     """Streaming funnel soak (round-8 verdict #5): 20 real micro-batches
     with per-batch state-store metrics — the SCALE.md row source; the
@@ -737,6 +853,9 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--mp-cost":
         _mp_cost()
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--lead-caps":
+        _lead_caps()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--soak":
         _soak()
         return
@@ -772,6 +891,10 @@ def main() -> None:
     # round 10: 50% ownership, capped-vs-uncapped contrast pairs
     skew50_uniform = _run_measure(OUT_AUX, SKEW50)
     skew50_hot = _run_measure(OUT_SKEW50, SKEW50)
+    # round 11: 90% ownership for the fused-floor pairs (+ matchpath
+    # control); uniform baselines reuse the skew50 measurements (same
+    # names, same OUT_AUX dir)
+    skew90_hot = _run_measure(OUT_SKEW90, SKEW90)
 
     def _json_sub(flag: str, key: str, timeout: int):
         out = subprocess.run(
@@ -792,6 +915,7 @@ def main() -> None:
         raise SystemExit(f"{flag} subprocess failed")
 
     mp_cost = _json_sub("--mp-cost", "mp_cost", 1800)
+    lead_caps = _json_sub("--lead-caps", "lead_caps", 3600)
     soak = _json_sub("--soak", "soak", 1800)
 
     wand_mix = None
@@ -956,6 +1080,38 @@ def main() -> None:
                 f"| {round(th / tu, 2)} |"
             )
     lines.append("")
+    lines.append(
+        "## Hot-key skew at 90% ownership — the fused-floor question "
+        "(round 11)\n"
+    )
+    lines.append(
+        "Round 10 read the 50% table's sessionize/attribution capped "
+        "rows (skew_x 1.83-1.86) as 'the one fused capping walk of the "
+        "hot sequence is the floor per-key ORDER semantics pays' — "
+        "this probe tests that reading at 90% ownership (same x8 "
+        "volume, ONE user owning ~90% of all events, "
+        "tools/scale_probe.py OUT_SKEW90; uniform baselines shared "
+        "with the 50% table). If the floor claim is right, the capped "
+        "rows' skew_x should track the hot sequence's share of total "
+        "rows (the single sorted walk grows with ownership but stays "
+        "ONE pass); the uncapped rows should keep degrading toward "
+        "serializing the whole dataset into one task. matchpath rides "
+        "along as the post-cap-dominated control.\n"
+    )
+    lines.append(
+        "| operator | variant | t_uniform (s) | t_hot (s) | skew_x "
+        "@90% | skew_x @50% |"
+    )
+    lines.append("|---|---|---|---|---|---|")
+    for unc, cap in SKEW90_PAIRS:
+        for name, label in ((unc, "uncapped"), (cap, "capped-48")):
+            tu, th = skew50_uniform[name], skew90_hot[name]
+            t50 = skew50_hot[name]
+            lines.append(
+                f"| {name} | {label} | {round(tu, 2)} | {round(th, 2)} "
+                f"| {round(th / tu, 2)} | {round(t50 / tu, 2)} |"
+            )
+    lines.append("")
     lines.append("## MatchPath compiled vs automaton — same pattern\n")
     lines.append(
         f"Each pattern over the x{mp_cost[0]['events_x']} events "
@@ -979,6 +1135,36 @@ def main() -> None:
             f"| {r['t_compiled_s']} | {r['t_automaton_s']} | "
             f"{r['automaton_x']} |"
         )
+    lines.append("")
+    lines.append(
+        "## Lead-chain branch caps — measured, not asserted "
+        "(round 11)\n"
+    )
+    lines.append(
+        "`_LEAD_MAX_COMPS` (matchpath.py) shipped at 512 with the "
+        "CLAIM that past it the coalesce expression tree stops paying "
+        "for itself vs one Arrow pass. Measurement: a branch-count "
+        "pattern family (one fixed first atom + n alternating "
+        "overlapping optional groups => 2^n backtracking branches, "
+        "k_max = n+1 lead offsets) down both paths over the x8 events "
+        "replica, fingerprint-verified identical; the 1024-branch row "
+        "runs with the cap temporarily raised so the crossover is "
+        "measured rather than extrapolated. automaton_x > 1 means the "
+        "compiled lead chain is still the cheaper plan at that branch "
+        "count.\n"
+    )
+    lines.append(
+        "| branches | k_max | n_matches | t_compiled (s) | "
+        "t_automaton (s) | automaton_x |"
+    )
+    lines.append("|---|---|---|---|---|---|")
+    for r in lead_caps:
+        lines.append(
+            f"| {r['branches']} | {r['k_max']} | {r['n_matches']} | "
+            f"{r['t_compiled_s']} | {r['t_automaton_s']} | "
+            f"{r['automaton_x']} |"
+        )
+    lines.append("")
     lines.append("## Streaming funnel soak — 20 micro-batches\n")
     lines.append(
         "tools/scale_probe.py --soak (assertions in "
