@@ -206,6 +206,18 @@ def _run_suite(spark, specs) -> dict:
     }
 
 
+def _pick_run(first: dict, second: dict) -> tuple[dict, dict]:
+    """(kept, discarded) between the warned first run and its retry:
+    keep the run whose sentinels agree better (lower spread = the
+    instrument trusting its own reading more), tie-broken by lower
+    host_factor (the less-loaded box)."""
+    key = lambda r: (  # noqa: E731
+        r["host_factor_spread"],
+        r["host_factor"],
+    )
+    return (second, first) if key(second) < key(first) else (first, second)
+
+
 def main() -> None:
     specs = load_all()
     spark = get_session("hive_service_spark-bench")
@@ -231,14 +243,7 @@ def main() -> None:
         )
         retried = True
         second = _run_suite(spark, specs)
-        key = lambda r: (  # noqa: E731
-            r["host_factor_spread"],
-            r["host_factor"],
-        )
-        if key(second) < key(run):
-            run, discarded = second, run
-        else:
-            discarded = second
+        run, discarded = _pick_run(run, second)
     warn = None
     if (run["host_factor_spread"] or 0) > 0.5:
         # still noisy after the retry: the gate stays loud — a graded

@@ -231,10 +231,17 @@ def _chain_variants(
 # the lead depth (sum of the pattern's max counts — each lead is one
 # cheap 1-char/1-ts column over the already-sorted window), COMPS the
 # distinct offset->charset signatures (each is one boolean conjunction
-# inside a single coalesce). Past these the expression tree stops
-# paying for itself vs the automaton.
+# inside a single coalesce). Round 11: the COMPS cap is MEASURED, not
+# asserted (tools/scale_probe.py --lead-caps; SCALE.md lead-chain
+# table): on a 2^n-branch family over the x8 events replica the
+# compiled plan beats the automaton 2.4x at 64 branches, breaks even
+# at 256 (1.16x), and LOSES at 512 (0.54x) and 1024 (0.32x) — the
+# coalesce tree blows the JVM's 64 KB generated-method limit
+# ("Code grows beyond 64 KB", janino), dropping whole-stage codegen to
+# interpreted expression evaluation. The cap moved 512 -> 256
+# accordingly; the automaton IS the right plan past it.
 _LEAD_MAX_K = 16
-_LEAD_MAX_COMPS = 512
+_LEAD_MAX_COMPS = 256
 
 
 def _lead_compositions(
@@ -773,7 +780,8 @@ def matchpath(
     also compile — to the lead-chain plan (_matchpath_jvm_leadchain:
     per-offset membership over <= 16 lead columns, compositions tried
     in regex-backtracking order) — whenever every quantifier's max is
-    FINITE with total max length <= 16 and <= 512 branches. Round 10b
+    FINITE with total max length <= 16 and <= 256 branches (the cap
+    MEASURED in round 11 — see _LEAD_MAX_COMPS). Round 10b
     closes two more classes: a min-0 FIRST atom (``a*.b+``) now rides
     the island walk even when unbounded (candidates widen to the union
     of variant first groups, each variant gated on the row's own group
@@ -789,8 +797,11 @@ def matchpath(
       finite lead depth, and the island key is undefined (a row's char
       can belong to two segments / the repeated unit spans islands);
     - a finite pattern past the expression caps (total max length
-      > 16 or > 512 concrete branches): the coalesce expression tree
-      stops paying for itself vs one Arrow pass.
+      > 16 or > 256 concrete branches): measured in round 11
+      (SCALE.md lead-chain table), the coalesce tree breaks even with
+      the automaton at 256 branches and loses 2-3x past it — the
+      generated method blows the JVM's 64 KB codegen limit and the
+      expression falls back to interpreted evaluation.
 
     Each is a genuinely irregular or oversized shape; the automaton is
     the exact fallback, at the measured price in SCALE.md's

@@ -846,3 +846,18 @@ def test_user_event_cap_knob_validates(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_USER_EVENT_CAP", "0")
     with _pytest.raises(ValueError, match="SPARK_GRAFT_USER_EVENT_CAP"):
         _read_user_event_cap()
+
+
+def test_bench_spread_retry_pick():
+    """bench.py's self-heal (round-11 verdict #3): between a warned
+    run and its retry, keep the lower-spread reading, tie-break on the
+    lower host_factor, and always return the other as discarded so the
+    graded JSON stays auditable."""
+    from bench import _pick_run
+
+    a = {"host_factor_spread": 0.7, "host_factor": 2.1}
+    b = {"host_factor_spread": 0.2, "host_factor": 2.4}
+    assert _pick_run(a, b) == (b, a)
+    assert _pick_run(b, a) == (b, a)
+    c = {"host_factor_spread": 0.7, "host_factor": 1.9}
+    assert _pick_run(a, c) == (c, a)  # equal spread -> lower hf wins

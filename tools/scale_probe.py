@@ -860,19 +860,24 @@ def main() -> None:
         _soak()
         return
 
-    subprocess.run(
-        [
-            sys.executable,
-            os.path.abspath(__file__),
-            "--build",
-            str(N_DOCS),
-            str(N_VECS),
-            str(N_LI),
-        ],
-        check=True,
-        cwd=REPO,
-        timeout=1200,
-    )
+    # --skip-build (round 11): re-measure on existing replica dirs —
+    # for re-running the suite on an idle box after a noisy reading
+    # (one slow measure subprocess poisons every ratio computed
+    # against it) without paying the rebuild
+    if "--skip-build" not in sys.argv:
+        subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--build",
+                str(N_DOCS),
+                str(N_VECS),
+                str(N_LI),
+            ],
+            check=True,
+            cwd=REPO,
+            timeout=1200,
+        )
 
     lin_names = [n for n, _, _ in LINEAR]
     cell_names = [n for n, _, _ in CELL]
@@ -1056,17 +1061,23 @@ def main() -> None:
         "capped rows' skew_x is the bound the budget buys (their "
         "t_uniform differs from the uncapped operator's because the "
         "capped variants also emit the user_capped flag). Reading the "
-        "measured split: where the post-cap passes dominate the "
-        "operator (matchpath's island/lead machinery, markov's "
-        "transition counting, journeys' trigram counting) the budget "
-        "ERASES the straggler (skew_x ~ 1.0 vs 1.7-2.8x uncapped); "
-        "where the downstream windows fuse into the capping pass's "
-        "own sorted stage (sessionize's lag/cumsum, attribution's "
-        "running count), that single fused walk of the hot sequence "
-        "remains the floor — the budget still hard-bounds every "
-        "SUBSEQUENT stage (the join fan-in, the session/credit "
-        "aggregates), which is what stops the straggler compounding "
-        "through the rest of the pipeline.\n"
+        "measured split (round-11 re-measure): where the post-cap "
+        "passes dominate the operator (markov's transition counting, "
+        "journeys' trigram counting) the budget ERASES the straggler "
+        "(skew_x ~ 1.0 vs 2.2-2.5x uncapped); matchpath's capped twin "
+        "is BOUNDED to roughly half the uncapped straggler (its "
+        "island/lead machinery post-cap is cheap, the capping walk "
+        "itself remains); where the downstream windows fuse into the "
+        "capping pass's own sorted stage (sessionize's lag/cumsum, "
+        "attribution's running count), that single fused walk of the "
+        "hot sequence remains the floor — the budget still "
+        "hard-bounds every SUBSEQUENT stage (the join fan-in, the "
+        "session/credit aggregates), which is what stops the "
+        "straggler compounding through the rest of the pipeline. "
+        "Instrument note: hot-key rows are single-task-dominated and "
+        "show ±30-50% run-to-run variance (two same-code runs this "
+        "round measured sessionize-capped at 1.5 and 2.6) — read the "
+        "capped-vs-uncapped CONTRAST, not the digits.\n"
     )
     lines.append(
         "| operator | variant | t_uniform (s) | t_hot (s) | skew_x |"
@@ -1096,7 +1107,18 @@ def main() -> None:
         "rows (the single sorted walk grows with ownership but stays "
         "ONE pass); the uncapped rows should keep degrading toward "
         "serializing the whole dataset into one task. matchpath rides "
-        "along as the post-cap-dominated control.\n"
+        "along as the post-cap-dominated control. MEASURED ANSWER "
+        "(round 11): the floor is NOT flat — every capped row's "
+        "skew_x grows from 50% to 90% roughly with the hot sequence's "
+        "share of total rows, which is exactly the linear cost of the "
+        "one capping walk (it must still read the hot user's whole "
+        "history once); the uncapped twins degrade faster and stay "
+        "strictly worse at both ownerships. So the round-10 'floor' "
+        "reading survives in its precise form — ONE pass pays it, "
+        "nothing downstream compounds it — but the pass's cost tracks "
+        "ownership, and at a true bot key the upstream fix remains "
+        "dropping the key before the engine, not any per-key-ORDER "
+        "operator.\n"
     )
     lines.append(
         "| operator | variant | t_uniform (s) | t_hot (s) | skew_x "
