@@ -14,12 +14,18 @@ Spark-first layout (the plan a 100 TB run wants):
 1. **Classify JVM-side**: one ``CASE`` expression maps each row to a
    single symbol character — stays in whole-stage codegen, no Python.
 2. **One shuffle** on the partition key groups each entity's (bounded)
-   row sequence.
-3. **applyInPandas automaton**: per group, the symbol chars form a
-   string and the compiled pattern — translated to an anchored Python
-   regex — is tested at every position (greedy, leftmost-longest at
-   each start, exactly the reference's per-row "does a match begin
-   here" semantics). Arrow-batched, never row-at-a-time.
+   row sequence; an explicit per-partition sort delivers
+   (key, order)-sorted Arrow batches.
+3. **mapInPandas automaton** (round 11 — was per-group applyInPandas,
+   whose O(n_keys) per-group UDF invocation cost 7-9x the actual
+   matching at 1,500 keys and dominates at clickstream cardinality):
+   per ~10k-row Arrow batch, a vectorized pandas groupby slices the
+   key groups (boundary groups carried between batches), each group's
+   symbol chars form a string, and the compiled pattern — translated
+   to an anchored Python regex — is tested at every position (greedy,
+   leftmost-longest at each start, exactly the reference's per-row
+   "does a match begin here" semantics). Never row-at-a-time, never
+   per-group invocation.
 
 The DuckDB oracle reproduces the identical semantics declaratively:
 ``string_agg`` builds the same per-entity symbol string and
@@ -233,15 +239,23 @@ def _chain_variants(
 # distinct offset->charset signatures (each is one boolean conjunction
 # inside a single coalesce). Round 11: the COMPS cap is MEASURED, not
 # asserted (tools/scale_probe.py --lead-caps; SCALE.md lead-chain
-# table): on a 2^n-branch family over the x8 events replica the
-# compiled plan beats the automaton 2.4x at 64 branches, breaks even
-# at 256 (1.16x), and LOSES at 512 (0.54x) and 1024 (0.32x) — the
-# coalesce tree blows the JVM's 64 KB generated-method limit
-# ("Code grows beyond 64 KB", janino), dropping whole-stage codegen to
-# interpreted expression evaluation. The cap moved 512 -> 256
-# accordingly; the automaton IS the right plan past it.
+# table), and it moved TWICE in one round as the measurements came in:
+# against the old per-group applyInPandas automaton the crossover sat
+# at ~256 branches; after the automaton's mapInPandas rewrite (flat
+# ~1.2 s on the x8 replica at ANY branch count — its cost was per-key
+# invocation overhead, not matching) the dense-family crossover is
+# 16-32 branches (compiled 1.4x faster at 8, ~even at 16-32, 2.3x
+# SLOWER at 64, 34x at 1024 where the coalesce blows the JVM's 64 KB
+# generated-method limit and drops to interpreted evaluation). Cap =
+# 32: the break-even edge, keeping the JVM plan through the noise band
+# because at equal wall time the Python-free plan is strictly
+# preferable at cluster scale (no per-executor Python worker fleet,
+# no Arrow boundary, no codegen-size cliff). Sparse-start patterns
+# favor the compiled plan longer (the coalesce only evaluates on
+# candidate rows); the cap is set on the dense family = compiled
+# plan's worst case.
 _LEAD_MAX_K = 16
-_LEAD_MAX_COMPS = 256
+_LEAD_MAX_COMPS = 32
 
 
 def _lead_compositions(
@@ -780,7 +794,7 @@ def matchpath(
     also compile — to the lead-chain plan (_matchpath_jvm_leadchain:
     per-offset membership over <= 16 lead columns, compositions tried
     in regex-backtracking order) — whenever every quantifier's max is
-    FINITE with total max length <= 16 and <= 256 branches (the cap
+    FINITE with total max length <= 16 and <= 32 branches (the cap
     MEASURED in round 11 — see _LEAD_MAX_COMPS). Round 10b
     closes two more classes: a min-0 FIRST atom (``a*.b+``) now rides
     the island walk even when unbounded (candidates widen to the union
@@ -797,11 +811,13 @@ def matchpath(
       finite lead depth, and the island key is undefined (a row's char
       can belong to two segments / the repeated unit spans islands);
     - a finite pattern past the expression caps (total max length
-      > 16 or > 256 concrete branches): measured in round 11
-      (SCALE.md lead-chain table), the coalesce tree breaks even with
-      the automaton at 256 branches and loses 2-3x past it — the
-      generated method blows the JVM's 64 KB codegen limit and the
-      expression falls back to interpreted evaluation.
+      > 16 or > 32 concrete branches): measured in round 11 against
+      the rewritten batch automaton (SCALE.md lead-chain table), the
+      coalesce tree breaks even at 16-32 branches and loses 2.3x at
+      64, 34x at 1024 — past ~512 the generated method blows the
+      JVM's 64 KB codegen limit and falls back to interpreted
+      evaluation. The cap keeps the JVM plan exactly over the regime
+      where it is at-or-better.
 
     Each is a genuinely irregular or oversized shape; the automaton is
     the exact fallback, at the measured price in SCALE.md's
@@ -898,34 +914,73 @@ def matchpath(
             for c in passthrough
         )
     )
+    out_cols = [
+        partition_by,
+        "start_rn",
+        "match_len",
+        "path_start",
+        "path_end",
+        *passthrough,
+    ]
 
-    def _walk(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
-        s = "".join(pdf["_ch"])
-        ts = pdf["_ts"]
-        pk = pdf["pk"].iloc[0]
-        extra = [pdf[c] for c in passthrough]
+    # Round 11: the automaton is mapInPandas over PARTITION-sized Arrow
+    # batches, not applyInPandas per GROUP. Measured at sf0.1 (100k
+    # events, 1,500 users): the pure-Python walk over every user costs
+    # ~1 s single-threaded, but groupBy().applyInPandas() spent 7-9 s
+    # — per-group UDF invocation + per-group frame construction is
+    # O(n_keys) Python overhead, which at clickstream cardinalities
+    # (billions of users) dominates the actual matching by orders of
+    # magnitude. Here one hash exchange + an explicit per-partition
+    # sort deliver (pk, order)-sorted batches; groups are sliced by a
+    # vectorized pandas groupby INSIDE each ~10k-row batch, and a
+    # group spanning a batch boundary is carried into the next batch
+    # (partition-local, order-preserving), so semantics are identical
+    # at any group size.
+
+    def _walk_groups(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for i in range(len(s)):
-            m = rx.match(s, i)
-            if m and m.end() > i:
-                rows.append(
-                    (pk, i + 1, m.end() - i, ts[i], ts[m.end() - 1])
-                    + tuple(x.iloc[i] for x in extra)
-                )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                partition_by,
-                "start_rn",
-                "match_len",
-                "path_start",
-                "path_end",
-                *passthrough,
-            ],
-        )
+        for pk, g in pdf.groupby("pk", sort=False):
+            g = g.reset_index(drop=True)
+            s = "".join(g["_ch"])
+            ts = g["_ts"]
+            extra = [g[c] for c in passthrough]
+            for i in range(len(s)):
+                m = rx.match(s, i)
+                if m and m.end() > i:
+                    rows.append(
+                        (pk, i + 1, m.end() - i, ts.iat[i], ts.iat[m.end() - 1])
+                        + tuple(x.iat[i] for x in extra)
+                    )
+        return pd.DataFrame(rows, columns=out_cols)
 
-    return slim.groupBy("pk").applyInPandas(_walk, out_schema)
+    def _walk_batches(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                carry = None
+                continue
+            # hold back the final key's rows: the next batch may
+            # continue the same group (batches of one partition arrive
+            # in order)
+            is_last = pdf["pk"] == pdf["pk"].iat[-1]
+            carry = pdf.loc[is_last]
+            body = pdf.loc[~is_last]
+            if len(body):
+                out = _walk_groups(body)
+                if len(out):
+                    yield out
+        if carry is not None and len(carry):
+            out = _walk_groups(carry)
+            if len(out):
+                yield out
+
+    return (
+        slim.repartition("pk")
+        .sortWithinPartitions("pk", *order_cols)
+        .mapInPandas(_walk_batches, out_schema)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1808,8 +1863,9 @@ WITH r AS (
 ),
 c AS (
   SELECT user_id, ts, event_id, rn,
-         CASE WHEN event_type = 'view' THEN 'a'
-              WHEN event_type = 'click' THEN 'b'
+         CASE WHEN event_type = 'signup' THEN 'a'
+              WHEN event_type = 'view' THEN 'b'
+              WHEN event_type = 'click' THEN 'c'
               ELSE 'x' END AS ch,
          CAST(CASE WHEN n_total > {_USER_EVENT_CAP} THEN 1 ELSE 0 END
               AS BIGINT) AS user_capped
@@ -1822,7 +1878,7 @@ s AS (
 m AS (
   SELECT c.user_id, c.rn AS start_rn, c.ts AS path_start, c.user_capped,
          length(regexp_extract(substr(s.str, CAST(c.rn AS INT)),
-                               '^(a|b)+b')) AS match_len
+                               '^a(b|a)+c')) AS match_len
   FROM c JOIN s USING (user_id)
 )
 SELECT m.user_id, CAST(m.start_rn AS INT) AS start_rn,
@@ -1840,16 +1896,22 @@ ORDER BY m.user_id, start_rn
 @query("seq_npath_sql_capped", oracle=_NPATH_CAPPED_ORACLE)
 def seq_npath_sql_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The automaton-class SQL npath under the per-user budget (round
-    11, verdict #1's second half): ``(view|click)+.click`` has an
-    unbounded quantifier over an OVERLAPPING char-set — no island key,
-    no finite lead depth — so it is genuinely the Arrow automaton's
-    class, the exact shape whose hot-key partition used to buffer
-    unbounded in one Python worker. ``MAXROWS {cap}`` in the SQL call
-    pre-passes the input through capped_user_prefix on the same sort:
-    the automaton never sees more than the budget per user, and each
-    match carries the stamped user_capped flag via matchpath's
-    passthrough — value-oracled against the DuckDB regex model over
-    the identical capped prefix."""
+    11, verdict #1's second half): ``signup.(view|signup)+.click`` has
+    an unbounded quantifier over an OVERLAPPING char-set ({signup} vs
+    {view, signup}) — no island key, no finite lead depth — so it is
+    genuinely the Arrow automaton's class, the exact shape whose
+    hot-key partition used to buffer unbounded in one Python worker.
+    The anchor atom keeps match-start density sane (the first draft
+    used ``(view|click)+.click``, where nearly EVERY row is a
+    candidate start and the per-start greedy backtracking turns O(L^2)
+    on every a/b-run — 13 s at sf0.1 for semantics nobody asks for;
+    starts at signups price the same automaton machinery honestly).
+    ``MAXROWS {cap}`` in the SQL call pre-passes the input through
+    capped_user_prefix on the same sort: the automaton never sees more
+    than the budget per user, and each match carries the stamped
+    user_capped flag via matchpath's passthrough — value-oracled
+    against the DuckDB regex model over the identical capped
+    prefix."""
     load(spark, sf_dir, "events").createOrReplaceTempView(
         "npath_events_src"
     )
@@ -1861,9 +1923,10 @@ def seq_npath_sql_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
               PARTITION BY user_id
               ORDER BY ts, event_id
               MAXROWS {_USER_EVENT_CAP}
-              SYMBOLS(event_type = 'view' AS view,
+              SYMBOLS(event_type = 'signup' AS signup,
+                      event_type = 'view' AS view,
                       event_type = 'click' AS click)
-              PATTERN('(view|click)+.click'))
+              PATTERN('signup.(view|signup)+.click'))
         """,
     )
     return out.orderBy("user_id", "start_rn")

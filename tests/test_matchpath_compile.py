@@ -296,10 +296,13 @@ def test_widened_chain_class_compiles_without_python(spark):
     # what remains on the automaton (round 10b): an UNBOUNDED
     # quantifier outside the disjoint flat-chain class — over an
     # overlapping set (no finite lead depth, no island key) or over a
-    # nested group (the repeated unit spans islands)
+    # nested group (the repeated unit spans islands). Round 11: the
+    # automaton is batch-sliced mapInPandas (was per-group
+    # applyInPandas, whose per-key UDF invocation was O(n_keys)
+    # overhead), so its plan marker is MapInPandas.
     for pattern in ("a.(b|c)*.c", "(a|b)+.b", "(a.b)+.c", "(a.b|c)*.a"):
         plan = plan_of(pattern)
-        assert "FlatMapGroupsInPandas" in plan, (
+        assert "MapInPandas" in plan, (
             f"{pattern} must route to the automaton"
         )
 
@@ -685,7 +688,7 @@ def test_parse_ast_scope():
     assert _parse_ast("a?") == ("quant", ("sym", frozenset({"a"})), 0, 1)
 
 
-def test_enum_ast_mass_fuzz_pure_python():
+def test_enum_ast_mass_fuzz_pure_python(monkeypatch):
     """No-Spark mass differential fuzz of the AST enumerator: ~2000
     random full-grammar patterns (nested groups, sequence alternation,
     min-0 atoms anywhere) against Python's re engine on random AND
@@ -699,10 +702,17 @@ def test_enum_ast_mass_fuzz_pure_python():
     import random
     import re as _re
 
+    import hive_service_spark.operators.matchpath as _mp
     from hive_service_spark.operators.matchpath import (
         _enum_ast,
         _parse_ast,
     )
+
+    # the fuzz tests the ENUMERATOR's branch-order semantics, not the
+    # cost cap (round 11 tightened _LEAD_MAX_COMPS to the measured 32)
+    # — raise the cap locally so wide patterns keep their differential
+    # coverage
+    monkeypatch.setattr(_mp, "_LEAD_MAX_COMPS", 512)
 
     chars = {"a": "a", "b": "b", "c": "c"}
     rnd = random.Random(42)
@@ -1024,3 +1034,54 @@ def test_npath_udtf_buffer_guard(monkeypatch):
         inst.eval(row)
     with pytest.raises(RuntimeError, match="MAXROWS"):
         inst.eval(row)
+
+
+def test_automaton_group_carry_across_arrow_batches(spark):
+    """Round 11: the mapInPandas automaton slices key groups inside
+    each Arrow batch and CARRIES a boundary-straddling group into the
+    next batch. Gate-scale partitions fit one batch, so force the
+    boundary: shrink maxRecordsPerBatch below the group size and
+    check exact equivalence with the regex model — a dropped or
+    duplicated carry row shifts start_rn/match_len immediately."""
+    import pyspark.sql.functions as F
+
+    from hive_service_spark.operators.matchpath import matchpath
+
+    rows = [
+        (u, [["A", "B", "X"][(u + i) % 3] for i in range(25)])
+        for u in range(40)
+    ]
+    df = spark.createDataFrame(
+        [
+            (u, i, sym)
+            for u, seq in rows
+            for i, sym in enumerate(seq)
+        ],
+        "user_id bigint, pos bigint, sym string",
+    ).select(
+        "user_id",
+        F.timestamp_micros(F.col("pos") * 1_000_000).alias("ts"),
+        "pos",
+        "sym",
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        # 7 rows per batch << 25 rows per user: every group straddles
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        out = matchpath(
+            df,
+            partition_by="user_id",
+            order_by=["pos"],
+            symbols=_CHAIN_SYMS(F),
+            pattern="(a|b)+.b",  # automaton class (unbounded overlap)
+        )
+        got = sorted(
+            (r["user_id"], r["start_rn"], r["match_len"])
+            for r in out.collect()
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    want = _pysim(rows, "(a|b)+b", _classify)
+    assert got == want and got
