@@ -939,8 +939,14 @@ def matchpath(
 
     def _walk_groups(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for pk, g in pdf.groupby("pk", sort=False):
+        # dropna=False: a NULL partition key is a group like any other
+        # (the JVM plans keep null window partitions; review finding —
+        # pandas groupby silently drops NaN keys by default)
+        for pk, g in pdf.groupby("pk", sort=False, dropna=False):
             g = g.reset_index(drop=True)
+            # NaN -> None so the long output column round-trips to a
+            # SQL NULL instead of a float64 Arrow cast failure
+            pk = None if pd.isna(pk) else pk
             s = "".join(g["_ch"])
             ts = g["_ts"]
             extra = [g[c] for c in passthrough]
@@ -953,26 +959,52 @@ def matchpath(
                     )
         return pd.DataFrame(rows, columns=out_cols)
 
+    def _key_mask(col: pd.Series, key) -> pd.Series:
+        # null-safe membership: NaN == NaN is False in pandas
+        return col.isna() if pd.isna(key) else col == key
+
     def _walk_batches(batches):
-        carry = None
+        # frames held back because they all belong to ONE key whose
+        # group may continue in the next batch. Kept as a LIST and
+        # concatenated once at flush time: re-concatenating a growing
+        # carry per batch would make a group spanning many Arrow
+        # batches quadratic in its row count (review finding — the
+        # exact hot-key scenario the per-user budget exists for).
+        carry: list[pd.DataFrame] = []
+
+        def _flush(frames):
+            big = (
+                frames[0]
+                if len(frames) == 1
+                else pd.concat(frames, ignore_index=True)
+            )
+            return _walk_groups(big)
+
         for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
             if not len(pdf):
-                carry = None
                 continue
-            # hold back the final key's rows: the next batch may
-            # continue the same group (batches of one partition arrive
-            # in order)
-            is_last = pdf["pk"] == pdf["pk"].iat[-1]
-            carry = pdf.loc[is_last]
+            if carry:
+                ck = carry[-1]["pk"].iat[-1]
+                first = pdf["pk"].iat[0]
+                if not ((pd.isna(ck) and pd.isna(first)) or ck == first):
+                    # the carried group ended exactly on the previous
+                    # batch boundary — complete, walk it now
+                    out = _flush(carry)
+                    carry = []
+                    if len(out):
+                        yield out
+            is_last = _key_mask(pdf["pk"], pdf["pk"].iat[-1])
             body = pdf.loc[~is_last]
             if len(body):
+                if carry:
+                    body = pd.concat([*carry, body], ignore_index=True)
+                    carry = []
                 out = _walk_groups(body)
                 if len(out):
                     yield out
-        if carry is not None and len(carry):
-            out = _walk_groups(carry)
+            carry.append(pdf.loc[is_last])
+        if carry:
+            out = _flush(carry)
             if len(out):
                 yield out
 
@@ -1690,26 +1722,29 @@ def _npath_split(body: str) -> dict[str, str]:
     return out
 
 
-def _split_top_commas(s: str) -> list[str]:
-    parts, cur, depth, in_str = [], [], 0, False
+def _collapse_ws(s: str) -> str:
+    """Collapse whitespace runs to single spaces OUTSIDE single-quoted
+    literals — a quoted string's exact bytes are part of the predicate
+    (review finding: a blanket ``re.sub(r"\\s+", " ")`` silently
+    rewrote tabs/newlines inside SYMBOLS literals)."""
+    out: list[str] = []
+    in_str = False
+    pend_ws = False
     for ch in s:
         if in_str:
+            out.append(ch)
             in_str = ch != "'"
-        elif ch == "'":
-            in_str = True
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            parts.append("".join(cur).strip())
-            cur = []
             continue
-        cur.append(ch)
-    tail = "".join(cur).strip()
-    if tail:
-        parts.append(tail)
-    return parts
+        if ch.isspace():
+            pend_ws = True
+            continue
+        if pend_ws:
+            out.append(" ")
+            pend_ws = False
+        out.append(ch)
+        if ch == "'":
+            in_str = True
+    return "".join(out)
 
 
 def npath_sql(spark: SparkSession, call: str) -> DataFrame:
@@ -1741,9 +1776,10 @@ def npath_sql(spark: SparkSession, call: str) -> DataFrame:
     buffering a hot key's unbounded history in one Python worker;
     compiled-class patterns never leave the JVM regardless.
 
-    Pattern strings cannot contain whitespace (the parser normalizes
-    runs of whitespace before splitting clauses)."""
-    s = re.sub(r"\s+", " ", call).strip()
+    Whitespace runs outside quoted literals are normalized to single
+    spaces; bytes INSIDE single-quoted literals are preserved
+    verbatim."""
+    s = _collapse_ws(call).strip()
     m = re.match(r"(?i)^npath\s*\(", s)
     if not m or not s.endswith(")"):
         raise ValueError("npath_sql: expected npath( ... )")
@@ -1761,7 +1797,13 @@ def npath_sql(spark: SparkSession, call: str) -> DataFrame:
         raise ValueError(
             f"npath_sql: PARTITION BY expects one column, got {part!r}"
         )
-    order = _split_top_commas(clauses["ORDER BY"])
+    # shared with the MV rewriter's SELECT-list parser (round-11
+    # review: two near-identical depth-tracking splitters)
+    from hive_service_spark.operators.materialized_views import (
+        _split_top_level,
+    )
+
+    order = [c for c in _split_top_level(clauses["ORDER BY"]) if c]
     if not order:
         raise ValueError("npath_sql: ORDER BY needs at least one column")
 
@@ -1769,12 +1811,17 @@ def npath_sql(spark: SparkSession, call: str) -> DataFrame:
     if not (sym_txt.startswith("(") and sym_txt.endswith(")")):
         raise ValueError("npath_sql: SYMBOLS expects a parenthesized list")
     symbols: dict[str, Column] = {}
-    for item in _split_top_commas(sym_txt[1:-1]):
+    for item in _split_top_level(sym_txt[1:-1]):
         am = re.fullmatch(r"(?is)(.+?)\s+as\s+([A-Za-z_]\w*)", item)
         if not am:
             raise ValueError(
                 f"npath_sql: SYMBOLS item must be '<expr> AS <name>', "
                 f"got {item!r}"
+            )
+        if am.group(2) in symbols:
+            # a silent overwrite would re-classify rows with no error
+            raise ValueError(
+                f"npath_sql: duplicate symbol {am.group(2)!r}"
             )
         symbols[am.group(2)] = F.expr(am.group(1))
 

@@ -419,18 +419,27 @@ _SQL_KEYWORDS = frozenset(
 
 
 def _split_top_level(s: str) -> list[str]:
-    """Split a SELECT list on commas not nested inside parentheses."""
-    parts, depth, cur = [], 0, []
+    """Split a SELECT/argument list on commas not nested inside
+    parentheses or single-quoted string literals. Quote-awareness
+    added in round 11 when the npath SQL call parser consolidated
+    onto this helper (review finding: two near-identical splitters) —
+    it also fixes the latent case of a quoted literal containing a
+    paren or comma skewing the depth count here."""
+    parts, depth, cur, in_str = [], 0, [], False
     for ch in s:
-        if ch == "(":
+        if in_str:
+            in_str = ch != "'"
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
-        if ch == "," and depth == 0:
+        elif ch == "," and depth == 0:
             parts.append("".join(cur).strip())
             cur = []
-        else:
-            cur.append(ch)
+            continue
+        cur.append(ch)
     if cur:
         parts.append("".join(cur).strip())
     return parts

@@ -961,6 +961,12 @@ def test_npath_sql_parser_errors(spark):
             "npath(ON t PARTITION BY u ORDER BY ts "
             "SYMBOLS(a = 1) PATTERN('a'))",
         )
+    with pytest.raises(ValueError, match="duplicate symbol"):
+        npath_sql(
+            spark,
+            "npath(ON t PARTITION BY u ORDER BY ts "
+            "SYMBOLS(a = 1 AS s, a = 2 AS s) PATTERN('s'))",
+        )
 
 
 def test_npath_sql_matches_dataframe_operator(spark):
@@ -1085,3 +1091,105 @@ def test_automaton_group_carry_across_arrow_batches(spark):
         )
     want = _pysim(rows, "(a|b)+b", _classify)
     assert got == want and got
+
+
+def test_automaton_keeps_null_partition_keys(spark):
+    """Round-11 review finding: pandas groupby drops NaN keys by
+    default and NaN != NaN defeats the carry mask — the batch
+    automaton must keep a NULL partition key as a group like any
+    other (the JVM plans do: Spark windows keep null partitions).
+    Sized so one null-key group ends EXACTLY on an Arrow batch
+    boundary, exercising the flush-on-new-key path too."""
+    import pyspark.sql.functions as F
+
+    from hive_service_spark.operators.matchpath import matchpath
+
+    seqs = {
+        None: ["A", "B", "A", "B", "A", "B"],  # 6 rows = 2 batches of 3
+        7: ["A", "A", "B", "X", "A", "B"],
+        8: ["B", "A", "A", "B", "B", "X"],
+    }
+    df = spark.createDataFrame(
+        [
+            (u, i, sym)
+            for u, seq in seqs.items()
+            for i, sym in enumerate(seq)
+        ],
+        "user_id bigint, pos bigint, sym string",
+    ).select(
+        "user_id",
+        F.timestamp_micros(F.col("pos") * 1_000_000).alias("ts"),
+        "pos",
+        "sym",
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+        out = matchpath(
+            df,
+            partition_by="user_id",
+            order_by=["pos"],
+            symbols=_CHAIN_SYMS(F),
+            pattern="(a|b)+.b",  # automaton class
+        )
+        key = lambda t: (t[0] is not None, t[0] or 0, t[1], t[2])  # noqa: E731
+        got = sorted(
+            (
+                (r["user_id"], r["start_rn"], r["match_len"])
+                for r in out.collect()
+            ),
+            key=key,
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    want = sorted(
+        (
+            (u, i + 1, ln)
+            for u, seq in seqs.items()
+            for (_, i1, ln) in _pysim([(0, seq)], "(a|b)+b", _classify)
+            for i in [i1 - 1]
+        ),
+        key=key,
+    )
+    assert got == want
+    assert any(u is None for u, _, _ in got), "null-key matches missing"
+
+
+def test_npath_sql_preserves_quoted_literal_whitespace(spark):
+    """Round-11 review finding: the call parser's whitespace
+    normalization must not rewrite bytes inside single-quoted
+    literals — a predicate comparing against 'a\\tb' (or any multi-
+    space literal) must survive verbatim."""
+    import pyspark.sql.functions as F
+
+    from hive_service_spark.operators.matchpath import npath_sql
+
+    df = spark.createDataFrame(
+        [(1, 0, "a\tb"), (1, 1, "a b"), (1, 2, "END")],
+        "user_id bigint, pos bigint, note string",
+    ).select(
+        "user_id",
+        F.timestamp_micros(F.col("pos") * 1_000_000).alias("ts"),
+        "pos",
+        "note",
+    )
+    df.createOrReplaceTempView("npath_ws_probe")
+    out = npath_sql(
+        spark,
+        """
+        npath(ON npath_ws_probe
+              PARTITION BY user_id
+              ORDER BY pos
+              SYMBOLS(note = 'a\tb' AS tabbed,
+                      note = 'END' AS fin)
+              PATTERN('tabbed.fin'))
+        """,
+    )
+    rows = out.collect()
+    # the tab literal must match ONLY row 0 — but rows 0,1 are not
+    # adjacent to END, so assert via the symbol classification instead:
+    # pattern tabbed.fin has no match (row 1 sits between), while a
+    # collapsed literal ('a b') would match rows 1->2.
+    assert rows == [], [tuple(r) for r in rows]
