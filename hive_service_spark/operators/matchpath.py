@@ -1669,6 +1669,7 @@ _NPATH_KEYWORDS = (
     "MAXROWS",
     "SYMBOLS",
     "PATTERN",
+    "MEASURES",
 )
 
 
@@ -1763,7 +1764,8 @@ def npath_sql(spark: SparkSession, call: str) -> DataFrame:
               ORDER BY <col> [, <col> ...]
               [MAXROWS <n>]
               SYMBOLS(<bool-sql-expr> AS <name> [, ...])
-              PATTERN('<pattern>'))
+              PATTERN('<pattern>')
+              [MEASURES(<agg-sql-expr> AS <name> [, ...])])
 
     ``path_start``/``path_end`` timestamps come from the FIRST ORDER BY
     column (the reference emits the matched rows' sort key the same
@@ -1775,6 +1777,15 @@ def npath_sql(spark: SparkSession, call: str) -> DataFrame:
     bound that keeps an automaton-class (irregular) pattern from
     buffering a hot key's unbounded history in one Python worker;
     compiled-class patterns never leave the JVM regardless.
+
+    ``MEASURES`` (round 11) is the reference PTF's result-expression
+    list (MatchPath's arg4 emits selected expressions over the matched
+    row set): each aggregate SQL expression is evaluated over the rows
+    of each match and appended after the 5 metadata columns, in
+    declared order. Plan shape = seq_matchpath_measures': segments
+    consume contiguous row numbers, so the matched set is ONE
+    explode(sequence) + a (key, rn) equi-join back to the input rows +
+    one groupBy per match — linear in matched rows.
 
     Whitespace runs outside quoted literals are normalized to single
     spaces; bytes INSIDE single-quoted literals are preserved
@@ -1833,6 +1844,25 @@ def npath_sql(spark: SparkSession, call: str) -> DataFrame:
         r"\d+", clauses["MAXROWS"]
     ):
         raise ValueError("npath_sql: MAXROWS expects an integer")
+    measures: list[tuple[str, str]] = []
+    if "MEASURES" in clauses:
+        meas_txt = clauses["MEASURES"]
+        if not (meas_txt.startswith("(") and meas_txt.endswith(")")):
+            raise ValueError(
+                "npath_sql: MEASURES expects a parenthesized list"
+            )
+        for item in _split_top_level(meas_txt[1:-1]):
+            am = re.fullmatch(r"(?is)(.+?)\s+as\s+([A-Za-z_]\w*)", item)
+            if not am:
+                raise ValueError(
+                    "npath_sql: MEASURES item must be "
+                    f"'<agg-expr> AS <name>', got {item!r}"
+                )
+            if any(n == am.group(2) for _, n in measures):
+                raise ValueError(
+                    f"npath_sql: duplicate measure {am.group(2)!r}"
+                )
+            measures.append((am.group(1), am.group(2)))
 
     # every clause validated — only now resolve the relation
     rel = clauses["ON"]
@@ -1852,7 +1882,7 @@ def npath_sql(spark: SparkSession, call: str) -> DataFrame:
         )
         passthrough = ("user_capped",)
 
-    return matchpath(
+    out = matchpath(
         df,
         partition_by=part,
         order_by=order,
@@ -1860,6 +1890,38 @@ def npath_sql(spark: SparkSession, call: str) -> DataFrame:
         pattern=pattern,
         ts_col=order[0],
         passthrough=passthrough,
+    )
+    if not measures:
+        return out
+    # MEASURES: aggregates over each match's rows. Segments consume
+    # CONTIGUOUS row numbers, so the matched set is rn IN [start_rn,
+    # start_rn + match_len) — one explode(sequence) + a (key, rn)
+    # equi-join back to the input rows (numbered on the same
+    # (key, order) sort) + one groupBy per match; linear in matched
+    # rows, reusing the same shuffle family.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(part).orderBy(*[F.expr(c) for c in order])
+    rows_f = df.select("*", F.row_number().over(w).alias("__mp_rn"))
+    # metadata columns (incl. user_capped) already live on `out`;
+    # drop their twins from the row frame so the join is unambiguous
+    rows_f = rows_f.drop(
+        *[c for c in out.columns if c != part and c in rows_f.columns]
+    )
+    meta = [c for c in out.columns]
+    exp = out.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.col("start_rn"),
+                F.col("start_rn") + F.col("match_len") - 1,
+            )
+        ).alias("__mp_rn"),
+    )
+    return (
+        exp.join(rows_f, [part, "__mp_rn"])
+        .groupBy(*meta)
+        .agg(*[F.expr(e).alias(n) for e, n in measures])
     )
 
 
@@ -1974,6 +2036,42 @@ def seq_npath_sql_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
                       event_type = 'view' AS view,
                       event_type = 'click' AS click)
               PATTERN('signup.(view|signup)+.click'))
+        """,
+    )
+    return out.orderBy("user_id", "start_rn")
+
+
+@query("seq_npath_sql_measures", oracle=_MEASURES_ORACLE)
+def seq_npath_sql_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURES through the SQL npath surface (round 11): the
+    reference PTF's arg4 is a RESULT-EXPRESSION list — selected
+    expressions emitted over each match's rows (hive-exec-2.3.10-core
+    .jar!ql/udf/ptf/MatchPath.class, e.g. tpath.size / sum over the
+    path) — so the SQL call shape needs it too, not just the
+    DataFrame-API composition (seq_matchpath_measures). Same pattern,
+    same two cent aggregates, SHARING seq_matchpath_measures' oracle:
+    one value hash proves the SQL MEASURES clause, the DataFrame
+    composition, and the DuckDB regex+join model all agree. Matches
+    still come from the compiled island walk (Python-free); the
+    measures join is the same explode(sequence) + (key, rn) equi-join
+    plan, built once inside npath_sql."""
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "npath_events_src"
+    )
+    out = npath_sql(
+        spark,
+        """
+        npath(ON npath_events_src
+              PARTITION BY user_id
+              ORDER BY ts, event_id
+              SYMBOLS(event_type = 'view' AS view,
+                      event_type = 'purchase' AS purchase)
+              PATTERN('view.view*.purchase')
+              MEASURES(
+                CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                     AS BIGINT) AS path_value_cents,
+                CAST(MAX(CAST(ROUND(value * 100, 0) AS BIGINT))
+                     AS BIGINT) AS max_event_cents))
         """,
     )
     return out.orderBy("user_id", "start_rn")

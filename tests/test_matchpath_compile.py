@@ -849,6 +849,9 @@ def test_registered_matchpath_plans_have_no_python_stage(spark):
         # round 11: the SQL call surface routed through the compiled
         # planner must be exactly as Python-free as the DataFrame API
         "seq_npath_sql_compiled",
+        # and the SQL MEASURES clause keeps the compiled match plan +
+        # a JVM explode/join — still zero Python
+        "seq_npath_sql_measures",
     ):
         df = load_all()[name].fn(spark, SF_DIR)
         plan = P.formatted_plan(df)
@@ -966,6 +969,19 @@ def test_npath_sql_parser_errors(spark):
             spark,
             "npath(ON t PARTITION BY u ORDER BY ts "
             "SYMBOLS(a = 1 AS s, a = 2 AS s) PATTERN('s'))",
+        )
+    with pytest.raises(ValueError, match="agg-expr> AS <name"):
+        npath_sql(
+            spark,
+            "npath(ON t PARTITION BY u ORDER BY ts "
+            "SYMBOLS(a = 1 AS s) PATTERN('s') MEASURES(sum(v)))",
+        )
+    with pytest.raises(ValueError, match="duplicate measure"):
+        npath_sql(
+            spark,
+            "npath(ON t PARTITION BY u ORDER BY ts "
+            "SYMBOLS(a = 1 AS s) PATTERN('s') "
+            "MEASURES(sum(v) AS m, max(v) AS m))",
         )
 
 
