@@ -424,11 +424,20 @@ def _split_top_level(s: str) -> list[str]:
     added in round 11 when the npath SQL call parser consolidated
     onto this helper (review finding: two near-identical splitters) —
     it also fixes the latent case of a quoted literal containing a
-    paren or comma skewing the depth count here."""
-    parts, depth, cur, in_str = [], 0, [], False
+    paren or comma skewing the depth count here. Round 12 (ADVICE):
+    backslash escapes inside a literal are honored — Spark SQL's
+    default parser reads ``'\\''`` as an escaped quote, so the
+    splitter must not treat it as the string terminator; ``''``
+    doubling still works as close-then-reopen."""
+    parts, depth, cur, in_str, esc = [], 0, [], False, False
     for ch in s:
         if in_str:
-            in_str = ch != "'"
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == "'":
+                in_str = False
         elif ch == "'":
             in_str = True
         elif ch == "(":

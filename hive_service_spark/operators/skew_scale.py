@@ -15,7 +15,7 @@ so at 100 TB every value is a hot key that would pin one reducer.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from hive_service_spark.catalog import load
 from hive_service_spark.registry import persisted, query
@@ -170,3 +170,173 @@ def skew_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "grain", "bucket", "n", F.round("total", 2).alias("total")
     ).orderBy("grain", "bucket")
+
+
+# --- hot-key quarantine: the upstream bot-key drop, as an operator ----------
+
+
+def quarantine_hot_keys(
+    df: DataFrame,
+    key: str = "user_id",
+    max_share: float = 0.01,
+    min_rows: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Split ``df`` into (clean, hot_keys): keys owning more than
+    ``max_share`` of all rows are routed OUT of the stream before any
+    per-key-ORDER operator sees them (round 12, verdict #2 — the
+    engine-side answer the 50%/90%-ownership skew tables keep
+    recommending: "at a true bot key the fix is dropping the key
+    upstream"). This is the reference's skew philosophy —
+    SkewJoinOptimizer / GenMRSkewJoinProcessor (hive-exec-2.3.10-core
+    .jar!ql/optimizer/physical/) route skewed keys into a separate
+    physical job — applied to the per-key window/sequence operators
+    AQE's skew-join splitting cannot help (a window partition is
+    unsplittable).
+
+    Shape, and why it scales: ONE map-side-combined groupBy(key)
+    produces the per-key counts (the only full-data pass); the total
+    is a 1-row aggregate over those counts, broadcast back. By
+    construction at most floor(1/max_share) keys can exceed the share,
+    so the hot set is always tiny and BROADCASTABLE — the clean-stream
+    filter is a broadcast anti-join, no second shuffle of the corpus.
+    ``min_rows`` is an optional absolute floor (a key must also own at
+    least this many rows) so a small-sample share blip cannot
+    quarantine a legitimate key; at 100 TB the share term dominates.
+    The anti-join is NULL-SAFE on the key: missing-id traffic (a
+    classic bot signature) is a quarantinable key like any other.
+
+    Returns ``(clean, hot)`` where ``hot`` has (key, n_rows,
+    row_share), so the quarantined keys stay auditable instead of
+    silently vanishing."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("__qk_n"))
+    total = counts.agg(F.sum("__qk_n").alias("__qk_total"))
+    cond = F.col("__qk_n") > F.col("__qk_total") * F.lit(max_share)
+    if min_rows is not None:
+        cond = cond & (F.col("__qk_n") >= F.lit(min_rows))
+    hot = (
+        counts.crossJoin(F.broadcast(total))
+        .where(cond)
+        .select(
+            key,
+            F.col("__qk_n").cast("bigint").alias("n_rows"),
+            (F.col("__qk_n") / F.col("__qk_total")).alias("row_share"),
+        )
+    )
+    clean = df.join(
+        F.broadcast(hot.select(F.col(key).alias("__qk_key"))),
+        df[key].eqNullSafe(F.col("__qk_key")),
+        "left_anti",
+    )
+    return clean, hot
+
+
+# demo thresholds: on the near-uniform test events (150 users at
+# sf0.01, ~0.67% each) share > 0.8% marks the heaviest handful of
+# users; the absolute floor keeps the tiny sf0.001 sample (15 users,
+# ~6.7% each) from quarantining everyone. A real pipeline tunes both
+# to its bot threshold; the synthetic 50%/90%-ownership probe
+# (tools/scale_probe.py) is where a true bot key exists.
+_QK_MAX_SHARE = 0.008
+_QK_MIN_ROWS = 80
+
+_QUARANTINE_AUDIT_ORACLE = f"""
+WITH c AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+),
+t AS (SELECT SUM(n) AS total FROM c)
+SELECT c.user_id,
+       CAST(c.n AS BIGINT) AS n_rows,
+       c.n * 1.0 / t.total AS row_share
+FROM c, t
+WHERE c.n > t.total * {_QK_MAX_SHARE} AND c.n >= {_QK_MIN_ROWS}
+ORDER BY user_id
+"""
+
+
+@query("skew_quarantine_audit", oracle=_QUARANTINE_AUDIT_ORACLE)
+def skew_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarantine operator's audit side: which keys own more than
+    {share} of all rows (with the {rows}-row floor), how many rows,
+    what share. One map-side-combined groupBy + a broadcast 1-row
+    total — the ONLY full-data pass the quarantine ever makes."""
+    ev = load(spark, sf_dir, "events")
+    _clean, hot = quarantine_hot_keys(
+        ev, "user_id", _QK_MAX_SHARE, _QK_MIN_ROWS
+    )
+    return hot.orderBy("user_id")
+
+
+_SESSION_QUARANTINED_ORACLE = f"""
+WITH c AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+),
+t AS (SELECT SUM(n) AS total FROM c),
+hot AS (
+  SELECT c.user_id FROM c, t
+  WHERE c.n > t.total * {_QK_MAX_SHARE} AND c.n >= {_QK_MIN_ROWS}
+),
+f AS (
+  SELECT * FROM events
+  WHERE user_id NOT IN (SELECT user_id FROM hot)
+),
+g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess,
+         event_id
+  FROM f
+),
+s AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_no
+  FROM g
+)
+SELECT user_id, session_no,
+       COUNT(*) AS n_events,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+       ROUND(SUM(value), 2) AS session_value
+FROM s
+GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+"""
+
+
+@query("seq_sessionize_quarantined", oracle=_SESSION_QUARANTINED_ORACLE)
+def seq_sessionize_quarantined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization composed BEHIND the hot-key quarantine (round
+    12, verdict #2's demo): quarantine_hot_keys routes bot-share keys
+    out, then the standard gap sessionization runs on the clean
+    stream. Contrast with seq_sessionize_capped: the budget TRUNCATES
+    a hot key's tail but still walks its history once inside the
+    capping window (the measured ownership-linear floor in SCALE.md's
+    90% table); the quarantine never lets the hot key reach the
+    window exchange at all — the broadcast anti-join drops it at scan
+    time, so the per-key sort sees only clean keys and the pipeline
+    cost is flat in the hot key's ownership. The quarantined keys land
+    in the audit output (skew_quarantine_audit), not the void."""
+    ev = load(spark, sf_dir, "events")
+    clean, _hot = quarantine_hot_keys(
+        ev, "user_id", _QK_MAX_SHARE, _QK_MIN_ROWS
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = clean.withColumn("new_sess", new_sess).withColumn(
+        "session_no",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_no")
+    )

@@ -1209,3 +1209,259 @@ def test_npath_sql_preserves_quoted_literal_whitespace(spark):
     # pattern tabbed.fin has no match (row 1 sits between), while a
     # collapsed literal ('a b') would match rows 1->2.
     assert rows == [], [tuple(r) for r in rows]
+
+
+# ---------------------------------------------------------------------------
+# round 12: composite PARTITION BY, null-key uniformity across plans,
+# backslash-escaped quotes, null-safe MEASURES join
+# ---------------------------------------------------------------------------
+
+
+def test_npath_sql_composite_partition_errors(spark):
+    from hive_service_spark.operators.matchpath import npath_sql
+
+    with pytest.raises(ValueError, match="one or more plain columns"):
+        npath_sql(
+            spark,
+            "npath(ON t PARTITION BY f(u) ORDER BY ts "
+            "SYMBOLS(a = 1 AS a) PATTERN('a'))",
+        )
+    with pytest.raises(ValueError, match="duplicate PARTITION BY"):
+        npath_sql(
+            spark,
+            "npath(ON t PARTITION BY u, u ORDER BY ts "
+            "SYMBOLS(a = 1 AS a) PATTERN('a'))",
+        )
+    with pytest.raises(ValueError, match="collide with npath output"):
+        npath_sql(
+            spark,
+            "npath(ON t PARTITION BY u, match_len ORDER BY ts "
+            "SYMBOLS(a = 1 AS a) PATTERN('a'))",
+        )
+
+
+def test_npath_sql_composite_partition_matches(spark):
+    """Composite PARTITION BY (round 12, verdict #3): matches must be
+    found independently within each (u, grp) pair — including a NULL
+    in one key column — and the output must carry the ORIGINAL key
+    columns, not the packed internal key."""
+    import pyspark.sql.functions as F
+
+    from hive_service_spark.operators.matchpath import npath_sql
+
+    seqs = {
+        (1, "x"): "AAB",
+        (1, "y"): "AB",
+        (2, "x"): "ABB",
+        (2, None): "AAB",  # null in one key column: its own partition
+    }
+    df = spark.createDataFrame(
+        [
+            (u, g, i, sym)
+            for (u, g), seq in seqs.items()
+            for i, sym in enumerate(seq)
+        ],
+        "u bigint, grp string, pos bigint, sym string",
+    ).select(
+        "u",
+        "grp",
+        F.timestamp_micros(F.col("pos") * 1_000_000).alias("ts"),
+        "pos",
+        "sym",
+    )
+    df.createOrReplaceTempView("npath_multikey_probe")
+    out = npath_sql(
+        spark,
+        """
+        npath(ON npath_multikey_probe
+              PARTITION BY u, grp
+              ORDER BY pos
+              SYMBOLS(sym = 'A' AS a, sym = 'B' AS b)
+              PATTERN('a.a*.b'))
+        """,
+    )
+    assert out.columns[:2] == ["u", "grp"]
+    assert "__np_pk" not in out.columns
+    got = sorted(
+        ((r["u"], r["grp"], r["start_rn"], r["match_len"]) for r in out.collect()),
+        key=repr,
+    )
+    want = sorted(
+        (
+            (u, g, i1, ln)
+            for (u, g), seq in seqs.items()
+            for (_z, i1, ln) in _pysim([(0, list(seq))], "aa*b", _classify)
+        ),
+        key=repr,
+    )
+    assert got == want and any(g is None for _, g, _, _ in got)
+
+
+def test_npath_sql_multikey_plan_is_python_free(spark):
+    """The packed composite key must not knock the pattern off the
+    compiled island walk — the registered multikey query's plan stays
+    JVM-only (to_json is a JVM expression)."""
+    from hive_service_spark.plans import inspect as P
+    from hive_service_spark.registry import load_all
+    from tests.conftest import SF_DIR
+
+    df = load_all()["seq_npath_sql_multikey"].fn(spark, SF_DIR)
+    plan = P.formatted_plan(df)
+    for marker in ("Python", "Arrow", "Pandas"):
+        assert marker not in plan, f"{marker} stage in plan:\n{plan[:600]}"
+
+
+def test_compiled_plans_keep_null_partition_keys(spark):
+    """Round 12: the island walk's internal equi-joins (candidate-to-
+    island, and the bounded-final end join) were the last places a
+    NULL partition key silently vanished — all three plan classes must
+    now agree with the regex model on a null-key group. Patterns
+    chosen to route one per plan: island walk without end join, island
+    walk WITH the bounded-final end join, lead chain, automaton."""
+    import pyspark.sql.functions as F
+
+    from hive_service_spark.operators.matchpath import matchpath
+
+    seqs = {None: "AABBB", 5: "AAB", 6: "BAB"}
+    df = spark.createDataFrame(
+        [
+            (u, i, sym)
+            for u, seq in seqs.items()
+            for i, sym in enumerate(seq)
+        ],
+        "user_id bigint, pos bigint, sym string",
+    ).select(
+        "user_id",
+        F.timestamp_micros(F.col("pos") * 1_000_000).alias("ts"),
+        "pos",
+        "sym",
+    )
+    for pattern, rx in (
+        ("a.a*.b", "aa*b"),  # island walk, end from island frame
+        ("a.a*.b{2,3}", "aa*b{2,3}"),  # island walk + bounded-final end join
+        ("a.(a|b){1,2}", "a(a|b){1,2}"),  # lead chain
+        ("(a|b)+.b", "(a|b)+b"),  # automaton
+    ):
+        out = matchpath(
+            df,
+            partition_by="user_id",
+            order_by=["pos"],
+            symbols=_CHAIN_SYMS(F),
+            pattern=pattern,
+        )
+        got = sorted(
+            (
+                (r["user_id"], r["start_rn"], r["match_len"])
+                for r in out.collect()
+            ),
+            key=repr,
+        )
+        want = sorted(
+            (
+                (u, i1, ln)
+                for u, seq in seqs.items()
+                for (_z, i1, ln) in _pysim([(0, list(seq))], rx, _classify)
+            ),
+            key=repr,
+        )
+        assert got == want, f"pattern {pattern}: {got} != {want}"
+        assert any(u is None for u, _, _ in got), (
+            f"pattern {pattern}: null-key matches missing"
+        )
+
+
+def test_npath_sql_backslash_escaped_quote_literal(spark):
+    """Round-12 ADVICE: Spark SQL's default parser accepts
+    backslash-escaped quotes inside string literals — the clause
+    splitter and whitespace normalizer must not treat \\' as the
+    string terminator (which corrupted every clause after it)."""
+    import pyspark.sql.functions as F
+
+    from hive_service_spark.operators.matchpath import npath_sql
+
+    df = spark.createDataFrame(
+        [(1, 0, "it's"), (1, 1, "END"), (2, 0, "its"), (2, 1, "END")],
+        "user_id bigint, pos bigint, note string",
+    ).select(
+        "user_id",
+        F.timestamp_micros(F.col("pos") * 1_000_000).alias("ts"),
+        "pos",
+        "note",
+    )
+    df.createOrReplaceTempView("npath_esc_probe")
+    out = npath_sql(
+        spark,
+        r"""
+        npath(ON npath_esc_probe
+              PARTITION BY user_id
+              ORDER BY pos
+              SYMBOLS(note = 'it\'s' AS apo,
+                      note = 'END' AS fin)
+              PATTERN('apo.fin'))
+        """,
+    )
+    got = sorted((r["user_id"], r["start_rn"]) for r in out.collect())
+    assert got == [(1, 1)], got
+
+
+def test_split_top_level_backslash_escape():
+    """The shared splitter honors backslash escapes inside literals:
+    a comma after an escaped quote is still INSIDE the string."""
+    from hive_service_spark.operators.materialized_views import (
+        _split_top_level,
+    )
+
+    assert _split_top_level(r"f(x) = 'a\',b', g") == [r"f(x) = 'a\',b'", "g"]
+    # doubled-quote escaping still reads as close-then-reopen
+    assert _split_top_level("x = 'a'',b', y") == ["x = 'a'',b'", "y"]
+    # double backslash then quote really does end the string
+    assert _split_top_level(r"x = 'a\\', y") == [r"x = 'a\\'", "y"]
+
+
+def test_npath_sql_measures_keeps_null_partition_key(spark):
+    """Round-12 ADVICE (medium): the MEASURES join-back is null-safe
+    on the partition key — a null-key partition's matches must appear
+    in MEASURES output with correct aggregates, matching the matching
+    plans' deliberate null-key preservation."""
+    import pyspark.sql.functions as F
+
+    from hive_service_spark.operators.matchpath import npath_sql
+
+    seqs = {None: "AAB", 3: "AB"}
+    df = spark.createDataFrame(
+        [
+            (u, i, sym, 10 * (i + 1))
+            for u, seq in seqs.items()
+            for i, sym in enumerate(seq)
+        ],
+        "user_id bigint, pos bigint, sym string, v bigint",
+    ).select(
+        "user_id",
+        F.timestamp_micros(F.col("pos") * 1_000_000).alias("ts"),
+        "pos",
+        "sym",
+        "v",
+    )
+    df.createOrReplaceTempView("npath_nullmeas_probe")
+    out = npath_sql(
+        spark,
+        """
+        npath(ON npath_nullmeas_probe
+              PARTITION BY user_id
+              ORDER BY pos
+              SYMBOLS(sym = 'A' AS a, sym = 'B' AS b)
+              PATTERN('a.a*.b')
+              MEASURES(CAST(SUM(v) AS BIGINT) AS v_sum))
+        """,
+    )
+    got = sorted(
+        ((r["user_id"], r["start_rn"], r["match_len"], r["v_sum"])
+         for r in out.collect()),
+        key=repr,
+    )
+    # null key: AAB -> matches at 1 (len 3, v=10+20+30) and 2 (len 2,
+    # v=20+30); key 3: AB -> match at 1 (len 2, v=10+20)
+    want = sorted(
+        [(None, 1, 3, 60), (None, 2, 2, 50), (3, 1, 2, 30)], key=repr
+    )
+    assert got == want, got

@@ -208,6 +208,16 @@ SKEW90_PAIRS = [
 ]
 SKEW90 = [q for pair in SKEW90_PAIRS for q in pair]
 
+# round 12 (verdict #2): the quarantine contrast — the 90% table's own
+# recommendation ("at a true bot key the fix is dropping the key
+# upstream") shipped as an operator. quarantine_hot_keys routes the
+# bot key out via one map-side-combined count + a broadcast anti-join
+# BEFORE the window exchange, so unlike the capped variant (whose one
+# capping walk still reads the hot history — the ownership-linear
+# floor) the quarantined pipeline's per-key sort never sees the hot
+# key at all. Expected: skew_x ~flat across 50% and 90% ownership.
+SKEW_QUAR = ["seq_sessionize_quarantined"]
+
 
 def _build(n_docs: int, n_vecs: int, n_li: int) -> None:
     import pyspark.sql.functions as F
@@ -903,6 +913,11 @@ def main() -> None:
     # control); uniform baselines reuse the skew50 measurements (same
     # names, same OUT_AUX dir)
     skew90_hot = _run_measure(OUT_SKEW90, SKEW90)
+    # round 12: the quarantined pipeline at uniform, 50% and 90%
+    # ownership — the contrast row for the upstream bot-key drop
+    quar_uniform = _run_measure(OUT_AUX, SKEW_QUAR)
+    quar_50 = _run_measure(OUT_SKEW50, SKEW_QUAR)
+    quar_90 = _run_measure(OUT_SKEW90, SKEW_QUAR)
 
     def _json_sub(flag: str, key: str, timeout: int):
         out = subprocess.run(
@@ -1136,7 +1151,26 @@ def main() -> None:
                 f"| {name} | {label} | {round(tu, 2)} | {round(th, 2)} "
                 f"| {round(th / tu, 2)} | {round(t50 / tu, 2)} |"
             )
+    for name in SKEW_QUAR:
+        tu, th = quar_uniform[name], quar_90[name]
+        t50 = quar_50[name]
+        lines.append(
+            f"| {name} | quarantined | {round(tu, 2)} | {round(th, 2)} "
+            f"| {round(th / tu, 2)} | {round(t50 / tu, 2)} |"
+        )
     lines.append("")
+    lines.append(
+        "Round 12 adds the table's own recommendation as a measured "
+        "row: `seq_sessionize_quarantined` composes sessionization "
+        "behind `quarantine_hot_keys` (one map-side-combined per-key "
+        "count + a broadcast null-safe anti-join — the bot key never "
+        "reaches the window exchange). Its skew_x should read ~flat "
+        "across 50% and 90% ownership where the capped variant's "
+        "floor is ownership-linear; the residual above 1.0 is the "
+        "count pass itself, which any share-based policy must pay "
+        "once. The quarantined keys stay auditable via "
+        "skew_quarantine_audit.\n"
+    )
     lines.append("## MatchPath compiled vs automaton — same pattern\n")
     lines.append(
         f"Each pattern over the x{mp_cost[0]['events_x']} events "
