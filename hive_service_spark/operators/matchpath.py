@@ -493,7 +493,7 @@ def _enum_ast(ast, chars: dict[str, str]):
 
 def _matchpath_jvm_leadchain(
     slim: DataFrame,
-    order_cols: list[str],
+    order_cols: list,  # str names or direction-aware Columns (r12)
     partition_by: str,
     comps: list[list[frozenset[str]]],
     k_max: int,
@@ -570,7 +570,7 @@ def _matchpath_jvm_leadchain(
 
 def _matchpath_jvm_chain(
     slim: DataFrame,
-    order_cols: list[str],
+    order_cols: list,  # str names or direction-aware Columns (r12)
     partition_by: str,
     variants: list[list[tuple[str, int, int]]],
     group_of: dict[str, str],
@@ -780,6 +780,17 @@ def _matchpath_jvm_chain(
     )
 
 
+def _split_order_suffix(item: str) -> tuple[str, bool]:
+    """``"ts DESC"`` -> ("ts", True); ``"ts"`` / ``"ts ASC"`` ->
+    ("ts", False). The suffix must be a trailing bare keyword so an
+    expression containing the letters (a column named `descr`, a
+    function call) is never misread."""
+    m = re.match(r"(?is)^(.*?)\s+(asc|desc)$", item.strip())
+    if m:
+        return m.group(1), m.group(2).lower() == "desc"
+    return item.strip(), False
+
+
 def matchpath(
     df: DataFrame,
     partition_by: str,
@@ -847,7 +858,16 @@ def matchpath(
 
     Each is a genuinely irregular or oversized shape; the automaton is
     the exact fallback, at the measured price in SCALE.md's
-    compiled-vs-automaton section."""
+    compiled-vs-automaton section.
+
+    Round 12: ``order_by`` items accept an optional ``ASC``/``DESC``
+    suffix (``"ts DESC"``) — the reference PTF's OrderSpec carries a
+    per-column direction (hive-exec!ql/parse/PTFInvocationSpec) and a
+    descending walk is how "latest-first" patterns (purchase, then the
+    views that led to it) are expressed. Every plan class honors the
+    direction: the row numbering, the island/lead windows, and the
+    automaton's partition sort all use the same direction-aware
+    keys."""
     chars, rx_src = compile_pattern(pattern, symbols.keys())
     rx = re.compile(rx_src)
 
@@ -856,14 +876,21 @@ def matchpath(
     for name, cond in reversed(list(symbols.items())):
         ch = F.when(cond, F.lit(chars[name])).otherwise(ch)
 
+    order_parsed = [_split_order_suffix(c) for c in order_by]
     slim = df.select(
         F.col(partition_by).alias("pk"),
-        F.col(ts_col).alias("_ts"),
-        *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_by)],
+        F.expr(_split_order_suffix(ts_col)[0]).alias("_ts"),
+        *[
+            F.expr(e).alias(f"_o{i}")
+            for i, (e, _d) in enumerate(order_parsed)
+        ],
         ch.alias("_ch"),
         *passthrough,
     )
-    order_cols = [f"_o{i}" for i in range(len(order_by))]
+    order_cols = [
+        F.col(f"_o{i}").desc() if d else F.col(f"_o{i}")
+        for i, (_e, d) in enumerate(order_parsed)
+    ]
 
     chain = None if force_automaton else _parse_chain(pattern)
     if chain is not None:
@@ -1808,7 +1835,7 @@ def npath_sql(spark: SparkSession, call: str) -> DataFrame:
 
         npath(ON <table-or-(subquery)>
               PARTITION BY <key-column> [, <key-column> ...]
-              ORDER BY <col> [, <col> ...]
+              ORDER BY <col-or-expr> [ASC|DESC] [, ...]
               [MAXROWS <n>]
               SYMBOLS(<bool-sql-expr> AS <name> [, ...])
               PATTERN('<pattern>')
@@ -1827,7 +1854,12 @@ def npath_sql(spark: SparkSession, call: str) -> DataFrame:
 
     ``path_start``/``path_end`` timestamps come from the FIRST ORDER BY
     column (the reference emits the matched rows' sort key the same
-    way). ``MAXROWS n`` (round 11, verdict #1) is the per-partition
+    way). ``ORDER BY`` items accept an ``ASC``/``DESC`` suffix (round
+    12 — the reference PTF's OrderSpec carries per-column direction);
+    a descending walk expresses latest-first patterns, and with
+    ``MAXROWS`` the budget keeps each key's LATEST n rows (the prefix
+    of the descending sort). ``MAXROWS n`` (round 11, verdict #1) is
+    the per-partition
     event budget made first-class in the SQL surface: the input is
     pre-passed through capped_user_prefix(n) — each key's EARLIEST n
     rows on the same sort — and every match carries the stamped
@@ -1970,13 +2002,24 @@ def npath_sql(spark: SparkSession, call: str) -> DataFrame:
             ),
         )
         passthrough = tuple(part_cols)
+    # direction-aware sort keys (round 12: ORDER BY items accept an
+    # ASC/DESC suffix like the reference PTF's OrderSpec) — shared by
+    # the budget pre-pass and the MEASURES re-numbering so every stage
+    # sorts identically to the matching plan
+    order_keys = [
+        F.expr(e).desc() if d else F.expr(e)
+        for e, d in (_split_order_suffix(c) for c in order)
+    ]
     if "MAXROWS" in clauses:
         from hive_service_spark.operators.sequence_analytics import (
             capped_user_prefix,
         )
 
         df = capped_user_prefix(
-            df, int(clauses["MAXROWS"]), key=part, order_cols=tuple(order)
+            df,
+            int(clauses["MAXROWS"]),
+            key=part,
+            order_cols=tuple(order_keys),
         )
         passthrough = passthrough + ("user_capped",)
 
@@ -2012,7 +2055,7 @@ def npath_sql(spark: SparkSession, call: str) -> DataFrame:
     # partitions, so MEASURES must not silently drop their matches.
     from pyspark.sql import Window
 
-    w = Window.partitionBy(part).orderBy(*[F.expr(c) for c in order])
+    w = Window.partitionBy(part).orderBy(*order_keys)
     rows_f = df.select("*", F.row_number().over(w).alias("__mp_rn_r"))
     # metadata columns (incl. user_capped and composite partition
     # columns) already live on `out`; drop their twins from the row
@@ -2355,6 +2398,72 @@ def seq_npath_sql_capped_measures(
               MEASURES(
                 CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
                      AS BIGINT) AS path_value_cents))
+        """,
+    )
+    return out.orderBy("user_id", "start_rn")
+
+
+_DESC_ORACLE = """
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'view' THEN 'a'
+              WHEN event_type = 'purchase' THEN 'b'
+              ELSE 'x' END AS ch,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+s AS (
+  SELECT user_id, string_agg(ch, '' ORDER BY rn) AS str
+  FROM c GROUP BY user_id
+),
+m AS (
+  SELECT c.user_id, c.rn AS start_rn, c.ts AS path_start,
+         length(regexp_extract(substr(s.str, CAST(c.rn AS INT)),
+                               '^ba+')) AS match_len
+  FROM c JOIN s USING (user_id)
+)
+SELECT m.user_id, CAST(m.start_rn AS INT) AS start_rn,
+       CAST(m.match_len AS INT) AS match_len,
+       CAST(m.path_start AS TIMESTAMP) AS path_start,
+       CAST(e.ts AS TIMESTAMP) AS path_end
+FROM m
+JOIN c e ON e.user_id = m.user_id
+        AND e.rn = m.start_rn + m.match_len - 1
+WHERE m.match_len > 0
+ORDER BY m.user_id, start_rn
+"""
+
+
+@query("seq_npath_sql_desc", oracle=_DESC_ORACLE)
+def seq_npath_sql_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESC order through the npath surface (round 12): the reference
+    PTF's OrderSpec carries a per-column sort direction (hive-exec
+    -2.3.10-core.jar!ql/parse/PTFInvocationSpec), which until this
+    round our ORDER BY clause could not express. The latest-first
+    walk: ``purchase.view+`` over ``ORDER BY ts DESC, event_id DESC``
+    finds each purchase followed (going backward in time) by the run
+    of views that led to it — the attribution-style read of the same
+    clickstream. start_rn numbers rows in the DESCENDING order
+    (start_rn 1 = the user's latest event), path_start is the
+    purchase's timestamp, path_end the earliest view's. Still the
+    compiled island walk (two disjoint atoms, final ``+``): the only
+    change at any scale is the sort direction inside the one
+    key-shuffle — Python-free, plan identical in shape to the ASC
+    twin. Value-oracled against the DuckDB regex model over the
+    identically reversed numbering."""
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "npath_events_src"
+    )
+    out = npath_sql(
+        spark,
+        """
+        npath(ON npath_events_src
+              PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC
+              SYMBOLS(event_type = 'purchase' AS purchase,
+                      event_type = 'view' AS view)
+              PATTERN('purchase.view+'))
         """,
     )
     return out.orderBy("user_id", "start_rn")

@@ -1828,7 +1828,9 @@ def capped_user_prefix(
     df: DataFrame,
     n: int = _USER_EVENT_CAP,
     key: str = "user_id",
-    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    # str names or direction-aware Columns (round 12: npath_sql passes
+    # F.expr(e).desc() keys so a DESC walk budgets the LATEST n rows)
+    order_cols: tuple = ("ts", "event_id"),
 ) -> DataFrame:
     """The per-user event budget as a REUSABLE pre-pass (round 10 —
     factored out of seq_sessionize_capped so every hot-key-exposed

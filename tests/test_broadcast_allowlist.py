@@ -146,6 +146,11 @@ ALLOWLIST = {
         (1, "file-stats: per-file min/max boxes"),
     ("operators/sequence_analytics.py", "seq_bloom_semi_join"):
         (1, "scalar-1row: bloom bitmap"),
+    ("operators/skew_scale.py", "quarantine_hot_keys"):
+        (2, "scalar-1row total + model-bounded hot set (keys owning "
+            "> max_share of rows: <= 1/max_share keys by construction "
+            "— the broadcast anti-join IS the operator's scale story, "
+            "plan-pinned in test_plans.py)"),
     ("operators/sequence_analytics.py", "ts_mad_robust_anomalies"):
         (3, "group-bounded: median/MAD per event_type"),
     ("operators/tpch.py", "q5_local_supplier_volume"):

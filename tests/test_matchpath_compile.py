@@ -1465,3 +1465,104 @@ def test_npath_sql_measures_keeps_null_partition_key(spark):
         [(None, 1, 3, 60), (None, 2, 2, 50), (3, 1, 2, 30)], key=repr
     )
     assert got == want, got
+
+
+def test_split_order_suffix():
+    from hive_service_spark.operators.matchpath import _split_order_suffix
+
+    assert _split_order_suffix("ts") == ("ts", False)
+    assert _split_order_suffix("ts DESC") == ("ts", True)
+    assert _split_order_suffix("ts desc") == ("ts", True)
+    assert _split_order_suffix("ts ASC") == ("ts", False)
+    # a trailing keyword only — columns/calls containing the letters
+    # are never misread
+    assert _split_order_suffix("descr") == ("descr", False)
+    assert _split_order_suffix("f(x) DESC") == ("f(x)", True)
+
+
+def test_matchpath_desc_order_all_three_plans(spark):
+    """Round 12: ORDER BY ... DESC walks each partition latest-first —
+    equivalent to matching the ASC-reversed sequence. Differential
+    against the regex model on reversed sequences, one pattern per
+    plan class (island walk, lead chain, automaton)."""
+    import itertools
+
+    import pyspark.sql.functions as F
+
+    from hive_service_spark.operators.matchpath import matchpath
+
+    rows = [
+        (i, list(seq))
+        for i, seq in enumerate(itertools.product("ABX", repeat=5))
+    ]
+    df = spark.createDataFrame(
+        [
+            (u, i, sym)
+            for u, seq in rows
+            for i, sym in enumerate(seq)
+        ],
+        "user_id bigint, pos bigint, sym string",
+    ).select(
+        "user_id",
+        F.timestamp_micros(F.col("pos") * 1_000_000).alias("ts"),
+        "pos",
+        "sym",
+    )
+    reversed_rows = [(u, list(reversed(seq))) for u, seq in rows]
+    for pattern, rx in (
+        ("a.a*.b", "aa*b"),  # island walk
+        ("a.(a|b){1,2}", "a(a|b){1,2}"),  # lead chain
+        ("(a|b)+.b", "(a|b)+b"),  # automaton
+    ):
+        out = matchpath(
+            df,
+            partition_by="user_id",
+            order_by=["pos DESC"],
+            symbols=_CHAIN_SYMS(F),
+            pattern=pattern,
+        )
+        got = sorted(
+            (r["user_id"], r["start_rn"], r["match_len"])
+            for r in out.collect()
+        )
+        want = _pysim(reversed_rows, rx, _classify)
+        assert got == want, f"pattern {pattern} desc: {got[:5]}..."
+
+
+def test_npath_sql_desc_with_maxrows_keeps_latest(spark):
+    """DESC + MAXROWS: the budget keeps each key's LATEST n rows (the
+    prefix of the descending sort), and matching runs on that
+    suffix-of-history."""
+    import pyspark.sql.functions as F
+
+    from hive_service_spark.operators.matchpath import npath_sql
+
+    # user 1: A A A B A B (pos 0..5). DESC order: B A B A A A.
+    # MAXROWS 3 keeps pos 5,4,3 -> DESC seq B A B; pattern b.a matches
+    # at start_rn 1 (pos 5 then pos 4) only.
+    df = spark.createDataFrame(
+        [(1, i, s) for i, s in enumerate("AAABAB")],
+        "user_id bigint, pos bigint, sym string",
+    ).select(
+        "user_id",
+        F.timestamp_micros(F.col("pos") * 1_000_000).alias("ts"),
+        "pos",
+        "sym",
+    )
+    df.createOrReplaceTempView("npath_desc_probe")
+    out = npath_sql(
+        spark,
+        """
+        npath(ON npath_desc_probe
+              PARTITION BY user_id
+              ORDER BY pos DESC
+              MAXROWS 3
+              SYMBOLS(sym = 'A' AS a, sym = 'B' AS b)
+              PATTERN('b.a'))
+        """,
+    )
+    got = sorted(
+        (r["user_id"], r["start_rn"], r["match_len"], r["user_capped"])
+        for r in out.collect()
+    )
+    assert got == [(1, 1, 2, 1)], got

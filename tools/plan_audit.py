@@ -74,7 +74,22 @@ NOTES = {
         "verdict-suggested lineitem pre-aggregate to (orderkey, "
         "volume) was evaluated and rejected: after the p_type filter "
         "there is ~1 surviving lineitem per order, so the extra "
-        "aggregation shuffle saves nothing."
+        "aggregation shuffle saves nothing. ROUND-12 SETTLEMENT of "
+        "the creep watch item (r11 verdict: q8's host-corrected ratio "
+        "vs the r01 anchor crept 1.60 -> 1.92 across rounds 8-11, "
+        "always read on jittery boxes): tools/q8_ab.py ran BOTH plan "
+        "variants A/B-interleaved, 1 warmup + 5 measured reps each, "
+        "on a settling box (loadavg_start 0.35) — pre-reduction "
+        "median 1.392 s {1.585, 1.392, 1.289, 1.250, 1.412} vs "
+        "post-reduction (round-5 shape) median 1.413 s {1.413, "
+        "1.226, 1.429, 1.464, 1.174}, ratio 0.985. The two shapes "
+        "are EQUAL within noise: the round-6 'pre-reduction costs "
+        "1.25-1.30x locally' penalty is no longer observed, and "
+        "whatever drift exists vs the r01 anchor affects both "
+        "variants identically — instrument noise, not the "
+        "pre-reduction trade-off. The registered plan stays "
+        "pre-reduction (the at-scale winner per the x8 probe) with "
+        "its local penalty now measured at zero."
     ),
     "q7_volume_shipping": (
         "Round-6 shape: the nation-pair disjunction is hand-factored "
