@@ -877,6 +877,13 @@ def matchpath(
         ch = F.when(cond, F.lit(chars[name])).otherwise(ch)
 
     order_parsed = [_split_order_suffix(c) for c in order_by]
+    # passthrough columns ride the plans under RESERVED internal
+    # aliases and are renamed back on the way out (round-12 review: a
+    # passthrough — or composite-key — column named `rn`/`isl`/`_g`/...
+    # collided with the island walk's working columns and blew up as
+    # AMBIGUOUS_REFERENCE deep inside the plan; user column names must
+    # never meet plan internals)
+    pt_alias = tuple(f"__pt{i}" for i in range(len(passthrough)))
     slim = df.select(
         F.col(partition_by).alias("pk"),
         F.expr(_split_order_suffix(ts_col)[0]).alias("_ts"),
@@ -885,12 +892,17 @@ def matchpath(
             for i, (e, _d) in enumerate(order_parsed)
         ],
         ch.alias("_ch"),
-        *passthrough,
+        *[F.col(c).alias(a) for c, a in zip(passthrough, pt_alias)],
     )
     order_cols = [
         F.col(f"_o{i}").desc() if d else F.col(f"_o{i}")
         for i, (_e, d) in enumerate(order_parsed)
     ]
+
+    def _restore(res: DataFrame) -> DataFrame:
+        for a, c in zip(pt_alias, passthrough):
+            res = res.withColumnRenamed(a, c)
+        return res
 
     chain = None if force_automaton else _parse_chain(pattern)
     if chain is not None:
@@ -923,13 +935,15 @@ def matchpath(
                     [(min(cs), lo, hi) for cs, lo, hi in segs]
                     for segs in variants
                 ]
-                return _matchpath_jvm_chain(
-                    slim,
-                    order_cols,
-                    partition_by,
-                    variants,
-                    group_of,
-                    passthrough,
+                return _restore(
+                    _matchpath_jvm_chain(
+                        slim,
+                        order_cols,
+                        partition_by,
+                        variants,
+                        group_of,
+                        pt_alias,
+                    )
                 )
         # overlapping char-sets (or an island-variant blowup): the
         # round-10 lead-chain compiler covers any FINITE-max chain —
@@ -940,8 +954,10 @@ def matchpath(
         )
         if lead is not None:
             comps, k_max = lead
-            return _matchpath_jvm_leadchain(
-                slim, order_cols, partition_by, comps, k_max, passthrough
+            return _restore(
+                _matchpath_jvm_leadchain(
+                    slim, order_cols, partition_by, comps, k_max, pt_alias
+                )
             )
 
     # round 10b: anything the flat chain parser rejects but whose FULL
@@ -955,8 +971,10 @@ def matchpath(
             fin = _enum_ast(ast, chars)
             if fin is not None:
                 comps, k_max = fin
-                return _matchpath_jvm_leadchain(
-                    slim, order_cols, partition_by, comps, k_max, passthrough
+                return _restore(
+                    _matchpath_jvm_leadchain(
+                        slim, order_cols, partition_by, comps, k_max, pt_alias
+                    )
                 )
 
     # the key column keeps its INPUT type (round 12: was hardcoded
@@ -968,8 +986,8 @@ def matchpath(
         f"`{partition_by}` {pk_type}, start_rn int, match_len int, "
         "path_start timestamp, path_end timestamp"
         + "".join(
-            f", {c} {slim.schema[c].dataType.simpleString()}"
-            for c in passthrough
+            f", {a} {slim.schema[a].dataType.simpleString()}"
+            for a in pt_alias
         )
     )
     out_cols = [
@@ -978,7 +996,7 @@ def matchpath(
         "match_len",
         "path_start",
         "path_end",
-        *passthrough,
+        *pt_alias,
     ]
 
     # Round 11: the automaton is mapInPandas over PARTITION-sized Arrow
@@ -1007,7 +1025,7 @@ def matchpath(
             pk = None if pd.isna(pk) else pk
             s = "".join(g["_ch"])
             ts = g["_ts"]
-            extra = [g[c] for c in passthrough]
+            extra = [g[c] for c in pt_alias]
             for i in range(len(s)):
                 m = rx.match(s, i)
                 if m and m.end() > i:
@@ -1066,7 +1084,7 @@ def matchpath(
             if len(out):
                 yield out
 
-    return (
+    return _restore(
         slim.repartition("pk")
         .sortWithinPartitions("pk", *order_cols)
         .mapInPandas(_walk_batches, out_schema)
@@ -1735,28 +1753,23 @@ def _npath_split(body: str) -> dict[str, str]:
     """Split an npath(...) call body into clause texts keyed by
     keyword. Keywords are recognized case-insensitively at paren depth
     0 outside single-quoted strings, so symbol expressions may contain
-    parens, commas, and quoted literals freely. Inside a literal a
-    backslash escapes the next character (Spark SQL's default string
-    semantics, where ``'\\''`` is an escaped quote, not a terminator —
-    round-12 ADVICE: the toggle-only loop treated it as the end of the
-    string and corrupted clause splitting); ``''`` doubling also
-    works, read as close-then-reopen."""
+    parens, commas, and quoted literals freely. Literal boundaries
+    (incl. backslash escapes and ``''`` doubling — round-12 ADVICE)
+    come from the ONE shared scanner, materialized_views'
+    :func:`_literal_mask`."""
+    from hive_service_spark.operators.materialized_views import (
+        _literal_mask,
+    )
+
     low = body.lower()
+    mask = _literal_mask(body)
     spans: list[tuple[str, int, int]] = []
-    depth, in_str, i, n = 0, False, 0, len(body)
+    depth, i, n = 0, 0, len(body)
     while i < n:
+        if mask[i]:
+            i += 1
+            continue
         ch = body[i]
-        if in_str:
-            if ch == "\\":
-                i += 2  # escaped char: skip it, stay in the literal
-                continue
-            in_str = ch != "'"
-            i += 1
-            continue
-        if ch == "'":
-            in_str = True
-            i += 1
-            continue
         if ch == "(":
             depth += 1
             i += 1
@@ -1793,32 +1806,24 @@ def _collapse_ws(s: str) -> str:
     """Collapse whitespace runs to single spaces OUTSIDE single-quoted
     literals — a quoted string's exact bytes are part of the predicate
     (review finding: a blanket ``re.sub(r"\\s+", " ")`` silently
-    rewrote tabs/newlines inside SYMBOLS literals). Backslash escapes
-    inside a literal are honored (``'\\''`` stays inside the string —
-    round-12 ADVICE; Spark SQL's default parser accepts it)."""
+    rewrote tabs/newlines inside SYMBOLS literals). Literal boundaries
+    (incl. backslash escapes — round-12 ADVICE) come from the shared
+    :func:`_literal_mask` scanner."""
+    from hive_service_spark.operators.materialized_views import (
+        _literal_mask,
+    )
+
+    mask = _literal_mask(s)
     out: list[str] = []
-    in_str = False
-    esc = False
     pend_ws = False
-    for ch in s:
-        if in_str:
-            out.append(ch)
-            if esc:
-                esc = False
-            elif ch == "\\":
-                esc = True
-            elif ch == "'":
-                in_str = False
-            continue
-        if ch.isspace():
+    for i, ch in enumerate(s):
+        if not mask[i] and ch.isspace():
             pend_ws = True
             continue
         if pend_ws:
             out.append(" ")
             pend_ws = False
         out.append(ch)
-        if ch == "'":
-            in_str = True
     return "".join(out)
 
 
@@ -1926,6 +1931,16 @@ def npath_sql(spark: SparkSession, call: str) -> DataFrame:
             f"npath_sql: PARTITION BY column(s) {clash} collide with "
             "npath output column names"
         )
+    # double-underscore names are this surface's internal namespace
+    # (__np_pk packed key, __pt* passthrough aliases, __mp_* measures
+    # frames) — a user column there would be silently clobbered
+    # (round-12 review)
+    dunder = [c for c in part_cols if c.startswith("__")]
+    if dunder:
+        raise ValueError(
+            f"npath_sql: PARTITION BY column(s) {dunder} use the "
+            "reserved '__' prefix"
+        )
 
     order = [c for c in _split_top_level(clauses["ORDER BY"]) if c]
     if not order:
@@ -1974,6 +1989,13 @@ def npath_sql(spark: SparkSession, call: str) -> DataFrame:
             if any(n == am.group(2) for _, n in measures):
                 raise ValueError(
                     f"npath_sql: duplicate measure {am.group(2)!r}"
+                )
+            if am.group(2) in _META_NAMES or am.group(2) in part_cols:
+                # a measure aliased to an output column name would
+                # emit two columns with one name (round-12 review)
+                raise ValueError(
+                    f"npath_sql: measure name {am.group(2)!r} collides "
+                    "with an npath output column"
                 )
             measures.append((am.group(1), am.group(2)))
 

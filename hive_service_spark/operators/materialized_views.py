@@ -418,36 +418,59 @@ _SQL_KEYWORDS = frozenset(
 )
 
 
-def _split_top_level(s: str) -> list[str]:
-    """Split a SELECT/argument list on commas not nested inside
-    parentheses or single-quoted string literals. Quote-awareness
-    added in round 11 when the npath SQL call parser consolidated
-    onto this helper (review finding: two near-identical splitters) —
-    it also fixes the latent case of a quoted literal containing a
-    paren or comma skewing the depth count here. Round 12 (ADVICE):
-    backslash escapes inside a literal are honored — Spark SQL's
-    default parser reads ``'\\''`` as an escaped quote, so the
-    splitter must not treat it as the string terminator; ``''``
-    doubling still works as close-then-reopen."""
-    parts, depth, cur, in_str, esc = [], 0, [], False, False
-    for ch in s:
+def _literal_mask(s: str) -> list[bool]:
+    """``mask[i]`` is True when ``s[i]`` sits inside a single-quoted
+    SQL string literal (the quotes themselves included). THE one
+    quote-tracking scanner for every SQL-fragment parser in the repo
+    (this splitter, npath_sql's clause splitter and whitespace
+    normalizer) — round 12 found the identical missing-backslash bug
+    hand-patched in three divergent copies, so the scan now lives
+    once. Semantics follow Spark SQL's default string parser: a
+    backslash escapes the next character (``'\\''`` stays inside the
+    literal), and ``''`` doubling reads as close-then-reopen (the
+    between-quote position is outside, which every consumer treats
+    identically to one contiguous literal)."""
+    mask = [False] * len(s)
+    i, n, in_str = 0, len(s), False
+    while i < n:
+        ch = s[i]
         if in_str:
-            if esc:
-                esc = False
-            elif ch == "\\":
-                esc = True
-            elif ch == "'":
+            mask[i] = True
+            if ch == "\\":
+                if i + 1 < n:
+                    mask[i + 1] = True
+                i += 2
+                continue
+            if ch == "'":
                 in_str = False
         elif ch == "'":
+            mask[i] = True
             in_str = True
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            parts.append("".join(cur).strip())
-            cur = []
-            continue
+        i += 1
+    return mask
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split a SELECT/argument list on commas not nested inside
+    parentheses or single-quoted string literals (quote semantics —
+    incl. backslash escapes, round 12 — centralized in
+    :func:`_literal_mask`). Quote-awareness added in round 11 when
+    the npath SQL call parser consolidated onto this helper (review
+    finding: two near-identical splitters) — it also fixes the latent
+    case of a quoted literal containing a paren or comma skewing the
+    depth count here."""
+    mask = _literal_mask(s)
+    parts, depth, cur = [], 0, []
+    for i, ch in enumerate(s):
+        if not mask[i]:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append("".join(cur).strip())
+                cur = []
+                continue
         cur.append(ch)
     if cur:
         parts.append("".join(cur).strip())

@@ -207,7 +207,11 @@ def quarantine_hot_keys(
 
     Returns ``(clean, hot)`` where ``hot`` has (key, n_rows,
     row_share), so the quarantined keys stay auditable instead of
-    silently vanishing."""
+    silently vanishing. The count lineage is embedded in BOTH outputs:
+    a pipeline that materializes clean AND hot in separate actions
+    runs the per-key count twice — persist ``hot`` (tiny by
+    construction) between them to pay the count pass once; the
+    registered demos each consume a single output, so they don't."""
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("__qk_n"))
     total = counts.agg(F.sum("__qk_n").alias("__qk_total"))
     cond = F.col("__qk_n") > F.col("__qk_total") * F.lit(max_share)
@@ -256,9 +260,9 @@ ORDER BY user_id
 @query("skew_quarantine_audit", oracle=_QUARANTINE_AUDIT_ORACLE)
 def skew_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quarantine operator's audit side: which keys own more than
-    {share} of all rows (with the {rows}-row floor), how many rows,
+    the share threshold (0.8%, with the 80-row floor), how many rows,
     what share. One map-side-combined groupBy + a broadcast 1-row
-    total — the ONLY full-data pass the quarantine ever makes."""
+    total — the only full-data pass this query makes."""
     ev = load(spark, sf_dir, "events")
     _clean, hot = quarantine_hot_keys(
         ev, "user_id", _QK_MAX_SHARE, _QK_MIN_ROWS
@@ -276,8 +280,14 @@ hot AS (
   WHERE c.n > t.total * {_QK_MAX_SHARE} AND c.n >= {_QK_MIN_ROWS}
 ),
 f AS (
-  SELECT * FROM events
-  WHERE user_id NOT IN (SELECT user_id FROM hot)
+  -- NOT EXISTS with IS NOT DISTINCT FROM, not NOT IN: the operator's
+  -- anti-join is null-safe (a NULL key is quarantinable), and NOT IN
+  -- against a hot set containing NULL would empty the whole stream
+  -- (round-12 review)
+  SELECT * FROM events e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM hot h WHERE h.user_id IS NOT DISTINCT FROM e.user_id
+  )
 ),
 g AS (
   SELECT user_id, ts, value,

@@ -1566,3 +1566,93 @@ def test_npath_sql_desc_with_maxrows_keeps_latest(spark):
         for r in out.collect()
     )
     assert got == [(1, 1, 2, 1)], got
+
+
+def test_passthrough_names_never_meet_plan_internals(spark):
+    """Round-12 review: a passthrough (or composite-key) column named
+    after a plan-internal working column (`rn`, `isl`, `_g`, ...) used
+    to blow up as AMBIGUOUS_REFERENCE deep inside the island walk —
+    passthrough now rides under reserved internal aliases and is
+    renamed back on the way out, on all three plan classes."""
+    import pyspark.sql.functions as F
+
+    from hive_service_spark.operators.matchpath import matchpath, npath_sql
+
+    df = spark.createDataFrame(
+        [
+            (u, g, i, sym)
+            for (u, g), seq in {(1, "x"): "AAB", (2, "y"): "AB"}.items()
+            for i, sym in enumerate(seq)
+        ],
+        "u bigint, rn string, pos bigint, sym string",  # key named rn!
+    ).select(
+        "u",
+        "rn",
+        F.timestamp_micros(F.col("pos") * 1_000_000).alias("ts"),
+        "pos",
+        "sym",
+    )
+    df.createOrReplaceTempView("npath_rn_probe")
+    out = npath_sql(
+        spark,
+        """
+        npath(ON npath_rn_probe
+              PARTITION BY u, rn
+              ORDER BY pos
+              SYMBOLS(sym = 'A' AS a, sym = 'B' AS b)
+              PATTERN('a.a*.b'))
+        """,
+    )
+    got = sorted(
+        (r["u"], r["rn"], r["start_rn"], r["match_len"])
+        for r in out.collect()
+    )
+    assert got == [(1, "x", 1, 3), (1, "x", 2, 2), (2, "y", 1, 2)], got
+
+    # the DataFrame surface too, one pattern per plan class
+    for pattern in ("a.a*.b", "a.(a|b){1,2}", "(a|b)+.b"):
+        res = matchpath(
+            df,
+            partition_by="u",
+            order_by=["pos"],
+            symbols={"a": F.col("sym") == "A", "b": F.col("sym") == "B"},
+            pattern=pattern,
+            ts_col="pos",
+            passthrough=("rn",),
+        )
+        assert "rn" in res.columns and res.count() > 0, pattern
+
+
+def test_npath_sql_reserved_and_measure_name_errors(spark):
+    from hive_service_spark.operators.matchpath import npath_sql
+
+    with pytest.raises(ValueError, match="reserved '__' prefix"):
+        npath_sql(
+            spark,
+            "npath(ON t PARTITION BY u, __np_pk ORDER BY ts "
+            "SYMBOLS(a = 1 AS a) PATTERN('a'))",
+        )
+    with pytest.raises(ValueError, match="collides with an npath output"):
+        npath_sql(
+            spark,
+            "npath(ON t PARTITION BY u ORDER BY ts "
+            "SYMBOLS(a = 1 AS s) PATTERN('s') "
+            "MEASURES(sum(v) AS match_len))",
+        )
+
+
+def test_literal_mask_semantics():
+    from hive_service_spark.operators.materialized_views import (
+        _literal_mask,
+    )
+
+    s = r"a = 'x\'y', b"
+    mask = _literal_mask(s)
+    lit = "".join(c for c, m in zip(s, mask) if m)
+    assert lit == r"'x\'y'"
+    # '' doubling: both quote pairs masked, the gap char belongs to
+    # the reopened literal
+    s2 = "a = 'x''y', b"
+    m2 = _literal_mask(s2)
+    assert "".join(c for c, m in zip(s2, m2) if m) == "'x''y'"
+    assert _literal_mask("no quotes") == [False] * 9
