@@ -1229,7 +1229,16 @@ def main() -> None:
         "grows beyond 64 KB', janino) and falls back to interpreted "
         "expression evaluation — a cliff, not a slope. This family is "
         "the compiled plan's WORST case (every signup row is a "
-        "candidate start); sparse-start patterns favor it longer.\n"
+        "candidate start); sparse-start patterns favor it longer. "
+        "Round-12 re-measure: the 16/32-branch readings moved from "
+        "1.04/0.92 (r11) to the table below — run-to-run drift of "
+        "~25% AROUND the same break-even band, not a new crossover; "
+        "the cap stays 32 because near break-even the tie-breakers "
+        "are non-local (no Python worker fleet per executor, no "
+        "Arrow boundary, O(1)-per-row vs O(L) backtracking on the "
+        "hot-key hazard, codegen fusion), and flapping the cap on "
+        "each round's instrument noise would churn plans for zero "
+        "measured win.\n"
     )
     lines.append(
         "| branches | k_max | n_matches | t_compiled (s) | "
