@@ -780,15 +780,35 @@ def _matchpath_jvm_chain(
     )
 
 
-def _split_order_suffix(item: str) -> tuple[str, bool]:
-    """``"ts DESC"`` -> ("ts", True); ``"ts"`` / ``"ts ASC"`` ->
-    ("ts", False). The suffix must be a trailing bare keyword so an
+def _split_order_suffix(item: str) -> tuple[str, bool, str | None]:
+    """``"ts DESC"`` -> ("ts", True, None); ``"ts"`` / ``"ts ASC"``
+    -> ("ts", False, None); ``"ts DESC NULLS FIRST"`` -> ("ts", True,
+    "first") — the reference PTF's OrderSpec carries BOTH a direction
+    and a null ordering per column (hive-exec!ql/parse/
+    PTFInvocationSpec). Suffixes must be trailing bare keywords so an
     expression containing the letters (a column named `descr`, a
     function call) is never misread."""
-    m = re.match(r"(?is)^(.*?)\s+(asc|desc)$", item.strip())
-    if m:
-        return m.group(1), m.group(2).lower() == "desc"
-    return item.strip(), False
+    m = re.match(
+        r"(?is)^(.*?)(?:\s+(asc|desc))?(?:\s+nulls\s+(first|last))?$",
+        item.strip(),
+    )
+    expr = m.group(1).strip()
+    desc = (m.group(2) or "").lower() == "desc"
+    nulls = m.group(3).lower() if m.group(3) else None
+    return expr, desc, nulls
+
+
+def _order_key(col: Column, desc: bool, nulls: str | None) -> Column:
+    """Direction + null-ordering applied to a sort key column. Spark
+    defaults match SQL's (ASC -> nulls first, DESC -> nulls last), so
+    only the explicit overrides change anything."""
+    if desc:
+        return col.desc_nulls_first() if nulls == "first" else (
+            col.desc_nulls_last() if nulls == "last" else col.desc()
+        )
+    return col.asc_nulls_last() if nulls == "last" else (
+        col.asc_nulls_first() if nulls == "first" else col
+    )
 
 
 def matchpath(
@@ -889,14 +909,14 @@ def matchpath(
         F.expr(_split_order_suffix(ts_col)[0]).alias("_ts"),
         *[
             F.expr(e).alias(f"_o{i}")
-            for i, (e, _d) in enumerate(order_parsed)
+            for i, (e, _d, _n) in enumerate(order_parsed)
         ],
         ch.alias("_ch"),
         *[F.col(c).alias(a) for c, a in zip(passthrough, pt_alias)],
     )
     order_cols = [
-        F.col(f"_o{i}").desc() if d else F.col(f"_o{i}")
-        for i, (_e, d) in enumerate(order_parsed)
+        _order_key(F.col(f"_o{i}"), d, n)
+        for i, (_e, d, n) in enumerate(order_parsed)
     ]
 
     def _restore(res: DataFrame) -> DataFrame:
@@ -1840,7 +1860,7 @@ def npath_sql(spark: SparkSession, call: str) -> DataFrame:
 
         npath(ON <table-or-(subquery)>
               PARTITION BY <key-column> [, <key-column> ...]
-              ORDER BY <col-or-expr> [ASC|DESC] [, ...]
+              ORDER BY <col-or-expr> [ASC|DESC] [NULLS FIRST|LAST] [, ...]
               [MAXROWS <n>]
               SYMBOLS(<bool-sql-expr> AS <name> [, ...])
               PATTERN('<pattern>')
@@ -2024,13 +2044,14 @@ def npath_sql(spark: SparkSession, call: str) -> DataFrame:
             ),
         )
         passthrough = tuple(part_cols)
-    # direction-aware sort keys (round 12: ORDER BY items accept an
-    # ASC/DESC suffix like the reference PTF's OrderSpec) — shared by
-    # the budget pre-pass and the MEASURES re-numbering so every stage
-    # sorts identically to the matching plan
+    # direction-aware sort keys (round 12: ORDER BY items accept
+    # ASC/DESC and NULLS FIRST/LAST suffixes like the reference PTF's
+    # OrderSpec) — shared by the budget pre-pass and the MEASURES
+    # re-numbering so every stage sorts identically to the matching
+    # plan
     order_keys = [
-        F.expr(e).desc() if d else F.expr(e)
-        for e, d in (_split_order_suffix(c) for c in order)
+        _order_key(F.expr(e), d, nl)
+        for e, d, nl in (_split_order_suffix(c) for c in order)
     ]
     if "MAXROWS" in clauses:
         from hive_service_spark.operators.sequence_analytics import (

@@ -1470,14 +1470,14 @@ def test_npath_sql_measures_keeps_null_partition_key(spark):
 def test_split_order_suffix():
     from hive_service_spark.operators.matchpath import _split_order_suffix
 
-    assert _split_order_suffix("ts") == ("ts", False)
-    assert _split_order_suffix("ts DESC") == ("ts", True)
-    assert _split_order_suffix("ts desc") == ("ts", True)
-    assert _split_order_suffix("ts ASC") == ("ts", False)
+    assert _split_order_suffix("ts") == ("ts", False, None)
+    assert _split_order_suffix("ts DESC") == ("ts", True, None)
+    assert _split_order_suffix("ts desc") == ("ts", True, None)
+    assert _split_order_suffix("ts ASC") == ("ts", False, None)
     # a trailing keyword only — columns/calls containing the letters
     # are never misread
-    assert _split_order_suffix("descr") == ("descr", False)
-    assert _split_order_suffix("f(x) DESC") == ("f(x)", True)
+    assert _split_order_suffix("descr") == ("descr", False, None)
+    assert _split_order_suffix("f(x) DESC") == ("f(x)", True, None)
 
 
 def test_matchpath_desc_order_all_three_plans(spark):
@@ -1656,3 +1656,64 @@ def test_literal_mask_semantics():
     m2 = _literal_mask(s2)
     assert "".join(c for c, m in zip(s2, m2) if m) == "'x''y'"
     assert _literal_mask("no quotes") == [False] * 9
+
+
+def test_split_order_suffix_nulls():
+    from hive_service_spark.operators.matchpath import _split_order_suffix
+
+    assert _split_order_suffix("ts") == ("ts", False, None)
+    assert _split_order_suffix("ts DESC") == ("ts", True, None)
+    assert _split_order_suffix("ts NULLS LAST") == ("ts", False, "last")
+    assert _split_order_suffix("ts desc nulls first") == ("ts", True, "first")
+    assert _split_order_suffix("ts ASC NULLS LAST") == ("ts", False, "last")
+    # trailing-keyword only: names containing the letters are untouched
+    assert _split_order_suffix("nullscol") == ("nullscol", False, None)
+
+
+def test_matchpath_nulls_ordering(spark):
+    """NULLS FIRST/LAST in the order key changes where a null-key ROW
+    sits in the walk — differential against the Python model with the
+    same placement, on a compiled plan and the automaton."""
+    import pyspark.sql.functions as F
+
+    from hive_service_spark.operators.matchpath import matchpath
+
+    # user 1: pos NULL row is a 'B'; non-null rows A(0) A(1).
+    # NULLS LAST => sequence AAB (match at 1 len 3);
+    # default ASC (nulls first) => BAA (no 'a.a*.b' match).
+    rows = [(1, None, "B"), (1, 0, "A"), (1, 1, "A")]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, pos bigint, sym string"
+    ).select(
+        "user_id",
+        F.timestamp_micros(F.coalesce(F.col("pos"), F.lit(99)) * 1_000_000).alias("ts"),
+        "pos",
+        "sym",
+    )
+    for pattern in ("a.a*.b", "(a|b)+.b"):  # island walk + automaton
+        last = matchpath(
+            df,
+            partition_by="user_id",
+            order_by=["pos NULLS LAST"],
+            symbols={"a": F.col("sym") == "A", "b": F.col("sym") == "B"},
+            pattern=pattern,
+            ts_col="ts",
+        )
+        got = sorted(
+            (r["user_id"], r["start_rn"], r["match_len"])
+            for r in last.collect()
+        )
+        assert (1, 1, 3) in got, (pattern, got)
+        first = matchpath(
+            df,
+            partition_by="user_id",
+            order_by=["pos"],  # default: nulls first
+            symbols={"a": F.col("sym") == "A", "b": F.col("sym") == "B"},
+            pattern=pattern,
+            ts_col="ts",
+        )
+        got_f = sorted(
+            (r["user_id"], r["start_rn"], r["match_len"])
+            for r in first.collect()
+        )
+        assert (1, 1, 3) not in got_f, (pattern, got_f)
