@@ -880,14 +880,15 @@ def matchpath(
     the exact fallback, at the measured price in SCALE.md's
     compiled-vs-automaton section.
 
-    Round 12: ``order_by`` items accept an optional ``ASC``/``DESC``
-    suffix (``"ts DESC"``) — the reference PTF's OrderSpec carries a
-    per-column direction (hive-exec!ql/parse/PTFInvocationSpec) and a
-    descending walk is how "latest-first" patterns (purchase, then the
-    views that led to it) are expressed. Every plan class honors the
-    direction: the row numbering, the island/lead windows, and the
-    automaton's partition sort all use the same direction-aware
-    keys."""
+    Round 12: ``order_by`` items accept optional ``ASC``/``DESC`` and
+    ``NULLS FIRST``/``NULLS LAST`` suffixes (``"ts DESC NULLS
+    FIRST"``) — the reference PTF's OrderSpec carries BOTH a per-column
+    direction and a null ordering (hive-exec!ql/parse/
+    PTFInvocationSpec); a descending walk is how "latest-first"
+    patterns (purchase, then the views that led to it) are expressed.
+    Every plan class honors both: the row numbering, the island/lead
+    windows, and the automaton's partition sort all use the same
+    direction- and nulls-aware keys."""
     chars, rx_src = compile_pattern(pattern, symbols.keys())
     rx = re.compile(rx_src)
 
@@ -1879,9 +1880,10 @@ def npath_sql(spark: SparkSession, call: str) -> DataFrame:
 
     ``path_start``/``path_end`` timestamps come from the FIRST ORDER BY
     column (the reference emits the matched rows' sort key the same
-    way). ``ORDER BY`` items accept an ``ASC``/``DESC`` suffix (round
-    12 — the reference PTF's OrderSpec carries per-column direction);
-    a descending walk expresses latest-first patterns, and with
+    way). ``ORDER BY`` items accept ``ASC``/``DESC`` and ``NULLS
+    FIRST``/``NULLS LAST`` suffixes (round 12 — the reference PTF's
+    OrderSpec carries a per-column direction AND null ordering); a
+    descending walk expresses latest-first patterns, and with
     ``MAXROWS`` the budget keeps each key's LATEST n rows (the prefix
     of the descending sort). ``MAXROWS n`` (round 11, verdict #1) is
     the per-partition

@@ -1661,8 +1661,6 @@ def test_literal_mask_semantics():
 def test_split_order_suffix_nulls():
     from hive_service_spark.operators.matchpath import _split_order_suffix
 
-    assert _split_order_suffix("ts") == ("ts", False, None)
-    assert _split_order_suffix("ts DESC") == ("ts", True, None)
     assert _split_order_suffix("ts NULLS LAST") == ("ts", False, "last")
     assert _split_order_suffix("ts desc nulls first") == ("ts", True, "first")
     assert _split_order_suffix("ts ASC NULLS LAST") == ("ts", False, "last")
@@ -1690,7 +1688,8 @@ def test_matchpath_nulls_ordering(spark):
         "pos",
         "sym",
     )
-    for pattern in ("a.a*.b", "(a|b)+.b"):  # island walk + automaton
+    # one pattern per plan class: island walk, lead chain, automaton
+    for pattern in ("a.a*.b", "a.(a|b){1,2}", "(a|b)+.b"):
         last = matchpath(
             df,
             partition_by="user_id",
