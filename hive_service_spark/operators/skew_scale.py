@@ -350,3 +350,101 @@ def seq_sessionize_quarantined(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_no")
     )
+
+
+# import-time budget shared with the capped operators (cycle-safe:
+# sequence_analytics never imports this module)
+from hive_service_spark.operators.sequence_analytics import (  # noqa: E402
+    _USER_EVENT_CAP as _QK_CAP,
+    capped_user_prefix as _qk_capped_prefix,
+)
+
+_SESSION_GUARDED_ORACLE = f"""
+WITH c0 AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+),
+t AS (SELECT SUM(n) AS total FROM c0),
+hot AS (
+  SELECT c0.user_id FROM c0, t
+  WHERE c0.n > t.total * {_QK_MAX_SHARE} AND c0.n >= {_QK_MIN_ROWS}
+),
+f AS (
+  SELECT * FROM events e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM hot h WHERE h.user_id IS NOT DISTINCT FROM e.user_id
+  )
+),
+r AS (
+  SELECT user_id, ts, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_total
+  FROM f
+),
+cp AS (SELECT * FROM r WHERE rn <= {_QK_CAP}),
+g AS (
+  SELECT user_id, ts, value, n_total,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess,
+         event_id
+  FROM cp
+),
+s AS (
+  SELECT user_id, ts, value, n_total,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_no
+  FROM g
+)
+SELECT user_id, session_no,
+       COUNT(*) AS n_events,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+       ROUND(SUM(value), 2) AS session_value,
+       CAST(MAX(CASE WHEN n_total > {_QK_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS user_capped
+FROM s
+GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+"""
+
+
+@query("seq_sessionize_guarded", oracle=_SESSION_GUARDED_ORACLE)
+def seq_sessionize_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Defense in depth: quarantine THEN cap THEN sessionize — the
+    full production guard stack for per-key-ORDER operators in one
+    pipeline. quarantine_hot_keys drops keys owning a bot-level share
+    of all rows (the upstream fix the skew tables recommend — their
+    history never reaches the window exchange); capped_user_prefix
+    then bounds the LEGITIMATE heavy tail to the per-user budget and
+    stamps user_capped; gap sessionization runs on what survives.
+    Scale story: one map-side-combined count + broadcast anti-join
+    (quarantine), then ONE hash exchange on user_id shared by the
+    capping window, the session windows, and the final aggregate —
+    the quarantined bot key costs nothing downstream, and every
+    surviving key is <= budget rows after the one capping pass."""
+    ev = load(spark, sf_dir, "events")
+    clean, _hot = quarantine_hot_keys(
+        ev, "user_id", _QK_MAX_SHARE, _QK_MIN_ROWS
+    )
+    capped = _qk_capped_prefix(clean, _QK_CAP)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = capped.withColumn("new_sess", new_sess).withColumn(
+        "session_no",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+            F.max("user_capped").alias("user_capped"),
+        )
+        .orderBy("user_id", "session_no")
+    )
