@@ -244,7 +244,18 @@ def in_file(spark, col: Column, path: str) -> Column:
 # its implementation here:
 #   "builtin:<name>"  — Spark SQL builtin of that name (tests resolve it)
 #   "alias:<expr>"    — direct Spark rewrite (different name/shape)
-#   "shim:<fn>"       — function in this module
+#   "shim:<fn>"       — function in this module; entries marked
+#                       "(SQL: sql_shims ...)" are ALSO resolvable from
+#                       HiveQL text via functions/sql_shims.py (round
+#                       13: SQL UDF or literal-aware macro expansion),
+#                       matching the reference's FunctionRegistry
+#                       name-from-query-text resolution. Remaining
+#                       text-unresolvable names: reflect2 (documented
+#                       refusal), hash (the NAME resolves to Spark's
+#                       Murmur3 builtin; Hive's Java-hashCode semantics
+#                       stay Python-side via hive_hash_string),
+#                       grouping__id (virtual column, helper
+#                       grouping_id_hive).
 #   "na:<reason>"     — documented non-applicable
 HIVE_FUNCTION_TABLE: dict[str, str] = {
     # operators / logic
@@ -293,13 +304,13 @@ HIVE_FUNCTION_TABLE: dict[str, str] = {
     "character_length": "builtin:character_length", "chr": "builtin:chr",
     "concat": "builtin:concat", "concat_ws": "builtin:concat_ws",
     "decode": "builtin:decode", "elt": "builtin:elt", "encode": "builtin:encode",
-    "field": "shim:field", "find_in_set": "builtin:find_in_set",
+    "field": "shim:field (SQL: sql_shims macro)", "find_in_set": "builtin:find_in_set",
     "format_number": "builtin:format_number", "initcap": "builtin:initcap",
     "instr": "builtin:instr", "lcase": "builtin:lcase", "length": "builtin:length",
     "levenshtein": "builtin:levenshtein", "locate": "builtin:locate",
     "lower": "builtin:lower", "lpad": "builtin:lpad", "ltrim": "builtin:ltrim",
     "octet_length": "builtin:octet_length", "parse_url": "builtin:parse_url",
-    "printf": "shim:printf (≙ format_string)", "regexp_extract": "builtin:regexp_extract",
+    "printf": "builtin:printf", "regexp_extract": "builtin:regexp_extract",
     "regexp_replace": "builtin:regexp_replace", "repeat": "builtin:repeat",
     "replace": "builtin:replace", "reverse": "builtin:reverse", "rpad": "builtin:rpad",
     "rtrim": "builtin:rtrim", "sentences": "builtin:sentences",
@@ -309,9 +320,9 @@ HIVE_FUNCTION_TABLE: dict[str, str] = {
     "translate": "builtin:translate", "trim": "builtin:trim", "ucase": "builtin:ucase",
     "unbase64": "builtin:unbase64", "upper": "builtin:upper",
     # masking
-    "mask": "builtin:mask", "mask_first_n": "shim:mask_first_n",
-    "mask_last_n": "shim:mask_last_n", "mask_show_first_n": "shim:mask_show_first_n",
-    "mask_show_last_n": "shim:mask_show_last_n", "mask_hash": "shim:mask_hash",
+    "mask": "builtin:mask", "mask_first_n": "shim:mask_first_n (SQL: sql_shims UDF)",
+    "mask_last_n": "shim:mask_last_n (SQL: sql_shims UDF)", "mask_show_first_n": "shim:mask_show_first_n (SQL: sql_shims UDF)",
+    "mask_show_last_n": "shim:mask_show_last_n (SQL: sql_shims UDF)", "mask_hash": "shim:mask_hash (SQL: sql_shims UDF)",
     # date/time
     "add_months": "builtin:add_months", "current_date": "builtin:current_date",
     "current_timestamp": "builtin:current_timestamp", "date_add": "builtin:date_add",
@@ -328,18 +339,18 @@ HIVE_FUNCTION_TABLE: dict[str, str] = {
     "to_utc_timestamp": "builtin:to_utc_timestamp", "trunc": "builtin:trunc",
     "unix_timestamp": "builtin:unix_timestamp", "weekofyear": "builtin:weekofyear",
     "year": "builtin:year",
-    "floor_day": "shim:floor_day", "floor_hour": "shim:floor_hour",
-    "floor_minute": "shim:floor_minute", "floor_month": "shim:floor_month",
-    "floor_quarter": "shim:floor_quarter", "floor_second": "shim:floor_second",
-    "floor_week": "shim:floor_week", "floor_year": "shim:floor_year",
+    "floor_day": "shim:floor_day (SQL: sql_shims UDF)", "floor_hour": "shim:floor_hour (SQL: sql_shims UDF)",
+    "floor_minute": "shim:floor_minute (SQL: sql_shims UDF)", "floor_month": "shim:floor_month (SQL: sql_shims UDF)",
+    "floor_quarter": "shim:floor_quarter (SQL: sql_shims UDF)", "floor_second": "shim:floor_second (SQL: sql_shims UDF)",
+    "floor_week": "shim:floor_week (SQL: sql_shims UDF)", "floor_year": "shim:floor_year (SQL: sql_shims UDF)",
     # collections
     "array": "builtin:array", "array_contains": "builtin:array_contains",
     "index": "alias:col[i] (element_at)", "map": "builtin:map",
     "map_keys": "builtin:map_keys", "map_values": "builtin:map_values",
     "named_struct": "builtin:named_struct", "size": "builtin:size",
     "sort_array": "builtin:sort_array", "struct": "builtin:struct",
-    "sort_array_by": "shim:sort_array_by",
-    "create_union": "shim:create_union", "extract_union": "shim:extract_union",
+    "sort_array_by": "shim:sort_array_by (SQL: sql_shims macro)",
+    "create_union": "shim:create_union (SQL: sql_shims macro)", "extract_union": "shim:extract_union (SQL: sql_shims macro)",
     "cardinality_violation": "na:internal MERGE guard (ACID-only)",
     # JSON/XML
     "get_json_object": "builtin:get_json_object", "json_tuple": "builtin:json_tuple",
@@ -358,7 +369,7 @@ HIVE_FUNCTION_TABLE: dict[str, str] = {
     # table-generating
     "explode": "builtin:explode", "posexplode": "builtin:posexplode",
     "inline": "builtin:inline", "stack": "builtin:stack",
-    "parse_url_tuple": "shim:parse_url_tuple (N× parse_url)",
+    "parse_url_tuple": "shim:parse_url_tuple (N× parse_url; SQL: sql_shims macro)",
     "get_splits": "na:LLAP-specific", "replicate_rows": "na:internal — native set ops",
     # windowing (names registered in FunctionRegistry)
     "row_number": "builtin:row_number", "rank": "builtin:rank",
@@ -393,10 +404,10 @@ HIVE_FUNCTION_TABLE: dict[str, str] = {
     "ewah_bitmap_empty": "impl:functions.bitmap.ewah_bitmap_empty",
     # misc / introspection
     "current_database": "builtin:current_database",
-    "current_user": "builtin:current_user", "logged_in_user": "shim:logged_in_user",
+    "current_user": "builtin:current_user", "logged_in_user": "shim:logged_in_user (SQL: sql_shims UDF)",
     "version": "builtin:version", "reflect": "builtin:reflect",
     "java_method": "builtin:java_method", "reflect2": "shim:reflect2 (raises)",
-    "in_file": "shim:in_file (broadcast semi-join)",
+    "in_file": "shim:in_file (broadcast semi-join; SQL: sql_shims macro)",
     "grouping": "builtin:grouping",
     "grouping__id": "shim:grouping_id_hive (legacy reversed bit order)",
     "internal_interval": "na:parser-internal",

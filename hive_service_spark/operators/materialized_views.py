@@ -418,48 +418,53 @@ _SQL_KEYWORDS = frozenset(
 )
 
 
-def _literal_mask(s: str) -> list[bool]:
-    """``mask[i]`` is True when ``s[i]`` sits inside a single-quoted
-    SQL string literal (the quotes themselves included). THE one
+def _literal_mask(s: str, quotes: str = "'") -> list[bool]:
+    """``mask[i]`` is True when ``s[i]`` sits inside a quoted SQL
+    string literal (the quotes themselves included). THE one
     quote-tracking scanner for every SQL-fragment parser in the repo
     (this splitter, npath_sql's clause splitter and whitespace
-    normalizer) — round 12 found the identical missing-backslash bug
-    hand-patched in three divergent copies, so the scan now lives
-    once. Semantics follow Spark SQL's default string parser: a
-    backslash escapes the next character (``'\\''`` stays inside the
-    literal), and ``''`` doubling reads as close-then-reopen (the
-    between-quote position is outside, which every consumer treats
-    identically to one contiguous literal)."""
+    normalizer, the shim-function macro expander) — round 12 found the
+    identical missing-backslash bug hand-patched in three divergent
+    copies, so the scan now lives once. Semantics follow Spark SQL's
+    default string parser: a backslash escapes the next character
+    (``'\\''`` stays inside the literal), and ``''`` doubling reads as
+    close-then-reopen (the between-quote position is outside, which
+    every consumer treats identically to one contiguous literal).
+    ``quotes`` lists the characters that open a literal — the default
+    covers the oracle-SQL dialect; HiveQL consumers pass ``"'\\""``
+    because Spark's parser also reads double-quoted strings (round
+    13, the shim macro layer)."""
     mask = [False] * len(s)
-    i, n, in_str = 0, len(s), False
+    i, n = 0, len(s)
+    open_q: str | None = None
     while i < n:
         ch = s[i]
-        if in_str:
+        if open_q is not None:
             mask[i] = True
             if ch == "\\":
                 if i + 1 < n:
                     mask[i + 1] = True
                 i += 2
                 continue
-            if ch == "'":
-                in_str = False
-        elif ch == "'":
+            if ch == open_q:
+                open_q = None
+        elif ch in quotes:
             mask[i] = True
-            in_str = True
+            open_q = ch
         i += 1
     return mask
 
 
-def _split_top_level(s: str) -> list[str]:
+def _split_top_level(s: str, quotes: str = "'") -> list[str]:
     """Split a SELECT/argument list on commas not nested inside
-    parentheses or single-quoted string literals (quote semantics —
+    parentheses or quoted string literals (quote semantics —
     incl. backslash escapes, round 12 — centralized in
-    :func:`_literal_mask`). Quote-awareness added in round 11 when
-    the npath SQL call parser consolidated onto this helper (review
-    finding: two near-identical splitters) — it also fixes the latent
-    case of a quoted literal containing a paren or comma skewing the
-    depth count here."""
-    mask = _literal_mask(s)
+    :func:`_literal_mask`; ``quotes`` passes through). Quote-awareness
+    added in round 11 when the npath SQL call parser consolidated onto
+    this helper (review finding: two near-identical splitters) — it
+    also fixes the latent case of a quoted literal containing a paren
+    or comma skewing the depth count here."""
+    mask = _literal_mask(s, quotes)
     parts, depth, cur = [], 0, []
     for i, ch in enumerate(s):
         if not mask[i]:

@@ -140,10 +140,21 @@ def run_script(
     statements update the substitution bindings AND the session conf
     (via spark.sql, as HiveServer2's SetProcessor does); everything
     else goes straight to ``spark.sql`` after substitution."""
+    from hive_service_spark.functions.sql_shims import (
+        expand_shim_macros,
+        register_sql_shims,
+    )
+
+    # round 13: the full FunctionRegistry name surface — fixed-signature
+    # shims as session SQL UDFs, variadic/generic ones macro-expanded
+    # per statement (functions/sql_shims.py) — so a migrating HiveQL
+    # script uses `field`, `mask_*_n`, `floor_<unit>`, `create_union`,
+    # `parse_url_tuple`, `in_file` verbatim, as it did against Hive.
+    register_sql_shims(spark)
     bindings = dict(bindings or {})
     result: DataFrame | None = None
     for stmt in split_statements(script):
-        stmt = substitute(stmt, bindings)
+        stmt = expand_shim_macros(substitute(stmt, bindings))
         m = _SET_RE.match(_strip_leading_comments(stmt))
         if m:
             key, val = m.group("key"), m.group("val")

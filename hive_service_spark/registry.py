@@ -112,6 +112,7 @@ _QUERY_MODULES = (
     "hive_service_spark.operators.recursive_cte",
     "hive_service_spark.operators.graph_analytics",
     "hive_service_spark.functions.function_queries",
+    "hive_service_spark.functions.sql_shims",
     "hive_service_spark.functions.percentile_hive",
     "hive_service_spark.sources.source_queries",
     "hive_service_spark.sources.python_datasource",
