@@ -798,6 +798,27 @@ def _split_order_suffix(item: str) -> tuple[str, bool, str | None]:
     return expr, desc, nulls
 
 
+_PLAIN_IDENT = re.compile(r"^[A-Za-z_]\w*$")
+
+
+def _sort_col(expr: str, src: str) -> Column:
+    """Resolve one parsed order expression to a Column. A plain
+    identifier resolves via F.col — so a direct-API caller whose column
+    NAME is a SQL reserved word (`order`, `select`) keeps working, where
+    F.expr would try to parse it (round-12 ADVICE) — anything else via
+    F.expr. An empty parse (a name _split_order_suffix consumed
+    entirely as direction tokens) raises instead of silently building
+    an empty expression."""
+    if not expr:
+        raise ValueError(
+            f"matchpath: order item {src!r} parsed to an empty "
+            "expression — a column whose NAME ends in an ASC/DESC/"
+            "NULLS FIRST/NULLS LAST token must be renamed or wrapped "
+            "in backticks"
+        )
+    return F.col(expr) if _PLAIN_IDENT.match(expr) else F.expr(expr)
+
+
 def _order_key(col: Column, desc: bool, nulls: str | None) -> Column:
     """Direction + null-ordering applied to a sort key column. Spark
     defaults match SQL's (ASC -> nulls first, DESC -> nulls last), so
@@ -907,9 +928,9 @@ def matchpath(
     pt_alias = tuple(f"__pt{i}" for i in range(len(passthrough)))
     slim = df.select(
         F.col(partition_by).alias("pk"),
-        F.expr(_split_order_suffix(ts_col)[0]).alias("_ts"),
+        _sort_col(_split_order_suffix(ts_col)[0], ts_col).alias("_ts"),
         *[
-            F.expr(e).alias(f"_o{i}")
+            _sort_col(e, order_by[i]).alias(f"_o{i}")
             for i, (e, _d, _n) in enumerate(order_parsed)
         ],
         ch.alias("_ch"),
@@ -1860,7 +1881,7 @@ def npath_sql(spark: SparkSession, call: str) -> DataFrame:
     keywords case-insensitive):
 
         npath(ON <table-or-(subquery)>
-              PARTITION BY <key-column> [, <key-column> ...]
+              PARTITION BY <key-column-or-expr AS name> [, ...]
               ORDER BY <col-or-expr> [ASC|DESC] [NULLS FIRST|LAST] [, ...]
               [MAXROWS <n>]
               SYMBOLS(<bool-sql-expr> AS <name> [, ...])
@@ -1869,7 +1890,12 @@ def npath_sql(spark: SparkSession, call: str) -> DataFrame:
 
     ``PARTITION BY c1, c2, ...`` (round 12, verdict #3) matches the
     reference PTF, which partitions on arbitrary column lists
-    (hive-exec-2.3.10-core.jar!ql/parse/PTFInvocationSpec). A
+    (hive-exec-2.3.10-core.jar!ql/parse/PTFInvocationSpec). Round 13
+    (r12 verdict #5): an item may be an arbitrary EXPRESSION with a
+    mandatory ``AS <name>`` (``CAST(ts AS DATE) AS day``) — the
+    reference's PartitionExpression — pre-projected onto the relation
+    before the identical key machinery runs; the alias is the output
+    column name. A
     composite key is packed into ONE collision-free derived key
     (``to_json`` of the column struct, nulls kept — distinct tuples
     stay distinct), matchpath runs on the packed key — same plans,
@@ -1910,8 +1936,12 @@ def npath_sql(spark: SparkSession, call: str) -> DataFrame:
     re-numbers the input rows with an independent row_number on the
     same (key, order) sort, and a tie could be broken differently from
     the matching plan's internal numbering, attributing aggregates to
-    the wrong rows (round-12 ADVICE — append a tiebreaker column such
-    as an event id, as every registered query here does).
+    the wrong rows. Round 13 (r12 ADVICE): the requirement is now
+    ENFORCED — a lag over the numbering's own window poisons the row
+    number with raise_error on the first duplicate sort tuple, so a
+    tie fails loudly at run time instead of mis-attributing (append a
+    tiebreaker column such as an event id, as every registered query
+    here does).
 
     Whitespace runs outside quoted literals are normalized to single
     spaces; bytes INSIDE single-quoted literals are preserved
@@ -1935,14 +1965,31 @@ def npath_sql(spark: SparkSession, call: str) -> DataFrame:
         _split_top_level,
     )
 
-    part_cols = [c for c in _split_top_level(clauses["PARTITION BY"]) if c]
-    if not part_cols or any(
-        not re.fullmatch(r"[A-Za-z_]\w*", c) for c in part_cols
-    ):
-        raise ValueError(
-            "npath_sql: PARTITION BY expects one or more plain "
-            f"columns, got {clauses['PARTITION BY']!r}"
-        )
+    part_items = [c for c in _split_top_level(clauses["PARTITION BY"]) if c]
+    if not part_items:
+        raise ValueError("npath_sql: PARTITION BY needs at least one item")
+    # round 13 (r12 verdict #5): the reference PTF partitions on
+    # arbitrary EXPRESSIONS (hive-exec!ql/parse/PTFInvocationSpec,
+    # PartitionExpression), not only columns. A non-identifier item
+    # must carry `AS <name>` — the name becomes the output column the
+    # match rows report (the reference never emits the bare expression
+    # either; the alias makes the surface explicit). Internally an
+    # expression item is pre-projected onto the relation, then the
+    # existing single/composite key machinery runs unchanged.
+    part_cols: list[str] = []
+    part_exprs: list[tuple[str, str]] = []  # (sql expr, output name)
+    for item in part_items:
+        if re.fullmatch(r"[A-Za-z_]\w*", item):
+            part_cols.append(item)
+            continue
+        am = re.fullmatch(r"(?is)(.+?)\s+as\s+([A-Za-z_]\w*)", item)
+        if not am:
+            raise ValueError(
+                "npath_sql: PARTITION BY item must be a plain column "
+                f"or '<expr> AS <name>', got {item!r}"
+            )
+        part_cols.append(am.group(2))
+        part_exprs.append((am.group(1), am.group(2)))
     if len(set(part_cols)) != len(part_cols):
         raise ValueError("npath_sql: duplicate PARTITION BY column")
     _META_NAMES = ("start_rn", "match_len", "path_start", "path_end",
@@ -2028,6 +2075,24 @@ def npath_sql(spark: SparkSession, call: str) -> DataFrame:
         if rel.startswith("(") and rel.endswith(")")
         else spark.table(rel)
     )
+    # the '__' internal namespace guard covers the RELATION's schema
+    # too (round-12 ADVICE: an ON-relation column named __np_pk was
+    # silently clobbered by the composite-key withColumn; __mp_rn_r /
+    # __mp_pk_r duplicated inside the MEASURES row frame)
+    reserved = [c for c in df.columns if re.match(r"__(np_|mp_|pt)", c)]
+    if reserved:
+        raise ValueError(
+            f"npath_sql: relation column(s) {reserved} use the "
+            "reserved '__np_/__mp_/__pt' internal namespace — rename "
+            "them in the ON subquery"
+        )
+    for expr_sql, name in part_exprs:
+        if name in df.columns:
+            raise ValueError(
+                f"npath_sql: PARTITION BY alias {name!r} already names "
+                "a relation column"
+            )
+        df = df.withColumn(name, F.expr(expr_sql))
     passthrough: tuple[str, ...] = ()
     if len(part_cols) == 1:
         part = part_cols[0]
@@ -2052,8 +2117,10 @@ def npath_sql(spark: SparkSession, call: str) -> DataFrame:
     # re-numbering so every stage sorts identically to the matching
     # plan
     order_keys = [
-        _order_key(F.expr(e), d, nl)
-        for e, d, nl in (_split_order_suffix(c) for c in order)
+        _order_key(_sort_col(e, c), d, nl)
+        for c, (e, d, nl) in zip(
+            order, (_split_order_suffix(c) for c in order)
+        )
     ]
     if "MAXROWS" in clauses:
         from hive_service_spark.operators.sequence_analytics import (
@@ -2101,7 +2168,46 @@ def npath_sql(spark: SparkSession, call: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy(part).orderBy(*order_keys)
-    rows_f = df.select("*", F.row_number().over(w).alias("__mp_rn_r"))
+    # the documented MEASURES contract — the ORDER BY list must be a
+    # UNIQUE sort key per partition — is now ENFORCED, not just
+    # documented (round-12 ADVICE: a tie lets this independent
+    # row_number break differently from the matching plan's internal
+    # numbering, silently attributing aggregates to wrong rows). The
+    # check rides the SAME window as the numbering (lag of the sort
+    # tuple; zero extra exchange) and poisons the row number with
+    # raise_error on the first duplicate tuple, so it runs wherever
+    # the numbering runs and costs one comparison per row.
+    ord_tuple = F.struct(
+        *[
+            _sort_col(e, c)
+            for c, (e, _d, _n) in zip(
+                order, (_split_order_suffix(c) for c in order)
+            )
+        ]
+    )
+    rows_f = (
+        df.select(
+            "*",
+            F.row_number().over(w).alias("__mp_rn0"),
+            F.lag(ord_tuple).over(w).alias("__mp_prev_o"),
+            ord_tuple.alias("__mp_cur_o"),
+        )
+        .withColumn(
+            "__mp_rn_r",
+            F.when(
+                F.col("__mp_prev_o").eqNullSafe(F.col("__mp_cur_o")),
+                F.raise_error(
+                    F.lit(
+                        "npath_sql: MEASURES requires the ORDER BY list "
+                        "to be a unique sort key within each partition; "
+                        "found a duplicate sort tuple — append a "
+                        "tiebreaker column (e.g. an event id)"
+                    )
+                ).cast("int"),
+            ).otherwise(F.col("__mp_rn0")),
+        )
+        .drop("__mp_rn0", "__mp_prev_o", "__mp_cur_o")
+    )
     # metadata columns (incl. user_capped and composite partition
     # columns) already live on `out`; drop their twins from the row
     # frame so the join output is unambiguous
@@ -2351,6 +2457,40 @@ def seq_npath_sql_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ts, event_id, event_type
                   FROM npath_events_src)
               PARTITION BY user_id, day
+              ORDER BY ts, event_id
+              SYMBOLS(event_type = 'view' AS view,
+                      event_type = 'purchase' AS purchase)
+              PATTERN('view.view*.purchase'))
+        """,
+    )
+    return out.orderBy("user_id", "day", "start_rn")
+
+
+@query("seq_npath_sql_expr_partition", oracle=_MULTIKEY_ORACLE)
+def seq_npath_sql_expr_partition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION BY on an EXPRESSION, directly in the call (round 13,
+    r12 verdict #5): ``PARTITION BY user_id, CAST(CAST(ts AS DATE) AS
+    TIMESTAMP) AS day`` — the reference PTF's PartitionExpression
+    (hive-exec-2.3.10-core.jar!ql/parse/PTFInvocationSpec) without the
+    pre-projected subquery workaround seq_npath_sql_multikey
+    demonstrates. The expression is pre-projected internally, then the
+    identical composite-key plan runs (packed to_json key, one
+    key-shuffle, originals back via passthrough) — proven by SHARING
+    seq_npath_sql_multikey's oracle: one value hash pins that the
+    inline-expression surface and the subquery form produce
+    byte-identical results."""
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "npath_events_src"
+    )
+    out = npath_sql(
+        spark,
+        """
+        npath(ON (SELECT user_id, ts, event_id, event_type
+                  FROM npath_events_src)
+              PARTITION BY user_id,
+                           CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day
               ORDER BY ts, event_id
               SYMBOLS(event_type = 'view' AS view,
                       event_type = 'purchase' AS purchase)

@@ -1220,7 +1220,9 @@ def test_npath_sql_preserves_quoted_literal_whitespace(spark):
 def test_npath_sql_composite_partition_errors(spark):
     from hive_service_spark.operators.matchpath import npath_sql
 
-    with pytest.raises(ValueError, match="one or more plain columns"):
+    # round 13: a bare expression is no longer a hard error, but it
+    # MUST carry AS <name> (the output column the match rows report)
+    with pytest.raises(ValueError, match="plain column or '<expr> AS"):
         npath_sql(
             spark,
             "npath(ON t PARTITION BY f(u) ORDER BY ts "
@@ -1716,3 +1718,181 @@ def test_matchpath_nulls_ordering(spark):
             for r in first.collect()
         )
         assert (1, 1, 3) not in got_f, (pattern, got_f)
+
+
+def _expr_partition_probe(spark):
+    """(u, grp) sequences with a NULL key — shared by the round-13
+    expression-partition tests."""
+    import pyspark.sql.functions as F
+
+    seqs = {
+        (1, "x"): "AAB",
+        (1, "y"): "AB",
+        (2, "x"): "ABB",
+        (2, None): "AAB",
+    }
+    df = spark.createDataFrame(
+        [
+            (u, g, i, sym)
+            for (u, g), seq in seqs.items()
+            for i, sym in enumerate(seq)
+        ],
+        "u bigint, grp string, pos bigint, sym string",
+    ).select(
+        "u",
+        "grp",
+        F.timestamp_micros(F.col("pos") * 1_000_000).alias("ts"),
+        "pos",
+        "sym",
+    )
+    df.createOrReplaceTempView("npath_exprkey_probe")
+    return seqs
+
+
+def test_npath_sql_expression_partition(spark):
+    """Round 13 (r12 verdict #5): a PARTITION BY item may be an
+    arbitrary expression with AS <name> — partitions form on the
+    expression's VALUE (upper('x') == upper('x')), nulls keep their
+    own partition, and the output reports the alias column."""
+    from hive_service_spark.operators.matchpath import npath_sql
+
+    seqs = _expr_partition_probe(spark)
+    out = npath_sql(
+        spark,
+        """
+        npath(ON npath_exprkey_probe
+              PARTITION BY u, upper(grp) AS grp_u
+              ORDER BY pos
+              SYMBOLS(sym = 'A' AS a, sym = 'B' AS b)
+              PATTERN('a.a*.b'))
+        """,
+    )
+    assert out.columns[:2] == ["u", "grp_u"]
+    got = sorted(
+        ((r["u"], r["grp_u"], r["start_rn"], r["match_len"]) for r in out.collect()),
+        key=repr,
+    )
+    want = sorted(
+        (
+            (u, g.upper() if g is not None else None, i1, ln)
+            for (u, g), seq in seqs.items()
+            for (_z, i1, ln) in _pysim([(0, list(seq))], "aa*b", _classify)
+        ),
+        key=repr,
+    )
+    assert got == want and any(g is None for _, g, _, _ in got)
+
+
+def test_npath_sql_expression_partition_errors(spark):
+    from hive_service_spark.operators.matchpath import npath_sql
+
+    _expr_partition_probe(spark)
+    # alias shadowing a relation column would silently clobber it
+    with pytest.raises(ValueError, match="already names a relation"):
+        npath_sql(
+            spark,
+            """
+            npath(ON npath_exprkey_probe
+                  PARTITION BY u, upper(grp) AS sym
+                  ORDER BY pos
+                  SYMBOLS(sym = 'A' AS a) PATTERN('a'))
+            """,
+        )
+    # alias in the reserved output namespace
+    with pytest.raises(ValueError, match="npath output column"):
+        npath_sql(
+            spark,
+            """
+            npath(ON npath_exprkey_probe
+                  PARTITION BY u, upper(grp) AS match_len
+                  ORDER BY pos
+                  SYMBOLS(sym = 'A' AS a) PATTERN('a'))
+            """,
+        )
+    # a relation column inside the internal '__' namespace (round-12
+    # ADVICE: previously silently clobbered / duplicated)
+    spark.sql(
+        "SELECT u, pos, sym, 1 AS __mp_rn_r FROM npath_exprkey_probe"
+    ).createOrReplaceTempView("npath_reserved_probe")
+    with pytest.raises(ValueError, match="reserved '__np_/__mp_/__pt'"):
+        npath_sql(
+            spark,
+            """
+            npath(ON npath_reserved_probe
+                  PARTITION BY u
+                  ORDER BY pos
+                  SYMBOLS(sym = 'A' AS a) PATTERN('a'))
+            """,
+        )
+
+
+def test_npath_sql_measures_rejects_duplicate_sort_tuple(spark):
+    """Round 13 (r12 ADVICE): MEASURES' unique-ORDER-BY requirement is
+    enforced at run time — a duplicate (partition, sort-tuple) pair
+    poisons the row numbering with raise_error instead of silently
+    attributing aggregates to arbitrarily tie-broken rows."""
+    from hive_service_spark.operators.matchpath import npath_sql
+
+    spark.createDataFrame(
+        [(1, 0, "A"), (1, 1, "A"), (1, 1, "B"), (1, 2, "B")],
+        "u bigint, pos bigint, sym string",
+    ).createOrReplaceTempView("npath_dup_order_probe")
+    out = npath_sql(
+        spark,
+        """
+        npath(ON npath_dup_order_probe
+              PARTITION BY u
+              ORDER BY pos
+              SYMBOLS(sym = 'A' AS a, sym = 'B' AS b)
+              PATTERN('a.b')
+              MEASURES(CAST(SUM(pos) AS BIGINT) AS s))
+        """,
+    )
+    with pytest.raises(Exception, match="unique sort key"):
+        out.collect()
+    # the same data WITHOUT measures still matches (the matching plans
+    # tolerate ties; only the measures join-back needs uniqueness)
+    ok = npath_sql(
+        spark,
+        """
+        npath(ON npath_dup_order_probe
+              PARTITION BY u
+              ORDER BY pos
+              SYMBOLS(sym = 'A' AS a, sym = 'B' AS b)
+              PATTERN('a.b'))
+        """,
+    )
+    assert ok.count() > 0
+
+
+def test_matchpath_reserved_word_and_empty_order_items(spark):
+    """Round-12 ADVICE: the direct API resolves plain identifiers via
+    F.col, so a column NAMED a SQL reserved word still works; an order
+    item that parses to an empty expression raises a clear error."""
+    import pyspark.sql.functions as F
+
+    from hive_service_spark.operators.matchpath import matchpath
+
+    df = spark.createDataFrame(
+        [(1, 0, "A"), (1, 1, "B")], "user_id bigint, order bigint, sym string"
+    )
+    out = matchpath(
+        df,
+        partition_by="user_id",
+        order_by=["order"],
+        symbols={"a": F.col("sym") == "A", "b": F.col("sym") == "B"},
+        pattern="a.b",
+        ts_col="order",
+    )
+    assert [(r["user_id"], r["start_rn"], r["match_len"]) for r in out.collect()] == [
+        (1, 1, 2)
+    ]
+    with pytest.raises(ValueError, match="empty"):
+        matchpath(
+            df,
+            partition_by="user_id",
+            order_by=[""],
+            symbols={"a": F.col("sym") == "A"},
+            pattern="a",
+            ts_col="order",
+        )
