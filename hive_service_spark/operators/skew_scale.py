@@ -178,7 +178,7 @@ def skew_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quarantine_hot_keys(
     df: DataFrame,
     key: str = "user_id",
-    max_share: float = 0.01,
+    max_share: float | tuple[int, int] = 0.01,
     min_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split ``df`` into (clean, hot_keys): keys owning more than
@@ -202,6 +202,14 @@ def quarantine_hot_keys(
     ``min_rows`` is an optional absolute floor (a key must also own at
     least this many rows) so a small-sample share blip cannot
     quarantine a legitimate key; at 100 TB the share term dominates.
+    ``max_share`` also accepts an exact rational ``(num, den)`` —
+    share > num/den evaluated as ``n * den > total * num`` in
+    BIGINT-exact arithmetic (round-12 ADVICE: a float threshold
+    multiplies the total in IEEE double, so a key landing EXACTLY on
+    the boundary could flip between engines computing the product in
+    double vs decimal; the rational form removes the boundary
+    entirely, and a testdata regeneration moves both the operator and
+    any oracle together).
     The anti-join is NULL-SAFE on the key: missing-id traffic (a
     classic bot signature) is a quarantinable key like any other.
 
@@ -214,7 +222,16 @@ def quarantine_hot_keys(
     registered demos each consume a single output, so they don't."""
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("__qk_n"))
     total = counts.agg(F.sum("__qk_n").alias("__qk_total"))
-    cond = F.col("__qk_n") > F.col("__qk_total") * F.lit(max_share)
+    if isinstance(max_share, tuple):
+        num, den = (int(x) for x in max_share)
+        if num <= 0 or den <= 0:
+            raise ValueError(
+                f"quarantine_hot_keys: rational max_share must be "
+                f"positive, got {max_share!r}"
+            )
+        cond = F.col("__qk_n") * F.lit(den) > F.col("__qk_total") * F.lit(num)
+    else:
+        cond = F.col("__qk_n") > F.col("__qk_total") * F.lit(max_share)
     if min_rows is not None:
         cond = cond & (F.col("__qk_n") >= F.lit(min_rows))
     hot = (
@@ -235,12 +252,17 @@ def quarantine_hot_keys(
 
 
 # demo thresholds: on the near-uniform test events (150 users at
-# sf0.01, ~0.67% each) share > 0.8% marks the heaviest handful of
-# users; the absolute floor keeps the tiny sf0.001 sample (15 users,
+# sf0.01, ~0.67% each) share > 0.8% = 1/125 marks the heaviest handful
+# of users; the absolute floor keeps the tiny sf0.001 sample (15 users,
 # ~6.7% each) from quarantining everyone. A real pipeline tunes both
 # to its bot threshold; the synthetic 50%/90%-ownership probe
-# (tools/scale_probe.py) is where a true bot key exists.
-_QK_MAX_SHARE = 0.008
+# (tools/scale_probe.py) is where a true bot key exists. The share is
+# the RATIONAL 1/125, not the float 0.008 (round-12 ADVICE): both the
+# operator and the oracles compare n*125 > total in BIGINT-exact
+# arithmetic, so a key exactly at the boundary cannot flip between
+# Spark's double and DuckDB's decimal, and a testdata regeneration
+# moves both sides identically.
+_QK_MAX_SHARE = (1, 125)  # share > 1/125 = 0.8%
 _QK_MIN_ROWS = 80
 
 _QUARANTINE_AUDIT_ORACLE = f"""
@@ -252,7 +274,8 @@ SELECT c.user_id,
        CAST(c.n AS BIGINT) AS n_rows,
        c.n * 1.0 / t.total AS row_share
 FROM c, t
-WHERE c.n > t.total * {_QK_MAX_SHARE} AND c.n >= {_QK_MIN_ROWS}
+WHERE c.n * {_QK_MAX_SHARE[1]} > t.total * {_QK_MAX_SHARE[0]}
+  AND c.n >= {_QK_MIN_ROWS}
 ORDER BY user_id
 """
 
@@ -277,7 +300,8 @@ WITH c AS (
 t AS (SELECT SUM(n) AS total FROM c),
 hot AS (
   SELECT c.user_id FROM c, t
-  WHERE c.n > t.total * {_QK_MAX_SHARE} AND c.n >= {_QK_MIN_ROWS}
+  WHERE c.n * {_QK_MAX_SHARE[1]} > t.total * {_QK_MAX_SHARE[0]}
+    AND c.n >= {_QK_MIN_ROWS}
 ),
 f AS (
   -- NOT EXISTS with IS NOT DISTINCT FROM, not NOT IN: the operator's
@@ -366,7 +390,8 @@ WITH c0 AS (
 t AS (SELECT SUM(n) AS total FROM c0),
 hot AS (
   SELECT c0.user_id FROM c0, t
-  WHERE c0.n > t.total * {_QK_MAX_SHARE} AND c0.n >= {_QK_MIN_ROWS}
+  WHERE c0.n * {_QK_MAX_SHARE[1]} > t.total * {_QK_MAX_SHARE[0]}
+    AND c0.n >= {_QK_MIN_ROWS}
 ),
 f AS (
   SELECT * FROM events e

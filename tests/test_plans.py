@@ -977,6 +977,16 @@ def test_quarantine_hot_keys_semantics_and_nulls(spark):
     clean3, hot3 = quarantine_hot_keys(df, "k", max_share=0.9)
     assert hot3.count() == 0 and clean3.count() == 20
 
+    # rational threshold (round 13): BIGINT-exact strict > — key 1
+    # owns EXACTLY 6/20 = 3/10, so at (3, 10) it is NOT hot (no IEEE
+    # boundary to land on), while the 50% null key is
+    _clean5, hot5 = quarantine_hot_keys(df, "k", max_share=(3, 10))
+    assert {r["k"] for r in hot5.collect()} == {None}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        quarantine_hot_keys(df, "k", max_share=(0, 10))
+
 
 def test_quarantine_clean_stream_is_broadcast_anti_join(spark):
     """The clean-stream filter must be a BROADCAST anti-join (the hot
