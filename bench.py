@@ -134,6 +134,13 @@ HEADLINE = [
     # seq_sessionize_batch right above it in the suite)
     "seq_npath_sql_multikey",
     "seq_sessionize_quarantined",
+    # round 13: PARTITION BY expression through the npath surface
+    # (inline CAST — must price like the subquery-projected multikey
+    # twin right above), and the UDTF-shaped parse_url_tuple macro
+    # (inline(array(named_struct)) under LATERAL VIEW — map-only until
+    # the 40-group aggregate)
+    "seq_npath_sql_expr_partition",
+    "fn_shims_sql_url_tuple",
 ]
 
 # Pure-CPU sentinel queries (plan-pinned, untouched since round 1) and

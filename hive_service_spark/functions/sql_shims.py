@@ -419,6 +419,74 @@ ORDER BY t.host, t.query_lang
 """
 
 
+# the packed sort key: (linenumber, partkey, quantity) zero-padded to
+# fixed width so string order == numeric order. l_linenumber is NOT
+# unique per order in this synthetic data; any rows still tied on the
+# full key share the same quantity, so the emitted list is invariant
+# under tie-breaking on BOTH engines.
+_SHIM_SORT_KEY_SPARK = (
+    "concat(lpad(CAST(l_linenumber AS STRING), 2, '0'), '-', "
+    "lpad(CAST(l_partkey AS STRING), 8, '0'), '-', "
+    "lpad(CAST(CAST(l_quantity AS INT) AS STRING), 3, '0'))"
+)
+_SHIM_SORT_KEY_DUCK = (
+    "lpad(CAST(l_linenumber AS VARCHAR), 2, '0') || '-' || "
+    "lpad(CAST(l_partkey AS VARCHAR), 8, '0') || '-' || "
+    "lpad(CAST(CAST(l_quantity AS INT) AS VARCHAR), 3, '0')"
+)
+
+_SHIM_SORT_ORACLE = f"""
+SELECT l_orderkey,
+       array_to_string(list(CAST(CAST(l_quantity AS INT) AS VARCHAR)
+                            ORDER BY {_SHIM_SORT_KEY_DUCK}), ',')
+         AS q_by_line,
+       array_to_string(list(CAST(CAST(l_quantity AS INT) AS VARCHAR)
+                            ORDER BY {_SHIM_SORT_KEY_DUCK} DESC), ',')
+         AS q_by_line_desc,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+"""
+
+_SHIM_SORT_HIVEQL = f"""
+SELECT l_orderkey,
+       concat_ws(',', transform(
+         sort_array_by(collect_list(named_struct(
+           'k', {_SHIM_SORT_KEY_SPARK},
+           'q', CAST(l_quantity AS INT))), 'k'),
+         x -> CAST(x.q AS STRING))) AS q_by_line,
+       concat_ws(',', transform(
+         sort_array_by(collect_list(named_struct(
+           'k', {_SHIM_SORT_KEY_SPARK},
+           'q', CAST(l_quantity AS INT))), 'k', 'DESC'),
+         x -> CAST(x.q AS STRING))) AS q_by_line_desc,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem_shim
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+"""
+
+
+@query("fn_shims_sql_sort_array", oracle=_SHIM_SORT_ORACLE)
+def fn_shims_sql_sort_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sort_array_by` — Hive's struct-array field sort (hive-exec!
+    ql/udf/generic/GenericUDFSortArrayByField) — verbatim in HiveQL,
+    both directions, macro-expanded to array_sort with a field
+    comparator lambda (JVM higher-order function, no Python).
+    collect_list order is nondeterministic under shuffles, which is
+    exactly why the sort matters: the packed fixed-width key makes the
+    order total (up to ties that cannot change the emitted values), so
+    the oracle's in-aggregate ORDER BY reproduces it. Output
+    serialized to a CSV string at the boundary (arrays crash the
+    driver's pandas canon). Per-order arrays are tiny (<= 7 lines), so
+    collect_list stays bounded at any corpus scale."""
+    from hive_service_spark.catalog import load
+
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_shim")
+    return hive_sql(spark, _SHIM_SORT_HIVEQL)
+
+
 @query("fn_shims_sql_url_tuple", oracle=_SHIM_URL_ORACLE)
 def fn_shims_sql_url_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`parse_url_tuple` — Hive's UDTF call shape, verbatim, under
