@@ -1003,3 +1003,30 @@ def test_quarantine_clean_stream_is_broadcast_anti_join(spark):
     # the corpus side must not be exchanged for the anti-join: the only
     # hash exchange in the whole plan belongs to the per-key count agg
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_round13_new_queries_plan_jvm_only(spark):
+    """The SQL-shim queries and the expression-partition npath query
+    must plan as pure JVM expressions: SQL UDF bodies inline, macro
+    expansions are builtin compositions, the packed composite key is
+    to_json — zero Python/Arrow stages, and the exchange budget stays
+    at the grouping + presentation-sort minimum."""
+    import re
+
+    from hive_service_spark.registry import load_all
+
+    specs = load_all()
+    budgets = {
+        "fn_shims_sql_masking": 2,        # groupBy + orderBy
+        "fn_shims_sql_floor_union": 3,    # distinct-agg pair + orderBy
+        "fn_shims_sql_url_tuple": 3,      # distinct-agg pair + orderBy
+        "fn_shims_sql_sort_array": 2,     # groupBy + orderBy
+        "seq_npath_sql_expr_partition": 3,  # island-walk key shuffle
+    }
+    for name, max_ex in budgets.items():
+        df = specs[name].fn(spark, SF_DIR)
+        plan = P.formatted_plan(df)
+        for marker in ("Python", "ArrowEval", "Pandas", "BatchEval"):
+            assert marker not in plan, (name, marker, plan[:800])
+        got = len(re.findall(r"\(\d+\) Exchange\b", plan))
+        assert got <= max_ex, (name, got, max_ex)
