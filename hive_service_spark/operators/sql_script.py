@@ -21,6 +21,7 @@ statements within the SparkSession — the HiveServer2 session analog.
 
 from __future__ import annotations
 
+import itertools
 import re
 
 import pyspark.sql.functions as F  # noqa: F401  (parity with sibling modules)
@@ -130,6 +131,43 @@ def substitute(stmt: str, bindings: dict[str, str]) -> str:
     return stmt
 
 
+_NPATH_CALL_RE = re.compile(r"(?i)\bnpath\s*\(")
+_npath_view_counter = itertools.count()
+
+
+def _route_npath_calls(spark: SparkSession, stmt: str) -> str:
+    """Round 13: ``npath(ON ... PATTERN(...))`` usable as a TABLE
+    FUNCTION inside a script statement — ``SELECT ... FROM npath(...)
+    t GROUP BY ...`` — exactly the reference's PTF call position
+    (hive-exec!ql/udf/ptf/MatchPath runs inside the FROM clause via
+    PTFOperator). Spark SQL has no PTF surface, so the script layer
+    materializes each call through npath_sql (compiled island-walk /
+    lead-chain plans, same as the DataFrame API) into a temp view and
+    splices the view name into the statement; the surrounding SQL then
+    composes over it natively. Literal-aware scan; a table named
+    npath_* never matches (the call requires the opening paren)."""
+    if "npath" not in stmt.lower():
+        return stmt
+    from hive_service_spark.functions.sql_shims import _find_close_paren
+    from hive_service_spark.operators.matchpath import npath_sql
+    from hive_service_spark.operators.materialized_views import _literal_mask
+
+    while True:
+        mask = _literal_mask(stmt, "'\"")
+        m = next(
+            (mm for mm in _NPATH_CALL_RE.finditer(stmt) if not mask[mm.start()]),
+            None,
+        )
+        if m is None:
+            return stmt
+        close = _find_close_paren(stmt, m.end() - 1, mask)
+        name = f"hs_npath_result_{next(_npath_view_counter)}"
+        npath_sql(spark, stmt[m.start() : close + 1]).createOrReplaceTempView(
+            name
+        )
+        stmt = stmt[: m.start()] + name + stmt[close + 1 :]
+
+
 def run_script(
     spark: SparkSession,
     script: str,
@@ -154,7 +192,9 @@ def run_script(
     bindings = dict(bindings or {})
     result: DataFrame | None = None
     for stmt in split_statements(script):
-        stmt = expand_shim_macros(substitute(stmt, bindings))
+        stmt = _route_npath_calls(
+            spark, expand_shim_macros(substitute(stmt, bindings))
+        )
         m = _SET_RE.match(_strip_leading_comments(stmt))
         if m:
             key, val = m.group("key"), m.group("val")
@@ -274,3 +314,74 @@ def script_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+_NPATH_SESSION_ORACLE = """
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'view' THEN 'a'
+              WHEN event_type = 'purchase' THEN 'b'
+              ELSE 'x' END AS ch,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+s AS (
+  SELECT user_id, string_agg(ch, '' ORDER BY rn) AS str
+  FROM c GROUP BY user_id
+),
+m AS (
+  SELECT c.user_id,
+         length(regexp_extract(substr(s.str, CAST(c.rn AS INT)), '^aa*b'))
+           AS match_len
+  FROM c JOIN s USING (user_id)
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_paths,
+       CAST(MAX(match_len) AS INT) AS longest_path,
+       CAST(SUM(CASE WHEN match_len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_long
+FROM m
+WHERE match_len > 0
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+_NPATH_SESSION_SCRIPT = """
+SET hivevar:min_len=3;
+
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_paths,
+       CAST(MAX(match_len) AS INT) AS longest_path,
+       CAST(SUM(CASE WHEN match_len >= ${hivevar:min_len} THEN 1
+                     ELSE 0 END) AS BIGINT) AS n_long
+FROM npath(ON events_script_src
+           PARTITION BY user_id
+           ORDER BY ts, event_id
+           SYMBOLS(event_type = 'view' AS view,
+                   event_type = 'purchase' AS purchase)
+           PATTERN('view.view*.purchase')) t
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query("script_npath_session", oracle=_NPATH_SESSION_ORACLE)
+def script_npath_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PTF in its reference call position (round 13): ``SELECT ...
+    FROM npath(...) t GROUP BY ...`` inside a HiveQL session script —
+    Hive runs MatchPath as a table function in the FROM clause
+    (hive-exec!ql/udf/ptf/MatchPath via PTFOperator), and until this
+    round our npath surface was a Python entry point, not a FROM-
+    clause citizen. The script layer routes the call through npath_sql
+    (matches still come from the compiled Python-free island walk) and
+    the surrounding aggregate composes over the result natively,
+    parameterized by a ${hivevar} threshold. The oracle extends the
+    shared regex model with the same per-user aggregate."""
+    from hive_service_spark.catalog import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_script_src"
+    )
+    out = run_script(spark, _NPATH_SESSION_SCRIPT)
+    assert out is not None
+    return out

@@ -198,3 +198,43 @@ def test_run_script_expands_shims(spark):
         """,
     ).collect()[0]
     assert (out.m, out.f, out.fh) == ("Sexxxxnn", 2, "2024-01-02 03:00:00")
+
+
+def test_script_routes_npath_table_function(spark):
+    """Round 13: npath(...) in the FROM clause of a script statement
+    materializes through npath_sql; identifiers and literals that
+    merely contain 'npath' are never touched."""
+    from hive_service_spark.operators.sql_script import (
+        _route_npath_calls,
+        run_script,
+    )
+
+    # no call site -> untouched (table names, string literals)
+    assert (
+        _route_npath_calls(spark, "SELECT * FROM npath_events")
+        == "SELECT * FROM npath_events"
+    )
+    assert (
+        _route_npath_calls(spark, "SELECT 'npath(' AS s FROM t")
+        == "SELECT 'npath(' AS s FROM t"
+    )
+
+    spark.createDataFrame(
+        [(1, 0, "A"), (1, 1, "A"), (1, 2, "B"), (2, 0, "B"), (2, 1, "A")],
+        "u bigint, pos bigint, sym string",
+    ).createOrReplaceTempView("npath_route_probe")
+    out = run_script(
+        spark,
+        """
+        SET hivevar:min=2;
+        SELECT u, CAST(COUNT(*) AS BIGINT) AS n
+        FROM npath(ON npath_route_probe
+                   PARTITION BY u
+                   ORDER BY pos
+                   SYMBOLS(sym = 'A' AS a, sym = 'B' AS b)
+                   PATTERN('a.a*.b')) t
+        WHERE match_len >= ${hivevar:min}
+        GROUP BY u ORDER BY u;
+        """,
+    )
+    assert [(r.u, r.n) for r in out.collect()] == [(1, 2)]
