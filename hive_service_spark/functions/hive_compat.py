@@ -254,8 +254,9 @@ def in_file(spark, col: Column, path: str) -> Column:
 #                       refusal), hash (the NAME resolves to Spark's
 #                       Murmur3 builtin; Hive's Java-hashCode semantics
 #                       stay Python-side via hive_hash_string),
-#                       grouping__id (virtual column, helper
-#                       grouping_id_hive).
+#                       grouping__id resolves via a sql_shims macro in
+#                       single-GROUP-BY statements (multi-block queries
+#                       use the grouping_id_hive helper).
 #   "na:<reason>"     — documented non-applicable
 HIVE_FUNCTION_TABLE: dict[str, str] = {
     # operators / logic
@@ -409,7 +410,7 @@ HIVE_FUNCTION_TABLE: dict[str, str] = {
     "java_method": "builtin:java_method", "reflect2": "shim:reflect2 (raises)",
     "in_file": "shim:in_file (broadcast semi-join; SQL: sql_shims macro)",
     "grouping": "builtin:grouping",
-    "grouping__id": "shim:grouping_id_hive (legacy reversed bit order)",
+    "grouping__id": "shim:grouping_id_hive (legacy reversed bit order; SQL: sql_shims macro in single-GROUP-BY statements)",
     "internal_interval": "na:parser-internal",
     "sq_count_check": "na:Catalyst checks scalar subqueries natively",
     "noop": "na:test-only PTF", "noopstreaming": "na:test-only PTF",

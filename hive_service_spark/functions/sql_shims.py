@@ -254,13 +254,86 @@ def _find_close_paren(sql: str, open_idx: int, mask: list[bool]) -> int:
     raise ValueError(f"unbalanced parentheses after position {open_idx}")
 
 
+_GROUPING_ID_RE = re.compile(r"(?i)\bgrouping__id\b(?:\s*\(\s*\))?")
+_GROUP_BY_RE = re.compile(r"(?i)\bgroup\s+by\b")
+_GROUP_END_RE = re.compile(
+    r"(?i)\b(having|order|limit|window|union|intersect|except|grouping)\b"
+)
+
+
+def _expand_grouping_id(sql: str) -> str:
+    """Hive 2.3's ``GROUPING__ID`` virtual column in SQL text: bit i
+    set when the i-th GROUP BY column is AGGREGATED, FIRST column in
+    the LOWEST bit — the reverse of Spark's grouping_id() (SURVEY
+    §1.2; helper grouping_id_hive). The macro needs the statement's
+    GROUP BY column list, so it expands only when the statement has
+    exactly ONE unmasked GROUP BY clause (subqueries would make the
+    binding ambiguous — Hive resolves it per query block, which a text
+    layer cannot); handles ``WITH CUBE/ROLLUP`` suffixes, ``CUBE(...)``
+    / ``ROLLUP(...)`` wrappers, and a trailing ``GROUPING SETS``."""
+    mask = _literal_mask(sql, _HIVEQL_QUOTES)
+    sites = [m for m in _GROUPING_ID_RE.finditer(sql) if not mask[m.start()]]
+    if not sites:
+        return sql
+    gbs = [m for m in _GROUP_BY_RE.finditer(sql) if not mask[m.start()]]
+    if len(gbs) != 1:
+        raise ValueError(
+            "grouping__id macro needs exactly one GROUP BY in the "
+            f"statement (found {len(gbs)}); use the grouping_id_hive "
+            "Python helper for multi-block queries"
+        )
+    gb = gbs[0]
+    # clause text: from GROUP BY to an end keyword / closing paren at
+    # the clause's own depth
+    depth0 = 0
+    for i in range(gb.start()):
+        if not mask[i]:
+            if sql[i] == "(":
+                depth0 += 1
+            elif sql[i] == ")":
+                depth0 -= 1
+    i, d, buf = gb.end(), depth0, []
+    while i < len(sql):
+        ch = sql[i]
+        if not mask[i]:
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                if d == depth0:
+                    break
+                d -= 1
+            elif d == depth0 and _GROUP_END_RE.match(sql, i):
+                break
+        buf.append(ch)
+        i += 1
+    clause = "".join(buf).strip()
+    clause = re.sub(r"(?is)\bwith\s+(cube|rollup)\s*$", "", clause).strip()
+    wm = re.fullmatch(r"(?is)(?:cube|rollup)\s*\((.*)\)", clause)
+    if wm:
+        clause = wm.group(1)
+    cols = [
+        c for c in _split_top_level(clause, _HIVEQL_QUOTES) if c.strip()
+    ]
+    if not cols:
+        raise ValueError("grouping__id: could not parse the GROUP BY list")
+    expansion = "(" + " + ".join(
+        f"CAST(grouping({c.strip()}) AS BIGINT) * {1 << i}"
+        for i, c in enumerate(cols)
+    ) + ")"
+    for m in reversed(sites):
+        sql = sql[: m.start()] + expansion + sql[m.end() :]
+    return sql
+
+
 def expand_shim_macros(sql: str) -> str:
     """Rewrite every macro-shim call site in ``sql`` into its builtin
     composition. Innermost-out via fixed-point iteration: each pass
     expands the first unmasked occurrence, so nested calls
     (``extract_union(create_union(...), 0)``) resolve in bounded
     passes. String literals (both quote styles) are never scanned
-    inside."""
+    inside. ``GROUPING__ID`` (not call-shaped) expands in a pre-pass
+    against the statement's GROUP BY list."""
+    sql = _expand_grouping_id(sql)
     for _ in range(100):
         mask = _literal_mask(sql, _HIVEQL_QUOTES)
         m = next(
@@ -434,6 +507,44 @@ _SHIM_SORT_KEY_DUCK = (
     "lpad(CAST(l_partkey AS VARCHAR), 8, '0') || '-' || "
     "lpad(CAST(CAST(l_quantity AS INT) AS VARCHAR), 3, '0')"
 )
+
+_SHIM_GID_ORACLE = """
+SELECT c_mktsegment,
+       CAST(c_nationkey AS VARCHAR) AS nation_key,
+       CAST(GROUPING(c_mktsegment) + GROUPING(c_nationkey) * 2 AS BIGINT)
+         AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer
+GROUP BY CUBE (c_mktsegment, c_nationkey)
+ORDER BY gid, c_mktsegment, nation_key
+"""
+
+_SHIM_GID_HIVEQL = """
+SELECT c_mktsegment,
+       CAST(c_nationkey AS STRING) AS nation_key,
+       CAST(grouping__id AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n
+FROM customer_shim
+GROUP BY c_mktsegment, c_nationkey WITH CUBE
+ORDER BY gid, c_mktsegment, nation_key
+"""
+
+
+@query("fn_shims_sql_grouping_id", oracle=_SHIM_GID_ORACLE)
+def fn_shims_sql_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive's legacy ``GROUPING__ID`` virtual column verbatim in HiveQL
+    over ``WITH CUBE`` (round 13): the macro reads the statement's
+    GROUP BY list and expands to the reversed-bit grouping()
+    composition (first column in the LOWEST bit — hive-exec 2.3's
+    documented legacy order, the reverse of Spark's grouping_id();
+    SURVEY §1.2). The oracle recomputes the same bits from DuckDB's
+    GROUPING(). The plan is Spark's native Expand + one aggregate —
+    the macro adds zero stages."""
+    from hive_service_spark.catalog import load
+
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_shim")
+    return hive_sql(spark, _SHIM_GID_HIVEQL)
+
 
 _SHIM_SORT_ORACLE = f"""
 SELECT l_orderkey,

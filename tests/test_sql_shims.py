@@ -28,8 +28,8 @@ from hive_service_spark.functions.sql_shims import (
 #   hash         — the NAME resolves (to Spark's Murmur3 builtin); the
 #                  Hive Java-hashCode semantics are hive_hash_string
 #   reflect2     — documented refusal (arbitrary JVM reflection)
-#   grouping__id — a virtual column, not a function call; needs the
-#                  GROUP BY column list (helper grouping_id_hive)
+#   grouping__id — covered by the _expand_grouping_id pre-pass (not a
+#                  call-shaped macro), single-GROUP-BY statements only
 _DOCUMENTED_EXCEPTIONS = {"hash", "reflect2", "grouping__id"}
 
 
@@ -238,3 +238,57 @@ def test_script_routes_npath_table_function(spark):
         """,
     )
     assert [(r.u, r.n) for r in out.collect()] == [(1, 2)]
+
+
+class TestGroupingIdMacro:
+    def test_with_cube_suffix(self):
+        got = expand_shim_macros(
+            "SELECT a, b, grouping__id AS g, count(*) FROM t "
+            "GROUP BY a, b WITH CUBE"
+        )
+        assert (
+            "(CAST(grouping(a) AS BIGINT) * 1 + "
+            "CAST(grouping(b) AS BIGINT) * 2) AS g" in got
+        )
+        assert "grouping__id" not in got.lower()
+
+    def test_cube_wrapper_and_empty_parens(self):
+        got = expand_shim_macros(
+            "SELECT grouping__id() FROM t GROUP BY CUBE(x, y) ORDER BY 1"
+        )
+        assert "CAST(grouping(x) AS BIGINT) * 1" in got
+        assert "CAST(grouping(y) AS BIGINT) * 2" in got
+
+    def test_multi_group_by_raises(self):
+        with pytest.raises(ValueError, match="exactly one GROUP BY"):
+            expand_shim_macros(
+                "SELECT grouping__id FROM (SELECT a FROM t GROUP BY a) "
+                "GROUP BY a WITH ROLLUP"
+            )
+
+    def test_literal_never_expanded(self):
+        s = "SELECT 'grouping__id' AS s FROM t"
+        assert expand_shim_macros(s) == s
+
+    def test_matches_python_helper(self, spark):
+        """SQL-text GROUPING__ID over WITH CUBE equals grouping_id_hive
+        on every grouping set (incl. the reversed-bit cells)."""
+        spark.createDataFrame(
+            [("a", "x", 1)], "c1 string, c2 string, v int"
+        ).createOrReplaceTempView("gid_probe")
+        got = {
+            (r.c1, r.c2): r.g
+            for r in hive_sql(
+                spark,
+                "SELECT c1, c2, CAST(grouping__id AS BIGINT) AS g "
+                "FROM gid_probe GROUP BY c1, c2 WITH CUBE",
+            ).collect()
+        }
+        want = {
+            (r.c1, r.c2): r.g
+            for r in spark.table("gid_probe")
+            .cube("c1", "c2")
+            .agg(hc.grouping_id_hive("c1", "c2").alias("g"))
+            .collect()
+        }
+        assert got == want and got[("a", None)] == 2 and got[(None, "x")] == 1
