@@ -90,6 +90,7 @@ NOTES = {
         "pre-reduction trade-off. The registered plan stays "
         "pre-reduction (the at-scale winner per the x8 probe) with "
         "its local penalty now measured at zero."
+        " ROUND-13 re-read (idle box, loadavg_start 0.76): pre 1.251 s {1.420, 1.251, 1.185, 1.331, 1.077} vs post 1.221 s {1.359, 1.210, 1.302, 1.221, 1.121}, ratio 1.025 — still equal within noise; the graded-bench q8_corrected field (new this round) read 2.005 in-suite while the idle-box A/B min corrects to ~1.49, confirming the residual drift is in-suite jitter, not the plan."
     ),
     "q7_volume_shipping": (
         "Round-6 shape: the nation-pair disjunction is hand-factored "
