@@ -357,11 +357,15 @@ def expand_shim_macros(sql: str) -> str:
 
 def hive_sql(spark: SparkSession, sql: str) -> DataFrame:
     """Run one HiveQL statement with the full 286-name function surface:
-    SQL-UDF shims registered, macro shims expanded, then ``spark.sql``.
-    The multi-statement form is operators/sql_script.run_script, which
-    routes every statement through the same two steps."""
+    SQL-UDF shims registered, macro shims expanded, FROM-clause
+    ``npath(...)`` table-function calls materialized, then
+    ``spark.sql``. The multi-statement form is
+    operators/sql_script.run_script, which routes every statement
+    through the same steps."""
+    from hive_service_spark.operators.sql_script import _route_npath_calls
+
     register_sql_shims(spark)
-    return spark.sql(expand_shim_macros(sql))
+    return spark.sql(_route_npath_calls(spark, expand_shim_macros(sql)))
 
 
 # ---------------------------------------------------------------------------

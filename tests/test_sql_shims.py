@@ -292,3 +292,66 @@ class TestGroupingIdMacro:
             .collect()
         }
         assert got == want and got[("a", None)] == 2 and got[(None, "x")] == 1
+
+
+def test_grouping_id_with_grouping_sets(spark):
+    """The GROUP BY list parser stops before a trailing GROUPING SETS
+    clause: gid bits still bind to the listed columns."""
+    spark.createDataFrame(
+        [("a", "x", 1), ("b", "y", 2)], "c1 string, c2 string, v int"
+    ).createOrReplaceTempView("gid_sets_probe")
+    got = expand_shim_macros(
+        "SELECT c1, c2, grouping__id AS g FROM gid_sets_probe "
+        "GROUP BY c1, c2 GROUPING SETS ((c1, c2), (c1), ())"
+    )
+    assert "CAST(grouping(c1) AS BIGINT) * 1" in got
+    assert "CAST(grouping(c2) AS BIGINT) * 2" in got
+    rows = {
+        (r.c1, r.c2): r.g
+        for r in hive_sql(
+            spark,
+            "SELECT c1, c2, CAST(grouping__id AS BIGINT) AS g "
+            "FROM gid_sets_probe GROUP BY c1, c2 "
+            "GROUPING SETS ((c1, c2), (c1), ())",
+        ).collect()
+    }
+    # (c1) set: c2 aggregated -> hive bit1 = 2; grand total -> 3
+    assert rows[("a", "x")] == 0 and rows[("a", None)] == 2
+    assert rows[(None, None)] == 3
+
+
+def test_hive_sql_routes_npath(spark):
+    """hive_sql (the one-statement surface) routes npath table-function
+    calls exactly like the script runner."""
+    spark.createDataFrame(
+        [(1, 0, "A"), (1, 1, "B")], "u bigint, pos bigint, sym string"
+    ).createOrReplaceTempView("npath_hivesql_probe")
+    out = hive_sql(
+        spark,
+        "SELECT u, CAST(COUNT(*) AS BIGINT) AS n FROM "
+        "npath(ON npath_hivesql_probe PARTITION BY u ORDER BY pos "
+        "SYMBOLS(sym = 'A' AS a, sym = 'B' AS b) PATTERN('a.b')) t "
+        "GROUP BY u",
+    )
+    assert [(r.u, r.n) for r in out.collect()] == [(1, 1)]
+
+
+def test_macro_expansion_idempotent_and_inert():
+    """Property: a fully expanded statement re-expands to itself, and
+    text without macro names (incl. inside literals) never changes."""
+    samples = [
+        "SELECT field(x, 'a', field(y, 'b', 'c')) FROM t",
+        "SELECT sort_array_by(arr, 'k', 'DESC'), create_union(t, a, b)",
+        "SELECT parse_url_tuple(u, 'HOST'), in_file(w, '/tmp/x') FROM t",
+        "SELECT grouping__id FROM t GROUP BY a WITH ROLLUP",
+    ]
+    for s in samples:
+        once = expand_shim_macros(s)
+        assert expand_shim_macros(once) == once, s
+    inert = [
+        "SELECT 1",
+        "SELECT 'field(a, 1)' || \"in_file(x, 'y')\" AS s FROM t",
+        "SELECT my_field(a), fieldwork(b), xcreate_union(c) FROM t",
+    ]
+    for s in inert:
+        assert expand_shim_macros(s) == s, s
