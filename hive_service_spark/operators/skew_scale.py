@@ -223,6 +223,11 @@ def quarantine_hot_keys(
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("__qk_n"))
     total = counts.agg(F.sum("__qk_n").alias("__qk_total"))
     if isinstance(max_share, tuple):
+        if len(max_share) != 2:
+            raise ValueError(
+                f"quarantine_hot_keys: rational max_share must be "
+                f"(num, den), got {max_share!r}"
+            )
         num, den = (int(x) for x in max_share)
         if num <= 0 or den <= 0:
             raise ValueError(

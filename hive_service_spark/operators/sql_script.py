@@ -145,7 +145,11 @@ def _route_npath_calls(spark: SparkSession, stmt: str) -> str:
     lead-chain plans, same as the DataFrame API) into a temp view and
     splices the view name into the statement; the surrounding SQL then
     composes over it natively. Literal-aware scan; a table named
-    npath_* never matches (the call requires the opening paren)."""
+    npath_* never matches (the call requires the opening paren). A
+    nested npath inside another call's ON-subquery is not routed (the
+    outer call consumes it and npath_sql's spark.sql cannot resolve
+    the name) — materialize the inner call into its own temp view
+    first."""
     if "npath" not in stmt.lower():
         return stmt
     from hive_service_spark.functions.sql_shims import _find_close_paren
