@@ -334,9 +334,12 @@ def _run_suite(spark, specs) -> dict:
         loadavg_end = None
 
     q8_name, q8_ref = _Q8_WATCH
+    # None (not a raw ratio) when no host correction is available — a
+    # field named "corrected" must never carry an uncorrected value
+    # (round-13 review)
     q8_corrected = (
-        round(times[q8_name] / (host_factor or 1.0) / q8_ref, 3)
-        if q8_name in times
+        round(times[q8_name] / host_factor / q8_ref, 3)
+        if q8_name in times and host_factor
         else None
     )
     return {

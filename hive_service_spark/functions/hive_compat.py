@@ -26,8 +26,14 @@ _MAX_STR = 1 << 20  # "rest of string" length for substring arithmetic
 
 def field(x: Column | str, *candidates: Column | str) -> Column:
     """Hive ``field(x, v1, v2, ...)``: 1-based index of first match, 0
-    if absent — exactly array_position semantics."""
-    return F.array_position(F.array(*[F.lit(c) if isinstance(c, str) else c for c in candidates]), x)
+    if absent — array_position, COALESCEd to 0 for a NULL probe
+    (Hive's GenericUDFField / MySQL FIELD return 0 there, where
+    array_position returns NULL; round-13 review)."""
+    pos = F.array_position(
+        F.array(*[F.lit(c) if isinstance(c, str) else c for c in candidates]),
+        x,
+    )
+    return F.coalesce(pos, F.lit(0))
 
 
 def substring_index(s: Column, delim: str, count: int) -> Column:
@@ -121,13 +127,20 @@ floor_second = _floor_unit("second")
 
 def sort_array_by(arr: Column, field_name: str, asc: bool = True) -> Column:
     """Hive ``sort_array_by(array<struct>, 'field')``: sort an array of
-    structs by one field — array_sort with a comparator lambda."""
+    structs by one field — array_sort with a comparator lambda. NULL
+    field values order deterministically (smallest, like Hive's
+    ObjectInspectorUtils.compare: first on ASC, last on DESC) — a
+    comparator treating NULL as equal-to-everything is non-transitive
+    and leaves array_sort's output ill-defined (round-13 review)."""
     sign = 1 if asc else -1
 
     def cmp(a: Column, b: Column) -> Column:
         fa, fb = a[field_name], b[field_name]
         return (
-            F.when(fa < fb, F.lit(-sign))
+            F.when(fa.isNull() & fb.isNull(), F.lit(0))
+            .when(fa.isNull(), F.lit(-sign))
+            .when(fb.isNull(), F.lit(sign))
+            .when(fa < fb, F.lit(-sign))
             .when(fa > fb, F.lit(sign))
             .otherwise(F.lit(0))
         )

@@ -109,9 +109,14 @@ for _unit in (
 
 
 def register_sql_shims(spark: SparkSession) -> None:
-    """Register every fixed-signature shim as a temporary SQL UDF.
-    Idempotent (CREATE OR REPLACE); per-session, like Hive's
-    FunctionRegistry is per-session for temporary functions."""
+    """Register every fixed-signature shim as a temporary SQL UDF —
+    once per session, like Hive's FunctionRegistry registers temporary
+    functions per session. One functionExists probe short-circuits the
+    14 DDL round-trips on every call after the first (round-13 review:
+    hive_sql runs inside measured bench queries, where the redundant
+    re-registration was counted time)."""
+    if spark.catalog.functionExists("mask_show_last_n"):
+        return
     for ddl in _SQL_UDF_DEFS.values():
         spark.sql(ddl)
 
@@ -143,14 +148,19 @@ def _exp_field(args: list[str]) -> str:
     # absent — exactly array_position (hive_compat.field, SQL form)
     if len(args) < 2:
         raise ValueError("field() needs a probe and at least one candidate")
-    return f"array_position(array({', '.join(args[1:])}), {args[0]})"
+    # COALESCE(..., 0): Hive's GenericUDFField (MySQL FIELD semantics)
+    # returns 0 for a NULL probe, where array_position returns NULL —
+    # without it a WHERE field(...) = 0 silently drops NULL rows
+    # (round-13 review)
+    return (
+        f"coalesce(array_position(array({', '.join(args[1:])}), "
+        f"{args[0]}), 0)"
+    )
 
 
 def _exp_sort_array_by(args: list[str]) -> str:
     # sort_array_by(array<struct>, 'fieldName'[, 'ASC'|'DESC']):
-    # array_sort with a comparator on the named field. NULL field
-    # values compare equal (CASE falls through to 0) — order among
-    # them is the input order, matching the Python shim.
+    # array_sort with a comparator on the named field.
     if len(args) not in (2, 3):
         raise ValueError("sort_array_by(arr, 'field'[, 'ASC'|'DESC'])")
     fld = _strip_str_literal(args[1], "sort_array_by field name")
@@ -163,8 +173,16 @@ def _exp_sort_array_by(args: list[str]) -> str:
             raise ValueError(f"sort_array_by order must be ASC|DESC: {order!r}")
     lt, gt = ("-1", "1") if order == "ASC" else ("1", "-1")
     arr = args[0]
+    # NULL field values order deterministically (first on ASC, last on
+    # DESC — Hive compares via ObjectInspectorUtils, null smallest); a
+    # comparator returning 0 against NULL is non-transitive and makes
+    # array_sort output ill-defined (round-13 review)
     return (
-        f"array_sort({arr}, (l, r) -> CASE WHEN l.{fld} < r.{fld} THEN {lt} "
+        f"array_sort({arr}, (l, r) -> CASE "
+        f"WHEN l.{fld} IS NULL AND r.{fld} IS NULL THEN 0 "
+        f"WHEN l.{fld} IS NULL THEN {lt} "
+        f"WHEN r.{fld} IS NULL THEN {gt} "
+        f"WHEN l.{fld} < r.{fld} THEN {lt} "
         f"WHEN l.{fld} > r.{fld} THEN {gt} ELSE 0 END)"
     )
 
@@ -257,7 +275,8 @@ def _find_close_paren(sql: str, open_idx: int, mask: list[bool]) -> int:
 _GROUPING_ID_RE = re.compile(r"(?i)\bgrouping__id\b(?:\s*\(\s*\))?")
 _GROUP_BY_RE = re.compile(r"(?i)\bgroup\s+by\b")
 _GROUP_END_RE = re.compile(
-    r"(?i)\b(having|order|limit|window|union|intersect|except|grouping)\b"
+    r"(?i)\b(having|order|sort|cluster|distribute|limit|window"
+    r"|union|intersect|except|grouping)\b"
 )
 
 
@@ -334,7 +353,18 @@ def expand_shim_macros(sql: str) -> str:
     inside. ``GROUPING__ID`` (not call-shaped) expands in a pre-pass
     against the statement's GROUP BY list."""
     sql = _expand_grouping_id(sql)
-    for _ in range(100):
+    # progress-bounded, not pass-count-bounded: each iteration expands
+    # one call site, and machine-generated HiveQL legitimately carries
+    # hundreds of sites (round-13 review: a fixed 100-pass cap was a
+    # false failure on flat statements). The guards below only catch
+    # genuine runaways (argument duplication exploding the text).
+    for _ in range(10_000):
+        if len(sql) > 4_000_000:
+            raise ValueError(
+                "shim macro expansion exploded past 4 MB — an argument "
+                "duplicated through deep create_union/extract_union "
+                "nesting; restructure the expression"
+            )
         mask = _literal_mask(sql, _HIVEQL_QUOTES)
         m = next(
             (m for m in _MACRO_RE.finditer(sql) if not mask[m.start()]), None
@@ -352,7 +382,9 @@ def expand_shim_macros(sql: str) -> str:
         ]
         repl = _EXPANDERS[m.group(1).lower()](args)
         sql = sql[: m.start()] + repl + sql[close_idx + 1 :]
-    raise ValueError("shim macro expansion did not converge in 100 passes")
+    raise ValueError(
+        "shim macro expansion did not converge in 10000 passes"
+    )
 
 
 def hive_sql(spark: SparkSession, sql: str) -> DataFrame:
@@ -362,10 +394,15 @@ def hive_sql(spark: SparkSession, sql: str) -> DataFrame:
     ``spark.sql``. The multi-statement form is
     operators/sql_script.run_script, which routes every statement
     through the same steps."""
-    from hive_service_spark.operators.sql_script import _route_npath_calls
+    from hive_service_spark.operators.sql_script import (
+        _route_npath_calls,
+        strip_comments,
+    )
 
     register_sql_shims(spark)
-    return spark.sql(_route_npath_calls(spark, expand_shim_macros(sql)))
+    return spark.sql(
+        _route_npath_calls(spark, expand_shim_macros(strip_comments(sql)))
+    )
 
 
 # ---------------------------------------------------------------------------

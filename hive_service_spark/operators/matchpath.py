@@ -1946,6 +1946,20 @@ def npath_sql(spark: SparkSession, call: str) -> DataFrame:
     Whitespace runs outside quoted literals are normalized to single
     spaces; bytes INSIDE single-quoted literals are preserved
     verbatim."""
+    # this surface's literal dialect is SINGLE-quoted (every internal
+    # splitter/normalizer masks ' only); a double-quoted literal would
+    # silently corrupt clause spans and have its interior whitespace
+    # collapsed — refuse loudly instead (round-13 review)
+    from hive_service_spark.operators.materialized_views import (
+        _literal_mask as _lm,
+    )
+
+    dq_mask = _lm(call)
+    if any(ch == '"' and not dq_mask[i] for i, ch in enumerate(call)):
+        raise ValueError(
+            "npath_sql: double-quoted string literals are not supported "
+            "in the call text — use single quotes"
+        )
     s = _collapse_ws(call).strip()
     m = re.match(r"(?i)^npath\s*\(", s)
     if not m or not s.endswith(")"):

@@ -21,7 +21,7 @@ statements within the SparkSession — the HiveServer2 session analog.
 
 from __future__ import annotations
 
-import itertools
+import hashlib
 import re
 
 import pyspark.sql.functions as F  # noqa: F401  (parity with sibling modules)
@@ -89,15 +89,49 @@ def split_statements(script: str) -> list[str]:
     return out
 
 
-def _strip_leading_comments(stmt: str) -> str:
-    """Drop leading -- lines and /* */ blocks so a statement that
-    starts with a comment is still recognized as a SET command."""
-    prev = None
-    while prev != stmt:
-        prev = stmt
-        stmt = re.sub(r"\A\s*--[^\n]*\n?", "", stmt)
-        stmt = re.sub(r"\A\s*/\*.*?\*/", "", stmt, flags=re.DOTALL)
-    return stmt.strip()
+def strip_comments(stmt: str) -> str:
+    """Remove ``--`` line and ``/* */`` block comments outside string
+    literals and backtick identifiers (round-13 review: the macro and
+    npath rewriting scan literal-MASKED text, and the shared
+    `_literal_mask` scanner is comment-blind — an apostrophe inside a
+    comment would shift the mask for the rest of the statement and
+    silently mis-expand or mis-route). Each comment becomes one space
+    so token separation survives; literal bytes are untouched. Spark's
+    parser never needed the comments, so stripping them before
+    rewriting loses nothing."""
+    out: list[str] = []
+    i, n = 0, len(stmt)
+    quote: str | None = None
+    while i < n:
+        c = stmt[i]
+        if quote is not None:
+            out.append(c)
+            if c == "\\" and quote in "'\"" and i + 1 < n:
+                out.append(stmt[i + 1])
+                i += 2
+                continue
+            if c == quote:
+                quote = None
+            i += 1
+            continue
+        if c in "'\"`":
+            quote = c
+            out.append(c)
+            i += 1
+            continue
+        if c == "-" and stmt.startswith("--", i):
+            j = stmt.find("\n", i)
+            out.append(" ")
+            i = n if j < 0 else j  # the newline itself survives
+            continue
+        if c == "/" and stmt.startswith("/*", i):
+            j = stmt.find("*/", i + 2)
+            out.append(" ")
+            i = n if j < 0 else j + 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 _SET_RE = re.compile(
@@ -132,7 +166,6 @@ def substitute(stmt: str, bindings: dict[str, str]) -> str:
 
 
 _NPATH_CALL_RE = re.compile(r"(?i)\bnpath\s*\(")
-_npath_view_counter = itertools.count()
 
 
 def _route_npath_calls(spark: SparkSession, stmt: str) -> str:
@@ -165,10 +198,14 @@ def _route_npath_calls(spark: SparkSession, stmt: str) -> str:
         if m is None:
             return stmt
         close = _find_close_paren(stmt, m.end() - 1, mask)
-        name = f"hs_npath_result_{next(_npath_view_counter)}"
-        npath_sql(spark, stmt[m.start() : close + 1]).createOrReplaceTempView(
-            name
-        )
+        call = stmt[m.start() : close + 1]
+        # deterministic name per call TEXT (round-13 review): the view
+        # must outlive this statement (a CREATE TEMPORARY VIEW built
+        # over it re-resolves the name lazily), so it is never dropped
+        # here — a repeated script re-REPLACES the same view instead of
+        # leaking one entry per run
+        name = "hs_npath_result_" + hashlib.md5(call.encode()).hexdigest()[:12]
+        npath_sql(spark, call).createOrReplaceTempView(name)
         stmt = stmt[: m.start()] + name + stmt[close + 1 :]
 
 
@@ -195,11 +232,14 @@ def run_script(
     register_sql_shims(spark)
     bindings = dict(bindings or {})
     result: DataFrame | None = None
-    for stmt in split_statements(script):
-        stmt = _route_npath_calls(
-            spark, expand_shim_macros(substitute(stmt, bindings))
-        )
-        m = _SET_RE.match(_strip_leading_comments(stmt))
+    for raw in split_statements(script):
+        # comments are stripped FIRST (literal-aware): the rewriters
+        # below scan masked text and must never see comment bytes; SET
+        # values are recognized BEFORE any rewriting so command text
+        # (not SQL) is never macro-expanded or npath-routed (round-13
+        # review — "SET k=see npath (docs)" used to crash the router)
+        stmt = substitute(strip_comments(raw), bindings)
+        m = _SET_RE.match(stmt.strip())
         if m:
             key, val = m.group("key"), m.group("val")
             bindings[key] = val
@@ -208,6 +248,7 @@ def run_script(
             key = key.removeprefix("hiveconf:")
             spark.conf.set(key, val)
             continue
+        stmt = _route_npath_calls(spark, expand_shim_macros(stmt))
         result = spark.sql(stmt)
     return result
 

@@ -92,7 +92,10 @@ def test_sql_udf_shims_match_python_shims(spark):
 class TestMacroExpansion:
     def test_field_variadic(self):
         got = expand_shim_macros("SELECT field(x, 'a', 'b', col2) FROM t")
-        assert got == "SELECT array_position(array('a', 'b', col2), x) FROM t"
+        assert got == (
+            "SELECT coalesce(array_position(array('a', 'b', col2), x), 0) "
+            "FROM t"
+        )
 
     def test_nested_union_fixed_point(self):
         got = expand_shim_macros("SELECT extract_union(create_union(t, a, b), 1)")
@@ -106,7 +109,7 @@ class TestMacroExpansion:
 
     def test_case_insensitive_and_spacing(self):
         got = expand_shim_macros("SELECT FIELD (x, 'a')")
-        assert got == "SELECT array_position(array('a'), x)"
+        assert got == "SELECT coalesce(array_position(array('a'), x), 0)"
 
     def test_sort_array_by_orders(self):
         asc = expand_shim_macros("SELECT sort_array_by(arr, 'k')")
@@ -355,3 +358,143 @@ def test_macro_expansion_idempotent_and_inert():
     ]
     for s in inert:
         assert expand_shim_macros(s) == s, s
+
+
+class TestRound13ReviewFixes:
+    """The ten round-13 self-review findings, each pinned."""
+
+    def test_field_null_probe_is_zero(self, spark):
+        # Hive/MySQL FIELD(NULL, ...) = 0; WHERE field(..)=0 keeps rows
+        spark.createDataFrame(
+            [("A",), (None,), ("Z",)], "seg string"
+        ).createOrReplaceTempView("field_null_probe")
+        got = hive_sql(
+            spark,
+            "SELECT CAST(COUNT(*) AS INT) AS n FROM field_null_probe "
+            "WHERE field(seg, 'A', 'B') = 0",
+        ).collect()[0].n
+        assert got == 2  # NULL and 'Z'
+
+    def test_sort_array_by_null_field_deterministic(self, spark):
+        from hive_service_spark.functions import hive_compat as hc
+
+        arr = F.array(
+            F.struct(F.lit(3).alias("k")),
+            F.struct(F.lit(None).cast("int").alias("k")),
+            F.struct(F.lit(1).alias("k")),
+        )
+        asc = spark.range(1).select(
+            hc.sort_array_by(arr, "k").alias("v")
+        ).collect()[0].v
+        assert [r.k for r in asc] == [None, 1, 3]
+        desc = spark.range(1).select(
+            hc.sort_array_by(arr, "k", asc=False).alias("v")
+        ).collect()[0].v
+        assert [r.k for r in desc] == [3, 1, None]
+        # SQL macro path agrees
+        spark.createDataFrame(
+            [(1, 3), (1, None), (1, 1)], "g int, k int"
+        ).createOrReplaceTempView("sab_null_t")
+        got = hive_sql(
+            spark,
+            "SELECT transform(sort_array_by(collect_list("
+            "named_struct('k', k)), 'k'), x -> x.k) AS vs "
+            "FROM sab_null_t GROUP BY g",
+        ).collect()[0].vs
+        assert got == [None, 1, 3]
+
+    def test_script_comment_with_apostrophe(self, spark):
+        """A comment containing an apostrophe must not shift the
+        literal mask for the rest of the statement."""
+        from hive_service_spark.operators.sql_script import run_script
+
+        spark.createDataFrame(
+            [("A",), ("B",)], "seg string"
+        ).createOrReplaceTempView("cmt_probe")
+        out = run_script(
+            spark,
+            """
+            SELECT CAST(field(seg, 'A', 'B') AS INT) AS f -- user's seg
+            FROM cmt_probe /* block ' comment */ ORDER BY f;
+            """,
+        )
+        assert [r.f for r in out.collect()] == [1, 2]
+
+    def test_strip_comments_literal_aware(self):
+        from hive_service_spark.operators.sql_script import strip_comments
+
+        got = strip_comments(
+            "SELECT '--not a comment', `a--b` -- real ' comment\n"
+            "FROM t /* gone */ WHERE x = 1"
+        )
+        assert "'--not a comment'" in got and "`a--b`" in got
+        assert "real" not in got and "gone" not in got
+        assert "WHERE x = 1" in got
+
+    def test_set_values_never_rewritten(self, spark):
+        """SET command text is recognized before any macro/npath
+        rewriting — 'npath (' in a config value must not crash."""
+        from hive_service_spark.operators.sql_script import run_script
+
+        out = run_script(
+            spark,
+            """
+            SET hivevar:note=see npath (docs) and field(x;
+            SELECT '${hivevar:note}' AS v;
+            """,
+        )
+        assert out.collect()[0].v == "see npath (docs) and field(x"
+
+    def test_grouping_id_stops_at_sort_by(self):
+        got = expand_shim_macros(
+            "SELECT a, b, grouping__id AS g FROM t "
+            "GROUP BY a, b WITH CUBE SORT BY a"
+        )
+        # the column list binds cleanly: grouping(b), never
+        # grouping(b WITH CUBE SORT BY a)
+        assert "CAST(grouping(b) AS BIGINT) * 2" in got
+        assert "grouping(b WITH" not in got
+        # and the SORT BY clause survives untouched
+        assert got.rstrip().endswith("GROUP BY a, b WITH CUBE SORT BY a")
+
+    def test_npath_sql_rejects_double_quoted_literals(self, spark):
+        from hive_service_spark.operators.matchpath import npath_sql
+
+        with pytest.raises(ValueError, match="single quotes"):
+            npath_sql(
+                spark,
+                'npath(ON t PARTITION BY u ORDER BY ts '
+                'SYMBOLS(sym = "A" AS a) PATTERN(\'a\'))',
+            )
+
+    def test_many_flat_call_sites_expand(self):
+        """A machine-generated statement with hundreds of flat macro
+        calls expands (the old fixed 100-pass cap was a false failure)."""
+        body = ", ".join(f"field(c{i}, 'x')" for i in range(250))
+        got = expand_shim_macros(f"SELECT {body} FROM t")
+        assert "field(" not in got and got.count("array_position") == 250
+
+    def test_register_sql_shims_memoized(self, spark):
+        import time as _t
+
+        register_sql_shims(spark)  # ensure registered
+        t0 = _t.perf_counter()
+        for _ in range(10):
+            register_sql_shims(spark)
+        dt = _t.perf_counter() - t0
+        # 10 probes must be far cheaper than 10x14 DDL round-trips
+        assert dt < 2.0, dt
+
+    def test_bench_q8_corrected_none_without_host_factor(self):
+        import bench
+
+        assert bench._Q8_WATCH[0] == "q8_market_share"
+        # the computation guards on host_factor truthiness — replicate
+        times = {"q8_market_share": 1.0}
+        hf = None
+        val = (
+            round(times["q8_market_share"] / hf / bench._Q8_WATCH[1], 3)
+            if "q8_market_share" in times and hf
+            else None
+        )
+        assert val is None
