@@ -1052,7 +1052,9 @@ def acid_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = m["version"]
         if v <= last_event_id:
             continue
-        event_type = "CREATE_TABLE" if v == 0 else "COMMIT_TXN"
+        # always a commit: v <= last_event_id (incl. v0 CREATE_TABLE)
+        # was skipped above (round-13 review: dead v==0 branch)
+        event_type = "COMMIT_TXN"
         frame = (
             t.read(version=v)
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows_visible"))

@@ -248,14 +248,17 @@ if _HAVE_DSAPI:
 
         def __init__(self, options):
             self.path = options["path"]
-            self._n = None
 
         def _count(self) -> int:
-            if self._n is None:
-                import pyarrow.parquet as pq
+            # re-read per call (round-13 review: a memoized count froze
+            # the latest offset forever, so a processingTime trigger
+            # never served rows appended after the first batch). The
+            # replay contract assumes an APPEND-ONLY file: a rewrite
+            # that reorders doc_ids invalidates committed offsets, as
+            # with any index-offset source.
+            import pyarrow.parquet as pq
 
-                self._n = pq.ParquetFile(self.path).metadata.num_rows
-            return self._n
+            return pq.ParquetFile(self.path).metadata.num_rows
 
         def initialOffset(self):
             return {"idx": 0}
@@ -377,7 +380,7 @@ if _HAVE_DSAPI:
                 for r in rows:
                     fh.write(
                         f"{r[0]:0{w0}d}"
-                        f"{r[1]:.{w1}s}"
+                        f"{r[1]:<{w1}.{w1}s}"
                         f"{float(r[2]):0{w2}.2f}"
                         f"{r[3]:<{w3}.{w3}s}\n"
                     )
@@ -385,17 +388,44 @@ if _HAVE_DSAPI:
             return _FWCommit(path=tmp, rows=n)
 
         def commit(self, messages):
+            import glob
             import os
 
+            # round-13 review: the overwrite flag was stored but never
+            # honored, and numbering from 0 clobbered pre-existing part
+            # files on append. Overwrite clears the old parts inside
+            # the commit (the all-or-nothing point of the 2PC); append
+            # numbers past the highest existing part.
+            existing = sorted(
+                glob.glob(os.path.join(self.path, "part-*.txt"))
+            )
+            if self.overwrite:
+                for f in existing:
+                    os.remove(f)
+                base = 0
+            else:
+                base = (
+                    int(os.path.basename(existing[-1])[5:10]) + 1
+                    if existing
+                    else 0
+                )
             for i, m in enumerate(messages):
+                if m is None:  # defensive: only commit() of an all-
+                    continue  # success job should run, but mirror abort
                 os.replace(
-                    m.path, os.path.join(self.path, f"part-{i:05d}.txt")
+                    m.path,
+                    os.path.join(self.path, f"part-{base + i:05d}.txt"),
                 )
 
         def abort(self, messages):
             import os
 
+            # a FAILED task's slot is None (DataSourceWriter.abort
+            # contract) — exactly the case abort exists for; skipping
+            # it cleans the successful tasks' orphans (round-13 review)
             for m in messages:
+                if m is None:
+                    continue
                 try:
                     os.remove(m.path)
                 except FileNotFoundError:

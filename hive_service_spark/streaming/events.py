@@ -261,15 +261,21 @@ GROUP BY event_type
 
 @query("stream_watermark_dedup", oracle=_WM_DEDUP_ORACLE)
 def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked streaming dedup: dropDuplicates on event_id with a
-    1-hour watermark bounds the dedup state to one hour of event-time —
-    the production pattern for at-least-once sources. In this one-batch
-    replay nothing is late, so the result equals batch
-    COUNT(DISTINCT)."""
+    """Watermarked streaming dedup bounding state to one hour of
+    event-time — the production pattern for at-least-once sources.
+    Round-13 review: plain ``dropDuplicates(['event_id'])`` does NOT
+    get watermark eviction when the event-time column is absent from
+    the key subset — the state grew one row per event_id forever, the
+    exact defect the old docstring claimed was prevented.
+    ``dropDuplicatesWithinWatermark`` is the operator built for this:
+    retries of an id arriving within the watermark delay dedup, and
+    the key's state IS evicted once the watermark passes it. event_id
+    is unique in the corpus, so the one-batch replay still equals
+    batch COUNT(DISTINCT)."""
     deduped = (
         _stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique"))
     )

@@ -252,20 +252,23 @@ def _lsh_decide(docs: DataFrame, corp_bands: DataFrame, corp_sig: DataFrame) -> 
 # streaming count-min sketch maintenance
 # ---------------------------------------------------------------------------
 
-@query(
-    "stream_cms_ingest",
-    oracle="""
+from hive_service_spark.llm.selection import _CMS_D as _ING_CMS_D
+from hive_service_spark.llm.selection import _CMS_W as _ING_CMS_W
+
+_CMS_INGEST_ORACLE = f"""
 WITH tok AS (
   SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents
 )
 SELECT j,
        (('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || t), 1, 8))::BIGINT
-        % 64) AS b,
+        % {_ING_CMS_W}) AS b,
        CAST(COUNT(*) AS BIGINT) AS cell
-FROM tok, unnest(generate_series(0, 3)) AS g(j)
+FROM tok, unnest(generate_series(0, {_ING_CMS_D - 1})) AS g(j)
 GROUP BY 1, 2
-""",
-)
+"""
+
+
+@query("stream_cms_ingest", oracle=_CMS_INGEST_ORACLE)
 def stream_cms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE count-min sketch maintenance: the document stream is
     tokenized per micro-batch and ONE streaming aggregation keeps the

@@ -85,11 +85,15 @@ def stream_event_log_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in batch_df.select("version", "op", "deletes").collect():
             v = int(r["version"])
             n = t.read(version=v).count()
+            # every consumed event is a commit: versions at or below
+            # the stored offset (incl. the v0 CREATE_TABLE event) never
+            # pass the version filter (round-13 review: the v==0 branch
+            # here was dead code implying v0 flows through)
             spark.createDataFrame(
                 [
                     (
                         v,
-                        "CREATE_TABLE" if v == 0 else "COMMIT_TXN",
+                        "COMMIT_TXN",
                         r["op"],
                         bool(r["deletes"]),
                         n,
@@ -203,28 +207,39 @@ def stream_cdc_apply_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("status").alias("s_new"),
                 F.col("price").alias("p_new"),
             )
-            diff = old.join(new, "k", "full_outer").where(
-                F.col("s_old").isNull()
-                | F.col("s_new").isNull()
-                | (F.col("s_old") != F.col("s_new"))
-                | (F.col("p_old") != F.col("p_new"))
+            # the diff is consumed up to four times below (two
+            # emptiness probes + the merge + the delete); persist it so
+            # the two snapshot reads and the full-outer join run ONCE
+            # per version instead of per consumer (round-13 review)
+            diff = (
+                old.join(new, "k", "full_outer")
+                .where(
+                    F.col("s_old").isNull()
+                    | F.col("s_new").isNull()
+                    | (F.col("s_old") != F.col("s_new"))
+                    | (F.col("p_old") != F.col("p_new"))
+                )
+                .persist()
             )
-            upserts = diff.where(F.col("s_new").isNotNull()).select(
-                F.col("k").alias("o_orderkey"),
-                F.col("s_new").alias("status"),
-                F.col("p_new").alias("price"),
-            )
-            deleted = diff.where(F.col("s_new").isNull()).select(
-                F.col("k").alias("o_orderkey")
-            )
-            # skip empty applies: an event whose delta has no upserts
-            # (pure delete) or no deletes would otherwise publish an
-            # empty replica version (the .count() is on the bounded
-            # change set, not the table)
-            if upserts.limit(1).count():
-                replica.merge(upserts, update_cols=["status", "price"])
-            if deleted.limit(1).count():
-                replica.delete_mor_keys(deleted)
+            try:
+                upserts = diff.where(F.col("s_new").isNotNull()).select(
+                    F.col("k").alias("o_orderkey"),
+                    F.col("s_new").alias("status"),
+                    F.col("p_new").alias("price"),
+                )
+                deleted = diff.where(F.col("s_new").isNull()).select(
+                    F.col("k").alias("o_orderkey")
+                )
+                # skip empty applies: an event whose delta has no
+                # upserts (pure delete) or no deletes would otherwise
+                # publish an empty replica version (the .count() is on
+                # the bounded change set, not the table)
+                if upserts.limit(1).count():
+                    replica.merge(upserts, update_cols=["status", "price"])
+                if deleted.limit(1).count():
+                    replica.delete_mor_keys(deleted)
+            finally:
+                diff.unpersist()
 
     q = (
         events.writeStream.foreachBatch(_apply)

@@ -87,3 +87,88 @@ def test_docstream_cache_invalidates_on_same_tick_rewrite(tmp_path):
         4,
         9,
     ]
+
+
+def test_writer_abort_tolerates_failed_task_none(tmp_path):
+    """DataSourceWriter.abort receives None for FAILED tasks — exactly
+    the case abort exists for (round-13 review: m.path on None raised
+    and left successful tasks' .tmp orphans behind)."""
+    from hive_service_spark.sources.python_datasource import (
+        FixedWidthWriter,
+        _FWCommit,
+    )
+
+    d = tmp_path / "sink"
+    d.mkdir()
+    tmp = d / ".task-1-1-aa.tmp"
+    tmp.write_text("x")
+    w = FixedWidthWriter({"path": str(d)}, overwrite=False)
+    w.abort([_FWCommit(path=str(tmp), rows=1), None])
+    assert not tmp.exists()
+
+
+def test_writer_append_does_not_clobber_and_overwrite_clears(tmp_path):
+    """commit() numbers append parts past existing files and clears
+    old parts on overwrite (round-13 review: numbering from 0 silently
+    replaced the first write's rows on append; the overwrite flag was
+    stored but never honored)."""
+    import os
+
+    from hive_service_spark.sources.python_datasource import (
+        FixedWidthWriter,
+        _FWCommit,
+    )
+
+    d = tmp_path / "sink2"
+    d.mkdir()
+
+    def _task(name, text):
+        p = d / name
+        p.write_text(text)
+        return _FWCommit(path=str(p), rows=1)
+
+    w = FixedWidthWriter({"path": str(d)}, overwrite=False)
+    w.commit([_task(".t1.tmp", "a\n")])
+    w.commit([_task(".t2.tmp", "b\n")])  # append: must not clobber
+    parts = sorted(os.listdir(d))
+    assert parts == ["part-00000.txt", "part-00001.txt"], parts
+    assert (d / "part-00000.txt").read_text() == "a\n"
+
+    wo = FixedWidthWriter({"path": str(d)}, overwrite=True)
+    wo.commit([_task(".t3.tmp", "c\n")])
+    parts = sorted(os.listdir(d))
+    assert parts == ["part-00000.txt"], parts
+    assert (d / "part-00000.txt").read_text() == "c\n"
+
+
+def test_fixed_width_pads_short_status(spark, tmp_path):
+    """A status shorter than its field width must pad, not shrink the
+    line (round-13 review: '{:.1s}' truncated only, so an empty status
+    produced a short line the reader silently dropped)."""
+    import pyspark.sql.functions as F
+
+    from hive_service_spark.sources.python_datasource import (
+        FixedWidthSinkSource,
+    )
+
+    spark.dataSource.register(FixedWidthSinkSource)
+    d = str(tmp_path / "sink3")
+    df = spark.createDataFrame(
+        [(1, "", "10.00", "5-LOW")],
+        "o_orderkey bigint, o_orderstatus string, o_price_str string, "
+        "o_orderpriority string",
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_price_str").cast("double").alias("o_price"),
+        "o_orderpriority",
+    )
+    # the sink schema matches (key, status, price, priority)
+    df.write.format("fixedwidthsink").option("path", d).mode(
+        "append"
+    ).save()
+    back = (
+        spark.read.format("fixedwidthsink").option("path", d).load()
+    )
+    rows = back.collect()
+    assert len(rows) == 1 and rows[0].o_orderkey == 1
