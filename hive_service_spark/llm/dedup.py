@@ -44,7 +44,6 @@ _H_SQL = "('0x'||substr(md5({s}),1,8))::BIGINT"
 _MH_A = [2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53]
 _MH_B = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
 _MH_P = 2147483647  # 2^31-1 (Mersenne); a*H < 53*2^32 << 2^63, no overflow
-_POW2 = [1 << j for j in range(16)]
 
 # Shingles in more than this many documents are dropped from the
 # inverted-index self-join in dedup_ngram_jaccard (each contributes
@@ -140,29 +139,31 @@ WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.8
 """
 
 
-@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by 3-gram Jaccard >= 0.8 via inverted-index join:
-    explode distinct shingles, hash each to 60 bits, equi-join on the
-    HASH (8-byte shuffle keys and integer comparisons instead of ~30-
-    char strings; the oracle hashes identically, and 60-bit collisions
-    are ~|shingles|²/2⁶¹ ≈ never), count shared, then
-    |A∩B| / (|A|+|B|-|A∩B|). The only shuffles are on the shingle hash
-    and the (doc_a, doc_b) pair key — never a cross join.
+def _shingle_shared_counts(spark, sf_dir):
+    """Shared 3-gram candidate generator for the Jaccard-family pair
+    queries — ONE copy of the shingle/postings/hot-cap/self-join
+    pipeline (round-13 review: dedup_ngram_jaccard and
+    dedup_containment_pairs carried near-verbatim twins, so a cap or
+    hint fix in one had to be remembered in the other). Returns
+    ``(shared, sizes)``: the directed (doc_a < doc_b) pair frame with
+    n_shared, and the per-document FULL shingle-set sizes.
 
-    Hot-shingle cap: a shingle appearing in more than
-    ``_HOT_SHINGLE_DF_CAP`` documents (stopword shingles on real web
-    text: "one of the", boilerplate headers) would contribute O(df²)
-    candidate pairs — the quadratic bucket blowup that kills this join
-    at 100 TB. Such shingles carry ~no Jaccard signal (they are in
-    everything), so they are dropped from the POSTINGS list before the
-    self-join: df counts reuse the shingle partitioning (no extra
-    shuffle) and the tiny hot set broadcasts into a map-side anti-join.
-    Denominators still use FULL shingle-set sizes. The cap is far above
-    any df in the synthetic testdata, so oracle results are unchanged
-    there; on real corpora it trades a bounded Jaccard overestimate on
-    boilerplate-heavy pairs for join feasibility (the standard
-    MinHash/LSH-era engineering compromise)."""
+    Plan discipline (the scale story both callers inherit):
+    - repartition straight off the scan — a small parquet file is ONE
+      split, which would serialize the per-row shingle work; at 100 TB
+      the scan has thousands of splits and this is a no-op to remove;
+    - persist sh and the postings list: both sides of the self-join
+      read them, and AQE stage reuse is not guaranteed;
+    - 60-bit md5-derived shingle hashes: 8-byte shuffle keys, and the
+      oracle hashes identically (collisions ~|shingles|^2 / 2^61);
+    - hot-shingle df cap (> _HOT_SHINGLE_DF_CAP docs): stopword
+      shingles would contribute O(df^2) candidate pairs — dropped from
+      the POSTINGS before the self-join via a broadcast anti-join; df
+      counts reuse the shingle partitioning (no extra shuffle); the
+      denominators still use FULL set sizes;
+    - shuffle_hash hint on the self-join: AQE would flip the tiny
+      postings side to broadcast and serialize the pair-space
+      expansion (measured 4-15x slower tails)."""
     d = load(spark, sf_dir, "documents")
     # repartition straight off the scan: a small parquet file is ONE
     # split, which would serialize all per-row shingle work on a single
@@ -218,6 +219,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+    return shared, sizes
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-gram Jaccard >= 0.8 via inverted-index join:
+    explode distinct shingles, hash each to 60 bits, equi-join on the
+    HASH (8-byte shuffle keys and integer comparisons instead of ~30-
+    char strings; the oracle hashes identically, and 60-bit collisions
+    are ~|shingles|²/2⁶¹ ≈ never), count shared, then
+    |A∩B| / (|A|+|B|-|A∩B|). The only shuffles are on the shingle hash
+    and the (doc_a, doc_b) pair key — never a cross join.
+
+    Hot-shingle cap: a shingle appearing in more than
+    ``_HOT_SHINGLE_DF_CAP`` documents (stopword shingles on real web
+    text: "one of the", boilerplate headers) would contribute O(df²)
+    candidate pairs — the quadratic bucket blowup that kills this join
+    at 100 TB. Such shingles carry ~no Jaccard signal (they are in
+    everything), so they are dropped from the POSTINGS list before the
+    self-join: df counts reuse the shingle partitioning (no extra
+    shuffle) and the tiny hot set broadcasts into a map-side anti-join.
+    Denominators still use FULL shingle-set sizes. The cap is far above
+    any df in the synthetic testdata, so oracle results are unchanged
+    there; on real corpora it trades a bounded Jaccard overestimate on
+    boilerplate-heavy pairs for join feasibility (the standard
+    MinHash/LSH-era engineering compromise)."""
+    shared, sizes = _shingle_shared_counts(spark, sf_dir)
     jac = F.col("n_shared") / (F.col("sa.n") + F.col("sb.n") - F.col("n_shared"))
     # NO broadcast hint on `sizes`: it has one row per document, so at
     # 100 TB it is billions of rows — a forced broadcast would pin the
@@ -1229,42 +1257,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical plan discipline to dedup_ngram_jaccard — postings
     self-join on the hash with the hot-shingle df cap, pair-key
     aggregate, broadcast size lookup; never a cross join."""
-    d = load(spark, sf_dir, "documents")
-    sh = persisted(
-        d.repartition(par(spark))
-        .where(F.size(F.split("text", " ")) >= 3)
-        .select("doc_id", _shingles().alias("s"))
-    )
-    sizes = sh.select("doc_id", F.size("s").alias("n"))
-    inv = persisted(
-        sh.select("doc_id", F.explode("s").alias("t"))
-        .select(
-            "doc_id",
-            F.conv(F.substring(F.md5("t"), 1, 15), 16, 10)
-            .cast("bigint")
-            .alias("shingle"),
-        )
-        .repartition(par(spark), "shingle")
-    )
-    hot = (
-        inv.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > _HOT_SHINGLE_DF_CAP)
-        .select("shingle")
-    )
-    inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
-    a, b = inv.alias("a"), inv.alias("b")
-    shared = (
-        a.join(
-            b.hint("shuffle_hash"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
+    shared, sizes = _shingle_shared_counts(spark, sf_dir)
     na, nb = F.col("sa.n"), F.col("sb.n")
     jac = F.col("n_shared") / (na + nb - F.col("n_shared"))
     containment = F.col("n_shared") / F.least(na, nb)

@@ -133,8 +133,26 @@ def _decode_payload(b: bytes, decode: bool):
     'P5' is never silently misread as an image."""
     import numpy as np
 
-    if decode and _try_real_decoder() == "pgm":
-        return _decode_pgm(b)[2]
+    if decode:
+        dec = _try_real_decoder()
+        if dec == "pil":
+            # PIL present: real image decode (round-13 review: this
+            # branch previously fell through to the RAW view, so
+            # installing PIL silently changed every decode-path
+            # statistic instead of upgrading the decoder). PGM parse
+            # stays the fallback for payloads PIL rejects.
+            try:
+                import io
+
+                from PIL import Image
+
+                return np.asarray(
+                    Image.open(io.BytesIO(b)).convert("L"), dtype=np.uint8
+                ).ravel()
+            except Exception:
+                return _decode_pgm(b)[2]
+        if dec == "pgm":
+            return _decode_pgm(b)[2]
     return np.frombuffer(b, dtype=np.uint8)
 
 
@@ -360,6 +378,12 @@ def _stride_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if not len(payload):
+                # the oracle's generate_series(1, 0) emits no rows for
+                # an empty payload — omit the doc here too instead of
+                # emitting a (0, md5('')) row it can't match
+                # (round-13 review)
+                continue
             thumb = bytes(payload)[::8]
             out.append((doc_id, len(thumb), hashlib.md5(thumb).hexdigest()))
         yield pd.DataFrame(out, columns=["doc_id", "thumb_bytes", "thumb_md5"])
@@ -441,13 +465,17 @@ def mm_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, buf in zip(pdf["doc_id"], pdf["win"]):
                 n = len(buf) // 2
                 a = np.frombuffer(buf[: 2 * n], dtype="<i2").astype(np.int64)
+                # n == 0 (payload < 2 bytes): a.max() raises on a
+                # zero-size array; the oracle's list_sum([])/list_max([])
+                # are NULL for the same doc, so emit the NULL-stats row
+                # (round-13 review)
                 rows.append(
                     (
                         int(doc_id),
                         n,
-                        int(a.sum()),
-                        int((a * a).sum()),
-                        int(a.max()),
+                        int(a.sum()) if n else None,
+                        int((a * a).sum()) if n else None,
+                        int(a.max()) if n else None,
                     )
                 )
             yield pd.DataFrame(

@@ -32,8 +32,13 @@ from hive_service_spark.catalog import load, par
 from hive_service_spark.llm.dedup import _h, _shingles
 from hive_service_spark.registry import persisted, query
 
-_EN_RE = r"\b(the|a|and|or|of|to|in|is|for|on|with)\b"
-_ES_RE = r"\b(el|la|los|las|de|en|y|que|un|una|por)\b"
+# built from text.py's marker lists (round-13 review: an inlined copy
+# could silently desynchronize this pipeline's language gate from the
+# standalone text_langid_heuristic it claims to replicate)
+from hive_service_spark.llm.text import _EN_MARKERS, _ES_MARKERS
+
+_EN_RE = r"\b(" + "|".join(_EN_MARKERS) + r")\b"
+_ES_RE = r"\b(" + "|".join(_ES_MARKERS) + r")\b"
 
 _PIPELINE_ORACLE = f"""
 WITH scored AS (

@@ -777,8 +777,14 @@ def _km_assign(v: DataFrame, cent: DataFrame) -> DataFrame:
     lexicographic struct-min IS that tie-break, and the hash aggregate
     partially reduces the k*n pair space map-side, where a window
     argmin would shuffle-and-sort all of it."""
+    # ||v||^2 via the SAME left-to-right _dot fold the oracle's
+    # list_dot_product(e, e) uses — nr*nr is fl(sqrt(x))^2, which
+    # differs from x in the last ulp for ~half of doubles, and a d2
+    # landing within that ulp of a ROUND(,6) boundary would flip the
+    # rounded distance (and possibly the argmin) between engines
+    # (round-13 review; the file's own _COS_SQL discipline)
     d2 = F.round(
-        F.col("v.nr") * F.col("v.nr")
+        _dot(F.col("v.e"), F.col("v.e"))
         - 2 * _dot(F.col("v.e"), F.col("cent.c"))
         + _dot(F.col("cent.c"), F.col("cent.c")),
         6,
@@ -949,6 +955,25 @@ def ann_lsh_bucketed_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CREATE DATABASE IF NOT EXISTS hs_scratch "
         f"LOCATION '{SCRATCH_ROOT}/warehouse'"
     )
+    # per-pid name keeps concurrent runs isolated; a companion reaper
+    # drops indexes whose owning process died (round-13 review: the
+    # build otherwise leaked one full signature table per process —
+    # scratch.py's namespace reaper never covered warehouse tables)
+    import re as _re
+
+    wh = f"{SCRATCH_ROOT}/warehouse"
+    if os.path.isdir(wh):
+        for d in os.listdir(wh):
+            m = _re.fullmatch(r"lsh_index_(\d+)", d)
+            if not m or int(m.group(1)) == os.getpid():
+                continue
+            try:
+                os.kill(int(m.group(1)), 0)
+            except ProcessLookupError:
+                spark.sql(f"DROP TABLE IF EXISTS hs_scratch.{d}")
+                shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+            except PermissionError:
+                pass
     tbl = f"lsh_index_{os.getpid()}"
     spark.sql(f"DROP TABLE IF EXISTS hs_scratch.{tbl}")
     shutil.rmtree(f"{SCRATCH_ROOT}/warehouse/{tbl}", ignore_errors=True)
@@ -1420,8 +1445,10 @@ def ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         _km_assign(v, cent).join(v.select("vec_id", "nr"), "vec_id")
     )
     q0 = cells.where(F.expr(_IS_QUERY)).select("vec_id", "e", "nr")
+    # exact ||q||^2 (not nr*nr) — same engine-lockstep rationale as
+    # _km_assign (round-13 review)
     d2q = F.round(
-        F.col("nr") * F.col("nr")
+        _dot(F.col("e"), F.col("e"))
         - 2 * _dot(F.col("e"), F.col("cent.c"))
         + _dot(F.col("cent.c"), F.col("cent.c")),
         6,

@@ -209,10 +209,14 @@ def text_ngrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregation keeps the shuffle small at scale."""
     d = load(spark, sf_dir, "documents")
     w = F.split("text", " ")
-    grams = F.transform(
+    # guard the short-doc edge (round-13 review): sequence(0, -1) is a
+    # DESCENDING [0, -1] in Spark, and element_at(w, 0) then throws
+    # INVALID_INDEX_OF_ZERO — a 1-word document would crash the job
+    # where the oracle's generate_series is simply empty
+    grams = F.when(F.size(w) >= 2, F.transform(
         F.sequence(F.lit(0), F.size(w) - 2),
         lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
-    )
+    )).otherwise(F.array().cast("array<string>"))
     return (
         d.select(F.explode(grams).alias("gram"))
         .groupBy("gram")
@@ -249,13 +253,18 @@ def text_context_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the filter drops ~99% of grams map-side."""
     d = load(spark, sf_dir, "documents")
     w = F.split("text", " ")
-    tri = F.transform(
+    # same short-doc guard as text_ngrams_top (round-13 review): a
+    # <3-word document's sequence(0, -1) walks DESCENDING into
+    # element_at(w, 0) and crashes where the oracle is just empty
+    tri = F.when(F.size(w) >= 3, F.transform(
         F.sequence(F.lit(0), F.size(w) - 3),
         lambda i: F.struct(
             F.element_at(w, i + 1).alias("c1"),
             F.element_at(w, i + 2).alias("c2"),
             F.element_at(w, i + 3).alias("c3"),
         ),
+    )).otherwise(
+        F.array().cast("array<struct<c1:string,c2:string,c3:string>>")
     )
     g = d.select(F.explode(tri).alias("g")).where(F.col("g.c2") == "the")
     return (

@@ -103,3 +103,62 @@ def test_overflow_wraps(spark):
         "SELECT 9223372036854775807 + CAST(1 AS BIGINT) AS v"
     ).collect()[0]
     assert row["v"] == -9223372036854775808
+
+
+def test_ngram_queries_survive_short_documents(spark):
+    """Round-13 review: sequence(0, -1) is DESCENDING in Spark, so a
+    1-word doc drove element_at(w, 0) -> INVALID_INDEX_OF_ZERO inside
+    the ngram transforms, where the DuckDB oracle's generate_series is
+    simply empty. The guarded transforms must yield zero grams for
+    short docs — not crash — if a regenerated corpus ever contains
+    them."""
+    import pyspark.sql.functions as F
+
+    w = F.split("text", " ")
+    grams = F.when(F.size(w) >= 2, F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    df = spark.createDataFrame(
+        [("one",), ("",), ("two words",), ("three little words",)],
+        "text string",
+    )
+    got = df.select(F.explode(grams).alias("g")).collect()
+    assert sorted(r.g for r in got) == [
+        "little words", "three little", "two words"
+    ]
+    # the REGISTERED queries run the guarded shape — prove by running
+    # them over a view that includes the degenerate docs
+    from hive_service_spark.llm.text import (
+        text_context_ngrams,
+        text_ngrams_top,
+    )
+    import hive_service_spark.catalog as cat
+
+    orig_load = cat.load
+
+    def fake_load(spark_, sf_dir_, table):
+        if table == "documents":
+            return spark.createDataFrame(
+                [(1, "one", "en", "s", 3), (2, "in the end", "en", "s", 10),
+                 (3, "at the start now", "en", "s", 16), (4, "", "en", "s", 0)],
+                "doc_id bigint, text string, lang string, source string, "
+                "n_chars bigint",
+            )
+        return orig_load(spark_, sf_dir_, table)
+
+    import hive_service_spark.llm.text as textmod
+
+    old = textmod.load
+    textmod.load = fake_load
+    try:
+        top = text_ngrams_top(spark, "unused").collect()
+        assert ("in the", 1) in [(r.gram, r.freq) for r in top]
+        ctx = text_context_ngrams(spark, "unused").collect()
+        assert [(r.context, r.completion) for r in ctx] == [
+            ("at the", "start"), ("in the", "end")
+        ]
+    finally:
+        textmod.load = old
