@@ -268,7 +268,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle closure is a second equi-join on the (a, c) pair — the
     textbook 2-round MapReduce triangle algorithm, no node ever sees
     more than its neighborhood."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # pre-distinct (order, supplier) like the pagerank/label-prop edge
+    # builds (round-13 review: a supplier shipping several lineitems of
+    # one order multiplied the pair expansion k^2 before the edge
+    # DISTINCT collapsed it — same result, wasted shuffle)
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
     edges = persisted(
         li.alias("a")
         .join(

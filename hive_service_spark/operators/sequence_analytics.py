@@ -67,8 +67,13 @@ def seq_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     pathology; the streaming analog is stream_session_window."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # gap in MICROseconds (round-13 review): cast('long') truncates to
+    # whole seconds while the oracle compares full-microsecond
+    # intervals — a true gap in (1800, 1801)s with frac(t2) > frac(t1)
+    # would start a session in DuckDB but not here. unix_micros is the
+    # exact integer both engines agree on.
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     sess = ev.withColumn("new_sess", new_sess).withColumn(
         "session_no",
         F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
@@ -87,7 +92,7 @@ def seq_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- MatchPath-style pattern: view -> view -> purchase ----------------------
 
-_FUNNEL_ORACLE = """
+_MATCHPATH_FUNNEL_ORACLE = """
 WITH o AS (
   SELECT user_id, ts, event_type, event_id,
          LEAD(event_type, 1) OVER w AS e1,
@@ -106,7 +111,7 @@ ORDER BY user_id, path_start
 """
 
 
-@query("seq_matchpath_funnel", oracle=_FUNNEL_ORACLE)
+@query("seq_matchpath_funnel", oracle=_MATCHPATH_FUNNEL_ORACLE)
 def seq_matchpath_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MatchPath('view.view.purchase') analog: find every consecutive
     view->view->purchase run per user. The reference's MatchPath PTF
@@ -158,7 +163,6 @@ def _bloom_pos(col, i: int):
     )
 
 
-_BLOOM_POS_SQL = "(('0x'||substr(md5('b{i}_'||{c}),1,8))::BIGINT % 4096)"
 
 # The oracle proves the END RESULT equals a plain semi join — the bloom
 # is a pure pre-filter whose false positives the real join removes.
@@ -854,6 +858,10 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FUNNEL_WINDOW_US = 7 * 86400 * 1000000  # conversion window: 7 days
 
+# the window-funnel oracle — ALSO imported by streaming/events.py for
+# stream_window_funnel (round-13 review: this name used to shadow the
+# matchpath funnel's oracle above, now _MATCHPATH_FUNNEL_ORACLE, and
+# the import silently depended on definition order)
 _FUNNEL_ORACLE = f"""
 WITH ev AS (
   SELECT user_id, event_type, epoch_us(ts) AS t
@@ -1152,6 +1160,41 @@ ORDER BY p.from_type, p.to_type
 """
 
 
+def _markov_quantized_matrix(ev: DataFrame) -> DataFrame:
+    """ONE transition-matrix builder shared by seq_markov_transitions
+    and seq_markov_capped (round-13 review: verbatim twin pipelines):
+    per-user LAG pairing on (unix_micros(ts), event_id), global
+    counts on the |states|^2-bounded key space, probabilities
+    FLOOR-quantized to parts-per-million (exact integer rationals,
+    bit-stable on both engines). Returns (from_type, to_type,
+    n_trans, prob_q)."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    ordered = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        ordered.where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
+    )
+    totals = trans.groupBy("from_type").agg(
+        F.sum("n_trans").cast("bigint").alias("n_from")
+    )
+    return trans.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.floor(F.lit(1000000.0) * F.col("n_trans") / F.col("n_from"))
+        .cast("bigint")
+        .alias("prob_q"),
+    )
+
+
 @query("seq_markov_transitions", oracle=_MARKOV_ORACLE)
 def seq_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov model of user behavior: the event-type
@@ -1176,32 +1219,8 @@ def seq_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle for the window, one for the counts; everything after is
     broadcast-sized."""
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.unix_micros("ts"), "event_id"
-    )
-    ordered = ev.select(
-        "event_type", F.lag("event_type").over(w).alias("prev_type")
-    )
-    trans = (
-        ordered.where(F.col("prev_type").isNotNull())
-        .groupBy(
-            F.col("prev_type").alias("from_type"),
-            F.col("event_type").alias("to_type"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
-    )
-    totals = trans.groupBy("from_type").agg(
-        F.sum("n_trans").cast("bigint").alias("n_from")
-    )
-    p = trans.join(totals, "from_type").select(
-        "from_type",
-        "to_type",
-        "n_trans",
-        F.floor(F.lit(1000000.0) * F.col("n_trans") / F.col("n_from"))
-        .cast("bigint")
-        .alias("prob_q"),
-    )
-    states = trans.select(F.col("from_type").alias("s")).distinct()
+    p = _markov_quantized_matrix(ev)
+    states = p.select(F.col("from_type").alias("s")).distinct()
     n_states = states.count()  # |event types| — a tiny scalar
     pi = states.select(
         "s", F.lit(int(1000000.0 // n_states)).cast("bigint").alias("v")
@@ -1257,24 +1276,12 @@ ORDER BY rnk LIMIT 20
 """
 
 
-@query("seq_top_journey_paths", oracle=_PATHS_ORACLE)
-def seq_top_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top user-journey paths: the 3-step event-type trigrams users
-    actually walk, ranked by occurrence (the Sankey/flow view product
-    analytics builds; the multi-step complement of
-    seq_markov_transitions' one-step matrix — a path count is a
-    higher-order Markov cell, revealing sequences the first-order
-    matrix factorizes away). Two LAGs in one per-user sorted window
-    pass produce every sliding trigram; counts aggregate on the path
-    key, whose cardinality is bounded by |types|^3 regardless of
-    corpus size. Exact integers end to end; ties rank by path string
-    for a total order.
-
-    100 TB reading: one window shuffle (per-user sort, 2-row state),
-    one bounded-key aggregation, and a top-20 TakeOrderedAndProject —
-    the per-user window is the same pass sessionization already pays,
-    so in a real pipeline both derive from one sorted scan."""
-    ev = load(spark, sf_dir, "events")
+def _top_journey_trigrams(ev: DataFrame) -> DataFrame:
+    """ONE trigram-path builder shared by seq_top_journey_paths and
+    seq_journeys_capped (round-13 review: verbatim twin pipelines):
+    two LAGs in one per-user sorted window pass produce every sliding
+    trigram; counts aggregate on the |types|^3-bounded path key; top
+    20 ranked by occurrences then path string."""
     w = Window.partitionBy("user_id").orderBy(
         F.unix_micros("ts"), "event_id"
     )
@@ -1302,6 +1309,26 @@ def seq_top_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rnk", F.row_number().over(w_rank).cast("bigint")
     ).orderBy("rnk")
+
+
+@query("seq_top_journey_paths", oracle=_PATHS_ORACLE)
+def seq_top_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey paths: the 3-step event-type trigrams users
+    actually walk, ranked by occurrence (the Sankey/flow view product
+    analytics builds; the multi-step complement of
+    seq_markov_transitions' one-step matrix — a path count is a
+    higher-order Markov cell, revealing sequences the first-order
+    matrix factorizes away). Two LAGs in one per-user sorted window
+    pass produce every sliding trigram; counts aggregate on the path
+    key, whose cardinality is bounded by |types|^3 regardless of
+    corpus size. Exact integers end to end; ties rank by path string
+    for a total order.
+
+    100 TB reading: one window shuffle (per-user sort, 2-row state),
+    one bounded-key aggregation, and a top-20 TakeOrderedAndProject —
+    the per-user window is the same pass sessionization already pays,
+    so in a real pipeline both derive from one sorted scan."""
+    return _top_journey_trigrams(load(spark, sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------
@@ -1719,6 +1746,67 @@ ORDER BY p.user_id, purchase_id
 """
 
 
+def _attribution_pipeline(base: DataFrame, capped: bool) -> DataFrame:
+    """ONE multi-touch attribution pipeline shared by
+    seq_attribution_credit and seq_attribution_capped (round-13
+    review: two verbatim ~40-line copies meant a semantics fix — the
+    7-day predicate, the credit split — had to be remembered twice).
+    ``base`` carries (user_id, event_id, event_type, ts, value) plus
+    ``user_capped`` when ``capped``; the pcnt window rides whatever
+    user_id sort-shuffle the caller's input already established."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    extra = ["user_capped"] if capped else []
+    ev = base.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        *extra,
+        F.unix_micros("ts").alias("t_us"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_c"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(w)
+        .cast("bigint")
+        .alias("pcnt"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        (F.col("pcnt") + 1).alias("idx"),
+        F.col("ts").alias("c_ts"),
+        F.col("t_us").alias("c_us"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("pcnt").alias("idx"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("t_us").alias("p_us"),
+        F.col("v_c").alias("p_c"),
+        *extra,
+    )
+    aggs = [
+        F.max("p_c").cast("bigint").alias("purchase_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_clicks"),
+        F.expr("CAST((100 * MAX(p_c)) DIV COUNT(*) AS BIGINT)").alias(
+            "linear_credit_cc"
+        ),
+        F.min("c_ts").alias("first_click_ts"),
+        F.max("c_ts").alias("last_click_ts"),
+    ]
+    if capped:
+        aggs.append(F.max("user_capped").alias("user_capped"))
+    return (
+        purchases.join(clicks, ["user_id", "idx"])
+        .where(F.col("p_us") - F.col("c_us") <= 604800000000)
+        .groupBy("user_id", "purchase_id")
+        .agg(*aggs)
+        .orderBy("user_id", "purchase_id")
+    )
+
+
 @query("seq_attribution_credit", oracle=_ATTRIB_ORACLE)
 def seq_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-touch purchase attribution: every click is credited to the
@@ -1742,50 +1830,8 @@ def seq_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks-per-purchase-cycle, so no key is hotter than one user's
     inter-purchase click burst. Same partition discipline as the
     reference's PTFOperator + MapJoin pipeline (SURVEY §2.4/§2.5)."""
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ev = load(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        "event_type",
-        "ts",
-        F.unix_micros("ts").alias("t_us"),
-        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_c"),
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
-        .over(w)
-        .cast("bigint")
-        .alias("pcnt"),
-    )
-    clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id",
-        (F.col("pcnt") + 1).alias("idx"),
-        F.col("ts").alias("c_ts"),
-        F.col("t_us").alias("c_us"),
-    )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("pcnt").alias("idx"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("t_us").alias("p_us"),
-        F.col("v_c").alias("p_c"),
-    )
-    return (
-        purchases.join(clicks, ["user_id", "idx"])
-        .where(F.col("p_us") - F.col("c_us") <= 604800000000)
-        .groupBy("user_id", "purchase_id")
-        .agg(
-            F.max("p_c").cast("bigint").alias("purchase_cents"),
-            F.count(F.lit(1)).cast("bigint").alias("n_clicks"),
-            F.expr("CAST((100 * MAX(p_c)) DIV COUNT(*) AS BIGINT)").alias(
-                "linear_credit_cc"
-            ),
-            F.min("c_ts").alias("first_click_ts"),
-            F.max("c_ts").alias("last_click_ts"),
-        )
-        .orderBy("user_id", "purchase_id")
+    return _attribution_pipeline(
+        load(spark, sf_dir, "events"), capped=False
     )
 
 
@@ -1932,8 +1978,13 @@ def seq_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = capped_user_prefix(
         ev.select("user_id", "ts", "value", "event_id")
     )
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # gap in MICROseconds (round-13 review): cast('long') truncates to
+    # whole seconds while the oracle compares full-microsecond
+    # intervals — a true gap in (1800, 1801)s with frac(t2) > frac(t1)
+    # would start a session in DuckDB but not here. unix_micros is the
+    # exact integer both engines agree on.
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     sess = capped.withColumn("new_sess", new_sess).withColumn(
         "session_no",
         F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
@@ -2095,55 +2146,11 @@ def seq_attribution_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hard bound SCALE.md's 50%-ownership row contrasts against the
     uncapped straggler."""
     ev = load(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    capped = capped_user_prefix(
-        ev.select("user_id", "event_id", "event_type", "ts", "value")
-    ).select(
-        "user_id",
-        "event_id",
-        "event_type",
-        "ts",
-        "user_capped",
-        F.unix_micros("ts").alias("t_us"),
-        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_c"),
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
-        .over(w)
-        .cast("bigint")
-        .alias("pcnt"),
-    )
-    clicks = capped.where(F.col("event_type") == "click").select(
-        "user_id",
-        (F.col("pcnt") + 1).alias("idx"),
-        F.col("ts").alias("c_ts"),
-        F.col("t_us").alias("c_us"),
-    )
-    purchases = capped.where(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("pcnt").alias("idx"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("t_us").alias("p_us"),
-        F.col("v_c").alias("p_c"),
-        "user_capped",
-    )
-    return (
-        purchases.join(clicks, ["user_id", "idx"])
-        .where(F.col("p_us") - F.col("c_us") <= 604800000000)
-        .groupBy("user_id", "purchase_id")
-        .agg(
-            F.max("p_c").cast("bigint").alias("purchase_cents"),
-            F.count(F.lit(1)).cast("bigint").alias("n_clicks"),
-            F.expr("CAST((100 * MAX(p_c)) DIV COUNT(*) AS BIGINT)").alias(
-                "linear_credit_cc"
-            ),
-            F.min("c_ts").alias("first_click_ts"),
-            F.max("c_ts").alias("last_click_ts"),
-            F.max("user_capped").alias("user_capped"),
-        )
-        .orderBy("user_id", "purchase_id")
+    return _attribution_pipeline(
+        capped_user_prefix(
+            ev.select("user_id", "event_id", "event_type", "ts", "value")
+        ),
+        capped=True,
     )
 
 
@@ -2195,36 +2202,8 @@ def seq_markov_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("user_id", "event_type", "ts", "event_id"),
         order_cols=("ts", "event_id"),
     )
-    w = Window.partitionBy("user_id").orderBy(
-        F.unix_micros("ts"), "event_id"
-    )
-    ordered = capped.select(
-        "event_type", F.lag("event_type").over(w).alias("prev_type")
-    )
-    trans = (
-        ordered.where(F.col("prev_type").isNotNull())
-        .groupBy(
-            F.col("prev_type").alias("from_type"),
-            F.col("event_type").alias("to_type"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
-    )
-    totals = trans.groupBy("from_type").agg(
-        F.sum("n_trans").cast("bigint").alias("n_from")
-    )
-    return (
-        trans.join(totals, "from_type")
-        .select(
-            "from_type",
-            "to_type",
-            "n_trans",
-            F.floor(
-                F.lit(1000000.0) * F.col("n_trans") / F.col("n_from")
-            )
-            .cast("bigint")
-            .alias("prob_q"),
-        )
-        .orderBy("from_type", "to_type")
+    return _markov_quantized_matrix(capped).orderBy(
+        "from_type", "to_type"
     )
 
 
@@ -2273,30 +2252,4 @@ def seq_journeys_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = capped_user_prefix(
         ev.select("user_id", "event_type", "ts", "event_id")
     )
-    w = Window.partitionBy("user_id").orderBy(
-        F.unix_micros("ts"), "event_id"
-    )
-    ordered = capped.select(
-        "user_id",
-        F.col("event_type").alias("s3"),
-        F.lag("event_type", 1).over(w).alias("s2"),
-        F.lag("event_type", 2).over(w).alias("s1"),
-    )
-    paths = (
-        ordered.where(F.col("s1").isNotNull())
-        .select(
-            F.concat_ws(">", "s1", "s2", "s3").alias("path"), "user_id"
-        )
-        .groupBy("path")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
-            F.count_distinct("user_id").cast("bigint").alias("n_users"),
-        )
-    )
-    top = paths.orderBy(
-        F.col("n_occurrences").desc(), F.col("path")
-    ).limit(20)
-    w_rank = Window.orderBy(F.col("n_occurrences").desc(), F.col("path"))
-    return top.withColumn(
-        "rnk", F.row_number().over(w_rank).cast("bigint")
-    ).orderBy("rnk")
+    return _top_journey_trigrams(capped)

@@ -363,8 +363,13 @@ def seq_sessionize_quarantined(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", _QK_MAX_SHARE, _QK_MIN_ROWS
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # gap in MICROseconds (round-13 review): cast('long') truncates to
+    # whole seconds while the oracle compares full-microsecond
+    # intervals — a true gap in (1800, 1801)s with frac(t2) > frac(t1)
+    # would start a session in DuckDB but not here. unix_micros is the
+    # exact integer both engines agree on.
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     sess = clean.withColumn("new_sess", new_sess).withColumn(
         "session_no",
         F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
@@ -461,8 +466,13 @@ def seq_sessionize_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     capped = _qk_capped_prefix(clean, _QK_CAP)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # gap in MICROseconds (round-13 review): cast('long') truncates to
+    # whole seconds while the oracle compares full-microsecond
+    # intervals — a true gap in (1800, 1801)s with frac(t2) > frac(t1)
+    # would start a session in DuckDB but not here. unix_micros is the
+    # exact integer both engines agree on.
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     sess = capped.withColumn("new_sess", new_sess).withColumn(
         "session_no",
         F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),

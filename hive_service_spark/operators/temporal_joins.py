@@ -158,8 +158,13 @@ def temporal_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SCD2_PIT_ORACLE = """
 WITH dim AS (
+  -- v1 valid from the epoch sentinel, not the data's first order date:
+  -- validity intervals must genuinely PARTITION the timeline (the
+  -- docstring's claim), so a regenerated corpus with earlier orders
+  -- attributes them to version 1 instead of silently dropping them on
+  -- both engines (round-13 review)
   SELECT c_custkey, c_mktsegment AS segment,
-         TIMESTAMP '1995-01-01' AS valid_from,
+         TIMESTAMP '1970-01-01' AS valid_from,
          CASE WHEN c_custkey % 7 = 0 THEN TIMESTAMP '1997-01-01' END
            AS valid_to
   FROM customer
@@ -200,7 +205,8 @@ def temporal_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = cust.select(
         "c_custkey",
         F.col("c_mktsegment").alias("segment"),
-        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        # epoch sentinel — see the oracle comment (round-13 review)
+        F.lit("1970-01-01").cast("timestamp").alias("valid_from"),
         F.when(
             F.col("c_custkey") % 7 == 0,
             F.lit("1997-01-01").cast("timestamp"),

@@ -181,11 +181,13 @@ SELECT
   event_id,
   ts,
   COUNT(*) OVER (
-    PARTITION BY user_id ORDER BY epoch(ts)
-    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS events_last_hour,
+    PARTITION BY user_id ORDER BY epoch_us(ts)
+    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    AS events_last_hour,
   ROUND(SUM(value) OVER (
-    PARTITION BY user_id ORDER BY epoch(ts)
-    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW), 4) AS value_last_day
+    PARTITION BY user_id ORDER BY epoch_us(ts)
+    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW), 4)
+    AS value_last_day
 FROM events
 WHERE user_id < 20
 """
@@ -193,17 +195,23 @@ WHERE user_id < 20
 
 @query("window_time_range", oracle=_TIME_RANGE_ORACLE)
 def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-based RANGE frame via epoch seconds (reference
+    """Time-based RANGE frame via epoch MICROseconds (reference
     TimestampValueBoundaryScanner; portable across engines as numeric
-    range on unix time)."""
+    range on unix time). Round-13 review: unix_timestamp() truncates
+    to whole seconds while DuckDB's epoch() is fractional — an event
+    pair landing within 1 s of the 3600 s boundary with the right
+    fractions would sit inside one engine's frame and outside the
+    other's. unix_micros / epoch_us is the exact integer both engines
+    share (the repo's sessionize/time-weight discipline)."""
     e = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
-    w = Window.partitionBy("user_id").orderBy(F.unix_timestamp("ts"))
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+    us_h, us_d = 3600 * 1_000_000, 86400 * 1_000_000
     return e.select(
         "user_id",
         "event_id",
         "ts",
-        F.count(F.lit(1)).over(w.rangeBetween(-3600, 0)).alias("events_last_hour"),
-        F.round(F.sum("value").over(w.rangeBetween(-86400, 0)), 4).alias(
+        F.count(F.lit(1)).over(w.rangeBetween(-us_h, 0)).alias("events_last_hour"),
+        F.round(F.sum("value").over(w.rangeBetween(-us_d, 0)), 4).alias(
             "value_last_day"
         ),
     )
