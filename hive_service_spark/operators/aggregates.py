@@ -308,8 +308,10 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ARGMINMAX_ORACLE = """
 SELECT
   o_orderstatus,
-  max_by(o_orderkey, o_totalprice) AS priciest_order,
-  min_by(o_orderkey, o_totalprice) AS cheapest_order,
+  (max(struct_pack(p := o_totalprice, k := o_orderkey))).k
+    AS priciest_order,
+  (min(struct_pack(p := o_totalprice, k := o_orderkey))).k
+    AS cheapest_order,
   ROUND(MAX(o_totalprice), 2)      AS max_price,
   ROUND(MIN(o_totalprice), 2)      AS min_price
 FROM orders
@@ -319,11 +321,19 @@ GROUP BY o_orderstatus
 
 @query("agg_min_max_by", oracle=_ARGMINMAX_ORACLE)
 def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """max_by/min_by (arg-max) — Spark 3.3+ builtins."""
+    """max_by/min_by (arg-max) — Spark 3.3+ builtins. The ordering
+    value is the (price, orderkey) STRUCT, not the bare price
+    (round-13 review): max_by's tie-break is unspecified in both
+    engines, so two orders tying at a group's max price could return
+    different keys per engine on regenerated data; the struct makes
+    the ordering total (Spark compares structs lexicographically;
+    DuckDB lacks struct-valued max_by, so the oracle uses the
+    equivalent struct-max extraction)."""
     o = load(spark, sf_dir, "orders")
+    ord_max = F.struct("o_totalprice", "o_orderkey")
     return o.groupBy("o_orderstatus").agg(
-        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
-        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", ord_max).alias("priciest_order"),
+        F.min_by("o_orderkey", ord_max).alias("cheapest_order"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
     )

@@ -131,6 +131,34 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.exceptAll(b)
 
 
+_EXCEPT_ALL_DENSE_ORACLE = """
+SELECT l_partkey AS pkey FROM lineitem WHERE l_quantity > 20
+EXCEPT ALL
+SELECT l_partkey AS pkey FROM lineitem WHERE l_discount > 0.05
+"""
+
+
+@query("setop_except_all_dense", oracle=_EXCEPT_ALL_DENSE_ORACLE)
+def setop_except_all_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL with STRUCTURALLY dense multiplicities (round-13
+    review): setop_except_all — a round-1 bench SENTINEL that must
+    stay byte-identical — happens to produce 0 rows at sf0.001 and a
+    handful at sf0.01, so the max(0, a-b) bag arithmetic was
+    essentially unverified at the gate scales. This sibling keys on
+    l_partkey, where the per-key densities of the two predicates
+    genuinely interleave: at sf0.001 the data has 172 keys with a > b
+    AND 20 keys clamped at a < b (912 result rows), so both branches
+    of the multiplicity formula are value-checked at every scale."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 20).select(
+        F.col("l_partkey").alias("pkey")
+    )
+    b = li.filter(F.col("l_discount") > 0.05).select(
+        F.col("l_partkey").alias("pkey")
+    )
+    return a.exceptAll(b)
+
+
 _TOPN_ORACLE = """
 SELECT o_orderkey, o_totalprice
 FROM orders

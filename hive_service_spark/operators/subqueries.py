@@ -122,7 +122,8 @@ def subq_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- correlated scalar subquery in WHERE (TPC-H Q17 shape) ------------------
 
 _SCALAR_CORR_SQL = """
-SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             / 7.0, 2) AS avg_yearly
 FROM lineitem
 WHERE l_quantity < (
   SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
@@ -137,7 +138,11 @@ def subq_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partkey aggregate joined back (Catalyst
     RewriteCorrelatedScalarSubquery; reference: HiveRelDecorrelator).
     At 100 TB this is one shuffle on l_partkey for the aggregate plus
-    one join — never a per-row subquery."""
+    one join — never a per-row subquery. The yearly average sums in
+    DECIMAL first (round-13 review): a plain double SUM's partial-sum
+    order differs between engines by a few ulps, and dividing that
+    noisy value by 7.0 could straddle a half-cent rounding boundary;
+    the exact decimal sum makes the quotient deterministic."""
     return _sql(spark, sf_dir, _SCALAR_CORR_SQL)
 
 

@@ -111,7 +111,8 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORC_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n_rows,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_quantity > 25
 GROUP BY l_returnflag, l_linestatus
@@ -136,7 +137,19 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            # DECIMAL(18,4) inside the SUM (round-13 review): the 2dp x
+            # 2dp product is exact at scale 4, so the sum is exact and
+            # order-independent — a double sum's engine-dependent ulp
+            # noise could straddle a half-cent tie
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
             .alias("revenue"),
         )
     )
@@ -282,15 +295,36 @@ def sink_bucketed_smb_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern (bucket count scales with cluster width, not data size).
     Note Hive and Spark bucket hashes differ (SURVEY.md §7): we assert
     join RESULTS, never bucket file layout."""
+    import os
+    import re as _re
     import shutil
 
     spark.sql(
         "CREATE DATABASE IF NOT EXISTS hs_scratch "
         f"LOCATION '{_SCRATCH}/warehouse'"
     )
+    # PER-PID table names (round-13 review: fixed names in the shared
+    # warehouse raced pytest against driver_sim — one process rmtree'd
+    # and rewrote the directory a concurrent process was mid-scan of,
+    # the exact race the module's _PID_SCRATCH discipline exists for),
+    # with a dead-pid sweep mirroring ann_lsh_bucketed_index's reaper
+    wh = f"{_SCRATCH}/warehouse"
+    if os.path.isdir(wh):
+        for d in os.listdir(wh):
+            m = _re.fullmatch(r"(?:orders_b|customer_b)_(\d+)", d)
+            if not m or int(m.group(1)) == os.getpid():
+                continue
+            try:
+                os.kill(int(m.group(1)), 0)
+            except ProcessLookupError:
+                spark.sql(f"DROP TABLE IF EXISTS hs_scratch.{d}")
+                shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+            except PermissionError:
+                pass
+    to, tc = f"orders_b_{os.getpid()}", f"customer_b_{os.getpid()}"
     # the session catalog is in-memory: a fresh session won't know these
     # tables even though their directories survive — clear both
-    for t in ("orders_b", "customer_b"):
+    for t in (to, tc):
         spark.sql(f"DROP TABLE IF EXISTS hs_scratch.{t}")
         shutil.rmtree(f"{_SCRATCH}/warehouse/{t}", ignore_errors=True)
     o = load(spark, sf_dir, "orders").select(
@@ -301,16 +335,16 @@ def sink_bucketed_smb_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.write.mode("overwrite")
         .bucketBy(8, "o_custkey")
         .sortBy("o_custkey")
-        .saveAsTable("hs_scratch.orders_b")
+        .saveAsTable(f"hs_scratch.{to}")
     )
     (
         c.write.mode("overwrite")
         .bucketBy(8, "c_custkey")
         .sortBy("c_custkey")
-        .saveAsTable("hs_scratch.customer_b")
+        .saveAsTable(f"hs_scratch.{tc}")
     )
-    ob = spark.table("hs_scratch.orders_b")
-    cb = spark.table("hs_scratch.customer_b")
+    ob = spark.table(f"hs_scratch.{to}")
+    cb = spark.table(f"hs_scratch.{tc}")
     return (
         ob.join(cb, ob.o_custkey == cb.c_custkey)
         .groupBy("c_mktsegment")
@@ -497,7 +531,9 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    path = f"{_PID_SCRATCH}/orders_evolution_{os.getpid()}"
+    # _PID_SCRATCH is already per-process; a second pid suffix was
+    # redundant (round-13 review)
+    path = f"{_PID_SCRATCH}/orders_evolution"
     shutil.rmtree(path, ignore_errors=True)
     o = load(spark, sf_dir, "orders")
     (
@@ -563,7 +599,7 @@ def source_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    path = f"{_PID_SCRATCH}/orders_jsonl_{os.getpid()}"
+    path = f"{_PID_SCRATCH}/orders_jsonl"
     shutil.rmtree(path, ignore_errors=True)
     o = load(spark, sf_dir, "orders")
     line = F.to_json(F.struct("o_orderkey", "o_orderstatus", "o_totalprice"))
