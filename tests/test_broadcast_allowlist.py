@@ -62,14 +62,14 @@ ALLOWLIST = {
         (1, "scalar-1row: accuracy row"),
     ("llm/corpus.py", "text_tfidf_top_terms"):
         (1, "scalar-1row: corpus doc count"),
-    ("llm/dedup.py", "dedup_containment_pairs"):
-        (1, "model-bounded: df-capped hot-shingle set"),
+    ("llm/dedup.py", "_shingle_shared_counts"):
+        (1, "model-bounded: df-capped hot-shingle set (the shared "
+            "candidate generator dedup_ngram_jaccard and "
+            "dedup_containment_pairs were deduplicated into)"),
     ("llm/dedup.py", "dedup_embedding_cosine"):
         (1, "baseline: labeled brute-force pair baseline"),
     ("llm/dedup.py", "dedup_eval_lsh_pr"):
         (3, "scalar-1row: gauge counters"),
-    ("llm/dedup.py", "dedup_ngram_jaccard"):
-        (1, "model-bounded: df-capped hot-shingle set"),
     ("llm/dedup.py", "dedup_semantic_survivorship"):
         (4, "baseline: LABELED brute-force query end to end (pair "
             "side + per-doc quality frames); scale path is the "
