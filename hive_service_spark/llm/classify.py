@@ -578,6 +578,14 @@ def _logreg_featurize(d: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
         F.explode(F.split(F.lower("text"), " ")).alias("word"),
     ).select("doc_id", "y", (_h(F.col("word")) % _LR_B).alias("b"))
+    # NOTE (r13): the "obvious" single-pass rewrite — derive nd/ylab
+    # from the (doc_id, b) aggregate instead of three explode passes —
+    # was implemented and MEASURED SLOWER in an interleaved A/B
+    # (medians 3.20s vs 3.10s without, 3.37s vs 2.81s with the doc_id
+    # co-partitioning below): nd's lineage then rides the heavy
+    # (doc, bucket)-keyed exchange instead of its own cheap map-side
+    # count, and the explode passes it saves are trivial next to that
+    # exchange. Kept as the three cheap passes deliberately.
     nd = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ylab = tok.select("doc_id", "y").distinct()
     xb = tok.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
@@ -652,17 +660,31 @@ def _logreg_core(
     joins through the train split anyway."""
     from hive_service_spark.registry import persisted
 
+    from hive_service_spark.catalog import par
+
     d = load(spark, sf_dir, "documents")
     if prefilter is not None:
         d = d.where(prefilter)
     x0, ylab0 = _logreg_featurize(d)
     # ylab persists too: one row per doc, and WITHOUT it every
     # consumer (e1, both _resid steps, n_total, the final join)
-    # re-runs the tokenize/explode/distinct corpus pass
+    # re-runs the tokenize/explode/distinct corpus pass.
+    # r13 optimization (guide §2.4 two operations keyed the same way
+    # share one exchange): BOTH persisted frames are hash-partitioned
+    # on doc_id at materialization. Every downstream consumer is keyed
+    # on doc_id — each GD step's margins groupBy, the x ⋈ residuals
+    # gradient join, ytrain ⋈ margins, the final scoring joins — so
+    # establishing the partitioning once behind the cache removes a
+    # per-step Exchange of the corpus-sized feature frame (the joins
+    # then co-locate; only the 65-bucket gradient shuffle remains per
+    # step). Partition count from par() (defaultParallelism), never a
+    # local constant.
     ylab = persisted(
-        ylab0.select("doc_id", "y", train_col.alias("is_train"))
+        ylab0.select("doc_id", "y", train_col.alias("is_train")).repartition(
+            par(spark), "doc_id"
+        )
     )
-    x = persisted(x0)
+    x = persisted(x0.repartition(par(spark), "doc_id"))
     ytrain = ylab.where("is_train")
     n_total = ytrain.agg(F.count(F.lit(1)).alias("nd_total"))
 

@@ -782,16 +782,30 @@ def _km_assign(v: DataFrame, cent: DataFrame) -> DataFrame:
     # differs from x in the last ulp for ~half of doubles, and a d2
     # landing within that ulp of a ROUND(,6) boundary would flip the
     # rounded distance (and possibly the argmin) between engines
-    # (round-13 review; the file's own _COS_SQL discipline)
+    # (round-13 review; the file's own _COS_SQL discipline).
+    # r13 optimization (guide §1.2 per-task work): ||v||^2 and ||c||^2
+    # are hoisted OUT of the k x n pair space — computed once per
+    # vector / per centroid before the cross join instead of once per
+    # (vector, centroid) pair, cutting the assignment pass's dot
+    # products from 3 per pair to 1. Bit-identical: the d2 expression
+    # still evaluates fl(fl(vv - 2*vc) + cc) on the same operands in
+    # the same order, only the place vv/cc are computed moves.
     d2 = F.round(
-        _dot(F.col("v.e"), F.col("v.e"))
+        F.col("v.__vv")
         - 2 * _dot(F.col("v.e"), F.col("cent.c"))
-        + _dot(F.col("cent.c"), F.col("cent.c")),
+        + F.col("cent.__cc"),
         6,
     )
     return (
-        v.alias("v")
-        .crossJoin(F.broadcast(cent.alias("cent")))
+        v.withColumn("__vv", _dot(F.col("e"), F.col("e")))
+        .alias("v")
+        .crossJoin(
+            F.broadcast(
+                cent.withColumn("__cc", _dot(F.col("c"), F.col("c"))).alias(
+                    "cent"
+                )
+            )
+        )
         .select("v.vec_id", "v.e", "cent.cl", d2.alias("d2"))
         .groupBy("vec_id")
         .agg(F.min(F.struct("d2", "cl")).alias("m"), F.first("e").alias("e"))
@@ -824,12 +838,15 @@ def _km_centroids(v: DataFrame) -> DataFrame:
     into the next iteration's zip_with/aggregate lambdas — exponential
     plan growth (the repo's known higher-order-function inlining
     pitfall). localCheckpoint keeps the k x d state on executors; no
-    driver round-trip, same operators at any scale."""
+    driver round-trip, same operators at any scale. r13: the
+    checkpoints are LAZY (eager=False) — identical plan truncation,
+    but each Lloyd round materializes inside the consuming job's DAG
+    instead of as its own driver-blocking job."""
     cent = v.where(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cl"), F.col("e").alias("c")
     )
     for _ in range(_KM_ITERS):
-        cent = _km_recenter(_km_assign(v, cent)).localCheckpoint(eager=True)
+        cent = _km_recenter(_km_assign(v, cent)).localCheckpoint(eager=False)
     return cent
 
 

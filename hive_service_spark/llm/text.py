@@ -794,6 +794,13 @@ def _bm25_index(
              split rare/hot terms (the WAND variant's pruning key)
     qterms = the capped probe set's distinct (query_id, term) pairs
     """
+    # NOTE (r13): deliberately NO repartition off the single-split
+    # scan here — measured 0.9s SLOWER at bench scale (the corpus is
+    # 5k docs / 270k tokens, so the index build is orchestration-bound
+    # and the extra exchange only adds a stage); at 100 TB the scan
+    # has thousands of splits and parallelism comes free. Contrast the
+    # dedup shingle pipeline, whose repartition feeds a pair-space
+    # explosion that IS compute-bound even at bench scale.
     d = persisted(
         load(spark, sf_dir, "documents").select(
             "doc_id", F.split("text", " ").alias("w")
@@ -1038,21 +1045,39 @@ def _wand_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         .select("query_id")
     )
 
-    # phase 3 — full enumeration ONLY for queries the bound can't clear
-    extra_keys = (
-        post.join(
-            hot_q.join(unsafe, "query_id").select("query_id", "term"),
-            "term",
-        )
-        .select("query_id", "doc_id")
-        .join(cand_keys, ["query_id", "doc_id"], "left_anti")
-        .distinct()
+    # phase 3 — full enumeration ONLY for queries the bound can't
+    # clear. r13 optimization (guide §2.4/§2.3): the old shape built
+    # the extra (query, doc) key set from one postings pass
+    # (join+distinct), then _rescore exploded keys x ALL query terms
+    # and equi-joined postings a SECOND time on (doc_id, term) — two
+    # full touches of the postings frame plus a pair-space explode,
+    # and at the gate corpus (all-hot vocabulary, every probe falls
+    # back) that chain dominated the query. An unsafe query's full
+    # enumeration is exactly the plain BM25 plan, so score it that
+    # way: ONE postings pass against the BROADCAST (probe-capped,
+    # <= |unsafe| x 6 rows) unsafe-query term frame, map-side-combined
+    # sum per (query, doc), then anti-join the already-scored rare
+    # candidates out. Value-identical: full-enumeration pairs minus
+    # rare-candidate pairs IS the old extra set (a doc matching only
+    # rare terms is in cand_keys; matching only hot terms, in extra;
+    # matching neither, in neither), and each pair's score sums the
+    # same matched-term contributions.
+    unsafe_terms = (
+        q_idf.join(unsafe, "query_id")
+        .select("query_id", "term", "idf_q", "avgdl")
     )
-    full = scored_cand.unionByName(_rescore(extra_keys))
+    extra_scored = (
+        post.join(F.broadcast(unsafe_terms), "term")
+        .select("query_id", "doc_id", _bm25_contrib().alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").cast("bigint").alias("score"))
+        .join(cand_keys, ["query_id", "doc_id"], "left_anti")
+    )
+    full = scored_cand.unionByName(extra_scored)
     return {
         "cand_keys": cand_keys,
         "unsafe": unsafe,
-        "extra_keys": extra_keys,
+        "extra_keys": extra_scored.select("query_id", "doc_id"),
         "full": full,
     }
 
@@ -1807,22 +1832,31 @@ def phrase_search(docs_w, phrases) -> DataFrame:
     post = docs_w.select(
         "doc_id", F.posexplode("w").alias("pos0", "word")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    # r13 optimization (guide §2.3 project before the exchange): the
+    # phrase STRING is functional on query_id, so it does not ride
+    # through the candidate aggregation — the hit rows that shuffle
+    # into the (query, doc, start) groups carry only integers, and the
+    # phrase text re-attaches to the (tiny, probe-capped) match output
+    # via one join against the distinct per-query phrase dim. Shuffle
+    # bytes drop by the phrase width times Σ df(term) hit rows;
+    # results identical.
     hits = post.join(
         F.broadcast(phrases), post["word"] == phrases["term"]
     ).select(
         "query_id",
         "doc_id",
-        "phrase",
         "n_terms",
         (F.col("pos") - F.col("off")).alias("start_pos"),
         "off",
     )
+    phrase_dim = phrases.select("query_id", "phrase").distinct()
     return (
-        hits.groupBy("query_id", "doc_id", "phrase", "n_terms", "start_pos")
+        hits.groupBy("query_id", "doc_id", "n_terms", "start_pos")
         .agg(F.count_distinct("off").alias("n_off"))
         .where(
             (F.col("n_off") == F.col("n_terms")) & (F.col("start_pos") >= 1)
         )
+        .join(phrase_dim, "query_id")
         .select(
             "query_id",
             "doc_id",

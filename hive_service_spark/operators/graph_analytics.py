@@ -27,12 +27,16 @@ along edges), then aggregate by destination. Edges are the big frame
 and are partition-stable across iterations; at cluster scale you
 bucket the edge table by src once and every iteration's join is
 shuffle-free on the edge side, shuffling only the (node, rank) frame.
-Each iteration's rank frame is materialized with an eager
-localCheckpoint: measured head-to-head at sf0.1, lazy chaining is
-~1.7x slower because deg and every earlier iteration's aggregate
-re-execute inside the nested plan, while the checkpoint computes each
-iteration exactly once (and on a long-running PageRank it also bounds
-plan depth).
+Each iteration's rank frame is lineage-truncated with a
+localCheckpoint: measured head-to-head at sf0.1, UN-checkpointed lazy
+chaining is ~1.7x slower because deg and every earlier iteration's
+aggregate re-execute inside the nested plan, while the checkpoint
+computes each iteration exactly once (and on a long-running PageRank
+it also bounds plan depth). r13: the checkpoints are LAZY
+(eager=False) — the plan is truncated to a LogicalRDD identically,
+but each round materializes inside the final job's DAG instead of as
+its own driver-blocking job, removing _ITERS driver round-trips per
+query at any scale.
 """
 
 from __future__ import annotations
@@ -87,6 +91,36 @@ def _per_node_side(frame: DataFrame, n_nodes: int) -> DataFrame:
     if n_nodes <= _bc_node_cap():
         return F.broadcast(frame)
     return frame
+
+
+def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted directed co-supply edge list (src, dst), src<>dst.
+
+    r13 optimization (guide §2.4 remove shuffles outright / §8 decide
+    with small rows): the old build pre-distincted (order, supplier) —
+    one shuffle — then SELF-JOINED lineitem on l_orderkey — a second
+    shuffle of both sides — before the edge DISTINCT. The co-supply
+    pair space per order is bounded by the order's supplier count
+    (TPC-H: single digits; any real order is bounded by order size —
+    the same per-group-bounded argument the text stack makes for
+    collect_list per document), so the pairs expand MAP-SIDE from one
+    per-order supplier set: a map-side-combined collect_set aggregate
+    replaces distinct+self-join, the double explode is a narrow map,
+    and the edge DISTINCT stays. Two exchanges instead of three plus a
+    join; identical edges. Shared by PageRank / triangle count / label
+    propagation (their oracles all derive edges from the same
+    _EDGES_SQL self-join — set-identical output)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_suppkey").alias("ss")
+    )
+    return persisted(
+        per_order.where(F.size("ss") >= 2)
+        .select(F.explode("ss").alias("src"), "ss")
+        .select("src", F.explode("ss").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
 
 
 def _pagerank_step(
@@ -160,26 +194,9 @@ def graph_pagerank_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the graph has degree >= 1 by construction (isolated suppliers
     are excluded), so there is no dangling-mass term and the update is
     exactly r' = (1-d)/N + d * sum(r/deg over in-neighbors)."""
-    # pre-distinct (order, supplier): a supplier shipping several
-    # lineitems of one order would otherwise multiply the pair
-    # expansion before the edge DISTINCT collapses it
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    edges = persisted(
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .where(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
-        .select(
-            F.col("a.l_suppkey").alias("src"),
-            F.col("b.l_suppkey").alias("dst"),
-        )
-        .distinct()
-        # edge build (pair self-join + distinct) runs ONCE; deg, the
-        # initial rank vector, and edges_deg all read the cache
-    )
+    # map-side edge build (r13, see _cosupply_edges); runs ONCE — deg,
+    # the initial rank vector, and edges_deg all read the cache
+    edges = _cosupply_edges(spark, sf_dir)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("double").alias("deg")
     )
@@ -198,7 +215,7 @@ def graph_pagerank_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
         # small graphs get map-side join + one aggregation shuffle,
         # web-scale graphs shuffle and should bucket edges by src
         ranks = _pagerank_step(edges_deg, ranks, base, n_nodes)
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = ranks.localCheckpoint(eager=False)
     from pyspark.sql import Window
 
     # top-k first via TakeOrderedAndProject (distributed-safe: the
@@ -268,28 +285,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle closure is a second equi-join on the (a, c) pair — the
     textbook 2-round MapReduce triangle algorithm, no node ever sees
     more than its neighborhood."""
-    # pre-distinct (order, supplier) like the pagerank/label-prop edge
-    # builds (round-13 review: a supplier shipping several lineitems of
-    # one order multiplied the pair expansion k^2 before the edge
-    # DISTINCT collapsed it — same result, wasted shuffle)
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    edges = persisted(
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
-        )
-        .select(
-            F.col("a.l_suppkey").alias("src"),
-            F.col("b.l_suppkey").alias("dst"),
-        )
-        .distinct()  # consumed by canon (x3 aliases) and deg
-    )
+    # map-side edge build (r13, see _cosupply_edges); the persisted
+    # edge cache is consumed by canon (x3 aliases) and deg
+    edges = _cosupply_edges(spark, sf_dir)
     canon = edges.where(F.col("src") < F.col("dst")).select(
         F.col("src").alias("a"), F.col("dst").alias("b")
     )
@@ -427,22 +425,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-partition on the join key. localCheckpoint per round
     keeps the plan flat exactly as the PageRank loop does (measured
     there: lazy chaining re-executes every earlier round per step)."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    edges = persisted(
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .where(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
-        .select(
-            F.col("a.l_suppkey").alias("src"),
-            F.col("b.l_suppkey").alias("dst"),
-        )
-        .distinct()
-        # consumed 1 + _LPA_ITERS times: l0 + every propagation round
-    )
+    # map-side edge build (r13, see _cosupply_edges); the persisted
+    # edge cache is consumed 1 + _LPA_ITERS times: l0 + every round
+    edges = _cosupply_edges(spark, sf_dir)
     from pyspark.sql import Window
 
     labels = edges.select(
@@ -450,8 +435,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     n_nodes = labels.count()  # scalar graph-order statistic, O(1)
     for _ in range(_LPA_ITERS):
+        # lazy checkpoint (r13): same lineage truncation, materialized
+        # inside the final job instead of one driver-blocking job per
+        # round — see the PageRank loop's note
         labels = _lpa_step(edges, labels, n_nodes).localCheckpoint(
-            eager=True
+            eager=False
         )
     size = labels.groupBy("lbl").agg(
         F.count(F.lit(1)).cast("bigint").alias("community_size")

@@ -117,6 +117,9 @@ ALLOWLIST = {
         (1, "scalar-1row: corpus stats (N, avgdl)"),
     ("llm/text.py", "_bm25_scored"):
         (1, "probe-capped: query-term idf frame (_BM25_QCAP)"),
+    ("llm/text.py", "_wand_frames"):
+        (1, "probe-capped: unsafe-query term frame (subset of the "
+            "_BM25_QCAP-capped probe terms — r13 fallback rescore)"),
     ("llm/text.py", "text_hard_negative_mining"):
         (1, "probe-capped: one positive row per probe"),
     ("llm/text.py", "text_hash_embed_knn"):
