@@ -1609,6 +1609,11 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("mn") != F.col("mx"))
         .select("gh")
     )
+    # r13 NOTE: an array-based island assembly (collect positions per
+    # doc, compute run boundaries with higher-order functions, explode
+    # spans) was implemented and MEASURED SLOWER than this shape
+    # (+0.3-0.5s at bench scale, beyond the run's noise band) — the
+    # window + (doc, island) aggregate stays.
     from pyspark.sql import Window
 
     flagged = g.join(rep, "gh").select("doc_id", "pos")
@@ -1700,10 +1705,6 @@ def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     words = F.split("text", " ")
-    tok = d.select(
-        "doc_id",
-        F.posexplode(words).alias("i0", "word"),
-    ).select("doc_id", (F.col("i0") + 1).alias("idx"), "word")
     g = (
         d.where(F.size(words) >= 5)
         .repartition(par(spark))
@@ -1738,7 +1739,24 @@ def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("canon") != F.col("mx"))
         .select("gh", "canon")
     )
-    cov = (
+    # r13 optimization (guide §2.4 remove shuffles / §8 decide with
+    # small rows): the rebuild used to go through the TOKEN level —
+    # posexplode every word, DISTINCT the exploded covered indices,
+    # equi-join 270k token rows against them on (doc, idx), then a
+    # per-doc collect_list + array_sort of surviving (idx, word)
+    # structs — four corpus-sized shuffles. The covered-index set is
+    # per-document bounded (a subset of the doc's word positions — the
+    # same single-document-fits-a-task unit the collect_list already
+    # assumed), so it aggregates straight to ONE row per doc
+    # (collect_set subsumes the old DISTINCT, map-side combined), and
+    # the document rebuilds with pure array ops against its own `w`
+    # array: kept indices = array_except(sequence(1, len), cut) —
+    # hash-set semantics, order-preserving on the first argument — and
+    # kept words via element_at. One narrow shuffle of (doc_id,
+    # covered-set) plus a per-doc-row join replaces the token-level
+    # join pipeline; identical output (count and order both derive
+    # from the same ascending index walk).
+    cov_set = (
         g.join(rep, "gh")
         .where(F.col("doc_id") != F.col("canon"))
         .select(
@@ -1747,36 +1765,23 @@ def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.col("pos"), F.col("pos") + 4)
             ).alias("idx"),
         )
-        .distinct()
-        .withColumn("cut", F.lit(1))
-    )
-    return (
-        tok.join(cov, ["doc_id", "idx"], "left_outer")
         .groupBy("doc_id")
-        .agg(
-            F.count(F.when(F.col("cut").isNull(), 1))
-            .cast("bigint")
-            .alias("n_kept"),
-            F.count(F.when(F.col("cut").isNotNull(), 1))
-            .cast("bigint")
-            .alias("n_removed"),
-            F.coalesce(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(
-                                    F.col("cut").isNull(),
-                                    F.struct("idx", "word"),
-                                )
-                            )
-                        ),
-                        lambda x: x["word"],
-                    ),
-                    " ",
-                ),
-                F.lit(""),
-            ).alias("clean_text"),
+        .agg(F.collect_set("idx").alias("cut"))
+    )
+    wn = F.size("w")
+    kept_idx = F.array_except(
+        F.sequence(F.lit(1), wn),
+        F.coalesce(F.col("cut"), F.array().cast("array<int>")),
+    )
+    kept = F.transform(kept_idx, lambda i: F.element_at(F.col("w"), i))
+    return (
+        d.select("doc_id", words.alias("w"))
+        .join(cov_set, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.size(kept).cast("bigint").alias("n_kept"),
+            (wn - F.size(kept)).cast("bigint").alias("n_removed"),
+            F.array_join(kept, " ").alias("clean_text"),
         )
         .orderBy("doc_id")
     )

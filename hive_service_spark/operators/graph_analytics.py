@@ -124,20 +124,29 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_step(
-    edges_deg: DataFrame, ranks: DataFrame, base: float, n_nodes: int
+    edges: DataFrame, contribs: DataFrame, base: float, n_nodes: int
 ) -> DataFrame:
     """One power iteration, un-checkpointed (separate so tests can
-    inspect the analyzed plan of exactly one loop stage)."""
+    inspect the analyzed plan of exactly one loop stage).
+
+    r13 optimization (guide §2.3 shuffle keys and metadata instead of
+    payloads): ``contribs`` is the per-NODE frame (node, contrib =
+    rank/deg) — the division happens once per node in the tiny
+    rank ⋈ deg join the caller builds, not once per EDGE row, and the
+    persisted edge list stays the narrow 2-column (src, dst) frame
+    instead of carrying a per-row deg copy. contrib values are
+    bit-identical to the old per-edge rank/deg (same operands, same
+    single IEEE division), so every per-destination sum is over the
+    same doubles."""
     return (
-        edges_deg.join(
-            _per_node_side(ranks.alias("r"), n_nodes),
-            edges_deg.src == F.col("r.node"),
+        edges.join(
+            _per_node_side(contribs.alias("r"), n_nodes),
+            edges.src == F.col("r.node"),
         )
         .groupBy(F.col("dst").alias("node"))
         .agg(
             F.round(
-                F.lit(base)
-                + F.lit(_DAMP) * F.sum(F.col("r.rank") / F.col("deg")),
+                F.lit(base) + F.lit(_DAMP) * F.sum(F.col("r.contrib")),
                 8,
             ).alias("rank")
         )
@@ -195,26 +204,33 @@ def graph_pagerank_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     are excluded), so there is no dangling-mass term and the update is
     exactly r' = (1-d)/N + d * sum(r/deg over in-neighbors)."""
     # map-side edge build (r13, see _cosupply_edges); runs ONCE — deg,
-    # the initial rank vector, and edges_deg all read the cache
+    # the initial rank vector, and every iteration read the cache
     edges = _cosupply_edges(spark, sf_dir)
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("double").alias("deg")
-    )
-    # degree is loop-INVARIANT: fold it into the edge table once so
-    # each iteration joins ranks against ONE frame instead of two
-    edges_deg = persisted(
-        edges.join(deg, edges.src == deg.node)
-        .select("src", "dst", "deg")
+    # r13: degree is loop-invariant but PER-NODE, so it no longer gets
+    # folded into a (src, dst, deg) copy of the edge table (that build
+    # was a full edge-sized join pass and widened the loop's cached
+    # frame by 50%); instead deg persists as its own node-sized frame
+    # and each iteration pre-divides rank/deg in a tiny node ⋈ node
+    # join — the edge join then streams the narrow (src, dst) cache
+    # against per-node contributions (see _pagerank_step).
+    deg = persisted(
+        edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).cast("double").alias("deg")
+        )
     )
     n_nodes = deg.count()  # scalar graph-order statistic, O(1) result
     base = (1.0 - _DAMP) / n_nodes
     ranks = deg.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(_ITERS):
-        # one row per NODE on the rank side; the broadcast hint is
-        # applied only under the measured-size gate (_per_node_side) —
-        # small graphs get map-side join + one aggregation shuffle,
-        # web-scale graphs shuffle and should bucket edges by src
-        ranks = _pagerank_step(edges_deg, ranks, base, n_nodes)
+        # one row per NODE on the contribution side; the broadcast
+        # hint is applied only under the measured-size gate
+        # (_per_node_side) — small graphs get map-side join + one
+        # aggregation shuffle, web-scale graphs shuffle and should
+        # bucket edges by src
+        contribs = ranks.join(deg, "node").select(
+            "node", (F.col("rank") / F.col("deg")).alias("contrib")
+        )
+        ranks = _pagerank_step(edges, contribs, base, n_nodes)
         ranks = ranks.localCheckpoint(eager=False)
     from pyspark.sql import Window
 

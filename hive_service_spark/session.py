@@ -38,7 +38,29 @@ def get_session(app: str = "hive_service_spark", cpus: int | None = None) -> Spa
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r13 NEGATIVE RESULT, kept as documentation: flipping
+        # coalescePartitions.parallelismFirst to false (+ a 64m
+        # advisory size), per the guide's "fewer, larger reduce
+        # partitions", was benched head-to-head and REGRESSED the
+        # suite 55.5 -> 60.1s — the text/dedup/graph stages are
+        # CPU-dense per byte (pair expansion, regex, gram hashing), so
+        # byte-based coalescing serialized them onto 1-2 tasks
+        # (text_phrase_search +2.6s, graph_pagerank +1.5s,
+        # dedup_ngram_jaccard +0.6s). Spark's parallelism-first
+        # default is the right call for this workload at EVERY scale:
+        # partitions stay ~cores-wide locally and AQE still merges
+        # genuinely tiny post-shuffle partitions.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r13 (guide §3.1): allow the planner to pick shuffled-hash
+        # over sort-merge when its size conditions hold (skips both
+        # sort passes), and let AQE rewrite SMJ->SHJ at runtime when
+        # every post-shuffle partition's build side fits locally. Both
+        # policies are size-gated, never unconditional; explicit
+        # merge/shuffle_hash hints in query code still win.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # Whole-stage codegen over a ~120-query suite overflows the JVM's

@@ -725,7 +725,13 @@ def test_graph_loop_broadcast_is_size_gated(spark, monkeypatch):
 
     # below the cap: the hint is applied (small graphs keep the
     # map-side join + single aggregation shuffle per iteration)
-    pr = G._pagerank_step(edges_deg, ranks, base=0.05, n_nodes=3)
+    # r13: the step takes the per-node (node, contrib) frame — the
+    # rank/deg division moved out of the edge join (see _pagerank_step)
+    contribs = ranks.join(
+        edges_deg.select("src", "deg").distinct(),
+        ranks.node == F.col("src"),
+    ).select("node", (F.col("rank") / F.col("deg")).alias("contrib"))
+    pr = G._pagerank_step(edges, contribs, base=0.05, n_nodes=3)
     lp = G._lpa_step(edges, labels, n_nodes=3)
     assert len(P.hinted_subtrees(pr)) == 1
     assert len(P.hinted_subtrees(lp)) == 1
@@ -733,7 +739,7 @@ def test_graph_loop_broadcast_is_size_gated(spark, monkeypatch):
     # above the cap (knob forced to 0): NO hint anywhere — the join
     # strategy is left to AQE at any real graph size
     monkeypatch.setenv("SPARK_GRAFT_GRAPH_BC_NODES", "0")
-    pr = G._pagerank_step(edges_deg, ranks, base=0.05, n_nodes=3)
+    pr = G._pagerank_step(edges, contribs, base=0.05, n_nodes=3)
     lp = G._lpa_step(edges, labels, n_nodes=3)
     assert P.hinted_subtrees(pr) == []
     assert P.hinted_subtrees(lp) == []
