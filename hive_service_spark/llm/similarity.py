@@ -966,34 +966,20 @@ def ann_lsh_bucketed_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from hive_service_spark.scratch import SCRATCH_ROOT
+    from hive_service_spark.scratch import warehouse_dir
 
     spark.sql(
         "CREATE DATABASE IF NOT EXISTS hs_scratch "
-        f"LOCATION '{SCRATCH_ROOT}/warehouse'"
+        f"LOCATION '{warehouse_dir()}'"
     )
-    # per-pid name keeps concurrent runs isolated; a companion reaper
-    # drops indexes whose owning process died (round-13 review: the
-    # build otherwise leaked one full signature table per process —
-    # scratch.py's namespace reaper never covered warehouse tables)
-    import re as _re
-
-    wh = f"{SCRATCH_ROOT}/warehouse"
-    if os.path.isdir(wh):
-        for d in os.listdir(wh):
-            m = _re.fullmatch(r"lsh_index_(\d+)", d)
-            if not m or int(m.group(1)) == os.getpid():
-                continue
-            try:
-                os.kill(int(m.group(1)), 0)
-            except ProcessLookupError:
-                spark.sql(f"DROP TABLE IF EXISTS hs_scratch.{d}")
-                shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
-            except PermissionError:
-                pass
+    # r13: the warehouse itself is now a per-pid scratch namespace
+    # (scratch.warehouse_dir, reaped like proc-/src-), so the dead-pid
+    # index sweep this site carried reduces to a same-pid reset; a
+    # dead process's whole warehouse (index included) reaps with its
+    # namespace.
     tbl = f"lsh_index_{os.getpid()}"
     spark.sql(f"DROP TABLE IF EXISTS hs_scratch.{tbl}")
-    shutil.rmtree(f"{SCRATCH_ROOT}/warehouse/{tbl}", ignore_errors=True)
+    shutil.rmtree(f"{warehouse_dir()}/{tbl}", ignore_errors=True)
 
     v = _vecs(spark, sf_dir)
     bkt = v.select("vec_id", "e", "nr", _bucket(F.col("e")).alias("bucket"))

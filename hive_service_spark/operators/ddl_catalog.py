@@ -25,17 +25,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hive_service_spark.catalog import load, register_views
 from hive_service_spark.registry import query
-
-_SCRATCH = "/root/repo/.scratch"
+from hive_service_spark.scratch import pid_dir, warehouse_dir
 
 
 def _fresh_table(spark: SparkSession, name: str) -> None:
     spark.sql(
         "CREATE DATABASE IF NOT EXISTS hs_scratch "
-        f"LOCATION '{_SCRATCH}/warehouse'"
+        f"LOCATION '{warehouse_dir()}'"
     )
     spark.sql(f"DROP TABLE IF EXISTS hs_scratch.{name}")
-    shutil.rmtree(f"{_SCRATCH}/warehouse/{name}", ignore_errors=True)
+    shutil.rmtree(f"{warehouse_dir()}/{name}", ignore_errors=True)
 
 
 # --- CTAS + INSERT INTO -----------------------------------------------------
@@ -193,14 +192,14 @@ def ddl_msck_partition_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     MSCK REPAIR TABLE (partition discovery); SHOW PARTITIONS must list
     exactly the years present in the data — verified against the
     oracle's DISTINCT projection."""
-    path = f"{_SCRATCH}/orders_by_year_msck"
+    path = f"{pid_dir()}/orders_by_year_msck"
     o = load(spark, sf_dir, "orders").withColumn(
         "o_year", F.year("o_orderdate").cast("bigint")
     )
     o.write.mode("overwrite").partitionBy("o_year").parquet(path)
     spark.sql(
         "CREATE DATABASE IF NOT EXISTS hs_scratch "
-        f"LOCATION '{_SCRATCH}/warehouse'"
+        f"LOCATION '{warehouse_dir()}'"
     )
     spark.sql("DROP TABLE IF EXISTS hs_scratch.orders_ext")
     spark.sql(

@@ -34,17 +34,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hive_service_spark.catalog import load, register_views
 from hive_service_spark.registry import query
-
-_SCRATCH = "/root/repo/.scratch"
+from hive_service_spark.scratch import pid_dir, warehouse_dir
 
 
 def _fresh_table(spark: SparkSession, name: str) -> None:
     spark.sql(
         "CREATE DATABASE IF NOT EXISTS hs_scratch "
-        f"LOCATION '{_SCRATCH}/warehouse'"
+        f"LOCATION '{warehouse_dir()}'"
     )
     spark.sql(f"DROP TABLE IF EXISTS hs_scratch.{name}")
-    shutil.rmtree(f"{_SCRATCH}/warehouse/{name}", ignore_errors=True)
+    shutil.rmtree(f"{warehouse_dir()}/{name}", ignore_errors=True)
 
 
 # --- multi-insert: one scan, two sinks (ForwardOperator analog) --------------
@@ -181,7 +180,7 @@ def ddl_export_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the imported table must match the oracle over the original,
     proving schema + data survived the round-trip."""
     register_views(spark, sf_dir)
-    export_dir = f"{_SCRATCH}/export_customer"
+    export_dir = f"{pid_dir()}/export_customer"
     shutil.rmtree(export_dir, ignore_errors=True)
 
     cust = load(spark, sf_dir, "customer")
@@ -213,7 +212,7 @@ def ddl_export_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql("DROP TABLE IF EXISTS hs_scratch.customer_imported")
     spark.sql(
         "CREATE DATABASE IF NOT EXISTS hs_scratch "
-        f"LOCATION '{_SCRATCH}/warehouse'"
+        f"LOCATION '{warehouse_dir()}'"
     )
     spark.sql(
         f"""

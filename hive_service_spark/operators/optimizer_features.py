@@ -33,20 +33,24 @@ from pyspark.sql import DataFrame, SparkSession
 from hive_service_spark.catalog import load
 from hive_service_spark.registry import query
 
-_SCRATCH = "/root/repo/.scratch/opt"
+from hive_service_spark.scratch import warehouse_dir
 
 
 def _scratch_db(spark: SparkSession) -> None:
-    os.makedirs(f"{_SCRATCH}/warehouse", exist_ok=True)
+    # r13: hs_opt rides the per-pid warehouse namespace (an `opt`
+    # subtree of scratch.warehouse_dir) — the old fixed shared path
+    # had the same pytest-vs-driver rmtree/CTAS race the hs_scratch
+    # sites carried
+    os.makedirs(f"{warehouse_dir()}/opt", exist_ok=True)
     spark.sql(
         "CREATE DATABASE IF NOT EXISTS hs_opt "
-        f"LOCATION '{_SCRATCH}/warehouse'"
+        f"LOCATION '{warehouse_dir()}/opt'"
     )
 
 
 def _replace_table(spark: SparkSession, name: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS hs_opt.{name}")
-    shutil.rmtree(f"{_SCRATCH}/warehouse/{name}", ignore_errors=True)
+    shutil.rmtree(f"{warehouse_dir()}/opt/{name}", ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

@@ -22,10 +22,22 @@ import shutil
 import threading
 from pathlib import Path
 
-SCRATCH_ROOT = "/root/repo/.scratch"
+# r13 (guide §6 + session.py's spark.local.dir rationale): scratch
+# staging prefers RAM-backed tmpfs when available — this host's shared
+# disk shows multi-second I/O jitter that hit every scratch-writing
+# query (the bucketed LSH index build, format round-trips, streaming
+# checkpoints) with the same variance session.py measured for shuffle
+# spill. Overridable via SPARK_GRAFT_SCRATCH_DIR; falls back to the
+# repo-local directory when /dev/shm is absent. A real cluster stages
+# this on per-application HDFS/S3 temp prefixes (module docstring).
+SCRATCH_ROOT = os.environ.get("SPARK_GRAFT_SCRATCH_DIR") or (
+    "/dev/shm/spark-graft-scratch"
+    if os.path.isdir("/dev/shm")
+    else "/root/repo/.scratch"
+)
 
 # prefixes of per-process namespaces this module manages
-_NS_PREFIXES = ("proc-", "src-")
+_NS_PREFIXES = ("proc-", "src-", "wh-")
 
 _reaped = False
 
@@ -67,6 +79,21 @@ def pid_dir(kind: str = "proc") -> str:
     path = f"{SCRATCH_ROOT}/{kind}-{os.getpid()}"
     os.makedirs(path, exist_ok=True)
     return path
+
+
+def warehouse_dir() -> str:
+    """Per-process location for the ``hs_scratch`` managed database.
+
+    r13: the warehouse used to be ONE shared fixed path — the only
+    scratch surface outside the per-pid discipline this module exists
+    for — so pytest running alongside a driver sweep could rmtree /
+    CTAS the same managed-table directory mid-read and fail with
+    LOCATION_ALREADY_EXISTS (the race source_queries' per-pid table
+    names already worked around locally). Every
+    ``CREATE DATABASE hs_scratch`` site now points here instead; each
+    process's in-memory catalog maps the database to its own
+    namespace, and dead namespaces reap like any other."""
+    return pid_dir("wh")
 
 
 def atomic_copy(src: str | os.PathLike, dst: str | os.PathLike) -> None:

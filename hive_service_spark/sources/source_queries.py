@@ -299,34 +299,23 @@ def sink_bucketed_smb_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re as _re
     import shutil
 
+    from hive_service_spark.scratch import warehouse_dir
+
     spark.sql(
         "CREATE DATABASE IF NOT EXISTS hs_scratch "
-        f"LOCATION '{_SCRATCH}/warehouse'"
+        f"LOCATION '{warehouse_dir()}'"
     )
-    # PER-PID table names (round-13 review: fixed names in the shared
-    # warehouse raced pytest against driver_sim — one process rmtree'd
-    # and rewrote the directory a concurrent process was mid-scan of,
-    # the exact race the module's _PID_SCRATCH discipline exists for),
-    # with a dead-pid sweep mirroring ann_lsh_bucketed_index's reaper
-    wh = f"{_SCRATCH}/warehouse"
-    if os.path.isdir(wh):
-        for d in os.listdir(wh):
-            m = _re.fullmatch(r"(?:orders_b|customer_b)_(\d+)", d)
-            if not m or int(m.group(1)) == os.getpid():
-                continue
-            try:
-                os.kill(int(m.group(1)), 0)
-            except ProcessLookupError:
-                spark.sql(f"DROP TABLE IF EXISTS hs_scratch.{d}")
-                shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
-            except PermissionError:
-                pass
+    # r13: the whole warehouse is now a per-pid scratch namespace
+    # (scratch.warehouse_dir — reaped like proc-/src-), which closes
+    # the pytest-vs-driver_sim shared-directory race at the database
+    # level; the per-pid table names and in-catalog sweep this site
+    # carried as a local workaround reduce to a simple same-pid reset.
     to, tc = f"orders_b_{os.getpid()}", f"customer_b_{os.getpid()}"
     # the session catalog is in-memory: a fresh session won't know these
     # tables even though their directories survive — clear both
     for t in (to, tc):
         spark.sql(f"DROP TABLE IF EXISTS hs_scratch.{t}")
-        shutil.rmtree(f"{_SCRATCH}/warehouse/{t}", ignore_errors=True)
+        shutil.rmtree(f"{warehouse_dir()}/{t}", ignore_errors=True)
     o = load(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice"
     )

@@ -279,9 +279,11 @@ def test_char_varchar_semantics(spark):
     import pyspark.sql.functions as F
     from pyspark.errors import PySparkException
 
+    from hive_service_spark.scratch import warehouse_dir
+
     spark.sql(
         "CREATE DATABASE IF NOT EXISTS hs_scratch "
-        "LOCATION '/root/repo/.scratch/warehouse'"
+        f"LOCATION '{warehouse_dir()}'"
     )
     spark.sql("DROP TABLE IF EXISTS hs_scratch.char_semantics")
     # a killed earlier run can leave the managed-table directory behind
@@ -291,7 +293,7 @@ def test_char_varchar_semantics(spark):
     import shutil
 
     shutil.rmtree(
-        "/root/repo/.scratch/warehouse/char_semantics", ignore_errors=True
+        f"{warehouse_dir()}/char_semantics", ignore_errors=True
     )
     spark.sql(
         "CREATE TABLE hs_scratch.char_semantics "

@@ -19,18 +19,31 @@ def test_reaper_removes_dead_keeps_alive_and_foreign(tmp_path, monkeypatch):
     root = tmp_path / "scratch"
     root.mkdir()
     dead = root / "proc-999999999"  # pid_max is < 2^22 on Linux: never alive
+    dead_wh = root / "wh-999999998"  # r13: warehouse namespaces reap too
     alive = root / f"src-{os.getpid()}"
     foreign = root / "stream_src"  # shared cache dir — not a pid namespace
     unparsable = root / "proc-notanumber"
-    for d in (dead, alive, foreign, unparsable):
+    for d in (dead, dead_wh, alive, foreign, unparsable):
         d.mkdir()
     monkeypatch.setattr(scratch, "SCRATCH_ROOT", str(root))
     monkeypatch.setattr(scratch, "_reaped", False)
     scratch._reap_dead_namespaces()
     assert not dead.exists(), "dead-pid namespace must be reaped"
+    assert not dead_wh.exists(), "dead warehouse namespace must be reaped"
     assert alive.exists(), "own namespace must survive"
     assert foreign.exists(), "non-namespace dirs must never be touched"
     assert unparsable.exists(), "unparsable names must never be touched"
+
+
+def test_warehouse_dir_is_per_process_namespace():
+    """r13: the hs_scratch warehouse is a per-pid scratch namespace —
+    the fixed shared path it replaced let pytest and a concurrent
+    driver sweep rmtree/CTAS the same managed-table directory
+    (LOCATION_ALREADY_EXISTS)."""
+    d = scratch.warehouse_dir()
+    assert d.endswith(f"wh-{os.getpid()}")
+    assert d.startswith(scratch.SCRATCH_ROOT)
+    assert os.path.isdir(d)
 
 
 def test_atomic_copy_replaces_and_leaves_no_temp(tmp_path):
