@@ -100,6 +100,46 @@ NOTES = {
         "the residual disjunction only removes the (A,A)/(B,B) "
         "combinations. Plan-pinned in tests/test_plans.py."
     ),
+    "text_bm25_wand_retrieval": (
+        "ROUND-13 OPTIMIZATION: the fallback arm (phase 3) is one "
+        "postings pass against the broadcast probe-capped unsafe-term "
+        "frame + per-(query,doc) sum + anti-join — the old extra-keys "
+        "set build and the keys x all-terms rescore (two postings "
+        "touches, the SMJ pair this table used to show) are gone. "
+        "Before/after in plans/r13/; 2.93 -> 1.99 s. "
+        "Details: OPTIMIZATION_r13.md."
+    ),
+    "text_phrase_search": (
+        "ROUND-13 OPTIMIZATION: the phrase string no longer rides the "
+        "hit-row shuffle into the (query, doc, start) aggregation — "
+        "integers shuffle, the phrase re-attaches to the tiny match "
+        "output via the per-query phrase dim. 2.07 -> 1.48 s."
+    ),
+    "graph_pagerank_cosupply": (
+        "ROUND-13 OPTIMIZATION: (a) co-supply edges expand MAP-SIDE "
+        "from a per-order collect_set (bounded by order size) instead "
+        "of distinct + lineitem self-join; (b) rank/deg pre-divides "
+        "per NODE each iteration so the loop streams the narrow "
+        "(src, dst) edge cache against per-node contributions; (c) "
+        "iteration checkpoints are lazy (materialize inside the final "
+        "job). 2.65 -> 2.1-2.3 s. The loop stages stay invisible in "
+        "this final-plan snapshot, as before."
+    ),
+    "dedup_span_excision": (
+        "ROUND-13 OPTIMIZATION: the rebuild is a per-doc covered-index "
+        "collect_set + order-preserving array_except over the doc's "
+        "own word array — the token-level posexplode/DISTINCT/"
+        "equi-join/collect_list pipeline (four corpus-sized shuffles) "
+        "is gone. 1.32 -> 1.02 s."
+    ),
+    "ml_logreg_quality": (
+        "ROUND-13 OPTIMIZATION: the persisted feature/label frames "
+        "hash-partition on doc_id at materialization, so the GD "
+        "steps' joins and margins aggregates co-locate behind the "
+        "cache. The single-pass featurize rewrite was MEASURED SLOWER "
+        "(interleaved A/B) and deliberately not taken — see "
+        "OPTIMIZATION_r13.md."
+    ),
 }
 
 
