@@ -385,6 +385,44 @@ def _parse_ast(pattern: str):
     return ast if ast is not None and pos[0] == len(toks) else None
 
 
+def _ast_first_chars(ast, chars: dict[str, str]) -> set[str]:
+    """The pattern's FIRST set — every symbol char that can begin a
+    NONEMPTY match — by the textbook FIRST/nullable recursion over the
+    _parse_ast node shapes (r13; used by the automaton fallback to
+    skip start positions that cannot match without invoking the regex
+    engine). Exact for the automaton's purposes: empty matches are
+    discarded there regardless, and any nonempty match consumes its
+    first row's char, which by construction is in this set."""
+
+    def _walk(node) -> tuple[set[str], bool]:
+        kind = node[0]
+        if kind == "sym":
+            return {chars[n] for n in node[1]}, False
+        if kind == "alt":
+            f: set[str] = set()
+            nul = False
+            for b in node[1]:
+                fb, nb = _walk(b)
+                f |= fb
+                nul = nul or nb
+            return f, nul
+        if kind == "seq":
+            f = set()
+            nul = True
+            for child in node[1]:
+                fc, nc = _walk(child)
+                f |= fc
+                if not nc:
+                    nul = False
+                    break
+            return f, nul
+        # ("quant", node, lo, hi)
+        fc, nc = _walk(node[1])
+        return fc, nc or node[2] == 0
+
+    return _walk(ast)[0]
+
+
 def _enum_ast(ast, chars: dict[str, str]):
     """Expand a FINITE AST into concrete per-offset charset sequences
     in exact regex-backtracking order — the round-10b generalization
@@ -1055,6 +1093,23 @@ def matchpath(
     # (partition-local, order-preserving), so semantics are identical
     # at any group size.
 
+    # r13 optimization (guide §4.2 do the heavy lifting in native code):
+    # the walk used to call rx.match at EVERY row position; a NONEMPTY
+    # match must consume s[i] as its first char, so only positions
+    # whose char is in the pattern's FIRST set can start one (empty
+    # matches are discarded by the m.end() > i guard either way, so
+    # the filter is exact). Candidate starts come from one C-speed
+    # character-class finditer scan instead of len(s) Python-level
+    # regex calls — on start-sparse patterns (the normal case: an
+    # anchor atom like `signup.` exists precisely to keep start
+    # density sane) most positions never reach the regex engine.
+    # Falls back to the full scan when the AST is unavailable.
+    _first_ast = _parse_ast(pattern)
+    first_rx = None
+    if _first_ast is not None:
+        fs = _ast_first_chars(_first_ast, chars)
+        first_rx = re.compile("[" + re.escape("".join(sorted(fs))) + "]") if fs else re.compile(r"(?!)")
+
     def _walk_groups(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
         # dropna=False: a NULL partition key is a group like any other
@@ -1068,7 +1123,12 @@ def matchpath(
             s = "".join(g["_ch"])
             ts = g["_ts"]
             extra = [g[c] for c in pt_alias]
-            for i in range(len(s)):
+            starts = (
+                (m0.start() for m0 in first_rx.finditer(s))
+                if first_rx is not None
+                else range(len(s))
+            )
+            for i in starts:
                 m = rx.match(s, i)
                 if m and m.end() > i:
                     rows.append(

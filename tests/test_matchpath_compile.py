@@ -1896,3 +1896,61 @@ def test_matchpath_reserved_word_and_empty_order_items(spark):
             pattern="a",
             ts_col="order",
         )
+
+
+def test_ast_first_chars_nullable_prefixes():
+    """r13: the automaton's start filter — FIRST must see THROUGH
+    nullable prefixes (a? / x{0,n} / a*), union alternation branches,
+    and stop at the first non-nullable atom of a sequence."""
+    from hive_service_spark.operators.matchpath import (
+        _ast_first_chars,
+        _parse_ast,
+    )
+
+    chars = {"a": "a", "b": "b", "c": "c"}
+    cases = {
+        "a.b": {"a"},
+        "a?.b": {"a", "b"},
+        "a*.b+.c": {"a", "b"},
+        "(a|b).c": {"a", "b"},
+        "(a?.b|c)": {"a", "b", "c"},
+        "a{0,2}.(b|c)": {"a", "b", "c"},
+        "(a|b)+.c": {"a", "b"},
+    }
+    for pat, want in cases.items():
+        ast = _parse_ast(pat)
+        assert ast is not None, pat
+        assert _ast_first_chars(ast, chars) == want, pat
+
+
+def test_automaton_start_filter_keeps_nullable_first_matches(spark):
+    """r13: an automaton-class pattern whose first atom is NULLABLE
+    must still match at rows of the SECOND atom's set — the FIRST-set
+    start filter may skip only positions that can never begin a
+    nonempty match."""
+    import pyspark.sql.functions as F
+
+    from hive_service_spark.operators.matchpath import matchpath
+
+    rows = [(1, i, s) for i, s in enumerate(["B", "B", "A", "B", "C"])]
+    df = spark.createDataFrame(rows, "user_id bigint, o bigint, sym string")
+    out = matchpath(
+        df,
+        partition_by="user_id",
+        order_by=["o"],
+        symbols={
+            "a": F.col("sym") == "A",
+            "b": F.col("sym") == "B",
+            "c": F.col("sym") == "C",
+        },
+        pattern="a?.b+.c",
+        ts_col="o",
+        force_automaton=True,
+    )
+    got = sorted(
+        (r["start_rn"], r["match_len"]) for r in out.collect()
+    )
+    # starts: row1 (B,b+ then ...): "BBABC" — matches of a?.b+.c are
+    # greedy nonoverlapping per START position: start 4 (B.C) and the
+    # a-anchored start 3 (A.B.C); starts 1/2 fail (b+ run hits A, not C)
+    assert got == [(3, 3), (4, 2)], got
