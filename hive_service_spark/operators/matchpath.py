@@ -614,11 +614,12 @@ def _matchpath_jvm_chain(
     group_of: dict[str, str],
     passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """A literal symbol chain compiled to pure window expressions plus
-    one equi-join — no Python stage anywhere (the analog of keeping
-    the reference's MatchPath inside the PTFOperator instead of
-    shelling out; hive-exec!ql/udf/ptf/MatchPath.class is the
-    capability being matched). Shape:
+    """A literal symbol chain compiled to pure window expressions —
+    no Python stage anywhere, and since round 14 no join and no
+    aggregate either (the analog of keeping the reference's MatchPath
+    inside the PTFOperator instead of shelling out;
+    hive-exec!ql/udf/ptf/MatchPath.class is the capability being
+    matched). Shape:
 
     - each row's symbol char maps to its segment GROUP id (round 9:
       an alternation group ``(b|c)`` is one segment whose char-set is
@@ -628,10 +629,22 @@ def _matchpath_jvm_chain(
       ``translate()``, and chars outside every set pass through
       unchanged, so they form their own islands and can never satisfy
       a segment condition;
-    - runs of equal group ids become islands (rn − per-group rn),
-    - the island frame (one row per island: group, length, first/last
-      row number and timestamp) learns its K successors via lead(),
-      K = longest variant − 1,
+    - runs of equal group ids are islands. r14 (guide §2.4 — fewer
+      passes over the same exchange): instead of materializing an
+      island FRAME (a second (pk, _g)-keyed window pass + groupBy +
+      a join back to the candidate rows — 2 scans, 2 exchanges,
+      4 sorts in the executed plan), every island attribute is now
+      derived per ROW on the ONE (pk, order) sort. Each island's
+      first row carries a marker struct ``__s0`` = (start rn, group,
+      first ts, PREVIOUS island's last ts — the row right before an
+      island start is the previous island's last row); any row then
+      sees its k-th successor island as ``lead(__s0, k) IGNORE
+      NULLS`` (skipping non-start rows — amortized-linear in Spark's
+      offset frame, measured flat on 100k-row islands), and the two
+      partition-level aggregates (row count, last ts) close the
+      final-island lengths. Island k's length = (island k+1's start
+      rn, or partition count + 1) − its own start rn; its last ts =
+      island k+1's prev-last-ts, or the partition's last ts,
     - every row of the chain's first group is a candidate start; its
       remainder rem = rows left in its own island is segment 1's
       forced consumption, successor island j must carry segment j+1's
@@ -644,19 +657,19 @@ def _matchpath_jvm_chain(
       to no neighbor's),
     - variants are tried in regex-backtracking preference order via
       one coalesce(when(...)) chain per output column,
-    - the match's END timestamp comes straight from the island frame
-      (final island's first/last ts) when every variant's final
-      segment has max count 1 or unbounded; a BOUNDED final segment
-      (round 9 — e.g. ``b{2,3}``) can stop mid-island, so those
-      patterns fetch the end row by the identity end_rn = start_rn +
-      match_len − 1 (segments consume contiguous rn ranges) with ONE
-      extra (pk, rn) equi-join against the row frame — still zero
-      Python; the join only appears for patterns that need it.
+    - the match's END timestamp comes straight from the successor
+      structs (final island's first/last ts) when every variant's
+      final segment has max count 1 or unbounded; a BOUNDED final
+      segment (round 9 — e.g. ``b{2,3}``) can stop mid-island, so
+      those patterns fetch the end row by the identity end_rn =
+      start_rn + match_len − 1 (segments consume contiguous rn
+      ranges) with ONE extra (pk, rn) equi-join against the row frame
+      — still zero Python; the join only appears for patterns that
+      need it.
 
-    One sort-shuffle on the partition key for the row windows, a
-    groupBy onto the same key family for the island frame, and a
-    (pk, group, island) equi-join back to the candidate rows — every
-    stage JVM-side, Arrow never touched."""
+    ONE sort-shuffle on the partition key, two Window passes over it
+    (markers, then their leads), then pure projections — every stage
+    JVM-side, Arrow never touched, no second scan of the input."""
     from pyspark.sql import Window
 
     src = "".join(group_of)
@@ -672,49 +685,77 @@ def _matchpath_jvm_chain(
     k_lead = max(len(v) for v in variants) - 1
 
     w = Window.partitionBy("pk").orderBy(*order_cols)
-    wc = Window.partitionBy("pk", "_g").orderBy(*order_cols)
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     rows = slim.select(
         "*",
         F.row_number().over(w).alias("rn"),
-        (F.row_number().over(w) - F.row_number().over(wc)).alias("isl"),
+        F.lag("_g").over(w).alias("__pg"),
+        F.lag("_ts").over(w).alias("__pts"),
+        # partition totals (one O(n) unbounded-frame pass sharing the
+        # same sort): the final island's end has no successor marker
+        F.count(F.lit(1)).over(wall).alias("__n_all"),
+        F.last("_ts").over(wall).alias("__lts_all"),
+    ).withColumn(
+        # island-start marker: non-null exactly on each island's first
+        # row; _g is never null, so lag-null means "partition start"
+        "__s0",
+        F.when(
+            F.col("__pg").isNull() | (F.col("__pg") != F.col("_g")),
+            F.struct(
+                F.col("rn").alias("srn"),
+                F.col("_g").alias("g"),
+                F.col("_ts").alias("fts"),
+                F.col("__pts").alias("plts"),
+            ),
+        ),
     )
-    isl = rows.groupBy("pk", "_g", "isl").agg(
-        F.count(F.lit(1)).alias("i_n"),
-        F.min("rn").alias("i_start"),
-        F.max("rn").alias("i_end"),
-        F.min_by("_ts", "rn").alias("i_first_ts"),
-        F.max_by("_ts", "rn").alias("i_last_ts"),
+    # the k-th FOLLOWING island's marker, from any row, via lead ...
+    # IGNORE NULLS (k_lead + 1 so the deepest island it gates still
+    # has a length/last-ts); PySpark's lead() lacks the ignoreNulls
+    # flag, so the expression goes through F.expr
+    rows = rows.select(
+        "*",
+        *[
+            F.expr(f"lead(__s0, {k}) IGNORE NULLS").over(w).alias(f"__s{k}")
+            for k in range(1, k_lead + 2)
+        ],
     )
-    wi = Window.partitionBy("pk").orderBy("i_start")
-    lead_cols = []
-    for k in range(1, k_lead + 1):
-        lead_cols += [
-            F.lead("_g", k).over(wi).alias(f"ch_{k}"),
-            F.lead("i_n", k).over(wi).alias(f"n_{k}"),
-            F.lead("i_first_ts", k).over(wi).alias(f"fts_{k}"),
-            F.lead("i_last_ts", k).over(wi).alias(f"lts_{k}"),
-        ]
-    isl = isl.select("*", *lead_cols)
-    # NULL-SAFE on pk (round 12): a null partition key is a group like
-    # any other — the windows and groupBy above already keep it, and a
-    # plain equi-join here would silently drop its matches, diverging
-    # from the lead-chain and automaton plans (_g/isl are never null,
-    # so they stay plain equality)
-    isl_r = (
-        isl.drop("i_start")
-        .withColumnRenamed("pk", "__i_pk")
-        .withColumnRenamed("_g", "__i_g")
-        .withColumnRenamed("isl", "__i_isl")
-    )
-    cand = (
-        rows.where(F.col("_g").isin(first_groups))
-        .join(
-            isl_r,
-            F.col("pk").eqNullSafe(F.col("__i_pk"))
-            & (F.col("_g") == F.col("__i_g"))
-            & (F.col("isl") == F.col("__i_isl")),
+
+    def _succ(k: int):
+        """Per-row columns of the k-th successor island (k >= 1):
+        group char, length, first/last ts — null wherever island k
+        does not exist, exactly like the old island-frame leads."""
+        sk, sk1 = F.col(f"__s{k}"), F.col(f"__s{k + 1}")
+        nxt_start = F.when(sk1.isNotNull(), sk1["srn"]).otherwise(
+            F.col("__n_all") + 1
         )
-        .drop("__i_pk", "__i_g", "__i_isl")
+        return [
+            sk["g"].alias(f"ch_{k}"),
+            (nxt_start - sk["srn"]).alias(f"n_{k}"),
+            sk["fts"].alias(f"fts_{k}"),
+            F.when(sk1.isNotNull(), sk1["plts"])
+            .otherwise(F.col("__lts_all"))
+            .alias(f"lts_{k}"),
+        ]
+
+    # own-island end attributes (segment 1 consumes within the
+    # candidate's own island): its end rn is the next island's start
+    # minus one, its last ts the next island's prev-last-ts
+    own_end = F.when(
+        F.col("__s1").isNotNull(), F.col("__s1")["srn"]
+    ).otherwise(F.col("__n_all") + 1) - 1
+    own_lts = F.when(
+        F.col("__s1").isNotNull(), F.col("__s1")["plts"]
+    ).otherwise(F.col("__lts_all"))
+    cand = rows.where(F.col("_g").isin(first_groups)).select(
+        "pk",
+        "rn",
+        "_ts",
+        "_g",
+        *passthrough,
+        own_end.alias("i_end"),
+        own_lts.alias("i_last_ts"),
+        *[c for k in range(1, k_lead + 1) for c in _succ(k)],
     )
     rem = F.col("i_end") - F.col("rn") + 1
 

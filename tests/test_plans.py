@@ -815,21 +815,23 @@ def test_capped_matchpath_has_no_flag_rescan(spark):
     capped_user_prefix had already stamped (matchpath's slim projection
     dropped it) — a whole extra corpus pass at 100 TB. With the flag
     riding matchpath's passthrough, the plan must have exactly the
-    island walk's 3 exchanges (the old shape had 4: + the flag
-    aggregation's) and no scan subtree may feed an aggregate on raw
-    uncapped events — every scan sits under the capping window."""
+    fused island walk's 2 exchanges — the capping/matching key shuffle
+    plus the presentation sort (round 14 removed the island frame's
+    join-back, so the r11-13 shape's third exchange is gone) — and no
+    scan subtree may feed an aggregate on raw uncapped events — every
+    scan sits under the capping window."""
     import re
 
     from hive_service_spark.registry import load_all
 
     df = load_all()["seq_matchpath_capped"].fn(spark, SF_DIR)
     plan = P.formatted_plan(df)
-    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 3, plan[:1200]
-    # the flag join's HashAggregate keyed on the raw user_id is gone:
-    # the only aggregate left is the island frame's (pk, _g, isl) one
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan[:1200]
+    # the flag join's HashAggregate keyed on the raw user_id is gone —
+    # and since the r14 fusion so is the island frame's: the compiled
+    # plan has NO aggregates at all (markers + lead-ignore-nulls)
     aggs = re.findall(r"Keys(?: \[\d+\])?: \[([^\]]*)\]", plan)
-    for keys in aggs:
-        assert "isl" in keys or "_g" in keys, (keys, plan[:1200])
+    assert aggs == [], (aggs, plan[:1200])
 
 
 def test_user_event_cap_knob_validates(monkeypatch):
@@ -1027,7 +1029,9 @@ def test_round13_new_queries_plan_jvm_only(spark):
         "fn_shims_sql_floor_union": 3,    # distinct-agg pair + orderBy
         "fn_shims_sql_url_tuple": 3,      # distinct-agg pair + orderBy
         "fn_shims_sql_sort_array": 2,     # groupBy + orderBy
-        "seq_npath_sql_expr_partition": 3,  # island-walk key shuffle
+        # island-walk key shuffle + presentation sort (r14 fusion
+        # removed the island frame's join-back exchange)
+        "seq_npath_sql_expr_partition": 2,
     }
     for name, max_ex in budgets.items():
         df = specs[name].fn(spark, SF_DIR)
