@@ -912,17 +912,26 @@ def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _signatures(spark, sf_dir)
     bands = _band_frame(sig)
     is_inc = F.col("doc_id") % 5 == 0
-    bi = bands.where(is_inc).alias("bi")
-    bc = bands.where(~is_inc).alias("bc")
+    # r14 (guide §2.4 — the shared-exchange audit the batch queries got
+    # in r13's _cosupply_edges): the incoming->corpus band probe used to
+    # filter the band frame TWICE and shuffle-hash-join the two sides on
+    # (b, bkey) — two corpus-sized band exchanges plus the join, with
+    # the band build computed once per side. Bucket co-occupancy is the
+    # whole join condition, so ONE groupBy on (b, bkey) collecting each
+    # bucket's incoming and corpus doc sets (collect_set skips the
+    # other side's nulls) and a map-side double explode produces the
+    # identical (di, dc) pair set from a single band exchange. Bucket
+    # occupancy bounds the per-row sets exactly as it bounded the old
+    # join's fan-out (the minhash docstring's hot-bucket cap applies
+    # the same way at 100 TB).
+    buckets = bands.groupBy("b", "bkey").agg(
+        F.collect_set(F.when(is_inc, F.col("doc_id"))).alias("inc_ids"),
+        F.collect_set(F.when(~is_inc, F.col("doc_id"))).alias("corp_ids"),
+    )
     cand = (
-        bi.join(
-            bc.hint("shuffle_hash"),  # same AQE broadcast-flip hazard
-            (F.col("bi.b") == F.col("bc.b"))
-            & (F.col("bi.bkey") == F.col("bc.bkey")),
-        )
-        .select(
-            F.col("bi.doc_id").alias("di"), F.col("bc.doc_id").alias("dc")
-        )
+        buckets.where((F.size("inc_ids") > 0) & (F.size("corp_ids") > 0))
+        .select(F.explode("inc_ids").alias("di"), "corp_ids")
+        .select("di", F.explode("corp_ids").alias("dc"))
         .distinct()
     )
     si, sc = sig.alias("si"), sig.alias("sc")

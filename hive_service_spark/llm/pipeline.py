@@ -39,6 +39,23 @@ from hive_service_spark.llm.text import _EN_MARKERS, _ES_MARKERS
 
 _EN_RE = r"\b(" + "|".join(_EN_MARKERS) + r")\b"
 _ES_RE = r"\b(" + "|".join(_ES_MARKERS) + r")\b"
+_PUNCT_RE = r"[\!-/\:-@\[-`\{-~]"
+# r14 NEGATIVE RESULT (guide §1.2 tried and rejected — do not re-try):
+# fusing the three gate passes below into ONE combined-alternation
+# regexp_extract_all over _GATE_RE, classified afterwards by array
+# membership, is provably count-identical (matches are \b-bounded
+# alpha-only marker words or single punct chars, so no cross-offset
+# overlap; the EN/ES sets are disjoint with disjoint first letters, so
+# no same-position cross-set conflict; the embedded _EN_RE/_ES_RE keep
+# their internal alternation order — all pinned by
+# tests/test_pipeline_gate_regex.py's adversarial sweep) but measured
+# SLOWER: same-session interleaved A/B x7 on the sf0.1 gate stage read
+# median 0.162s (three passes) vs 0.233s (combined) — java.util.regex
+# tries the full 23-branch alternation at every position, where the
+# three simple patterns each fail fast, and the per-match
+# classification adds array work. The constants stay so the
+# equivalence proof remains a checked fact rather than a comment.
+_GATE_RE = f"{_EN_RE}|{_ES_RE}|{_PUNCT_RE}"
 
 _PIPELINE_ORACLE = f"""
 WITH scored AS (
@@ -108,10 +125,18 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     words = F.split("text", " ")
     n_words = F.size(words)
+    # three separate regex passes, deliberately: see the _GATE_RE
+    # negative-result note — the fused single-pass variant measured
+    # ~1.4x slower on this stage. The punct pass names group 0
+    # explicitly (r14): the groupless class pattern with the implicit
+    # default (idx=1) raises INVALID_PARAMETER_VALUE.REGEX_GROUP_INDEX
+    # on the first row that CONTAINS punctuation — latent on this
+    # corpus (whose text carries none; any row that could diverge
+    # would have crashed instead), fatal on a real one
     en_hits = F.size(F.regexp_extract_all("text", F.lit(_EN_RE)))
     es_hits = F.size(F.regexp_extract_all("text", F.lit(_ES_RE)))
     punct_ratio = (
-        F.size(F.regexp_extract_all("text", F.lit(r"[\!-/\:-@\[-`\{-~]")))
+        F.size(F.regexp_extract_all("text", F.lit(_PUNCT_RE), 0))
         / F.length("text")
     )
     # stages 1+2: map-only gates

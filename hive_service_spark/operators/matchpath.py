@@ -911,6 +911,70 @@ def _order_key(col: Column, desc: bool, nulls: str | None) -> Column:
     )
 
 
+def _route(
+    pattern: str, chars: dict[str, str]
+) -> tuple[str, tuple | None]:
+    """The ONE plan-routing decision, shared by matchpath() (which
+    executes it) and npath_sql (which asks it to pick the composite-key
+    packing — a struct key for compiled classes, a serialized string
+    for the automaton, r14). Returns ("chain", (variants, group_of)),
+    ("lead", (comps, k_max)) or ("automaton", None); the class
+    boundaries are documented on matchpath() below.
+
+    Chain class: the island key is only well-defined when the
+    pattern's DISTINCT char-sets are pairwise disjoint (identical sets
+    share a group; an overlap like a vs (a|b) would make one row
+    belong to two groups -> lead chain / automaton)."""
+    chain = _parse_chain(pattern)
+    if chain is not None:
+        csets = [
+            frozenset(
+                chars[n]
+                for n in ((atom,) if isinstance(atom, str) else atom)
+            )
+            for atom, _ in chain
+        ]
+        distinct = set(csets)
+        disjoint = all(
+            a == b or not (a & b) for a in distinct for b in distinct
+        )
+        if disjoint:
+            variants = _chain_variants(
+                [(cs, q) for cs, (_, q) in zip(csets, chain)]
+            )
+            if variants is not None:
+                # one representative char per group; translate() maps
+                # every member char onto it
+                group_of = {
+                    c: min(cs) for cs in distinct for c in sorted(cs)
+                }
+                variants = [
+                    [(min(cs), lo, hi) for cs, lo, hi in segs]
+                    for segs in variants
+                ]
+                return "chain", (variants, group_of)
+        # overlapping char-sets (or an island-variant blowup): the
+        # round-10 lead-chain compiler covers any FINITE-max chain —
+        # per-offset membership checks replace the per-row group id
+        # the island walk needs (see _matchpath_jvm_leadchain)
+        lead = _lead_compositions(
+            [(cs, q) for cs, (_, q) in zip(csets, chain)]
+        )
+        if lead is not None:
+            return "lead", lead
+    # round 10b: anything the flat chain parser rejects but whose FULL
+    # grammar AST expands to a finite branch set — nested groups,
+    # alternation of sequences, top-level alternation — compiles to
+    # the same lead-chain plan via the exact-backtracking-order
+    # enumerator (see _parse_ast/_enum_ast)
+    ast = _parse_ast(pattern)
+    if ast is not None:
+        fin = _enum_ast(ast, chars)
+        if fin is not None:
+            return "lead", fin
+    return "automaton", None
+
+
 def matchpath(
     df: DataFrame,
     partition_by: str,
@@ -1025,84 +1089,44 @@ def matchpath(
             res = res.withColumnRenamed(a, c)
         return res
 
-    chain = None if force_automaton else _parse_chain(pattern)
-    if chain is not None:
-        # atom -> char-set; the island key is only well-defined when
-        # the pattern's DISTINCT char-sets are pairwise disjoint
-        # (identical sets share a group; an overlap like a vs (a|b)
-        # would make one row belong to two groups -> Python automaton)
-        csets = [
-            frozenset(
-                chars[n]
-                for n in ((atom,) if isinstance(atom, str) else atom)
+    route, payload = (
+        ("automaton", None) if force_automaton else _route(pattern, chars)
+    )
+    if route == "chain":
+        variants, group_of = payload
+        return _restore(
+            _matchpath_jvm_chain(
+                slim,
+                order_cols,
+                partition_by,
+                variants,
+                group_of,
+                pt_alias,
             )
-            for atom, _ in chain
-        ]
-        distinct = set(csets)
-        disjoint = all(
-            a == b or not (a & b) for a in distinct for b in distinct
         )
-        if disjoint:
-            variants = _chain_variants(
-                [(cs, q) for cs, (_, q) in zip(csets, chain)]
+    if route == "lead":
+        comps, k_max = payload
+        return _restore(
+            _matchpath_jvm_leadchain(
+                slim, order_cols, partition_by, comps, k_max, pt_alias
             )
-            if variants is not None:
-                # one representative char per group; translate() maps
-                # every member char onto it
-                group_of = {
-                    c: min(cs) for cs in distinct for c in sorted(cs)
-                }
-                variants = [
-                    [(min(cs), lo, hi) for cs, lo, hi in segs]
-                    for segs in variants
-                ]
-                return _restore(
-                    _matchpath_jvm_chain(
-                        slim,
-                        order_cols,
-                        partition_by,
-                        variants,
-                        group_of,
-                        pt_alias,
-                    )
-                )
-        # overlapping char-sets (or an island-variant blowup): the
-        # round-10 lead-chain compiler covers any FINITE-max chain —
-        # per-offset membership checks replace the per-row group id
-        # the island walk needs (see _matchpath_jvm_leadchain)
-        lead = _lead_compositions(
-            [(cs, q) for cs, (_, q) in zip(csets, chain)]
         )
-        if lead is not None:
-            comps, k_max = lead
-            return _restore(
-                _matchpath_jvm_leadchain(
-                    slim, order_cols, partition_by, comps, k_max, pt_alias
-                )
-            )
-
-    # round 10b: anything the flat chain parser rejects but whose FULL
-    # grammar AST expands to a finite branch set — nested groups,
-    # alternation of sequences, top-level alternation — compiles to
-    # the same lead-chain plan via the exact-backtracking-order
-    # enumerator (see _parse_ast/_enum_ast)
-    if not force_automaton:
-        ast = _parse_ast(pattern)
-        if ast is not None:
-            fin = _enum_ast(ast, chars)
-            if fin is not None:
-                comps, k_max = fin
-                return _restore(
-                    _matchpath_jvm_leadchain(
-                        slim, order_cols, partition_by, comps, k_max, pt_alias
-                    )
-                )
 
     # the key column keeps its INPUT type (round 12: was hardcoded
     # `long`, which silently restricted the automaton fallback to
     # integer keys — string keys, and the packed composite key
     # npath_sql threads for multi-column PARTITION BY, now round-trip)
     pk_type = slim.schema["pk"].dataType.simpleString()
+    if pk_type.startswith("struct"):
+        # the pandas groupby below needs a HASHABLE key; a struct
+        # arrives as per-row dicts. npath_sql only packs a struct key
+        # for compiled-class patterns (it asks _route first) — a
+        # direct caller must serialize, e.g. to_json, as npath_sql
+        # does for automaton-class patterns.
+        raise ValueError(
+            "matchpath: the automaton fallback does not support a "
+            "struct partition key — serialize it (e.g. to_json) first"
+        )
     out_schema = (
         f"`{partition_by}` {pk_type}, start_rn int, match_len int, "
         "path_start timestamp, path_end timestamp"
@@ -2213,18 +2237,26 @@ def npath_sql(spark: SparkSession, call: str) -> DataFrame:
         part = part_cols[0]
     else:
         # composite PARTITION BY: pack into one collision-free derived
-        # key (to_json keeps distinct tuples distinct, nulls included)
-        # and carry the original columns onto each match via
+        # key and carry the original columns onto each match via
         # passthrough — constant within a partition, so the start-row
-        # value is exact. Cost: one derived string column through the
-        # same single key-shuffle every plan already pays.
+        # value is exact. Cost: one derived column through the same
+        # single key-shuffle every plan already pays. r14: compiled
+        # classes (asked of the shared _route, the same decision
+        # matchpath itself makes) pack to a plain STRUCT — every JVM
+        # plan partitions/compares structs natively, and the struct's
+        # binary row layout shuffles ~half the bytes of the to_json
+        # string (interleaved A/B on the key shuffle+sort stage:
+        # 0.288 -> 0.205 s median at sf0.1). Only the Arrow automaton,
+        # whose pandas groupby needs a hashable key, still pays the
+        # JSON serialization (to_json keeps distinct tuples distinct,
+        # nulls included).
         part = "__np_pk"
-        df = df.withColumn(
-            part,
-            F.to_json(
-                F.struct(*part_cols), {"ignoreNullFields": "false"}
-            ),
-        )
+        packed = F.struct(*part_cols)
+        if _route(pattern, compile_pattern(pattern, symbols)[0])[0] == (
+            "automaton"
+        ):
+            packed = F.to_json(packed, {"ignoreNullFields": "false"})
+        df = df.withColumn(part, packed)
         passthrough = tuple(part_cols)
     # direction-aware sort keys (round 12: ORDER BY items accept
     # ASC/DESC and NULLS FIRST/LAST suffixes like the reference PTF's
