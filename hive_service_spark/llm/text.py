@@ -1696,11 +1696,15 @@ def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB reading: the gram/flag stages are the linear passes of
     text_duplicate_spans (60-bit hashes, min<>max flagging, equi-join
-    flag-back — no pair space); covered indices explode 5 per flagged
-    gram and dedup on (doc, idx); the rebuild is one (doc, idx)
-    equi-join against the token frame followed by a per-document
-    aggregate — collect_list is bounded by single-document length,
-    the unit every text pipeline already requires to fit a task."""
+    flag-back — no pair space); covered indices aggregate straight to
+    ONE row per document (a map-side-combined collect_set over the
+    5 indices each flagged gram spans), and the document rebuilds with
+    pure array ops — ``array_except(sequence(1, len), cut)`` keeps the
+    surviving positions in order, ``element_at`` re-reads the words —
+    so the only per-document state is the covered-index set and the
+    word array, both bounded by single-document length, the unit every
+    text pipeline already requires to fit a task (r13: this replaced a
+    token-level rebuild that shuffled the corpus four times)."""
     from hive_service_spark.catalog import par
 
     d = load(spark, sf_dir, "documents")

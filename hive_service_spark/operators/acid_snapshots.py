@@ -46,7 +46,14 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from hive_service_spark.catalog import load
 from hive_service_spark.registry import query
 
-_SCRATCH = "/root/repo/.scratch/acid"
+# r14: per-pid scratch namespace via scratch.pid_dir (tmpfs-backed,
+# reaped on dead pids) — the module used to carry its own fixed
+# repo-disk path with per-pid FILE names; the pid now lives in the
+# namespace, so the file names drop their suffix
+def _scratch() -> str:
+    from hive_service_spark.scratch import pid_dir
+
+    return pid_dir("acid")
 
 
 class ConcurrentWriteConflict(RuntimeError):
@@ -507,7 +514,7 @@ def acid_merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, so the value hash proves the storage layer preserved exact
     row content across four snapshots. Per-process scratch path keeps
     concurrent pytest/driver runs isolated."""
-    path = os.path.join(_SCRATCH, f"orders_lc_{os.getpid()}")
+    path = os.path.join(_scratch(), "orders_lc")
     base = load(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000).select(
         "o_orderkey",
         "o_orderstatus",
@@ -598,7 +605,7 @@ def acid_mor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     preserve exact row content. Reference: hive-exec!ql/io/AcidUtils
     delete_delta dirs + ql/txn/compactor/{Initiator,Worker,Cleaner}
     (SURVEY.md §1.1)."""
-    path = os.path.join(_SCRATCH, f"orders_mor_{os.getpid()}")
+    path = os.path.join(_scratch(), "orders_mor")
     base = load(spark, sf_dir, "orders").where(F.col("o_orderkey") < 3000).select(
         "o_orderkey",
         F.col("o_orderstatus").alias("status"),
@@ -699,7 +706,7 @@ def acid_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the storage layout; unchanged rows are filtered before the
     aggregate. Downstream incremental jobs (index refresh, MV
     maintenance, replication) consume exactly this classified stream."""
-    path = os.path.join(_SCRATCH, f"orders_cdc_{os.getpid()}")
+    path = os.path.join(_scratch(), "orders_cdc")
     base = load(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2500).select(
         "o_orderkey",
         F.col("o_orderstatus").alias("status"),
@@ -807,7 +814,7 @@ def acid_show_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lock-manager analog is the claimed-version-slot view this
     query renders; at 100 TB the manifests are O(versions) JSON files,
     never a data scan."""
-    path = os.path.join(_SCRATCH, f"orders_txns_{os.getpid()}")
+    path = os.path.join(_scratch(), "orders_txns")
     base = (
         load(spark, sf_dir, "orders")
         .where(F.col("o_orderkey") < 4000)
@@ -896,8 +903,8 @@ def acid_cdc_apply_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
         F.col("o_totalprice").cast("double").alias("price"),
     )
-    ppath = os.path.join(_SCRATCH, f"orders_cdcsrc_{os.getpid()}")
-    rpath = os.path.join(_SCRATCH, f"orders_cdcdst_{os.getpid()}")
+    ppath = os.path.join(_scratch(), "orders_cdcsrc")
+    rpath = os.path.join(_scratch(), "orders_cdcdst")
     primary = SnapshotTable.create(spark, ppath, base, key_col="o_orderkey")
     primary.update(
         (F.col("status") == "O") & (F.col("price") > 200000),
@@ -1043,7 +1050,7 @@ def acid_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest JSONs — a pure metadata pass, no data scan; only the
     per-event visible-count audit reads data, and a production
     consumer would skip it (documented, test-scale-only audit)."""
-    path = os.path.join(_SCRATCH, f"orders_events_{os.getpid()}")
+    path = os.path.join(_scratch(), "orders_events")
     t = _event_log_table(spark, sf_dir, path)
 
     last_event_id = 1  # the consumer's stored offset
@@ -1111,7 +1118,7 @@ def acid_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     not merely aggregate-equal. Restore itself is O(manifest) — no
     data is copied at any table size — and the damaged versions stay
     time-travelable for audit."""
-    path = os.path.join(_SCRATCH, f"orders_restore_{os.getpid()}")
+    path = os.path.join(_scratch(), "orders_restore")
     base = (
         load(spark, sf_dir, "orders")
         .where(F.col("o_orderkey") < 2500)

@@ -40,7 +40,16 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from hive_service_spark.catalog import load, register_views
 from hive_service_spark.registry import query
 
-_SCRATCH = "/root/repo/.scratch/mv"
+# r14: per-pid scratch namespace via scratch.pid_dir (tmpfs-backed,
+# reaped on dead pids). The old fixed repo-disk path was shared by
+# every process WITHOUT per-pid names — the same latent
+# rmtree-vs-read race the r13 warehouse fix closed, since two
+# processes rebuild the same MV path concurrently; MV registry state
+# is per-process anyway, so the storage now is too.
+def _scratch() -> str:
+    from hive_service_spark.scratch import pid_dir
+
+    return pid_dir("mv")
 
 # measure kinds the rewriter knows how to derive from stored partials
 _DERIVABLE = {"sum", "count", "min", "max", "avg"}
@@ -78,7 +87,7 @@ class MaterializedView:
 
     @property
     def path(self) -> str:
-        return f"{_SCRATCH}/{self.name}"
+        return f"{_scratch()}/{self.name}"
 
     def _dim_aliases(self) -> list[str]:
         return [d.split(" AS ")[-1].strip() for d in self.dims]
@@ -372,7 +381,7 @@ def mv_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     # persisted; refreshes below never touch this join again
     import os
 
-    path = f"{_SCRATCH}/join_mv_base_{os.getpid()}"  # per-process: no .scratch race
+    path = f"{_scratch()}/join_mv_base"  # pid lives in the namespace
     shutil.rmtree(path, ignore_errors=True)
     agg_join(o_old, c_old).write.parquet(path)
     mv_base = spark.read.parquet(path)

@@ -36,7 +36,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from hive_service_spark.catalog import load
 from hive_service_spark.registry import query
 
-_SCRATCH = "/root/repo/.scratch/partitioned"
+# r14: the staged month-partitioned fixture moves under SCRATCH_ROOT
+# (tmpfs when available) but stays a SHARED cross-run namespace — its
+# semantics are "built once per scale factor, reused by later runs
+# until the source parquet changes", so it deliberately does NOT use a
+# per-pid reaped namespace (the name matches no reaper prefix).
+from hive_service_spark.scratch import SCRATCH_ROOT as _SCRATCH_ROOT
+
+_SCRATCH = f"{_SCRATCH_ROOT}/fixtures-partitioned"
 
 # per-process memo of staged layouts (see staged_lineitem_by_month)
 _STAGED: dict = {}

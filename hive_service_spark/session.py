@@ -25,7 +25,10 @@ def _local_dir() -> str:
     if override:
         return override
     if os.path.isdir("/dev/shm"):
-        return "/dev/shm/spark-local"
+        # per-uid like scratch.SCRATCH_ROOT (r14): a world-shared
+        # parent is created 0755 by its first owner, so a second uid
+        # cannot create its own subdirectories under it
+        return f"/dev/shm/spark-local-{os.getuid()}"
     return ""
 
 
@@ -56,7 +59,15 @@ def get_session(app: str = "hive_service_spark", cpus: int | None = None) -> Spa
         # sort passes), and let AQE rewrite SMJ->SHJ at runtime when
         # every post-shuffle partition's build side fits locally. Both
         # policies are size-gated, never unconditional; explicit
-        # merge/shuffle_hash hints in query code still win.
+        # merge/shuffle_hash hints in query code still win. Robustness
+        # note (r14, guide §5): the static flip relies on PRE-AQE size
+        # estimates, and a shuffled-hash build has far less spill
+        # headroom than sort-merge — a memory-constrained or
+        # skew-heavy deployment should flip preferSortMergeJoin back
+        # to true per-session (the AQE threshold below is the safer
+        # half: it sees REAL post-shuffle sizes); AQE skew-join
+        # splitting stays active under SHJ either way (pinned in
+        # tests/test_plans.py::test_shj_policy_skew_interaction).
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"

@@ -296,7 +296,6 @@ def sink_bucketed_smb_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Note Hive and Spark bucket hashes differ (SURVEY.md §7): we assert
     join RESULTS, never bucket file layout."""
     import os
-    import re as _re
     import shutil
 
     from hive_service_spark.scratch import warehouse_dir

@@ -44,7 +44,7 @@ from hive_service_spark.operators.acid_snapshots import (
     _CDC_APPLY_ORACLE,
     _EVENT_LOG_ORACLE,
     _event_log_table,
-    _SCRATCH as _ACID_SCRATCH,
+    _scratch as _acid_scratch,
     SnapshotTable,
 )
 from hive_service_spark.registry import query
@@ -64,7 +64,7 @@ def stream_event_log_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hive-style event payload + visible row count; outputs land in one
     dir per event_id so checkpoint replay is idempotent."""
     ns = pid_dir("proc")
-    path = os.path.join(_ACID_SCRATCH, f"orders_events_stream_{os.getpid()}")
+    path = os.path.join(_acid_scratch(), "orders_events_stream")
     t = _event_log_table(spark, sf_dir, path)
 
     last_event_id = 1  # the consumer's stored offset
@@ -153,8 +153,8 @@ def stream_cdc_apply_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").cast("double").alias("price"),
         )
     )
-    ppath = os.path.join(_ACID_SCRATCH, f"orders_cdcstream_p_{os.getpid()}")
-    rpath = os.path.join(_ACID_SCRATCH, f"orders_cdcstream_r_{os.getpid()}")
+    ppath = os.path.join(_acid_scratch(), "orders_cdcstream_p")
+    rpath = os.path.join(_acid_scratch(), "orders_cdcstream_r")
     primary = SnapshotTable.create(spark, ppath, base, key_col="o_orderkey")
     primary.update(
         (F.col("status") == "O") & (F.col("price") > 200000),

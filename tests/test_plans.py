@@ -162,6 +162,76 @@ def test_skew_salted_join_no_broadcast_of_big_side(spark):
     assert not P.has_cartesian(_df(spark, "skew_salted_replicated_join"))
 
 
+def test_skew_salted_join_keeps_salt_key_under_shj_policy(spark):
+    """r14 (verdict #8): the session flips preferSortMergeJoin=false —
+    make sure the flip is actually in force for every plan pin in this
+    file, and that the salted join rewrite survives it: the manual
+    (key, salt) join key must still reach the join, whatever strategy
+    the planner picks (salting is a LOGICAL rewrite; the SHJ policy
+    only changes the physical join node)."""
+    assert spark.conf.get("spark.sql.join.preferSortMergeJoin") == "false"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    plan = P.formatted_plan(_df(spark, "skew_salted_replicated_join"))
+    import re
+
+    key_lines = [
+        ln for ln in plan.splitlines() if re.match(r"(Left|Right) keys", ln)
+    ]
+    assert key_lines and all("salt" in ln for ln in key_lines), key_lines
+
+
+def test_aqe_skew_split_fires_under_shj_policy(spark):
+    """r14 (verdict #8, what's-wrong #3): AQE's OptimizeSkewedJoin must
+    still rewrite skewed shuffle joins now that the static planner
+    prefers shuffled-hash — run a deliberately skewed equi-join with
+    the skew thresholds lowered to test scale and assert the EXECUTED
+    plan carries a skew-split AQEShuffleRead. This is a runtime check,
+    not a static pin: the skew split only exists in the final adaptive
+    plan."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        # no broadcast (forces a shuffle join), skew thresholds scaled
+        # down so the hot key's ~3 MB partition counts as skewed
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "65536",
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "false"
+        )
+        big = spark.range(200_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        dim = spark.range(200_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = big.join(dim, "k").select(F.sum(F.length("pad")), F.sum("w"))
+        joined.collect()
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_q21_windows_not_self_joins(spark):
     """Q21's EXISTS/NOT EXISTS decorrelation must not plan extra
     lineitem self-joins: exactly one lineitem scan feeding windows."""
